@@ -1,0 +1,322 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Relational core: scan → filter → join → aggregate → sort → limit
+  * (SURVEY.md §2.2–2.4, §2.6). TPC-H-shaped queries adapted to the fixture
+  * schema; the "orders job" the reference declares but leaves empty
+  * (`Hoth/FHIR/cloudformations/lambda-stack.yml:14,18`) is q02.
+  *
+  * Scale notes (100 TB): every query is fully declarative so Catalyst keeps
+  * predicate pushdown + column pruning; dimension tables (`region` 5 rows,
+  * `nation` 25, `supplier` small) are explicitly `broadcast()` so the big
+  * fact-table joins never shuffle the small side; fact-fact joins
+  * (orders⋈lineitem) shuffle on the join key, which AQE re-partitions and
+  * skew-splits at runtime.
+  */
+object RelationalQueries extends QueryPack {
+
+  private def ts(s: String) = lit(java.sql.Timestamp.valueOf(s))
+
+  override def queries: Map[String, Query] = Map(
+    // -- A1/A2 hash aggregate with partial aggregation; P2 filter pushed to parquet.
+    "q01_pricing_summary" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.lineitem
+        .filter(col("l_shipdate") <= ts("2000-12-01 00:00:00"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          avg(col("l_quantity")).as("avg_qty"),
+          avg(col("l_extendedprice")).as("avg_price"),
+          avg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order")
+        )
+    },
+
+    // -- The reference's namesake "orders job": revenue per market segment.
+    //    J1 equi join (orders⋈customer), A1 agg, O1 sort. Customer is the
+    //    smaller side → broadcast at fixture scale; at 100 TB customer is
+    //    large, so we keep the join declarative and let AQE pick SMJ.
+    "q02_mktsegment_revenue" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.orders
+        .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+          col("o_orderdate") < ts("2000-01-01 00:00:00"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          sum(col("o_totalprice")).as("revenue"),
+          count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_customers")
+        )
+    },
+
+    // -- Top-10 orders by revenue for one segment (J1, A1, O4 TakeOrderedAndProject).
+    "q03_top_orders" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.customer.filter(col("c_mktsegment") === "BUILDING")
+        .join(t.orders, col("c_custkey") === col("o_custkey"))
+        .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    },
+
+    // -- EXISTS via left-semi join (J4): orders with a late-shipped line.
+    "q04_order_priority" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val o = t.orders.filter(col("o_orderdate") >= ts("1997-01-01 00:00:00") &&
+        col("o_orderdate") < ts("1998-01-01 00:00:00"))
+      o.join(
+          t.lineitem,
+          o("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi"
+        )
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    },
+
+    // -- TPC-H Q5 shape: 6-way join through the star schema, dims broadcast (J2).
+    "q05_regional_revenue" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+          col("o_orderdate") < ts("1999-01-01 00:00:00"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+    },
+
+    // -- TPC-H Q6 shape: scalar aggregate, filter fully pushed down (P2, A2).
+    "q06_forecast_revenue" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.lineitem
+        .filter(col("l_shipdate") >= ts("1998-01-01 00:00:00") &&
+          col("l_shipdate") < ts("1999-01-01 00:00:00") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    // -- TPC-H Q7 shape: fact⋈dims with derived year column (F2) and two-key group.
+    "q07_nation_volume" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.lineitem
+        .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+        .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
+          col("l_shipdate") < ts("1999-01-01 00:00:00"))
+        .groupBy(col("n_name"), year(col("l_shipdate")).as("l_year"))
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("volume"))
+    },
+
+    // -- NOT EXISTS via left-anti join (J4): customers with no 2001 orders.
+    "q08_customers_no_orders" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.customer
+        .join(t.orders.filter(col("o_orderdate") >= ts("2001-01-01 00:00:00")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    },
+
+    // -- TPC-H Q10 shape: returned-item reporting, top 20 customers by lost revenue.
+    "q10_returned_items" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.lineitem.filter(col("l_returnflag") === "R")
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    },
+
+    // -- Conditional aggregation (A8): quantity-bucket shipping stats.
+    "q12_quantity_buckets" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("low_line_count"),
+          sum(when(col("l_quantity") < 10, col("l_extendedprice"))).as("small_qty_price")
+        )
+    },
+
+    // -- TPC-H Q13 shape: left outer join + two-level aggregation (J3, A1).
+    "q13_order_count_distribution" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val perCustomer = t.customer
+        .join(t.orders.filter(col("o_orderpriority") =!= "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCustomer.groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+    },
+
+    // -- Part/lineitem join with LIKE-driven conditional share (P5, A8, F3).
+    "q14_brand_share" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.lineitem
+        .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+        .filter(col("l_shipdate") >= ts("1998-01-01 00:00:00") &&
+          col("l_shipdate") < ts("1999-01-01 00:00:00"))
+        .agg(
+          (lit(100.0) * sum(when(col("p_brand").like("Brand#1%"),
+            col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(lit(0.0))) /
+            sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("brand1_share")
+        )
+    },
+
+    // -- IN-list + BETWEEN + IS NULL surface (P3, P4, P6, P7).
+    "q15_predicate_surface" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.orders
+        .filter(col("o_orderstatus").isin("F", "P"))
+        .filter(col("o_totalprice").between(50000.0, 200000.0))
+        .withColumn("prio_or_null",
+          when(col("o_orderpriority") === "5-LOW", lit(null).cast("string"))
+            .otherwise(col("o_orderpriority")))
+        .withColumn("prio_filled", coalesce(col("prio_or_null"), lit("NONE")))
+        .withColumn("price_int", floor(col("o_totalprice")).cast("long"))
+        .select("o_orderkey", "prio_or_null", "prio_filled", "price_int")
+    }
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  sum(l_extendedprice) AS sum_base_price,
+        |  sum(l_extendedprice * (1.0 - l_discount)) AS sum_disc_price,
+        |  sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)) AS sum_charge,
+        |  avg(l_quantity) AS avg_qty,
+        |  avg(l_extendedprice) AS avg_price,
+        |  avg(l_discount) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_mktsegment_revenue" ->
+      """SELECT c_mktsegment,
+        |  sum(o_totalprice) AS revenue,
+        |  count(*) AS n_orders,
+        |  count(DISTINCT o_custkey) AS n_customers
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q03_top_orders" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
+    "q04_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q05_regional_revenue" ->
+      """SELECT n_name,
+        |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin,
+    "q06_forecast_revenue" ->
+      """SELECT sum(l_extendedprice * l_discount) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q07_nation_volume" ->
+      """SELECT n_name, CAST(year(l_shipdate) AS INT) AS l_year,
+        |  sum(l_extendedprice * (1.0 - l_discount)) AS volume
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+        |GROUP BY n_name, CAST(year(l_shipdate) AS INT)""".stripMargin,
+    "q08_customers_no_orders" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey ASC
+        |LIMIT 20""".stripMargin,
+    "q12_quantity_buckets" ->
+      """SELECT l_linestatus,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count,
+        |  sum(CASE WHEN l_quantity < 10 THEN l_extendedprice END) AS small_qty_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_linestatus""".stripMargin,
+    "q13_order_count_distribution" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT OUTER JOIN (SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT') o
+        |    ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
+    "q14_brand_share" ->
+      """SELECT 100.0 * sum(CASE WHEN p_brand LIKE 'Brand#1%'
+        |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
+        |  / sum(l_extendedprice * (1.0 - l_discount)) AS brand1_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'""".stripMargin,
+    "q15_predicate_surface" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderpriority = '5-LOW' THEN NULL ELSE o_orderpriority END AS prio_or_null,
+        |  coalesce(CASE WHEN o_orderpriority = '5-LOW' THEN NULL ELSE o_orderpriority END, 'NONE') AS prio_filled,
+        |  CAST(floor(o_totalprice) AS BIGINT) AS price_int
+        |FROM orders
+        |WHERE o_orderstatus IN ('F','P')
+        |  AND o_totalprice BETWEEN 50000.0 AND 200000.0""".stripMargin
+  )
+}

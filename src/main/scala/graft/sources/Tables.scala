@@ -1,0 +1,33 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Typed access to the fixture star schema (SURVEY.md §1.2, FIXTURES.md).
+  *
+  * The reference's only declared dataset is the "orders" entity consumed by
+  * its Glue job (`Hoth/FHIR/cloudformations/lambda-stack.yml:14,18`); the
+  * fixture tables generalize that to a TPC-H-style star schema plus an
+  * `events` stream table and `documents`/`embeddings` for the LLM-pipeline
+  * operators.
+  *
+  * Path scheme is config, not code: locally these are `file:` paths; on a
+  * cluster the same loader takes `s3a://bucket/prefix` (S3A committer config
+  * lives in the session, not here). Parquet scans use Spark's vectorized
+  * reader; predicate pushdown and column pruning reach the scan because
+  * every downstream query is expressed declaratively.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  private def load(name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame     = load("region")
+  def nation: DataFrame     = load("nation")
+  def customer: DataFrame   = load("customer")
+  def supplier: DataFrame   = load("supplier")
+  def part: DataFrame       = load("part")
+  def orders: DataFrame     = load("orders")
+  def lineitem: DataFrame   = load("lineitem")
+  def events: DataFrame     = load("events")
+  def documents: DataFrame  = load("documents")
+  def embeddings: DataFrame = load("embeddings")
+}
