@@ -28,6 +28,9 @@ object Sessions {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
       .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
+      // Parquet TIMESTAMP(NANOS) (events.ts) is unreadable by Spark 4.1
+      // without this; Tables.events converts the raw nanos to micros.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

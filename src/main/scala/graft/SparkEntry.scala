@@ -13,7 +13,13 @@ import graft.sources.Tables
 object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
-    RelationalQueries
+    RelationalQueries,
+    WindowQueries,
+    SetOpQueries,
+    AggExtrasQueries,
+    EventQueries,
+    FunctionQueries,
+    JoinQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Aggregation extras (SURVEY.md §2.4 A3–A8): grouping sets, pivot,
+  * statistical and filtered aggregates, collect aggregates, approximate
+  * distinct.
+  *
+  * Scale notes: rollup/cube multiply the shuffle volume by the number of
+  * grouping sets — at 100 TB restrict to low-cardinality dimensions (as
+  * here). `approx_count_distinct` (HLL) replaces exact distinct whose
+  * shuffle would carry every distinct key; 2% rsd costs ~1.5 KB per group
+  * regardless of cardinality.
+  */
+object AggExtrasQueries extends QueryPack {
+
+  override def queries: Map[String, Query] = Map(
+    // -- A5: rollup over the region→nation hierarchy.
+    "a01_rollup" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.customer
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          sum(col("c_acctbal")).as("total_balance"),
+          grouping(col("r_name")).cast("int").as("g_region"),
+          grouping(col("n_name")).cast("int").as("g_nation")
+        )
+    },
+
+    // -- A5: cube over two independent dimensions.
+    "a02_cube" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.orders
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .cube(col("c_mktsegment"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("revenue"))
+    },
+
+    // -- A3: statistical aggregates per return flag.
+    "a03_stats" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.lineitem.groupBy(col("l_returnflag")).agg(
+        stddev_samp(col("l_extendedprice")).as("price_stddev"),
+        var_samp(col("l_extendedprice")).as("price_var"),
+        corr(col("l_quantity"), col("l_extendedprice")).as("qty_price_corr"),
+        covar_samp(col("l_quantity"), col("l_extendedprice")).as("qty_price_covar"),
+        median(col("l_extendedprice")).as("price_median")
+      )
+    },
+
+    // -- A3: exact interpolated percentiles.
+    "a04_percentiles" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.lineitem.groupBy(col("l_linestatus")).agg(
+        expr("percentile(l_quantity, 0.5)").as("qty_p50"),
+        expr("percentile(l_quantity, 0.25)").as("qty_p25"),
+        expr("percentile(l_quantity, 0.75)").as("qty_p75")
+      )
+    },
+
+    // -- A7: collect aggregates, canonicalized to a sorted joined string.
+    "a05_collect" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.lineitem.groupBy(col("l_returnflag")).agg(
+        concat_ws(",", sort_array(collect_set(col("l_linestatus")))).as("statuses"),
+        size(collect_list(col("l_linestatus"))).cast("long").as("n_rows")
+      )
+    },
+
+    // -- A8: FILTER-style conditional aggregates.
+    "a06_filtered_agg" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.orders.groupBy(col("o_orderstatus")).agg(
+        count_if(col("o_totalprice") > 200000.0).as("n_big"),
+        sum(when(col("o_orderpriority") === "1-URGENT", col("o_totalprice"))).as("urgent_revenue"),
+        avg(when(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1999-01-01 00:00:00")),
+          col("o_totalprice"))).as("late_avg_price")
+      )
+    },
+
+    // -- A4: HLL approximate distinct (no SQL oracle — property-tested in
+    //    ScalaTest against exact countDistinct; rows-only check here).
+    "a07_approx_distinct" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.lineitem.groupBy(col("l_returnflag")).agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders")
+      )
+    },
+
+    // -- A6: pivot events by type (explicit value list keeps the plan static).
+    "a08_pivot" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.events.groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(sum(col("value")))
+    }
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "a01_rollup" ->
+      """SELECT r_name, n_name,
+        |  count(*) AS n_customers,
+        |  sum(c_acctbal) AS total_balance,
+        |  CAST(grouping(r_name) AS INT) AS g_region,
+        |  CAST(grouping(n_name) AS INT) AS g_nation
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+    "a02_cube" ->
+      """SELECT c_mktsegment, o_orderstatus,
+        |  count(*) AS n_orders, sum(o_totalprice) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY CUBE (c_mktsegment, o_orderstatus)""".stripMargin,
+    "a03_stats" ->
+      """SELECT l_returnflag,
+        |  stddev_samp(l_extendedprice) AS price_stddev,
+        |  var_samp(l_extendedprice) AS price_var,
+        |  corr(l_quantity, l_extendedprice) AS qty_price_corr,
+        |  covar_samp(l_quantity, l_extendedprice) AS qty_price_covar,
+        |  median(l_extendedprice) AS price_median
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "a04_percentiles" ->
+      """SELECT l_linestatus,
+        |  quantile_cont(l_quantity, 0.5) AS qty_p50,
+        |  quantile_cont(l_quantity, 0.25) AS qty_p25,
+        |  quantile_cont(l_quantity, 0.75) AS qty_p75
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+    "a05_collect" ->
+      """SELECT l_returnflag,
+        |  array_to_string(list_sort(list_distinct(list(l_linestatus))), ',') AS statuses,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "a06_filtered_agg" ->
+      """SELECT o_orderstatus,
+        |  count(*) FILTER (WHERE o_totalprice > 200000.0) AS n_big,
+        |  sum(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent_revenue,
+        |  avg(o_totalprice) FILTER (WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00') AS late_avg_price
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "a08_pivot" ->
+      """SELECT user_id,
+        |  sum(value) FILTER (WHERE event_type = 'click') AS click,
+        |  sum(value) FILTER (WHERE event_type = 'error') AS "error",
+        |  sum(value) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  sum(value) FILTER (WHERE event_type = 'signup') AS signup,
+        |  sum(value) FILTER (WHERE event_type = 'view') AS "view"
+        |FROM events GROUP BY user_id""".stripMargin
+  )
+}

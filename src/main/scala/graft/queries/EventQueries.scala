@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, MapType, StringType}
+import graft.sources.Tables
+import graft.operators.{AsOfJoin, Sessionize}
+
+/** Event-stream analytics run in batch (SURVEY.md §2.9's operators on the
+  * `events` fixture; the same transforms re-run unchanged under
+  * `readStream` — see graft.streaming and its MemoryStream tests).
+  * Also covers the JSON function family (F6) over `events.props`.
+  */
+object EventQueries extends QueryPack {
+
+  override def queries: Map[String, Query] = Map(
+    // -- T1 batch analog: tumbling 1-hour windows per event type.
+    "e01_hourly_windows" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.events
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
+    },
+
+    // -- T6 batch analog: gap-based sessionization (30-minute inactivity).
+    "e02_sessions" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      Sessionize.byGap(t.events, "user_id", "ts", gapSeconds = 1800L)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value")).as("session_value"),
+          min(col("ts")).as("session_start")
+        )
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          col("session_value"), col("session_start"))
+    },
+
+    // -- F6: JSON extraction from the props column.
+    "e03_props_json" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.events
+        .withColumn("k", get_json_object(col("props"), "$.k").cast(IntegerType))
+        .groupBy(col("event_type"))
+        .agg(avg(col("k")).as("avg_k"), max(col("k")).as("max_k"), count(lit(1)).as("n"))
+    },
+
+    // -- F6: from_json into a typed map, then map functions (F5).
+    //    No SQL oracle (from_json map semantics are Spark-specific);
+    //    property-tested against e03's get_json_object path in ScalaTest.
+    "e04_props_map" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.events
+        .withColumn("m", from_json(col("props"), MapType(StringType, StringType)))
+        .select(
+          col("event_id"),
+          map_keys(col("m")).as("prop_keys"),
+          element_at(col("m"), "k").cast(IntegerType).as("k")
+        )
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+    },
+
+    // -- J7 as-of join: for each purchase, the user's most recent click at
+    //    or before the purchase time. Oracle = correlated MAX subquery.
+    "e05_asof_purchase_click" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val purchases = t.events.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val clicks = t.events.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"))
+      AsOfJoin.backward(
+        purchases, clicks,
+        keys = Seq("user_id"),
+        leftTime = "ts", rightTime = "click_ts",
+        rightVals = Seq(("click_ts", "last_click_ts"))
+      )
+    },
+
+    // -- F2 on the stream: daily activity with day-of-week (0=Sunday).
+    "e06_daily_activity" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.events
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users")
+        )
+        .withColumn("dow", (dayofweek(col("day")) - 1).cast("long"))
+    }
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "e01_hourly_windows" ->
+      """SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+        |  event_type, count(*) AS n, sum(value) AS total_value
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin,
+    "e02_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |    lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) AS prev_ts
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |      OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM e),
+        |numbered AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, user_id || '-' || session_seq AS session_id,
+        |  count(*) AS n_events, sum(value) AS session_value, min(ts) AS session_start
+        |FROM numbered
+        |GROUP BY user_id, session_id""".stripMargin,
+    "e03_props_json" ->
+      """SELECT event_type,
+        |  avg(CAST(json_extract_string(props, '$.k') AS INT)) AS avg_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+    "e05_asof_purchase_click" ->
+      """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts, p.value,
+        |  (SELECT max(CAST(c.ts AS TIMESTAMP)) FROM events c
+        |   WHERE c.user_id = p.user_id AND c.event_type = 'click'
+        |     AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)) AS last_click_ts
+        |FROM events p WHERE p.event_type = 'purchase'""".stripMargin,
+    "e06_daily_activity" ->
+      """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |  count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(dayofweek(date_trunc('day', CAST(ts AS TIMESTAMP))) AS BIGINT) AS dow
+        |FROM events
+        |GROUP BY 1""".stripMargin
+  )
+}

@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Join surface beyond the star-schema equi joins (SURVEY.md §2.3):
+  * theta/range (J5), cross (J6), right/full outer (J3), interval bucketing
+  * (J8), and SQL-path subqueries (P4).
+  *
+  * Scale notes: every non-equi join here keeps the small side broadcastable
+  * (a literal bucket table, a 5-row dim) so Catalyst plans
+  * BroadcastNestedLoopJoin with a tiny inner — the only safe NLJ shape at
+  * 100 TB. j05 shows the standard trick of turning a range join into an
+  * equi join on a coarse bucket key, which scales where raw NLJ cannot.
+  */
+object JoinQueries extends QueryPack {
+
+  override def queries: Map[String, Query] = Map(
+    // -- J5 theta join against a literal bucket dimension (broadcast NLJ).
+    "j01_value_buckets" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val buckets = spark.createDataFrame(Seq(
+        ("low", 0.0, 50.0), ("mid", 50.0, 150.0), ("high", 150.0, 1e9)
+      )).toDF("bucket", "lo", "hi")
+      t.events
+        .join(broadcast(buckets), col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+    },
+
+    // -- J6 explicit cross join: small dim x derived distinct set.
+    "j02_cross" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val statuses = t.orders.select(col("o_orderstatus")).distinct()
+      t.region.crossJoin(statuses).select(col("r_name"), col("o_orderstatus"))
+    },
+
+    // -- J3 right outer: every supplier keeps a row even with no 1998 lines.
+    "j03_right_outer" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.lineitem
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1999-01-01 00:00:00")))
+        .join(t.supplier, col("l_suppkey") === col("s_suppkey"), "right_outer")
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(count(col("l_orderkey")).as("n_lines"))
+    },
+
+    // -- J3 full outer on per-nation aggregates.
+    "j04_full_outer" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val custPerNation = t.customer.groupBy(col("c_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_customers"))
+      val suppPerNation = t.supplier.groupBy(col("s_nationkey").as("nationkey2"))
+        .agg(count(lit(1)).as("n_suppliers"))
+      custPerNation
+        .join(suppPerNation, col("nationkey") === col("nationkey2"), "full_outer")
+        .select(
+          coalesce(col("nationkey"), col("nationkey2")).as("nationkey"),
+          coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+          coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers")
+        )
+    },
+
+    // -- J8 interval/range join made equi-joinable: assign each event to a
+    //    coarse day bucket, join on the bucket, verify the exact predicate.
+    //    At scale this turns an O(n*m) NLJ into a shuffle-equi-join.
+    "j05_interval_bucketed" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      // intervals: one row per (day, event_type) maintenance window 00:00-06:00
+      val windows = t.events
+        .select(date_trunc("day", col("ts")).as("day"))
+        .distinct()
+        .withColumn("win_start", col("day"))
+        .withColumn("win_end", col("day") + expr("INTERVAL 6 HOURS"))
+      t.events
+        .withColumn("day", date_trunc("day", col("ts")))
+        .join(windows, Seq("day"))
+        .filter(col("ts") >= col("win_start") && col("ts") < col("win_end"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_in_window"), sum(col("value")).as("window_value"))
+    },
+
+    // -- P4 SQL path: NOT IN subquery via spark.sql over temp views.
+    "j06_notin_subquery" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.part.createOrReplaceTempView("part_v")
+      t.lineitem.createOrReplaceTempView("lineitem_v")
+      spark.sql(
+        """SELECT p_partkey, p_brand FROM part_v
+          |WHERE p_partkey NOT IN (
+          |  SELECT l_partkey FROM lineitem_v
+          |  WHERE l_shipdate >= TIMESTAMP '2001-04-01 00:00:00')""".stripMargin)
+    },
+
+    // -- P4 IN-subquery + scalar subquery on the SQL path.
+    "j07_in_scalar_subquery" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.orders.createOrReplaceTempView("orders_v")
+      t.customer.createOrReplaceTempView("customer_v")
+      spark.sql(
+        """SELECT c_custkey, c_acctbal FROM customer_v
+          |WHERE c_custkey IN (
+          |    SELECT o_custkey FROM orders_v WHERE o_totalprice > 400000.0)
+          |  AND c_acctbal > (SELECT avg(c_acctbal) FROM customer_v)""".stripMargin)
+    }
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "j01_value_buckets" ->
+      """SELECT bucket, count(*) AS n, sum(value) AS total
+        |FROM events
+        |JOIN (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 150.0), ('high', 150.0, 1e9))
+        |  b(bucket, lo, hi)
+        |  ON value >= lo AND value < hi
+        |GROUP BY bucket""".stripMargin,
+    "j02_cross" ->
+      """SELECT r_name, o_orderstatus
+        |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)""".stripMargin,
+    "j03_right_outer" ->
+      """SELECT s_suppkey, s_name, count(l_orderkey) AS n_lines
+        |FROM (SELECT * FROM lineitem
+        |      WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |        AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00') l
+        |RIGHT OUTER JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_suppkey, s_name""".stripMargin,
+    "j04_full_outer" ->
+      """SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+        |  coalesce(n_customers, 0) AS n_customers,
+        |  coalesce(n_suppliers, 0) AS n_suppliers
+        |FROM (SELECT c_nationkey AS nationkey, count(*) AS n_customers
+        |      FROM customer GROUP BY c_nationkey) c
+        |FULL OUTER JOIN (SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+        |      FROM supplier GROUP BY s_nationkey) s
+        |  ON c.nationkey = s.nationkey""".stripMargin,
+    "j05_interval_bucketed" ->
+      """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |  count(*) AS n_in_window, sum(value) AS window_value
+        |FROM events
+        |WHERE CAST(ts AS TIMESTAMP) >= date_trunc('day', CAST(ts AS TIMESTAMP))
+        |  AND CAST(ts AS TIMESTAMP) < date_trunc('day', CAST(ts AS TIMESTAMP)) + INTERVAL 6 HOUR
+        |GROUP BY 1""".stripMargin,
+    "j06_notin_subquery" ->
+      """SELECT p_partkey, p_brand FROM part
+        |WHERE p_partkey NOT IN (
+        |  SELECT l_partkey FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '2001-04-01 00:00:00')""".stripMargin,
+    "j07_in_scalar_subquery" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_custkey IN (
+        |    SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
+        |  AND c_acctbal > (SELECT avg(c_acctbal) FROM customer)""".stripMargin
+  )
+}

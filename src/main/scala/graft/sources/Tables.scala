@@ -1,6 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Typed access to the fixture star schema (SURVEY.md §1.2, FIXTURES.md).
   *
@@ -27,7 +29,18 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = load("part")
   def orders: DataFrame     = load("orders")
   def lineitem: DataFrame   = load("lineitem")
-  def events: DataFrame     = load("events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark reads only as raw
+    * Long nanos (`spark.sql.legacy.parquet.nanosAsLong=true`, set in every
+    * session builder). Normalize to micro-precision TimestampType here —
+    * integer division truncates toward zero exactly like DuckDB's
+    * `CAST(ts AS TIMESTAMP)`, keeping the oracle hash-comparable.
+    */
+  def events: DataFrame = {
+    val raw = load("events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
   def documents: DataFrame  = load("documents")
   def embeddings: DataFrame = load("embeddings")
 }

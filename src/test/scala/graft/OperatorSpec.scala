@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.{AsOfJoin, Sessionize}
+
+class OperatorSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("AsOfJoin.backward attaches latest right value at or before left time") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a"),
+      (1L, ts("2024-01-01 12:00:00"), "b"),
+      (2L, ts("2024-01-01 09:00:00"), "c")
+    ).toDF("k", "t", "payload")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:30:00"), 10.0),
+      (1L, ts("2024-01-01 11:00:00"), 20.0),
+      (1L, ts("2024-01-01 12:00:00"), 30.0), // simultaneous with left 'b' → visible
+      (2L, ts("2024-01-01 09:30:00"), 40.0)  // after left 'c' → invisible
+    ).toDF("k", "rt", "rv")
+
+    val out = AsOfJoin.backward(left, right, Seq("k"), "t", "rt", Seq(("rv", "last_rv")))
+      .collect().map(r => (r.getAs[String]("payload"), Option(r.getAs[Any]("last_rv")))).toMap
+
+    assert(out("a") === Some(10.0))
+    assert(out("b") === Some(30.0)) // inclusive tie
+    assert(out("c") === None)       // nothing at or before
+  }
+
+  test("Sessionize.byGap splits on gaps strictly greater than the threshold") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:20:00")), // 20 min gap → same session (gap=30m)
+      (1L, ts("2024-01-01 11:00:00")), // 40 min gap → new session
+      (2L, ts("2024-01-01 10:00:00"))
+    ).toDF("user_id", "t")
+    val out = Sessionize.byGap(ev, "user_id", "t", 1800L)
+      .select("user_id", "t", "session_seq").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2))).toSet
+    assert(out === Set(
+      (1L, "2024-01-01 10:00:00.0", 0L),
+      (1L, "2024-01-01 10:20:00.0", 0L),
+      (1L, "2024-01-01 11:00:00.0", 1L),
+      (2L, "2024-01-01 10:00:00.0", 0L)
+    ))
+  }
+
+  test("sessionize lag+running-sum share one Window operator in the plan") {
+    val t = graft.sources.Tables(spark, sf)
+    val plan = Sessionize.byGap(t.events, "user_id", "ts", 1800L)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("\\bWindow\\b").length - 1 <= 2, s"unexpected extra Window ops:\n$plan")
+  }
+
+  test("a07 approx_count_distinct within 5% of exact") {
+    val t = graft.sources.Tables(spark, sf01)
+    val approx = SparkEntry.queries("a07_approx_distinct")(spark, sf01)
+      .collect().map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("approx_parts")).toMap
+    val exact = t.lineitem.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, ex) =>
+      assert(math.abs(approx(k) - ex).toDouble / ex < 0.05, s"flag $k: approx=${approx(k)} exact=$ex")
+    }
+  }
+
+  test("e04 props map path agrees with e03 get_json_object path on total count") {
+    val viaMap = SparkEntry.queries("e04_props_map")(spark, sf)
+      .agg(sum("n")).head.getLong(0)
+    val total = graft.sources.Tables(spark, sf).events.count()
+    assert(viaMap === total)
+  }
+}
