@@ -19,7 +19,11 @@ object SparkEntry {
     AggExtrasQueries,
     EventQueries,
     FunctionQueries,
-    JoinQueries
+    JoinQueries,
+    TextQueries,
+    DedupQueries,
+    SimilarityQueries,
+    MultimodalQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

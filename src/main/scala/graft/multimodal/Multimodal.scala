@@ -1,0 +1,95 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing (SURVEY.md §2.11 L5): treat image/audio/video
+  * payloads as opaque `binary` columns with typed metadata, and run decode /
+  * feature-extraction as batched partition-local transforms.
+  *
+  * The Spark-side machinery here is real and tested — schema, partitioning,
+  * batch shape, mapPartitions signature. The actual media decoding is
+  * STUBBED (no codec libraries in this environment): `stubDecoder` derives
+  * deterministic fake dimensions from the payload bytes, and is injected
+  * where a real decoder (javacv, TwelveMonkeys, ffmpeg-cli) would be.
+  *
+  * Scale design (100 TB of media):
+  *  - payloads stay off the driver; decode runs inside `mapPartitions`,
+  *    one partition per task, so throughput scales with executors.
+  *  - `spark.sql.files.maxPartitionBytes` bounds the bytes a task holds;
+  *    media tables should also set a row-group-friendly target file size.
+  *  - decoded features are small structs — the wide binary column is
+  *    dropped before any shuffle (project early, shuffle late).
+  */
+object Multimodal {
+
+  /** Decoded-media metadata produced by a decoder. */
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("format", StringType, nullable = false)
+  ))
+
+  type Decoder = Array[Byte] => (Int, Int, Int, String)
+
+  /** Deterministic fake decoder: dimensions derived from a stable 64-bit
+    * fold of the payload. Replace with a real codec in production; the
+    * pipeline shape does not change.
+    */
+  val stubDecoder: Decoder = bytes => {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+    val w = 64 + (math.abs(h) % 1024).toInt
+    val ht = 64 + (math.abs(h >> 10) % 1024).toInt
+    val frames = 1 + (math.abs(h >> 20) % 64).toInt
+    (w, ht, frames, if (bytes.length % 2 == 0) "png" else "jpeg")
+  }
+
+  /** Builds a media table from documents: payload = utf-8 bytes of the text
+    * (a stand-in for real image bytes), modality assigned deterministically.
+    */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("content"),
+      element_at(
+        array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")
+      ).as("modality")
+    )
+
+  /** Batched partition-local decode: binary content → metadata struct.
+    * The decoder runs once per row inside a partition iterator — no
+    * driver-side collection, no shuffle; output drops the payload.
+    */
+  def extractMeta(media: DataFrame, decoder: Decoder = stubDecoder): DataFrame = {
+    val outSchema = StructType(
+      media.schema.filterNot(_.name == "content") :+
+        StructField("meta", mediaMetaSchema, nullable = false))
+    val contentIdx = media.schema.fieldIndex("content")
+    val keptIdx = media.schema.indices.filterNot(_ == contentIdx)
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](contentIdx)
+        val (w, h, f, fmt) = decoder(bytes)
+        Row.fromSeq(keptIdx.map(r.get) :+ Row(w, h, f, fmt))
+      }
+    }
+  }
+
+  /** Deterministic frame sampling plan for video payloads: every `stride`-th
+    * frame index up to `n_frames` — a pure expression over the metadata, no
+    * decode needed to plan the work.
+    */
+  def frameSamplePlan(meta: DataFrame, stride: Int): DataFrame =
+    meta.withColumn("sample_frames",
+      filter(
+        sequence(lit(0), col("meta.n_frames") - 1),
+        i => i % stride === 0
+      ))
+}

@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for the LLM-data-pipeline surface
+  * (SURVEY.md §2.11 L1/L2): exact, MinHash-LSH, SimHash, n-gram Jaccard.
+  *
+  * Scale design (100 TB):
+  *  - Signature computation (MinHash/SimHash) is map-only — no shuffle.
+  *  - Candidate generation shuffles once on (band, bucket): only documents
+  *    sharing a band bucket ever meet, so the self-join is an equi join,
+  *    never a cross join. Bucket skew (e.g. boilerplate shingles) is split
+  *    by AQE's skew-join handling.
+  *  - Verification (exact Jaccard / Hamming) runs only on candidate pairs.
+  *  - Survivor selection is a window by cluster key, one more shuffle.
+  */
+object Dedup {
+
+  /** L1 exact dedup: deterministic survivor (min orderCol) per key. */
+  def exactByKey(df: DataFrame, keyCols: Seq[String], orderCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol).asc)
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** L1 exact text dedup on the normalized-text fingerprint. */
+  def exactByText(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    exactByKey(docs.withColumn("_fp", fingerprint64(col(textCol))), Seq("_fp"), idCol)
+      .drop("_fp")
+
+  /** MinHash-LSH candidate pairs with exact-Jaccard verification (L2).
+    *
+    * @param shingleK   words per shingle
+    * @param numHashes  MinHash signature length
+    * @param bands      LSH bands (rows per band = numHashes / bands)
+    * @param threshold  exact Jaccard threshold for a verified near-dup pair
+    * @return (id_a, id_b, jaccard) with id_a < id_b
+    */
+  def minhashNearDupPairs(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleK: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 16,
+      threshold: Double = 0.8
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val withSig = docs
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("shingles", array_distinct(shingles(tokens(normalizeText(col("text"))), shingleK)))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("sig", minhashSignature(col("shingles"), numHashes))
+    // band key = murmur3 hash of the signature slice; (band, bucket) equi join
+    val banded = withSig.select(
+      col("id"), col("shingles"),
+      posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("sig"), b * r + 1, lit(r))))
+      ).as(Seq("band", "bucket"))
+    )
+    val a = banded.select(col("id").as("id_a"), col("shingles").as("sh_a"),
+      col("band"), col("bucket"))
+    val b = banded.select(col("id").as("id_b"), col("shingles").as("sh_b"),
+      col("band"), col("bucket"))
+    val candidates = a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("uni",
+        (size(col("sh_a")) + size(col("sh_b"))).cast("double") - col("inter"))
+      .withColumn("jaccard", when(col("uni") > 0, col("inter") / col("uni")).otherwise(lit(1.0)))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Connected components over near-dup pairs by iterative min-label
+    * propagation; returns (id, component) where component is the minimum
+    * id reachable. Converges in O(diameter) rounds — near-dup clusters are
+    * shallow (dup families, not long chains), so a small `maxIter` with a
+    * convergence check suffices. At extreme scale swap for the
+    * large-star/small-star algorithm; the interface stays the same.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+      .distinct()
+      .withColumn("component", col("id"))
+      .cache()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("component")).as("nbr_min"))
+      val updated = labels
+        .join(neighborMin, labels("id") === neighborMin("src"), "left_outer")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
+        .cache()
+      val changes = updated.join(labels.withColumnRenamed("component", "old"), "id")
+        .filter(col("component") =!= col("old")).count()
+      labels.unpersist()
+      labels = updated
+      converged = changes == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Full L2 pipeline: keep one survivor (min id) per near-dup cluster. */
+  def dedupNearDups(docs: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.8, bands: Int = 16): DataFrame = {
+    val pairs = minhashNearDupPairs(docs, textCol, idCol, bands = bands,
+      threshold = threshold)
+    val components = connectedComponents(pairs)
+    docs
+      .join(components, docs(idCol) === components("id"), "left_outer")
+      .withColumn("_cluster", coalesce(col("component"), docs(idCol)))
+      .drop("id", "component")
+      .transform(d => exactByKey(d, Seq("_cluster"), idCol))
+      .drop("_cluster")
+  }
+
+  /** SimHash signatures (map-only). Near-dup = hamming(sig_a, sig_b) <= k,
+    * candidates found by banding the 64-bit signature into 16-bit chunks
+    * (a pair within hamming 3 shares at least one exact chunk).
+    */
+  def simhashSignatures(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("id"),
+      simhash64(tokens(normalizeText(col(textCol)))).as("simhash")
+    )
+
+  def simhashNearDupPairs(docs: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = simhashSignatures(docs, textCol, idCol)
+    val chunked = sigs.select(
+      col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL)): _*)
+      ).as(Seq("chunk_idx", "chunk"))
+    )
+    val a = chunked.select(col("id").as("id_a"), col("simhash").as("sh_a"),
+      col("chunk_idx"), col("chunk"))
+    val b = chunked.select(col("id").as("id_b"), col("simhash").as("sh_b"),
+      col("chunk_idx"), col("chunk"))
+    a.join(b, Seq("chunk_idx", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", hamming64(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Exact n-gram (unigram by default) Jaccard for candidate pairs —
+    * the verification primitive, also usable standalone at modest scale
+    * with a blocking key.
+    */
+  def jaccardPairs(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 1, minJaccard: Double = 0.0): DataFrame = {
+    val toks = docs.select(
+      col(idCol).as("id"),
+      array_distinct(
+        if (k == 1) tokens(normalizeText(col(textCol)))
+        else shingles(tokens(normalizeText(col(textCol))), k)
+      ).as("grams"))
+    val a = toks.select(col("id").as("id_a"), col("grams").as("g_a"))
+    val b = toks.select(col("id").as("id_b"), col("grams").as("g_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("inter", size(array_intersect(col("g_a"), col("g_b"))).cast("double"))
+      .withColumn("uni", (size(col("g_a")) + size(col("g_b"))).cast("double") - col("inter"))
+      .withColumn("jaccard", when(col("uni") > 0, col("inter") / col("uni")).otherwise(lit(1.0)))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

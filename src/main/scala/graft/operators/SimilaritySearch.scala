@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (SURVEY.md §2.11 L3).
+  *
+  * Two paths:
+  *  - `bruteForceTopK`: exact — broadcast the (small) query set against the
+  *    corpus; cosine is a codegen'd zip_with + aggregate over the arrays;
+  *    per-query top-k via window. Cost O(|Q| * |corpus|) but embarrassingly
+  *    parallel: the corpus scan is map-only after the broadcast, so it
+  *    scales to any corpus size as long as |Q| stays broadcastable.
+  *  - `lshTopK`: approximate scale path — random-hyperplane signs bucket
+  *    both sides; only same-bucket (multi-probe: plus adjacent buckets)
+  *    pairs are scored. Turns the cross product into an equi join on the
+  *    bucket key. Recall is tunable via `planes` (fewer planes = bigger
+  *    buckets = higher recall, more compute).
+  */
+object SimilaritySearch {
+
+  /** Cosine similarity between two float-array columns, computed in double
+    * precision in index order (deterministic, engine-comparable).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+    val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+    when(na > 0 && nb > 0, dot / (na * nb)).otherwise(lit(0.0))
+  }
+
+  /** Exact top-k neighbors per query vector.
+    * @return (query_id, neighbor_id, sim) — k rows per query, ordered
+    *         deterministically (sim desc, neighbor_id asc).
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rn"))
+  }
+
+  /** Random-hyperplane LSH bucket signature: sign bit per plane, packed to
+    * a long. Planes are a fixed deterministic pseudo-random matrix expanded
+    * from a seed — identical across executors, no fit step.
+    */
+  def hyperplaneBucket(vec: Column, dim: Int, planes: Int, seed: Long = 42L): Column = {
+    require(planes <= 62, "bucket packs into a long")
+    val rnd = new scala.util.Random(seed)
+    val planeVecs = Array.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
+    val bits = planeVecs.zipWithIndex.map { case (p, i) =>
+      val dot = aggregate(
+        zip_with(vec, lit(p), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, lit(1L << i)).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Approximate top-k via multi-table LSH with single-bit multi-probe.
+    *
+    * `tables` independent hyperplane sets (recall 1-(1-p)^L compounding);
+    * the query side additionally probes every single-bit-flipped bucket in
+    * each table. Candidates meet on the (table, bucket) equi-join key — the
+    * scale path: corpus work is `tables` map-only signatures + one shuffle,
+    * never a cross product. Tune: more `tables`/fewer `planes` → higher
+    * recall, more candidates scored.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int, planes: Int = 8, tables: Int = 4,
+      probes: Int = 8): DataFrame = {
+    val nProbes = math.min(probes, planes)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("tb", explode(array((0 until tables).flatMap { t =>
+        val b0 = hyperplaneBucket(col("q_vec"), dim, planes, seed = 42L + t)
+        (b0 +: (0 until nProbes).map(i => b0.bitwiseXOR(lit(1L << i))))
+          .map(b => struct(lit(t).as("tbl"), b.as("bucket")))
+      }: _*)))
+      .select(col("query_id"), col("q_vec"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .withColumn("tb", explode(array((0 until tables).map { t =>
+        struct(lit(t).as("tbl"),
+          hyperplaneBucket(col("c_vec"), dim, planes, seed = 42L + t).as("bucket"))
+      }: _*)))
+      .select(col("neighbor_id"), col("c_vec"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val scored = c.join(q, Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rn"))
+  }
+
+  /** Embedding-cosine near-dup pairs (L2's vector variant): exact over a
+    * blocked candidate set — block on the LSH bucket, verify with cosine.
+    */
+  def cosineNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
+      dim: Int, minCosine: Double, planes: Int = 8): DataFrame = {
+    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("bucket", hyperplaneBucket(col("vec"), dim, planes))
+    val a = v.select(col("id").as("id_a"), col("vec").as("v_a"), col("bucket"))
+    val b = v.select(col("id").as("id_b"), col("vec").as("v_b"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= minCosine)
+      .select("id_a", "id_b", "cosine")
+  }
+}

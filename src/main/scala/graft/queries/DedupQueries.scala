@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** Deduplication surface (SURVEY.md §2.11 L1/L2) over `documents`.
+  * d01/d04 are oracle-checked end to end; the signature-based operators
+  * (MinHash/SimHash/LSH) are engine-specific and covered rows-only here +
+  * property-tested in LlmOpsSpec (signature determinism, Jaccard agreement,
+  * synthetic dup families).
+  */
+object DedupQueries extends QueryPack {
+
+  override def queries: Map[String, Query] = Map(
+    // -- L1 exact dedup: survivors after keyed dedup on normalized text.
+    "d01_exact_dedup" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      Dedup.exactByText(t.documents, "text", "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"))
+    },
+
+    // -- L2 MinHash-LSH verified near-dup pairs (rows-only).
+    "d02_minhash_pairs" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      Dedup.minhashNearDupPairs(t.documents, "text", "doc_id", threshold = 0.8)
+        .orderBy(col("id_a").asc, col("id_b").asc)
+    },
+
+    // -- L2 SimHash near-dup pairs, hamming <= 3 (rows-only).
+    "d03_simhash_pairs" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      Dedup.simhashNearDupPairs(t.documents, "text", "doc_id", maxHamming = 3)
+        .orderBy(col("id_a").asc, col("id_b").asc)
+    },
+
+    // -- L2 exact unigram-Jaccard near-dup pairs over a blocked subset
+    //    (doc_id < 200): the verification primitive, oracle-checked.
+    "d04_jaccard_pairs" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      Dedup.jaccardPairs(
+        t.documents.filter(col("doc_id") < 200), "text", "doc_id",
+        k = 1, minJaccard = 0.95)
+    },
+
+    // -- Full near-dup pipeline: survivors after LSH + connected components
+    //    (rows-only; cluster-keep semantics property-tested).
+    "d05_neardup_survivors" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      Dedup.dedupNearDups(t.documents, "text", "doc_id", threshold = 0.9)
+        .select(col("doc_id"), col("source"))
+    }
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "d01_exact_dedup" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |    row_number() OVER (
+        |      PARTITION BY trim(regexp_replace(regexp_replace(lower(text),
+        |        '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))
+        |      ORDER BY doc_id ASC) AS rn
+        |  FROM documents)
+        |WHERE rn = 1""".stripMargin,
+    "d04_jaccard_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id,
+        |    list_distinct(string_split_regex(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), '\s+')) AS grams
+        |  FROM documents WHERE doc_id < 200)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CASE WHEN len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) > 0
+        |    THEN len(list_intersect(a.grams, b.grams)) * 1.0
+        |      / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+        |    ELSE 1.0 END AS jaccard
+        |FROM toks a JOIN toks b ON a.id < b.id
+        |WHERE CASE WHEN len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) > 0
+        |    THEN len(list_intersect(a.grams, b.grams)) * 1.0
+        |      / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+        |    ELSE 1.0 END >= 0.95""".stripMargin
+  )
+}

@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorCentroid
+import graft.operators.SimilaritySearch
+import graft.sources.Tables
+
+/** Similarity search over `embeddings` (SURVEY.md §2.11 L3) + the custom
+  * typed vector aggregate (A9/X2).
+  *
+  * s01 (exact brute force) is oracle-checked: cosine is computed in double
+  * precision in index order on both engines, and ordering keys are rounded
+  * so float noise below 1e-6 cannot flip ranks. s02 (LSH) is the
+  * approximate scale path — recall vs s01 is property-tested in LlmOpsSpec.
+  */
+object SimilarityQueries extends QueryPack {
+
+  override def queries: Map[String, Query] = Map(
+    // -- L3 exact: top-5 cosine neighbors for query vectors vec_id < 5.
+    "s01_brute_topk" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val emb = t.embeddings
+      SimilaritySearch.bruteForceTopK(
+        emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"), col("rn"))
+    },
+
+    // -- L3 approximate: LSH-bucketed top-5 (rows-only; recall tested).
+    "s02_lsh_topk" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val emb = t.embeddings
+      SimilaritySearch.lshTopK(
+        emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding",
+        k = 5, dim = 64, planes = 6, tables = 8, probes = 6)
+        .select(col("query_id"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
+    },
+
+    // -- A9 custom typed aggregate: per-label centroid, reported via norm.
+    "s03_label_centroids" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val centroidUdaf = udaf(VectorCentroid)
+      t.embeddings
+        .groupBy(col("label"))
+        .agg(centroidUdaf(col("embedding")).as("centroid"), count(lit(1)).as("n_vectors"))
+        .select(
+          col("label"),
+          col("n_vectors"),
+          size(col("centroid")).as("dim"),
+          sqrt(aggregate(transform(col("centroid"), x => x * x),
+            lit(0.0), (acc, x) => acc + x)).as("centroid_norm")
+        )
+    },
+
+    // -- L2 vector variant: near-dup embedding pairs via LSH blocking
+    //    (rows-only; exactness-within-block property-tested).
+    "s04_embedding_neardups" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      SimilaritySearch.cosineNearDupPairs(
+        t.embeddings, "vec_id", "embedding", dim = 64, minCosine = 0.75, planes = 6)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+    }
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "s01_brute_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(
+        |      list_transform(q.q_vec, x -> CAST(x AS DOUBLE)),
+        |      list_transform(c.embedding, x -> CAST(x AS DOUBLE))) AS sim
+        |  FROM q JOIN embeddings c ON c.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, round(sim, 6) AS sim,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rn
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, sim, rn FROM ranked WHERE rn <= 5""".stripMargin,
+    "s03_label_centroids" ->
+      """WITH comps AS (
+        |  SELECT label, generate_subscripts(embedding, 1) AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS comp
+        |  FROM embeddings),
+        |means AS (
+        |  SELECT label, pos, avg(comp) AS m FROM comps GROUP BY label, pos),
+        |norms AS (
+        |  SELECT label, sqrt(sum(m * m)) AS centroid_norm, count(*) AS dim
+        |  FROM means GROUP BY label)
+        |SELECT n.label,
+        |  (SELECT count(*) FROM embeddings e WHERE e.label = n.label) AS n_vectors,
+        |  CAST(n.dim AS INT) AS dim, n.centroid_norm
+        |FROM norms n""".stripMargin
+  )
+}

@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, SimilaritySearch}
+import graft.multimodal.Multimodal
+
+class LlmOpsSpec extends SparkSpec {
+
+  private lazy val docs = graft.sources.Tables(spark, sf).documents
+
+  test("MinHash similarity approximates exact Jaccard within 0.15") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = base.replace("today", "tomorrow") // high jaccard
+    val far = "completely different content about spark catalyst optimizer internals"
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+      .withColumn("sh", array_distinct(TextFunctions.shingles(
+        TextFunctions.tokens(TextFunctions.normalizeText(col("text"))), 2)))
+      .withColumn("sig", TextFunctions.minhashSignature(col("sh"), 128))
+    val rows = df.select("doc_id", "sh", "sig").collect()
+      .map(r => r.getLong(0) -> (r.getSeq[String](1).toSet, r.getSeq[Long](2))).toMap
+    def exactJ(a: Set[String], b: Set[String]) = a.intersect(b).size.toDouble / a.union(b).size
+    def sigJ(a: Seq[Long], b: Seq[Long]) = a.zip(b).count { case (x, y) => x == y }.toDouble / a.size
+    val (sh1, sig1) = rows(1L); val (sh2, sig2) = rows(2L); val (sh3, sig3) = rows(3L)
+    assert(math.abs(exactJ(sh1, sh2) - sigJ(sig1, sig2)) < 0.15)
+    assert(math.abs(exactJ(sh1, sh3) - sigJ(sig1, sig3)) < 0.15)
+    assert(sigJ(sig1, sig2) > sigJ(sig1, sig3))
+  }
+
+  test("minhashNearDupPairs finds planted near-dups and skips unrelated docs") {
+    import spark.implicits._
+    val a = "spark runs declarative dataframe pipelines with catalyst optimizing every stage of the plan for efficient distributed execution"
+    val aNear = a.replace("efficient", "fast") // one-token change
+    val planted = Seq(
+      (1001L, a), (1002L, aNear),
+      (1003L, "entirely unrelated short text about cooking pasta at home")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDupPairs(planted, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1001L, 1002L)))
+    assert(!pairs.exists(p => p._1 == 1003L || p._2 == 1003L))
+  }
+
+  test("exact duplicate texts produce identical minhash signatures and simhash") {
+    import spark.implicits._
+    val df = Seq((1L, "same text here"), (2L, "same text here")).toDF("doc_id", "text")
+    val sigs = df
+      .withColumn("sig", TextFunctions.minhashSignature(
+        array_distinct(TextFunctions.shingles(TextFunctions.tokens(col("text")), 2)), 64))
+      .withColumn("sim", TextFunctions.simhash64(TextFunctions.tokens(col("text"))))
+      .select("sig", "sim").collect()
+    assert(sigs(0).getSeq[Long](0) === sigs(1).getSeq[Long](0))
+    assert(sigs(0).getLong(1) === sigs(1).getLong(1))
+  }
+
+  test("simhash hamming distance: near texts closer than far texts") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the spark engine executes distributed queries with columnar parquet scans"),
+      (2L, "the spark engine executes distributed queries with columnar orc scans"),
+      (3L, "pasta recipes require tomatoes garlic olive oil and fresh basil leaves")
+    ).toDF("doc_id", "text")
+    val s = Dedup.simhashSignatures(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(s(1L), s(2L)) < ham(s(1L), s(3L)))
+  }
+
+  test("connectedComponents groups transitive pairs to the min id") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp(1L) === 1L && comp(2L) === 1L && comp(3L) === 1L)
+    assert(comp(10L) === 10L && comp(11L) === 10L)
+  }
+
+  test("dedupNearDups keeps exactly one survivor per planted dup family") {
+    import spark.implicits._
+    val base = "llm training data pipelines deduplicate documents with minhash lsh banding before tokenization for best model quality"
+    val fam = Seq(
+      (1L, base),
+      (2L, base.replace("best", "better")),
+      (3L, base.replace("pipelines", "pipeline")),
+      (50L, "unrelated survivor document that stands alone quite happily")
+    ).toDF("doc_id", "text")
+    // bands=32 (r=4) makes the LSH catch probability ~1 at jaccard ~0.6+,
+    // appropriate for short planted docs where one token shifts 3 shingles.
+    val kept = Dedup.dedupNearDups(fam, "text", "doc_id", threshold = 0.5, bands = 32)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 50L))
+  }
+
+  test("LSH top-k recall vs brute force >= 0.6 at sf0.001") {
+    val emb = graft.sources.Tables(spark, sf).embeddings
+    val queries = emb.filter(col("vec_id") < 10)
+    val brute = SimilaritySearch.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = SimilaritySearch.lshTopK(queries, emb, "vec_id", "embedding", 5,
+      dim = 64, planes = 6, tables = 8, probes = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(approx).size.toDouble / brute.size
+    assert(recall >= 0.6, s"LSH recall $recall too low")
+  }
+
+  test("languageId marker heuristic on hand-authored samples") {
+    import spark.implicits._
+    val out = Seq(
+      ("the cat and the dog are in the house", "en"),
+      ("el perro y la casa de los vecinos", "es"),
+      ("der hund und die katze ist nicht da", "de"),
+      ("le chat et les maisons dans la ville est grande", "fr"),
+      ("你好世界 这是中文", "zh"),
+      ("xyzzy qwerty plugh", "und")
+    ).toDF("text", "expected")
+      .withColumn("got", TextFunctions.languageId(col("text")))
+      .collect()
+    out.foreach(r => assert(r.getString(2) === r.getString(1),
+      s"text='${r.getString(0)}' expected=${r.getString(1)} got=${r.getString(2)}"))
+  }
+
+  test("stub media decode is deterministic and drops the payload column") {
+    val media = Multimodal.mediaFromDocuments(docs.limit(20))
+    val a = Multimodal.extractMeta(media).collect()
+    val b = Multimodal.extractMeta(media).collect()
+    assert(a.map(_.toString).sorted.sameElements(b.map(_.toString).sorted))
+    assert(!Multimodal.extractMeta(media).columns.contains("content"))
+  }
+
+  test("VectorCentroid centroid of identical vectors is the vector itself") {
+    import spark.implicits._
+    val df = Seq(
+      (0, Array(1.0f, 2.0f, 3.0f)),
+      (0, Array(1.0f, 2.0f, 3.0f)),
+      (1, Array(2.0f, 0.0f, 0.0f))
+    ).toDF("label", "embedding")
+    val centroidUdaf = udaf(graft.functions.VectorCentroid)
+    val c = df.groupBy(col("label"))
+      .agg(centroidUdaf(col("embedding")).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(c(0) === Seq(1.0, 2.0, 3.0))
+    assert(c(1) === Seq(2.0, 0.0, 0.0))
+  }
+}
