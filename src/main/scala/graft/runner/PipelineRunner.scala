@@ -1,0 +1,105 @@
+package graft.runner
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Batch-job orchestration (SURVEY.md §3, M5) — the in-process analog of the
+  * reference's control plane:
+  *
+  *  - E2 (Step Functions `${Env}-etl-workflow` running `${Env}-orders-job`,
+  *    `Hoth/FHIR/cloudformations/lambda-stack.yml:42-55`): `run` sequences
+  *    named stages to completion, failing fast like
+  *    `glue:startJobRun.sync`, and writes a structured run manifest where
+  *    the reference would publish to SNS.
+  *  - E3 (trigger Lambda `${Env}-etl-trigger`, `lambda-stack.yml:23-35`):
+  *    `parseTrigger` decodes the event payload that would start a run.
+  *  - Environment parameterization (`--ENV`, `lambda-stack.yml:19-21`):
+  *    `EngineConfig` carries env/paths; code never hardcodes either.
+  */
+object PipelineRunner {
+
+  final case class EngineConfig(env: String, inputDir: String, outputDir: String)
+
+  final case class StageResult(stage: String, rows: Long, millis: Long, status: String)
+
+  type Stage = (String, (SparkSession, EngineConfig) => DataFrame)
+
+  /** Runs stages in order; each stage's result is written to
+    * `outputDir/<stage>` as parquet. Returns per-stage results and writes
+    * `outputDir/manifest.json`. A failed stage stops the run (the remaining
+    * stages are reported as "skipped"), mirroring the state machine's
+    * fail-fast `.sync` task.
+    */
+  def run(spark: SparkSession, config: EngineConfig, stages: Seq[Stage]): Seq[StageResult] = {
+    Files.createDirectories(Paths.get(config.outputDir))
+    var failed = false
+    val results = stages.map { case (name, fn) =>
+      if (failed) StageResult(name, 0L, 0L, "skipped")
+      else {
+        val t0 = System.nanoTime()
+        try {
+          val out = fn(spark, config)
+          out.write.mode("overwrite").parquet(s"${config.outputDir}/$name")
+          val rows = spark.read.parquet(s"${config.outputDir}/$name").count()
+          StageResult(name, rows, (System.nanoTime() - t0) / 1000000, "ok")
+        } catch {
+          case e: Exception =>
+            failed = true
+            StageResult(name, 0L, (System.nanoTime() - t0) / 1000000,
+              s"failed: ${e.getClass.getSimpleName}")
+        }
+      }
+    }
+    val manifest = results.map { r =>
+      s"""{"stage":"${r.stage}","rows":${r.rows},"millis":${r.millis},"status":"${r.status}"}"""
+    }.mkString("[", ",", "]")
+    Files.writeString(Paths.get(s"${config.outputDir}/manifest.json"),
+      s"""{"env":"${config.env}","stages":$manifest}""")
+    results
+  }
+
+  // -- E3: trigger payload ---------------------------------------------------
+
+  val triggerSchema: StructType = StructType(Seq(
+    StructField("env", StringType),
+    StructField("job", StringType),
+    StructField("detail", StructType(Seq(
+      StructField("bucket", StringType),
+      StructField("key", StringType))))))
+
+  final case class Trigger(env: String, job: String, bucket: String, key: String)
+
+  /** Decodes trigger events (the Lambda's input) from a JSON column. */
+  def parseTriggers(events: DataFrame, jsonCol: String): DataFrame =
+    events
+      .withColumn("_t", from_json(col(jsonCol), triggerSchema))
+      .select(
+        col("_t.env").as("env"),
+        col("_t.job").as("job"),
+        col("_t.detail.bucket").as("bucket"),
+        col("_t.detail.key").as("key"))
+
+  /** The reference's namesake orders job as a canned stage sequence:
+    * ingest (filter to the env's date window) → enrich (join customer) →
+    * aggregate (revenue per segment) — scan→filter→join→agg→sink, the full
+    * §3 lifecycle.
+    */
+  def ordersJobStages: Seq[Stage] = Seq(
+    "ingest_orders" -> { (spark, cfg) =>
+      graft.sources.Tables(spark, cfg.inputDir).orders
+        .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")))
+    },
+    "enrich_customers" -> { (spark, cfg) =>
+      val t = graft.sources.Tables(spark, cfg.inputDir)
+      spark.read.parquet(s"${cfg.outputDir}/ingest_orders")
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+    },
+    "segment_revenue" -> { (spark, cfg) =>
+      spark.read.parquet(s"${cfg.outputDir}/enrich_customers")
+        .groupBy(col("c_mktsegment"))
+        .agg(sum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+    }
+  )
+}

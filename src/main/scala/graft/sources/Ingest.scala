@@ -1,0 +1,71 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Ingestion & egress beyond parquet (SURVEY.md §2.1 S2–S7).
+  *
+  * Posture follows the survey's FHIR analysis (§1.3): explicit schema with
+  * PERMISSIVE parse and a `_corrupt_record` column — open-ended nested
+  * documents must never kill a 100 TB batch over one malformed row.
+  *
+  * Writes: partitioned parquet with dynamic partition overwrite — the
+  * idempotent-reprocessing primitive (re-running a day's job replaces that
+  * day's partitions only, the reference's promote-and-rerun CI/CD concept
+  * applied to data).
+  */
+object Ingest {
+
+  val CorruptCol = "_corrupt_record"
+
+  /** S2: schema'd JSON/JSONL scan, malformed rows captured not fatal. */
+  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add(CorruptCol, "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(path)
+
+  /** S3: CSV with header; explicit schema preferred, inference opt-in. */
+  def readCsv(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame = {
+    val base = spark.read.option("header", "true")
+    schema match {
+      case Some(s) => base.schema(s).csv(path)
+      case None    => base.option("inferSchema", "true").csv(path)
+    }
+  }
+
+  /** S5: partitioned parquet sink with dynamic partition overwrite. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** S6: JSON lines / CSV egress. */
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** S7: catalog table (metastore-backed; Derby locally, Glue/HMS on a
+    * cluster — the catalog choice is session config, not code).
+    */
+  def saveAsTable(df: DataFrame, name: String): Unit =
+    df.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(name)
+
+  /** Splits a permissively-parsed frame into (clean, quarantine).
+    * Caches the parsed frame first: Spark disallows referencing only the
+    * internal corrupt-record column on a raw file scan
+    * (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), and both
+    * halves re-read the input otherwise.
+    */
+  def quarantine(df: DataFrame): (DataFrame, DataFrame) = {
+    val parsed = df.cache()
+    (parsed.filter(col(CorruptCol).isNull).drop(CorruptCol),
+      parsed.filter(col(CorruptCol).isNotNull))
+  }
+}

@@ -1,0 +1,149 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events table (SURVEY.md §2.9 T1–T9).
+  *
+  * The reference's streaming story is "event arrives → run batch job"
+  * (trigger Lambda + Step Functions,
+  * `Hoth/FHIR/cloudformations/lambda-stack.yml:23-35,42-55`). Structured
+  * Streaming generalizes it: the same declarative transforms run
+  * continuously (micro-batch) or as catch-up batches
+  * (`Trigger.AvailableNow` — the exact Lambda-triggered semantics).
+  *
+  * Every transform takes a DataFrame so it runs identically on
+  * `MemoryStream` (tests), file streams (production ingestion), or a plain
+  * batch frame. State stores are keyed by the grouping key — at 100 TB the
+  * key (user_id) must be high-cardinality so state shards evenly across
+  * executors; watermarks bound state size by evicting expired windows.
+  */
+object EventStreams {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  case class SessionState(nEvents: Long, totalValue: Double, lastTs: Long)
+  case class SessionOut(user_id: Long, n_events: Long, total_value: Double)
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** T1+T4: tumbling 1-hour windows with a 2-hour watermark. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** T2: sliding windows (10-minute window, 5-minute slide). */
+  def slidingValue(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(avg(col("value")).as("avg_value"), count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("avg_value"), col("n"))
+
+  /** T3: session windows — 30-minute inactivity gap per user. */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+
+  /** T5: streaming dedup bounded by the watermark. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** T7: stream-static join — enrich the stream with a static dimension. */
+  def enrichWithStatic(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left_outer")
+
+  /** T8: stream-stream join — purchases within 1 hour after a click by the
+    * same user. Both sides watermarked; the time-range condition lets Spark
+    * expire join state.
+    */
+  def purchasesAfterClicks(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "2 hours")
+    purchases.join(
+      clicks,
+      col("p_user") === col("c_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("p_user").as("user_id"), col("click_ts"),
+        col("purchase_ts"), col("purchase_value"))
+  }
+
+  /** T6: custom stateful sessionization via flatMapGroupsWithState with an
+    * event-time timeout — emits a session row when the user goes quiet past
+    * the watermark. The explicit-state twin of `sessionWindows`.
+    */
+  def statefulSessions(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.nEvents, s.totalValue))
+          } else {
+            val evs = rows.toSeq
+            val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
+            val updated = SessionState(
+              prev.nEvents + evs.size,
+              prev.totalValue + evs.map(_.value).sum,
+              math.max(prev.lastTs, evs.map(_.ts.getTime).max))
+            state.update(updated)
+            state.setTimeoutTimestamp(updated.lastTs + 30 * 60 * 1000)
+            Iterator.empty
+          }
+      }
+  }
+
+  // -- Sources & sinks (S8/S9) ----------------------------------------------
+
+  /** S8: file-arrival ingestion — the Structured Streaming analog of the
+    * reference's "S3 object created → trigger" Lambda.
+    */
+  def readEventStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 10): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** S9: partitioned parquet sink with checkpointing; `Trigger.AvailableNow`
+    * reproduces the reference's run-to-completion batch trigger.
+    */
+  def writeParquetAvailableNow(df: DataFrame, outDir: String,
+      checkpointDir: String): Unit =
+    df.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .outputMode(OutputMode.Append())
+      .start()
+      .awaitTermination()
+}

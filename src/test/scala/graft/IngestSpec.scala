@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Ingest
+
+class IngestSpec extends SparkSpec {
+
+  private val bundleSchema = StructType(Seq(
+    StructField("resourceType", StringType),
+    StructField("id", StringType),
+    StructField("subject", StructType(Seq(StructField("reference", StringType)))),
+    StructField("entry", ArrayType(StructType(Seq(
+      StructField("resource", StructType(Seq(
+        StructField("resourceType", StringType),
+        StructField("id", StringType),
+        StructField("valueQuantity", StructType(Seq(
+          StructField("value", DoubleType),
+          StructField("unit", StringType)))))))
+    )))),
+    StructField("extension", ArrayType(StructType(Seq(
+      StructField("url", StringType),
+      StructField("valueString", StringType)))))
+  ))
+
+  private def fixturePath = getClass.getResource("/fhir_bundles.jsonl").getPath
+
+  test("permissive JSON read quarantines the malformed line, keeps the rest") {
+    val raw = Ingest.readJson(spark, fixturePath, bundleSchema)
+    val (clean, bad) = Ingest.quarantine(raw)
+    assert(clean.count() === 4)
+    assert(bad.count() === 1)
+    assert(bad.select(Ingest.CorruptCol).head.getString(0).contains("not json"))
+  }
+
+  test("nested access + explode flattens FHIR-style bundles to observations") {
+    val (clean, _) = Ingest.quarantine(Ingest.readJson(spark, fixturePath, bundleSchema))
+    val obs = clean
+      .select(col("id").as("bundle_id"),
+        col("subject.reference").as("patient"),
+        explode(col("entry")).as("e"))
+      .select(col("bundle_id"), col("patient"),
+        col("e.resource.id").as("obs_id"),
+        col("e.resource.valueQuantity.value").as("value"),
+        col("e.resource.valueQuantity.unit").as("unit"))
+    val rows = obs.collect().map(r => (r.getString(2), r.getDouble(3), r.getString(4))).toSet
+    assert(rows === Set(
+      ("o1", 120.5, "mmHg"), ("o2", 80.0, "mmHg"), ("o3", 98.6, "F"), ("o4", 7.1, "pH")))
+    // inline_outer keeps bundles with empty entry arrays
+    val withEmpty = clean.select(col("id"), explode_outer(col("entry")).as("e"))
+    assert(withEmpty.filter(col("id") === "b3").count() === 1)
+  }
+
+  test("extension key-value extraction via map_from_entries") {
+    val (clean, _) = Ingest.quarantine(Ingest.readJson(spark, fixturePath, bundleSchema))
+    val risks = clean
+      .withColumn("ext", map_from_entries(
+        transform(col("extension"), e => struct(e.getField("url"), e.getField("valueString")))))
+      .select(col("id"), element_at(col("ext"), "http://example.org/risk").as("risk"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(risks("b1") === Some("low"))
+    assert(risks("b2") === None)
+    assert(risks("b3") === Some("high"))
+  }
+
+  test("csv round trip with explicit schema") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val df = graft.sources.Tables(spark, sf).nation
+    Ingest.writeCsv(df, s"$tmp/nation")
+    val back = Ingest.readCsv(spark, s"$tmp/nation", Some(df.schema))
+    assert(back.count() === df.count())
+    assert(back.schema === df.schema)
+  }
+
+  test("json round trip preserves rows") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_json").toString
+    val df = graft.sources.Tables(spark, sf).region
+    Ingest.writeJson(df, s"$tmp/region")
+    val back = spark.read.schema(df.schema).json(s"$tmp/region")
+    assert(back.orderBy("r_regionkey").collect().toSeq ===
+      df.orderBy("r_regionkey").collect().toSeq)
+  }
+
+  test("partitioned write + dynamic overwrite replaces only touched partitions") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val t = graft.sources.Tables(spark, sf)
+    val orders = t.orders.withColumn("yr", year(col("o_orderdate")))
+    Ingest.writePartitioned(orders, s"$tmp/orders", Seq("yr"))
+    val full = spark.read.parquet(s"$tmp/orders").count()
+    assert(full === orders.count())
+    // overwrite one partition with a single sentinel row
+    val one = orders.filter(col("yr") === 1997).limit(1)
+    Ingest.writePartitioned(one, s"$tmp/orders", Seq("yr"))
+    val after = spark.read.parquet(s"$tmp/orders")
+    assert(after.filter(col("yr") === 1997).count() === 1)
+    val others = orders.filter(col("yr") =!= 1997).count()
+    assert(after.filter(col("yr") =!= 1997).count() === others)
+    // partition pruning: scanning one partition reads one partition directory
+    val pruned = after.filter(col("yr") === 1998)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("yr"), scan)
+  }
+
+  test("catalog table save + SQL query over it") {
+    spark.sql("DROP TABLE IF EXISTS graft_nation")
+    Ingest.saveAsTable(graft.sources.Tables(spark, sf).nation, "graft_nation")
+    val n = spark.sql("SELECT count(*) AS n FROM graft_nation").head.getLong(0)
+    assert(n === 25)
+    spark.sql("DROP TABLE IF EXISTS graft_nation")
+  }
+}

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.runner.PipelineRunner
+import graft.runner.PipelineRunner.{EngineConfig, StageResult}
+
+class PipelineRunnerSpec extends SparkSpec {
+
+  test("ordersJob runs all stages and writes a manifest") {
+    val out = java.nio.file.Files.createTempDirectory("graft_run").toString
+    val results = PipelineRunner.run(spark,
+      EngineConfig("dev", sf, out), PipelineRunner.ordersJobStages)
+    assert(results.map(_.status) === Seq("ok", "ok", "ok"))
+    assert(results.last.rows === 5) // five market segments
+    val manifest = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$out/manifest.json"))
+    assert(manifest.contains("\"env\":\"dev\"") && manifest.contains("segment_revenue"))
+    assert(spark.read.parquet(s"$out/segment_revenue").count() === 5)
+  }
+
+  test("a failing stage stops the run and marks the rest skipped") {
+    val out = java.nio.file.Files.createTempDirectory("graft_run_fail").toString
+    val stages: Seq[PipelineRunner.Stage] = Seq(
+      "ok_stage" -> ((s, cfg) => graft.sources.Tables(s, cfg.inputDir).region),
+      "boom" -> ((s, _) => s.read.parquet("/nonexistent/path")),
+      "never" -> ((s, cfg) => graft.sources.Tables(s, cfg.inputDir).nation))
+    val results = PipelineRunner.run(spark, EngineConfig("dev", sf, out), stages)
+    assert(results.map(_.status).head === "ok")
+    assert(results(1).status.startsWith("failed"))
+    assert(results(2) === StageResult("never", 0L, 0L, "skipped"))
+  }
+
+  test("parseTriggers decodes the Lambda-shaped event payload") {
+    import spark.implicits._
+    val payloads = Seq(
+      """{"env":"dev","job":"orders-job","detail":{"bucket":"b","key":"data/x.parquet"}}""",
+      """{"env":"test","job":"orders-job","detail":{"bucket":"b2","key":"k2"}}"""
+    ).toDF("payload")
+    val got = PipelineRunner.parseTriggers(payloads, "payload")
+      .collect().map(r => (r.getString(0), r.getString(2))).toSet
+    assert(got === Set(("dev", "b"), ("test", "b2")))
+  }
+}
