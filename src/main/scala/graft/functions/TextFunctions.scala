@@ -107,17 +107,31 @@ object TextFunctions {
   /** 64-bit exact-dup fingerprint of the normalized text. */
   def fingerprint64(c: Column): Column = xxhash64(normalizeText(c))
 
-  /** Word k-shingles of a token array (k consecutive tokens joined). */
+  /** Word k-shingles of a token array (k consecutive tokens joined).
+    *
+    * Built by zipping the array with its own k-1 shifted copies rather than
+    * slicing inside a `transform` lambda: a lambda-body reference to `toks`
+    * re-evaluates the whole upstream expression PER ELEMENT once the
+    * optimizer collapses projections (with toks = tokenize(normalize(text))
+    * that meant re-tokenizing the document per shingle — measured ~20x
+    * slower). Here every reference to `toks` is a per-ROW argument.
+    * Shorter shifted copies null-pad the tail; concat propagates the null
+    * and the final filter drops it, so size(result) = size(toks)-k+1.
+    */
   def shingles(toks: Column, k: Int): Column =
-    when(size(toks) >= k,
-      transform(sequence(lit(0), size(toks) - k),
-        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
-      .otherwise(array().cast("array<string>"))
+    if (k <= 1) toks
+    else {
+      val joined = (1 until k).foldLeft(toks) { (acc, j) =>
+        zip_with(acc, slice(toks, lit(j + 1), greatest(size(toks) - j, lit(0))),
+          (a, b) => concat(a, lit(" "), b))
+      }
+      filter(joined, x => x.isNotNull)
+    }
 
-  private val MersennePrime31 = 2147483647L // 2^31 - 1
+  private[graft] val MersennePrime31 = 2147483647L // 2^31 - 1
 
   /** Deterministic (a, b) parameter pairs for the universal hash family. */
-  private def hashParams(n: Int): Seq[(Long, Long)] = {
+  private[graft] def hashParams(n: Int): Seq[(Long, Long)] = {
     // LCG-expanded from a fixed seed; values in [1, p-1] / [0, p-1].
     var x = 0x5DEECE66DL
     def next(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; x >>> 3 }
@@ -127,30 +141,45 @@ object TextFunctions {
 
   /** MinHash signature (length `n`) over a string array column.
     * h_i(S) = min over shingles s of ((a_i * base(s) + b_i) mod p), with
-    * base(s) = xxhash64(s) folded into [0, p). Pure HOF expression:
-    * one pass computes the base hashes, then `n` `array_min`s.
+    * base(s) = xxhash64(s) folded into [0, p).
+    *
+    * Single-pass formulation: ONE `aggregate` over the base-hash array
+    * carrying all `n` running minima as the state. The naive alternative
+    * (`n` separate `array_min(transform(base, …))`) re-evaluates the base
+    * hashes n times — 128x the string hashing, measured ~50x slower at
+    * sf0.1 — because Catalyst does not CSE across sibling expressions.
     */
   def minhashSignature(shingleCol: Column, n: Int): Column = {
-    val base = transform(shingleCol, s => pmod(xxhash64(s), lit(MersennePrime31)))
-    val mins = hashParams(n).map { case (a, b) =>
-      array_min(transform(base, h => pmod(h * a + b, lit(MersennePrime31))))
-    }
-    array(mins: _*)
+    val p = lit(MersennePrime31)
+    val params = array(hashParams(n).map { case (a, b) =>
+      struct(lit(a).as("a"), lit(b).as("b"))
+    }: _*)
+    val base = transform(shingleCol, s => pmod(xxhash64(s), p))
+    aggregate(
+      base,
+      array_repeat(p, n),
+      (acc, h) => zip_with(acc, params,
+        (m, ab) => least(m, pmod(h * ab.getField("a") + ab.getField("b"), p))))
   }
 
   /** 64-bit SimHash over a token array: per-bit majority vote of token
-    * hashes. HOF formulation — no explode, no shuffle; 64 aggregates per
-    * row over the pre-hashed token array.
+    * hashes. Single-pass HOF formulation — no explode, no shuffle, and the
+    * token hashes are evaluated once (one `aggregate` carrying all 64 bit
+    * counters as the state; see minhashSignature for why sibling
+    * per-bit aggregates would be 64x slower).
     */
   def simhash64(toks: Column): Column = {
     val hs = transform(toks, t => xxhash64(t))
-    val bitSums = (0 until 64).map { i =>
-      aggregate(hs, lit(0L),
-        (acc, h) => acc + when(getbit(h, lit(i)) === 1, 1L).otherwise(-1L))
-    }
-    bitSums.zipWithIndex.map { case (s, i) =>
-      when(s > 0, lit(1L << i)).otherwise(0L)
-    }.reduce(_ + _)
+    val bitIdx = array((0 until 64).map(i => lit(i)): _*)
+    val powers = array((0 until 64).map(i => lit(1L << i)): _*)
+    val sums = aggregate(
+      hs,
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, bitIdx,
+        (c, i) => c + when(getbit(h, i) === 1, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(sums, powers, (s, p) => when(s > 0, p).otherwise(0L)),
+      lit(0L), (a, x) => a + x)
   }
 
   /** Hamming distance between two 64-bit signatures. */

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
 
 /** Deduplication operators for the LLM-data-pipeline surface
@@ -49,28 +50,59 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val withSig = docs
+    // Repartition first: fixture-style single-file inputs otherwise pin the
+    // regex-heavy shingling to one task. The partition count is explicit
+    // because AQE would coalesce a small text shuffle back to one partition
+    // (it optimizes for shuffle bytes, not downstream compute cost).
+    val shingled = docs
       .select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("shingles", array_distinct(shingles(tokens(normalizeText(col("text"))), shingleK)))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("id"))
+      // Tokens materialize in their own projection: composing
+      // shingles(tokens(...)) as one expression would inline the full
+      // regex+split tokenization into the per-shingle lambda (re-tokenizing
+      // the document once per shingle — measured 20x slower). As a named
+      // column the lambda slices an already-computed array; the optimizer
+      // keeps the projections separate because the expression is non-cheap
+      // and multiply-referenced.
+      .withColumn("toks", tokens(normalizeText(col("text"))))
+      .withColumn("shingles", array_distinct(shingles(col("toks"), shingleK)))
       .filter(size(col("shingles")) > 0)
-      .withColumn("sig", minhashSignature(col("shingles"), numHashes))
-    // band key = murmur3 hash of the signature slice; (band, bucket) equi join
-    val banded = withSig.select(
-      col("id"), col("shingles"),
-      posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => hash(slice(col("sig"), b * r + 1, lit(r))))
-      ).as(Seq("band", "bucket"))
-    )
-    val a = banded.select(col("id").as("id_a"), col("shingles").as("sh_a"),
-      col("band"), col("bucket"))
-    val b = banded.select(col("id").as("id_b"), col("shingles").as("sh_b"),
-      col("band"), col("bucket"))
-    val candidates = a.join(b, Seq("band", "bucket"))
+      .select("id", "shingles")
+      .cache() // reused by banding and by pair verification (both join sides)
+    // Signatures via explode + 128 min-aggregates: whole-stage-codegen'd
+    // HashAggregate with map-side partial aggregation (the HOF
+    // aggregate/zip_with formulation in TextFunctions.minhashSignature is
+    // correct but interpreted — measured ~20x slower on long documents).
+    // Shuffle volume is numGroups x numHashes x 8B, not the exploded rows.
+    val p = TextFunctions.MersennePrime31
+    val exploded = shingled
+      .select(col("id"), explode(col("shingles")).as("s"))
+      .withColumn("h", pmod(xxhash64(col("s")), lit(p)))
+    val minCols = TextFunctions.hashParams(numHashes).zipWithIndex.map {
+      case ((a, b), i) => min(pmod(col("h") * a + b, lit(p))).as(s"_m$i")
+    }
+    val sigs = exploded.groupBy(col("id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"_m$i")): _*).as("sig"))
+    // band key = murmur3 hash of the signature slice; (band, bucket) carries
+    // ONLY ids — the wide shingle arrays never enter the self-join shuffle.
+    val banded = sigs
+      .select(
+        col("id"),
+        posexplode(
+          transform(sequence(lit(0), lit(bands - 1)),
+            b => hash(slice(col("sig"), b * r + 1, lit(r))))
+        ).as(Seq("band", "bucket")))
+    val candidates = banded.select(col("id").as("id_a"), col("band"), col("bucket"))
+      .join(banded.select(col("id").as("id_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
     candidates
+      .join(shingled.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+      .join(shingled.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("uni",
         (size(col("sh_a")) + size(col("sh_b"))).cast("double") - col("inter"))
@@ -86,7 +118,34 @@ object Dedup {
     * convergence check suffices. At extreme scale swap for the
     * large-star/small-star algorithm; the interface stays the same.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
+      localThreshold: Long = 5000000L): DataFrame = {
+    // Near-dup edge sets are tiny relative to the corpus (pairs, not docs).
+    // Below the threshold a driver-side union-find is strictly better than
+    // iterative joins: O(E α(E)) once vs an action + 2 joins per round.
+    // Above it, fall through to the distributed min-label propagation.
+    val nPairs = pairs.persist().count()
+    if (nPairs <= localThreshold) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
+        r
+      }
+      val nodes = scala.collection.mutable.Set.empty[Long]
+      pairs.select(col("id_a"), col("id_b")).collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        nodes += a; nodes += b
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val labels = nodes.toSeq.map(id => (id, find(id)))
+      return spark.createDataset(labels).toDF("id", "component")
+    }
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .cache()
@@ -134,11 +193,26 @@ object Dedup {
     * candidates found by banding the 64-bit signature into 16-bit chunks
     * (a pair within hamming 3 shares at least one exact chunk).
     */
-  def simhashSignatures(docs: DataFrame, textCol: String, idCol: String): DataFrame =
-    docs.select(
-      col(idCol).as("id"),
-      simhash64(tokens(normalizeText(col(textCol)))).as("simhash")
-    )
+  def simhashSignatures(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // Explode + 64 bit-sum aggregates: codegen'd, partial-aggregating twin
+    // of TextFunctions.simhash64 (kept for per-row Column use). A doc whose
+    // token list is empty contributes one null-hash row via explode_outer,
+    // which sums to -1 on every bit → simhash 0, matching the HOF version.
+    val sums = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("id"))
+      .select(col("id"),
+        explode_outer(tokens(normalizeText(col("text")))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+      .groupBy(col("id"))
+      .agg(
+        (0 until 64).map(i =>
+          sum(when(getbit(col("h"), lit(i)) === 1, 1L).otherwise(-1L)).as(s"_b$i")).head,
+        (1 until 64).map(i =>
+          sum(when(getbit(col("h"), lit(i)) === 1, 1L).otherwise(-1L)).as(s"_b$i")): _*)
+    sums.select(col("id"),
+      (0 until 64).map(i =>
+        when(col(s"_b$i") > 0, lit(1L << i)).otherwise(0L)).reduce(_ + _).as("simhash"))
+  }
 
   def simhashNearDupPairs(docs: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3): DataFrame = {
@@ -167,12 +241,15 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, textCol: String, idCol: String,
       k: Int = 1, minJaccard: Double = 0.0): DataFrame = {
-    val toks = docs.select(
-      col(idCol).as("id"),
-      array_distinct(
-        if (k == 1) tokens(normalizeText(col(textCol)))
-        else shingles(tokens(normalizeText(col(textCol))), k)
-      ).as("grams"))
+    val toks = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("id"))
+      .select(
+        col("id"), tokens(normalizeText(col("text"))).as("toks"))
+      .select(
+        col("id"),
+        array_distinct(
+          if (k == 1) col("toks") else shingles(col("toks"), k)
+        ).as("grams"))
     val a = toks.select(col("id").as("id_a"), col("grams").as("g_a"))
     val b = toks.select(col("id").as("id_b"), col("grams").as("g_b"))
     a.crossJoin(b)
