@@ -39,10 +39,15 @@ object SimilaritySearch {
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
+    // |Q| x |corpus| x dim inner loop → use the native codegen'd expression
+    // (graft.functions.CosineSimilarity); `cosine` below is its public-API
+    // twin with identical double-precision semantics.
+    graft.plans.GraftExtensions.register(queries.sparkSession)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("sim",
+        graft.plans.GraftExtensions.cosineSim(col("q_vec"), col("c_vec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored

@@ -1,0 +1,44 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.functions.call_function
+import graft.functions.CosineSimilarity
+
+/** Engine extensions, injected via the public `SparkSessionExtensions` hook
+  * (SURVEY.md §2.10 X4, §4): native functions beyond Spark's built-ins.
+  *
+  * Two ways in:
+  *  - config: `spark.sql.extensions=graft.plans.GraftExtensions` at session
+  *    build time (cluster deployments);
+  *  - `GraftExtensions.register(spark)` on a live session (tests, notebooks).
+  *
+  * After either, `cosine_sim(a, b)` resolves in SQL and via
+  * `GraftExtensions.cosineSim(colA, colB)` on the DataFrame API.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.cosineSimDescriptor)
+}
+
+object GraftExtensions {
+
+  private val cosineSimDescriptor = (
+    FunctionIdentifier("cosine_sim"),
+    new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.size == 2, "cosine_sim takes exactly 2 arguments")
+      CosineSimilarity(children.head, children(1))
+    })
+
+  /** Idempotent registration on a live session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim",
+      children => cosineSimDescriptor._3(children),
+      "built-in")
+
+  /** Column-API access to the native expression (requires `register`). */
+  def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+}
