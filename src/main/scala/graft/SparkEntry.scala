@@ -23,7 +23,8 @@ object SparkEntry {
     TextQueries,
     DedupQueries,
     SimilarityQueries,
-    MultimodalQueries
+    MultimodalQueries,
+    TypeSurfaceQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

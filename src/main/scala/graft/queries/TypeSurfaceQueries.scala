@@ -1,0 +1,64 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Type-surface extensions (SURVEY.md §1.2): exact decimal money math,
+  * HLL sketch persistence (A4's scale path — sketches are mergeable state
+  * that survives between jobs), and Spark 4 VARIANT for semi-structured
+  * props.
+  */
+object TypeSurfaceQueries extends QueryPack {
+
+  override def queries: Map[String, Query] = Map(
+    // -- DecimalType: exact money aggregation (doubles drift at 100 TB row
+    //    counts; decimal sums are exact and overflow-checked).
+    "x01_decimal_money" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.orders
+        .withColumn("price_dec", col("o_totalprice").cast("decimal(18,2)"))
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          sum(col("price_dec")).cast("double").as("exact_revenue"),
+          max(col("price_dec")).cast("double").as("max_price"),
+          count(lit(1)).as("n")
+        )
+    },
+
+    // -- HLL sketch agg + union (Spark 4 built-ins): per-segment sketches
+    //    merged to a global distinct estimate — the pattern for incremental
+    //    distinct counts across partitioned 100 TB runs. Rows-only (sketch
+    //    binary is engine-specific); accuracy pinned in TypeSurfaceSpec.
+    "x02_hll_sketches" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val perSegment = t.orders
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(hll_sketch_agg(col("o_custkey")).as("sketch"))
+      perSegment.agg(
+        hll_sketch_estimate(hll_union_agg(col("sketch"))).as("distinct_customers_global"))
+    },
+
+    // -- VARIANT (Spark 4): parse once, extract typed fields lazily.
+    "x03_variant_props" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.events
+        .withColumn("v", parse_json(col("props")))
+        .select(col("event_id"),
+          try_variant_get(col("v"), "$.k", "int").as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+    }
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "x01_decimal_money" ->
+      """SELECT o_orderstatus,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS exact_revenue,
+        |  CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "x03_variant_props" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin
+  )
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SkewJoin
+import graft.sources.Tables
+
+/** Plan-shape regression suite: the physical plans we designed for stay the
+  * plans we get. These assertions encode the 100 TB design decisions —
+  * broadcasts on dims, top-k as TakeOrderedAndProject, partial aggregation,
+  * shuffle-free bucketed joins — so a refactor that silently degrades a
+  * plan fails the build, not the cluster.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q05 joins dimension tables with BroadcastHashJoin") {
+    val p = plan("q05_regional_revenue")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q03 top-k plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan("q03_top_orders")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("q01 aggregation is partial (two HashAggregate phases)") {
+    val p = plan("q01_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
+  test("q06 projection is pruned to referenced columns at the scan") {
+    val p = plan("q06_forecast_revenue")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_returnflag") && !readSchema.contains("l_orderkey"),
+      s"scan reads unneeded columns: $readSchema")
+  }
+
+  test("bucketed co-located join runs without a shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // DROP leaves the managed location behind if a previous JVM died mid-test
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+    }
+    val t = Tables(spark, sf)
+    t.orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    t.lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("b_lineitem")
+    // disable auto-broadcast so the join exercises the bucketed SMJ path
+    // (at this fixture size Catalyst would rightly broadcast instead)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(sum(col("l_quantity")).as("qty"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p.take(2000))
+      // the only shuffle is the groupBy's — the join reads bucket-aligned
+      val joinSection = p.substring(p.indexOf("SortMergeJoin"))
+      assert(!joinSection.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles its inputs:\n${joinSection.take(2500)}")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+  }
+
+  test("salted skew join returns exactly the plain join's rows") {
+    val t = Tables(spark, sf)
+    val plain = t.lineitem.join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = SkewJoin.saltedInnerJoin(
+      t.lineitem.withColumnRenamed("l_orderkey", "k"),
+      t.orders.withColumnRenamed("o_orderkey", "k"), "k", salts = 8)
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted === plain)
+  }
+
+  test("whole-stage codegen covers the relational core queries") {
+    Seq("q01_pricing_summary", "q06_forecast_revenue", "w03_running_revenue").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect() // execute THIS plan so AQE finalizes it (count() builds its own)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("*("), s"$q has no codegen span:\n${p.take(1500)}")
+    }
+  }
+}
