@@ -118,12 +118,18 @@ object TextFunctions {
     * Shorter shifted copies null-pad the tail; concat propagates the null
     * and the final filter drops it, so size(result) = size(toks)-k+1.
     */
-  def shingles(toks: Column, k: Int): Column =
-    if (k <= 1) toks
+  def shingles(toks: Column, k: Int): Column = ngrams(toks, k, " ")
+
+  /** k-grams over any string array: zip the array with its shifted copies,
+    * joining with `sep`. Every reference to `arr` is per-row (see shingles
+    * scaladoc for why per-element references are a trap).
+    */
+  private def ngrams(arr: Column, k: Int, sep: String): Column =
+    if (k <= 1) arr
     else {
-      val joined = (1 until k).foldLeft(toks) { (acc, j) =>
-        zip_with(acc, slice(toks, lit(j + 1), greatest(size(toks) - j, lit(0))),
-          (a, b) => concat(a, lit(" "), b))
+      val joined = (1 until k).foldLeft(arr) { (acc, j) =>
+        zip_with(acc, slice(arr, lit(j + 1), greatest(size(arr) - j, lit(0))),
+          (a, b) => if (sep.isEmpty) concat(a, b) else concat(a, lit(sep), b))
       }
       filter(joined, x => x.isNotNull)
     }
@@ -184,4 +190,28 @@ object TextFunctions {
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003): hash
+    * every character k-gram of the normalized text, then keep the minimum
+    * hash of each sliding window of `w` consecutive k-gram hashes. Any
+    * shared substring of length >= w + k - 1 between two documents
+    * guarantees a shared fingerprint — the standard plagiarism/near-dup
+    * sketch with a cheap, alignment-free guarantee.
+    *
+    * Built from HOFs only: k-grams via substring over an index sequence,
+    * window minima via the same zip-shifted-copies trick as `shingles`
+    * (every reference to the hash array is per-row). Output is the
+    * DISTINCT, sorted fingerprint set.
+    */
+  def winnowingFingerprints(c: Column, k: Int = 5, w: Int = 4): Column = {
+    val chars = filter(split(normalizeText(c), ""), ch => length(ch) > 0)
+    val gramHashes = transform(ngrams(chars, k, ""), g => xxhash64(g))
+    val windowMins = (1 until w).foldLeft(gramHashes) { (acc, j) =>
+      zip_with(acc,
+        slice(gramHashes, lit(j + 1), greatest(size(gramHashes) - j, lit(0))),
+        (a, b) => least(a, b))
+    }
+    // zip_with null-pads the short tail; drop the null entries, dedup, sort
+    sort_array(array_distinct(filter(windowMins, x => x.isNotNull)))
+  }
 }

@@ -113,6 +113,83 @@ object SimilaritySearch {
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rn"))
   }
 
+  // -- IVF (inverted-file) index: the second ANN scale path ------------------
+
+  /** Spherical k-means centroids trained with DataFrame ops: assignment is
+    * map-only (native cosine against broadcast centroid literals); the
+    * update step is the partial-aggregating VectorCentroid. Only the
+    * centroids themselves (nlist x dim doubles) ever reach the driver —
+    * aggregated state, not data, so this trains on a 100 TB corpus.
+    * Deterministic init: the first `nlist` vectors in id order.
+    */
+  def trainCentroids(vectors: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int = 3): Array[Array[Float]] = {
+    graft.plans.GraftExtensions.register(vectors.sparkSession)
+    var centroids: Array[Array[Float]] = vectors
+      .orderBy(col(idCol)).limit(nlist)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val centroidUdaf = udaf(graft.functions.VectorCentroid)
+    for (_ <- 0 until iters) {
+      val updated = assignBucket(vectors, vecCol, centroids)
+        .groupBy(col("_bucket"))
+        .agg(centroidUdaf(col(vecCol)).as("c"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).map(_.toFloat).toArray)
+        .toMap
+      centroids = centroids.indices.map(i => updated.getOrElse(i, centroids(i))).toArray
+    }
+    centroids
+  }
+
+  /** Adds `_bucket` = argmax-cosine centroid index (map-only). */
+  def assignBucket(df: DataFrame, vecCol: String,
+      centroids: Array[Array[Float]]): DataFrame = {
+    val scores = array(centroids.map(c =>
+      graft.plans.GraftExtensions.cosineSim(col(vecCol), lit(c))): _*)
+    df.withColumn("_scores", scores)
+      .withColumn("_bucket",
+        (array_position(col("_scores"), array_max(col("_scores"))) - 1).cast("int"))
+  }
+
+  /** Approximate top-k via IVF: corpus vectors live in their nearest
+    * centroid's list; each query probes its `nprobe` best centroids. The
+    * candidate meeting is an equi join on the bucket id — same scale shape
+    * as lshTopK, but with data-adaptive partitions (trained centroids beat
+    * random hyperplanes when the corpus is clustered).
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      centroidsOpt: Option[Array[Array[Float]]] = None): DataFrame = {
+    val centroids = centroidsOpt.getOrElse(
+      trainCentroids(corpus, idCol, vecCol, nlist))
+    val c = assignBucket(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
+      "c_vec", centroids)
+      .select(col("neighbor_id"), col("c_vec"), col("_bucket").as("bucket"))
+    // each query emits its nprobe best buckets: bucket b is probed when
+    // fewer than nprobe buckets score strictly higher
+    val q = assignBucket(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
+      "q_vec", centroids)
+      .withColumn("bucket", explode(filter(
+        sequence(lit(0), lit(nlist - 1)),
+        b => size(filter(col("_scores"),
+          s => s > element_at(col("_scores"), (b + 1).cast("int")))) < nprobe)))
+      .select(col("query_id"), col("q_vec"), col("bucket").cast("int").as("bucket"))
+    val scored = c.join(q, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("sim",
+        graft.plans.GraftExtensions.cosineSim(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+  }
+
   /** Embedding-cosine near-dup pairs (L2's vector variant): exact over a
     * blocked candidate set — block on the LSH bucket, verify with cosine.
     */

@@ -36,6 +36,17 @@ object SimilarityQueries extends QueryPack {
         .select(col("query_id"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
     },
 
+    // -- L3 approximate, IVF variant: trained-centroid inverted lists
+    //    (rows-only; recall vs brute force tested in LlmOpsSpec).
+    "s05_ivf_topk" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val emb = t.embeddings
+      SimilaritySearch.ivfTopK(
+        emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 6)
+        .select(col("query_id"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
+    },
+
     // -- A9 custom typed aggregate: per-label centroid, reported via norm.
     "s03_label_centroids" -> { (spark, dir) =>
       val t = Tables(spark, dir)

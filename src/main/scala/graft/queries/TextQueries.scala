@@ -72,6 +72,19 @@ object TextQueries extends QueryPack {
         .agg(count(lit(1)).as("n_docs"))
     },
 
+    // -- Winnowing fingerprints (rows-only: xxhash64-based; the shared-
+    //    substring guarantee is property-tested in LlmOpsSpec).
+    "t07_winnowing" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.documents
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+        .select(
+          col("doc_id"),
+          winnowingFingerprints(col("text")).as("fps"))
+        .select(col("doc_id"), size(col("fps")).as("n_fingerprints"),
+          element_at(col("fps"), 1).as("min_fingerprint"))
+    },
+
     // -- Composite quality score + subword counts (rows-only: heuristic
     //    weights are engine-defined; monotonicity property-tested).
     "t06_quality_scores" -> { (spark, dir) =>

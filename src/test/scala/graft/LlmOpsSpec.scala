@@ -104,6 +104,37 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.6, s"LSH recall $recall too low")
   }
 
+  test("winnowing: shared substring guarantees a shared fingerprint") {
+    import spark.implicits._
+    val common = "the catalyst optimizer rewrites logical plans before execution"
+    val df = Seq(
+      (1L, s"prefix text one $common suffix alpha"),
+      (2L, s"completely other opening $common and a different ending"),
+      (3L, "no overlap with anything else here at all today")
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.winnowingFingerprints(col("text")).as("fps"))
+    val fps = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fps(1L).intersect(fps(2L)).nonEmpty, "shared substring must share a fingerprint")
+    assert(fps(1L).intersect(fps(3L)).size < fps(1L).intersect(fps(2L)).size)
+    // identical text => identical fingerprint set
+    val dup = Seq((1L, "same exact words"), (2L, "same exact words")).toDF("doc_id", "text")
+      .select(TextFunctions.winnowingFingerprints(col("text")).as("fps"))
+      .collect().map(_.getSeq[Long](0))
+    assert(dup(0) === dup(1))
+  }
+
+  test("IVF top-k recall vs brute force >= 0.5 at sf0.001") {
+    val emb = graft.sources.Tables(spark, sf).embeddings
+    val queries = emb.filter(col("vec_id") < 10)
+    val brute = SimilaritySearch.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SimilaritySearch.ivfTopK(queries, emb, "vec_id", "embedding", 5,
+      nlist = 16, nprobe = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall $recall too low")
+  }
+
   test("languageId marker heuristic on hand-authored samples") {
     import spark.implicits._
     val out = Seq(
