@@ -184,6 +184,54 @@ object RelationalQueries extends QueryPack {
         )
     },
 
+    // -- TPC-H Q17 shape: correlated scalar subquery (decorrelated by
+    //    Catalyst into a join against the per-part aggregate).
+    "q17_small_quantity_revenue" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.lineitem.createOrReplaceTempView("q17_lineitem")
+      t.part.createOrReplaceTempView("q17_part")
+      spark.sql(
+        """SELECT sum(l_extendedprice) / 7.0 AS avg_yearly
+          |FROM q17_lineitem JOIN q17_part ON p_partkey = l_partkey
+          |WHERE p_brand = 'Brand#1'
+          |  AND l_quantity < (
+          |    SELECT 0.2 * avg(l_quantity) FROM q17_lineitem l2
+          |    WHERE l2.l_partkey = q17_lineitem.l_partkey)""".stripMargin)
+    },
+
+    // -- TPC-H Q18 shape: HAVING over a grouped subquery feeding a join.
+    "q18_large_orders" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val bigOrders = t.lineitem
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 150.0)
+      t.orders
+        .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(20)
+    },
+
+    // -- TPC-H Q19 shape: disjunctive bracketed predicates (OR of ANDs) —
+    //    exercises CNF conversion + partial pushdown.
+    "q19_bracketed_discounts" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.lineitem
+        .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("l_quantity").between(1, 15) &&
+            col("p_size").between(1, 10)) ||
+          (col("p_brand") === "Brand#2" && col("l_quantity").between(10, 25) &&
+            col("p_size").between(5, 20)) ||
+          (col("p_brand") === "Brand#3" && col("l_quantity").between(20, 35) &&
+            col("p_size").between(10, 40)))
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+
     // -- IN-list + BETWEEN + IS NULL surface (P3, P4, P6, P7).
     "q15_predicate_surface" -> { (spark, dir) =>
       val t = Tables(spark, dir)
@@ -310,6 +358,29 @@ object RelationalQueries extends QueryPack {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'""".stripMargin,
+    "q17_small_quantity_revenue" ->
+      """SELECT sum(l_extendedprice) / 7.0 AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#1'
+        |  AND l_quantity < (
+        |    SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+        |    WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING sum(l_quantity) > 150.0) big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 20""".stripMargin,
+    "q19_bracketed_discounts" ->
+      """SELECT sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 15 AND p_size BETWEEN 1 AND 10)
+        |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 25 AND p_size BETWEEN 5 AND 20)
+        |   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 35 AND p_size BETWEEN 10 AND 40)""".stripMargin,
     "q15_predicate_surface" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_orderpriority = '5-LOW' THEN NULL ELSE o_orderpriority END AS prio_or_null,

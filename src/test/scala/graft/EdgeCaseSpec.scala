@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.{AsOfJoin, Dedup, SimilaritySearch}
+
+/** Operator behavior on degenerate inputs: empty frames, empty strings,
+  * k larger than the data. At 100 TB some partition somewhere is always
+  * empty or degenerate — operators must not throw.
+  */
+class EdgeCaseSpec extends SparkSpec {
+
+  test("AsOfJoin with an empty right side keeps all left rows with nulls") {
+    import spark.implicits._
+    val left = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "a"))
+      .toDF("k", "t", "payload")
+    val right = Seq.empty[(Long, java.sql.Timestamp, Double)].toDF("k", "rt", "rv")
+    val out = AsOfJoin.backward(left, right, Seq("k"), "t", "rt", Seq(("rv", "last_rv")))
+    assert(out.count() === 1)
+    assert(out.head.isNullAt(out.head.fieldIndex("last_rv")))
+  }
+
+  test("minhashNearDupPairs on empty and single-doc inputs returns no pairs") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.minhashNearDupPairs(empty, "text", "doc_id").count() === 0)
+    val single = Seq((1L, "only one document here")).toDF("doc_id", "text")
+    assert(Dedup.minhashNearDupPairs(single, "text", "doc_id").count() === 0)
+  }
+
+  test("text functions on empty and whitespace-only strings") {
+    import spark.implicits._
+    val df = Seq((1L, ""), (2L, "   "), (3L, "one")).toDF("id", "text")
+    val got = df.select(
+      col("id"),
+      TextFunctions.tokenCount(col("text")).as("n"),
+      TextFunctions.punctRatio(col("text")).as("pr"),
+      size(TextFunctions.shingles(TextFunctions.tokens(col("text")), 3)).as("sh"),
+      size(TextFunctions.winnowingFingerprints(col("text"))).as("fp"),
+      TextFunctions.languageId(col("text")).as("lang")
+    ).collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getDouble(2), r.getInt(3), r.getInt(4), r.getString(5))).toMap
+    assert(got(1L) === ((0L, 0.0, 0, 0, "und")))
+    assert(got(2L) === ((0L, 0.0, 0, 0, "und")))
+    assert(got(3L)._1 === 1L)
+  }
+
+  test("shingles with k larger than the token count yields an empty array") {
+    import spark.implicits._
+    val df = Seq((1L, "two words")).toDF("id", "text")
+    val n = df.select(size(TextFunctions.shingles(
+      TextFunctions.tokens(col("text")), 5)).as("n")).head.getInt(0)
+    assert(n === 0)
+  }
+
+  test("bruteForceTopK with k greater than the corpus returns all neighbors") {
+    val emb = graft.sources.Tables(spark, sf).embeddings.filter(col("vec_id") < 4)
+    val out = SimilaritySearch.bruteForceTopK(
+      emb.filter(col("vec_id") === 0), emb, "vec_id", "embedding", k = 100)
+    assert(out.count() === 3) // corpus minus the query itself
+  }
+
+  test("connectedComponents on an empty pair set returns an empty frame") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty).count() === 0)
+  }
+
+  test("sessionize on a single event per user yields one session each") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"))
+    ).toDF("user_id", "t")
+    val out = graft.operators.Sessionize.byGap(ev, "user_id", "t", 1800L)
+    assert(out.select("session_seq").collect().forall(_.getLong(0) === 0L))
+  }
+}
