@@ -54,21 +54,21 @@ object Dedup {
     // regex-heavy shingling to one task. The partition count is explicit
     // because AQE would coalesce a small text shuffle back to one partition
     // (it optimizes for shuffle bytes, not downstream compute cost).
-    val shingled = docs
+    // Cache the materialized TOKEN arrays, then build shingles from the
+    // cached attribute: `shingles(tokens(...))` as one expression would let
+    // CollapseProject inline the regex+split tokenization into every one of
+    // its ~2k references per row (re-tokenizing the document repeatedly —
+    // measured up to 20x slower). A cache is the one barrier the optimizer
+    // cannot collapse through; shingling a cached array is pure O(n) concat.
+    val toksDf = docs
       .select(col(idCol).as("id"), col(textCol).as("text"))
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("id"))
-      // Tokens materialize in their own projection: composing
-      // shingles(tokens(...)) as one expression would inline the full
-      // regex+split tokenization into the per-shingle lambda (re-tokenizing
-      // the document once per shingle — measured 20x slower). As a named
-      // column the lambda slices an already-computed array; the optimizer
-      // keeps the projections separate because the expression is non-cheap
-      // and multiply-referenced.
-      .withColumn("toks", tokens(normalizeText(col("text"))))
-      .withColumn("shingles", array_distinct(shingles(col("toks"), shingleK)))
+      .select(col("id"), tokens(normalizeText(col("text"))).as("toks"))
+      .cache()
+    val shingled = toksDf
+      .select(col("id"), array_distinct(shingles(col("toks"), shingleK)).as("shingles"))
       .filter(size(col("shingles")) > 0)
-      .select("id", "shingles")
-      .cache() // reused by banding and by pair verification (both join sides)
+      .cache() // three consumers: banding chain + both verification joins
     // Signatures via explode + 128 min-aggregates: whole-stage-codegen'd
     // HashAggregate with map-side partial aggregation (the HOF
     // aggregate/zip_with formulation in TextFunctions.minhashSignature is
