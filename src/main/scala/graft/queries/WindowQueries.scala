@@ -40,17 +40,27 @@ object WindowQueries extends QueryPack {
       )
     },
 
-    // -- W3/W4: running revenue per supplier, rows frame.
+    // -- W3/W4: running total per supplier, rows frame. The running metric
+    //    is quantity (integer-valued doubles): long prefix sums of
+    //    fractional doubles are association-order-sensitive and DuckDB's
+    //    segment-tree window aggregation rounds differently than Spark's
+    //    sequential frame at ~1e-8 relative — enough to flip a 6-sig-digit
+    //    canonicalization at sf0.1. Integer-valued sums are exact in both.
     "w03_running_revenue" -> { (spark, dir) =>
       val t = Tables(spark, dir)
+      // (shipdate, orderkey, linenumber) is NOT unique — sf0.1 contains a
+      // duplicated line — so quantity+price complete the tiebreak; rows
+      // identical in every sort key are interchangeable, keeping the ROWS
+      // frame deterministic.
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+        .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc,
+          col("l_quantity").asc, col("l_extendedprice").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t.lineitem.select(
         col("l_suppkey"),
         col("l_orderkey"),
         col("l_linenumber"),
-        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).over(w).as("running_revenue")
+        sum(col("l_quantity")).over(w).as("running_qty")
       )
     },
 
@@ -126,10 +136,11 @@ object WindowQueries extends QueryPack {
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)""".stripMargin,
     "w03_running_revenue" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
-        |  sum(l_extendedprice * (1.0 - l_discount)) OVER (
+        |  sum(l_quantity) OVER (
         |    PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_revenue
+        |    ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC,
+        |      l_quantity ASC, l_extendedprice ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
         |FROM lineitem""".stripMargin,
     "w04_moving_avg" ->
       """SELECT user_id, event_id,
