@@ -146,4 +146,49 @@ object EventStreams {
       .outputMode(OutputMode.Append())
       .start()
       .awaitTermination()
+
+  /** S9 upsert-style sink via foreachBatch: each micro-batch merges into a
+    * keyed parquet table by partition-wise read-union-dedup-rewrite — the
+    * plain-parquet stand-in for a MERGE INTO against a transactional table
+    * format. The merge keeps the LATEST row per key (by `orderCol` desc).
+    *
+    * Scale note: the rewrite is bounded by the partitions a batch touches,
+    * not the table — `partitionCol` should be a date-like bucket so a
+    * micro-batch rewrites only its own day(s).
+    */
+  def upsertForeachBatchAvailableNow(df: DataFrame, outDir: String,
+      checkpointDir: String, keyCol: String, orderCol: String,
+      partitionCol: String): Unit =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val touched = batch.select(col(partitionCol)).distinct()
+          .collect().map(_.get(0))
+        if (touched.nonEmpty) {
+          val existing =
+            try spark.read.parquet(outDir).filter(col(partitionCol).isin(touched: _*))
+            catch { case _: Exception => spark.emptyDataFrame }
+          val merged =
+            if (existing.isEmpty) batch
+            else {
+              import org.apache.spark.sql.expressions.Window
+              val w = Window.partitionBy(col(keyCol))
+                .orderBy(col(orderCol).desc)
+              existing.unionByName(batch)
+                .withColumn("_rn", row_number().over(w))
+                .filter(col("_rn") === 1).drop("_rn")
+            }
+          // materialize before the overwrite — `merged` lazily reads the
+          // same files the write replaces
+          merged.localCheckpoint(eager = true)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partitionCol)
+            .parquet(outDir)
+        }
+      }
+      .start()
+      .awaitTermination()
 }

@@ -128,6 +128,33 @@ class StreamingSpec extends SparkSpec {
     assert(got.contains((7L, 2L, 3.0)), s"expected user 7 session in $got")
   }
 
+  test("foreachBatch upsert keeps the latest row per key across micro-batches") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val inDir = s"$tmp/in"; val outDir = s"$tmp/out"
+    def writeBatch(sub: String, rows: Seq[(Long, String, Double)]): Unit =
+      rows.toDF("user_id", "day", "score").write.parquet(s"$inDir/$sub")
+    // batch 1: two users on one day
+    writeBatch("b1", Seq((1L, "2024-01-01", 10.0), (2L, "2024-01-01", 20.0)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("day", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType)))
+    def run(ckpt: String): Unit = EventStreams.upsertForeachBatchAvailableNow(
+      spark.readStream.schema(schema).parquet(s"$inDir/*"),
+      outDir, s"$tmp/$ckpt", keyCol = "user_id", orderCol = "score",
+      partitionCol = "day")
+    run("ck1")
+    assert(spark.read.parquet(outDir).count() === 2)
+    // batch 2: user 1 updated (higher score wins), user 3 new
+    writeBatch("b2", Seq((1L, "2024-01-01", 99.0), (3L, "2024-01-02", 30.0)))
+    run("ck1")
+    val rows = spark.read.parquet(outDir)
+      .select("user_id", "score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows === Map(1L -> 99.0, 2L -> 20.0, 3L -> 30.0))
+  }
+
   test("file-source stream with AvailableNow writes a parquet sink end to end") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
