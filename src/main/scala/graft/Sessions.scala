@@ -33,6 +33,8 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // engine-native functions (cosine_sim, …) available in SQL + Column API
+    graft.plans.GraftExtensions.register(spark)
     spark
   }
 }

@@ -83,6 +83,27 @@ class PlanSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("dynamic partition pruning fires on a partitioned fact join") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    val t = Tables(spark, sf)
+    t.orders.withColumn("yr", year(col("o_orderdate")))
+      .write.partitionBy("yr").parquet(s"$tmp/orders_part")
+    val fact = spark.read.parquet(s"$tmp/orders_part")
+    // the dim must come from storage (a literal dim constant-folds into a
+    // STATIC partition filter — good, but not the feature under test): the
+    // filter on `tag` is only resolvable at runtime → DPP subquery
+    import spark.implicits._
+    (1995 to 2001).map(y => (y, if (y == 1997) "keep" else "drop"))
+      .toDF("dim_yr", "tag").write.parquet(s"$tmp/years_dim")
+    val years = spark.read.parquet(s"$tmp/years_dim").filter(col("tag") === "keep")
+    val joined = fact.join(years, col("yr") === col("dim_yr"))
+      .groupBy(col("yr")).agg(count(lit(1)).as("n"))
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning") || p.contains("DynamicPruning") ||
+      p.contains("dynamicpruningexpression"), s"no DPP in plan:\n${p.take(2500)}")
+    assert(joined.count() === 1)
+  }
+
   test("whole-stage codegen covers the relational core queries") {
     Seq("q01_pricing_summary", "q06_forecast_revenue", "w03_running_revenue").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sf)

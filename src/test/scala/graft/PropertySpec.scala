@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+
+/** Algebraic-law property tests (SURVEY.md §5.3): relational identities and
+  * signature-sketch guarantees over generated inputs, not hand-picked ones.
+  * Plain ScalaCheck generators sampled with deterministic seeds (the
+  * scalatest-plus bridge is not on the offline classpath).
+  */
+class PropertySpec extends SparkSpec {
+
+  private lazy val lineitem = graft.sources.Tables(spark, sf).lineitem.cache()
+
+  private def forAll[A](gen: Gen[A], n: Int = 8)(f: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      f(gen.pureApply(Gen.Parameters.default, Seed(42L + i)))
+    }
+
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    forAll(Gen.zip(ga, gb))(t => f(t._1, t._2))
+
+  private def whenever(cond: Boolean)(f: => Unit): Unit = if (cond) f
+
+  test("filter commutes with projection") {
+    forAll(Gen.choose(0.0, 0.1)) { d =>
+      val a = lineitem.filter(col("l_discount") >= d).select("l_orderkey", "l_discount").count()
+      val b = lineitem.select("l_orderkey", "l_discount").filter(col("l_discount") >= d).count()
+      assert(a === b)
+    }
+  }
+
+  test("conjunctive filters compose: |A ∧ B| == filter-then-filter") {
+    forAll(Gen.choose(1.0, 50.0), Gen.choose(0.0, 0.1)) { (q, d) =>
+      val conj = lineitem.filter(col("l_quantity") >= q && col("l_discount") >= d).count()
+      val seqd = lineitem.filter(col("l_quantity") >= q).filter(col("l_discount") >= d).count()
+      assert(conj === seqd)
+    }
+  }
+
+  test("union count additivity and distinct idempotence") {
+    forAll(Gen.choose(1.0, 50.0)) { q =>
+      val a = lineitem.filter(col("l_quantity") < q)
+      val b = lineitem.filter(col("l_quantity") >= q)
+      assert(a.count() + b.count() === lineitem.count())
+      val dist = a.select("l_returnflag").distinct()
+      assert(dist.distinct().count() === dist.count())
+    }
+  }
+
+  test("keyed dedup is idempotent") {
+    import spark.implicits._
+    forAll(Gen.listOfN(30, Gen.zip(Gen.choose(1L, 10L), Gen.alphaStr)), n = 4) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = rows.zipWithIndex
+          .map { case ((k, s), i) => (i.toLong, k, s) }.toDF("id", "k", "s")
+        val once = Dedup.exactByKey(df, Seq("k"), "id")
+        val twice = Dedup.exactByKey(once, Seq("k"), "id")
+        assert(once.collect().toSet === twice.collect().toSet)
+        assert(once.select("k").distinct().count() === once.count())
+      }
+    }
+  }
+
+  test("MinHash signature agreement approximates Jaccard within 0.25 on random docs") {
+    import spark.implicits._
+    val wordGen = Gen.oneOf("spark", "data", "query", "join", "scan", "sort",
+      "hash", "merge", "filter", "group", "row", "batch", "stream", "table")
+    val docGen = Gen.listOfN(40, wordGen).map(_.mkString(" "))
+    forAll(docGen, docGen) { (d1, d2) =>
+      val df = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+        .select(col("doc_id"),
+          array_distinct(TextFunctions.shingles(TextFunctions.tokens(col("text")), 2)).as("sh"))
+        .select(col("doc_id"), col("sh"),
+          TextFunctions.minhashSignature(col("sh"), 256).as("sig"))
+      val rows = df.collect().map(r =>
+        r.getLong(0) -> (r.getSeq[String](1).toSet, r.getSeq[Long](2))).toMap
+      val (s1, g1) = rows(1L); val (s2, g2) = rows(2L)
+      whenever(s1.nonEmpty && s2.nonEmpty) {
+        val jac = s1.intersect(s2).size.toDouble / s1.union(s2).size
+        val est = g1.zip(g2).count { case (a, b) => a == b }.toDouble / g1.size
+        assert(math.abs(jac - est) < 0.25, s"jaccard=$jac minhash=$est")
+      }
+    }
+  }
+
+  test("simhash of a permuted token multiset is unchanged (order-free)") {
+    import spark.implicits._
+    forAll(Gen.listOfN(15, Gen.alphaLowerStr.suchThat(_.nonEmpty))) { words =>
+      val shuffled = scala.util.Random.shuffle(words)
+      val df = Seq((1L, words.mkString(" ")), (2L, shuffled.mkString(" ")))
+        .toDF("doc_id", "text")
+      val sigs = Dedup.simhashSignatures(df, "text", "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(sigs(1L) === sigs(2L))
+    }
+  }
+}
