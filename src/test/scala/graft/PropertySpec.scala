@@ -15,6 +15,14 @@ class PropertySpec extends SparkSpec {
 
   private lazy val lineitem = graft.sources.Tables(spark, sf).lineitem.cache()
 
+  override def afterAll(): Unit = {
+    // drop the cache: a cached full-table relation would otherwise be
+    // plan-matched by OTHER suites' queries (PlanSpec asserts scan-level
+    // column pruning, which a cache read hides)
+    lineitem.unpersist(blocking = true)
+    super.afterAll()
+  }
+
   private def forAll[A](gen: Gen[A], n: Int = 8)(f: A => Unit): Unit =
     (0 until n).foreach { i =>
       f(gen.pureApply(Gen.Parameters.default, Seed(42L + i)))
