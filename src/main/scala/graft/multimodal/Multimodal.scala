@@ -49,6 +49,18 @@ object Multimodal {
     (w, ht, frames, if (bytes.length % 2 == 0) "png" else "jpeg")
   }
 
+  /** S-surface for real media lakes: `binaryFile` reads whole objects as
+    * (path, modificationTime, length, content) rows with a size guard and
+    * glob filtering — on S3 this is the raw-media ingestion path. Column
+    * pruning applies: queries not touching `content` never read the bytes.
+    */
+  def readBinaryFiles(spark: SparkSession, dir: String,
+      glob: String = "*", maxBytes: Long = 512L * 1024 * 1024): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .filter(col("length") <= maxBytes)
+
   /** Builds a media table from documents: payload = utf-8 bytes of the text
     * (a stand-in for real image bytes), modality assigned deterministically.
     */

@@ -121,6 +121,35 @@ object EventStreams {
       }
   }
 
+  /** T6 on the modern API: per-user running spend with a cap alert, via
+    * Spark 4 `transformWithState` (requires the RocksDB state store
+    * provider — see StreamingSpec for the session conf). The typed
+    * ValueState survives across micro-batches; compare `statefulSessions`
+    * for the legacy flatMapGroupsWithState formulation.
+    */
+  def runningSpend(events: Dataset[Event], alertAt: Double): Dataset[(Long, Double, Boolean)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TTLConfig, ValueState}
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new StatefulProcessor[Long, Event, (Long, Double, Boolean)] {
+          @transient private var total: ValueState[Double] = _
+          override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+            total = getHandle.getValueState[Double]("total",
+              org.apache.spark.sql.Encoders.scalaDouble, TTLConfig.NONE)
+          override def handleInputRows(key: Long, rows: Iterator[Event],
+              timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Double, Boolean)] = {
+            val prev = if (total.exists()) total.get() else 0.0
+            val updated = prev + rows.map(_.value).sum
+            total.update(updated)
+            Iterator.single((key, updated, updated >= alertAt))
+          }
+        },
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   // -- Sources & sinks (S8/S9) ----------------------------------------------
 
   /** S8: file-arrival ingestion — the Structured Streaming analog of the

@@ -151,6 +151,23 @@ class LlmOpsSpec extends SparkSpec {
       s"text='${r.getString(0)}' expected=${r.getString(1)} got=${r.getString(2)}"))
   }
 
+  test("binaryFile source reads payloads with metadata and prunes content") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bin")
+    java.nio.file.Files.write(tmp.resolve("a.img"), Array[Byte](1, 2, 3, 4))
+    java.nio.file.Files.write(tmp.resolve("b.img"), Array[Byte](5, 6))
+    java.nio.file.Files.write(tmp.resolve("skip.txt"), Array[Byte](9))
+    val df = Multimodal.readBinaryFiles(spark, tmp.toString, glob = "*.img")
+    assert(df.count() === 2)
+    val lens = df.select("length").collect().map(_.getLong(0)).sorted
+    assert(lens.sameElements(Array(2L, 4L)))
+    // metadata-only query never materializes content (column pruning)
+    val plan = df.select("path", "length").queryExecution.executedPlan.toString
+    assert(!plan.contains("content") || plan.contains("ReadSchema: struct<path"), plan)
+    val decoded = Multimodal.extractMeta(
+      df.select(col("path").as("doc_id"), col("content"), lit("image").as("modality")))
+    assert(decoded.count() === 2)
+  }
+
   test("stub media decode is deterministic and drops the payload column") {
     val media = Multimodal.mediaFromDocuments(docs.limit(20))
     val a = Multimodal.extractMeta(media).collect()
