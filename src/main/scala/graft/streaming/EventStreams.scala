@@ -129,7 +129,14 @@ object EventStreams {
     */
   def runningSpend(events: Dataset[Event], alertAt: Double): Dataset[(Long, Double, Boolean)] = {
     import events.sparkSession.implicits._
-    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+    val provider = events.sparkSession.conf
+      .getOption("spark.sql.streaming.stateStore.providerClass").getOrElse("")
+    require(provider.contains("RocksDB"),
+      "transformWithState requires the RocksDB state store: set " +
+        "spark.sql.streaming.stateStore.providerClass=" +
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     events
       .groupByKey(_.user_id)
       .transformWithState(
@@ -137,16 +144,16 @@ object EventStreams {
           @transient private var total: ValueState[Double] = _
           override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
             total = getHandle.getValueState[Double]("total",
-              org.apache.spark.sql.Encoders.scalaDouble, TTLConfig.NONE)
+              Encoders.scalaDouble, TTLConfig.NONE)
           override def handleInputRows(key: Long, rows: Iterator[Event],
-              timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Double, Boolean)] = {
+              timerValues: TimerValues): Iterator[(Long, Double, Boolean)] = {
             val prev = if (total.exists()) total.get() else 0.0
             val updated = prev + rows.map(_.value).sum
             total.update(updated)
             Iterator.single((key, updated, updated >= alertAt))
           }
         },
-        org.apache.spark.sql.streaming.TimeMode.None(),
+        TimeMode.None(),
         OutputMode.Update())
   }
 

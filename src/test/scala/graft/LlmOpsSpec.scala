@@ -160,9 +160,11 @@ class LlmOpsSpec extends SparkSpec {
     assert(df.count() === 2)
     val lens = df.select("length").collect().map(_.getLong(0)).sorted
     assert(lens.sameElements(Array(2L, 4L)))
-    // metadata-only query never materializes content (column pruning)
+    // metadata-only query never materializes content (column pruning):
+    // the scan's ReadSchema must not include the binary payload column
     val plan = df.select("path", "length").queryExecution.executedPlan.toString
-    assert(!plan.contains("content") || plan.contains("ReadSchema: struct<path"), plan)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("content"), s"content not pruned: $readSchema")
     val decoded = Multimodal.extractMeta(
       df.select(col("path").as("doc_id"), col("content"), lit("image").as("modality")))
     assert(decoded.count() === 2)

@@ -139,15 +139,16 @@ class StreamingSpec extends SparkSpec {
       val q = EventStreams.runningSpend(stream.toDS(), alertAt = 100.0)
         .toDF("user_id", "total", "alert")
         .writeStream.format("memory").queryName("spend").outputMode("update").start()
-      stream.addData(ev(1, "2024-01-01 10:00:00", 1, "purchase", 60.0))
-      q.processAllAvailable()
-      stream.addData(ev(2, "2024-01-01 11:00:00", 1, "purchase", 50.0))
-      q.processAllAvailable()
-      val rows = spark.table("spend").collect()
-        .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
-      q.stop()
-      assert(rows === Set((1L, 60.0, false), (1L, 110.0, true)),
-        s"state did not persist across batches: $rows")
+      try {
+        stream.addData(ev(1, "2024-01-01 10:00:00", 1, "purchase", 60.0))
+        q.processAllAvailable()
+        stream.addData(ev(2, "2024-01-01 11:00:00", 1, "purchase", 50.0))
+        q.processAllAvailable()
+        val rows = spark.table("spend").collect()
+          .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+        assert(rows === Set((1L, 60.0, false), (1L, 110.0, true)),
+          s"state did not persist across batches: $rows")
+      } finally q.stop()
     } finally prev match {
       case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
       case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
