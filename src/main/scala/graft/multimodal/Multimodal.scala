@@ -81,15 +81,16 @@ object Multimodal {
   def extractMeta(media: DataFrame, decoder: Decoder = stubDecoder): DataFrame = {
     val outSchema = StructType(
       media.schema.filterNot(_.name == "content") :+
-        StructField("meta", mediaMetaSchema, nullable = false))
+        StructField("meta", mediaMetaSchema, nullable = true))
     val contentIdx = media.schema.fieldIndex("content")
     val keptIdx = media.schema.indices.filterNot(_ == contentIdx)
     implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
     media.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](contentIdx)
-        val (w, h, f, fmt) = decoder(bytes)
-        Row.fromSeq(keptIdx.map(r.get) :+ Row(w, h, f, fmt))
+        val meta = if (bytes == null) null
+        else { val (w, h, f, fmt) = decoder(bytes); Row(w, h, f, fmt) }
+        Row.fromSeq(keptIdx.map(r.get) :+ meta)
       }
     }
   }

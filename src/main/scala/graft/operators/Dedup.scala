@@ -100,7 +100,7 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    candidates
+    val verified = candidates
       .join(shingled.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
       .join(shingled.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
@@ -109,6 +109,12 @@ object Dedup {
       .withColumn("jaccard", when(col("uni") > 0, col("inter") / col("uni")).otherwise(lit(1.0)))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+    // pairs are output-sized: materialize them, then release the caches so
+    // repeated calls in a long-lived session don't accumulate storage
+    val result = verified.localCheckpoint(true)
+    shingled.unpersist()
+    toksDf.unpersist()
+    result
   }
 
   /** Connected components over near-dup pairs by iterative min-label
@@ -124,8 +130,11 @@ object Dedup {
     // Below the threshold a driver-side union-find is strictly better than
     // iterative joins: O(E α(E)) once vs an action + 2 joins per round.
     // Above it, fall through to the distributed min-label propagation.
+    import org.apache.spark.sql.types.LongType
     val nPairs = pairs.persist().count()
-    if (nPairs <= localThreshold) {
+    // the union-find fast path reads Long ids; other id types (string
+    // uuids, ints) take the type-generic distributed path below
+    if (nPairs <= localThreshold && pairs.schema("id_a").dataType == LongType) {
       val spark = pairs.sparkSession
       import spark.implicits._
       val parent = scala.collection.mutable.Map.empty[Long, Long]
@@ -144,6 +153,7 @@ object Dedup {
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
       val labels = nodes.toSeq.map(id => (id, find(id)))
+      pairs.unpersist()
       return spark.createDataset(labels).toDF("id", "component")
     }
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -172,7 +182,12 @@ object Dedup {
       converged = changes == 0
       iter += 1
     }
-    labels
+    // materialize the (small) label table, then release every cached input
+    val result = labels.localCheckpoint(true)
+    labels.unpersist()
+    edges.unpersist()
+    pairs.unpersist()
+    result
   }
 
   /** Full L2 pipeline: keep one survivor (min id) per near-dup cluster. */
@@ -180,11 +195,14 @@ object Dedup {
       threshold: Double = 0.8, bands: Int = 16): DataFrame = {
     val pairs = minhashNearDupPairs(docs, textCol, idCol, bands = bands,
       threshold = threshold)
+    // component frame columns are renamed to reserved names so drop()
+    // cannot collide with caller columns named "id"/"component"
     val components = connectedComponents(pairs)
+      .select(col("id").as("_cc_id"), col("component").as("_cc_component"))
     docs
-      .join(components, docs(idCol) === components("id"), "left_outer")
-      .withColumn("_cluster", coalesce(col("component"), docs(idCol)))
-      .drop("id", "component")
+      .join(components, docs(idCol) === col("_cc_id"), "left_outer")
+      .withColumn("_cluster", coalesce(col("_cc_component"), docs(idCol)))
+      .drop("_cc_id", "_cc_component")
       .transform(d => exactByKey(d, Seq("_cluster"), idCol))
       .drop("_cluster")
   }
@@ -196,13 +214,14 @@ object Dedup {
   def simhashSignatures(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     // Explode + 64 bit-sum aggregates: codegen'd, partial-aggregating twin
     // of TextFunctions.simhash64 (kept for per-row Column use). A doc whose
-    // token list is empty contributes one null-hash row via explode_outer,
-    // which sums to -1 on every bit → simhash 0, matching the HOF version.
+    // token list is empty contributes one null-token row via explode_outer;
+    // the hash is null-guarded (xxhash64(null) would return the SEED, 42),
+    // so its bit sums are all -1 → simhash 0, matching the HOF version.
     val sums = docs.select(col(idCol).as("id"), col(textCol).as("text"))
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("id"))
       .select(col("id"),
         explode_outer(tokens(normalizeText(col("text")))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
+      .withColumn("h", when(col("t").isNotNull, xxhash64(col("t"))))
       .groupBy(col("id"))
       .agg(
         (0 until 64).map(i =>

@@ -145,6 +145,7 @@ object SimilaritySearch {
   /** Adds `_bucket` = argmax-cosine centroid index (map-only). */
   def assignBucket(df: DataFrame, vecCol: String,
       centroids: Array[Array[Float]]): DataFrame = {
+    graft.plans.GraftExtensions.register(df.sparkSession)
     val scores = array(centroids.map(c =>
       graft.plans.GraftExtensions.cosineSim(col(vecCol), lit(c))): _*)
     df.withColumn("_scores", scores)
@@ -163,6 +164,9 @@ object SimilaritySearch {
       centroidsOpt: Option[Array[Array[Float]]] = None): DataFrame = {
     val centroids = centroidsOpt.getOrElse(
       trainCentroids(corpus, idCol, vecCol, nlist))
+    // a small corpus (or short supplied set) yields fewer than nlist
+    // centroids; probe indices must stay inside the actual score array
+    val nCentroids = centroids.length
     val c = assignBucket(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
       "c_vec", centroids)
@@ -173,9 +177,9 @@ object SimilaritySearch {
       queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
       "q_vec", centroids)
       .withColumn("bucket", explode(filter(
-        sequence(lit(0), lit(nlist - 1)),
+        sequence(lit(0), lit(nCentroids - 1)),
         b => size(filter(col("_scores"),
-          s => s > element_at(col("_scores"), (b + 1).cast("int")))) < nprobe)))
+          s => s > element_at(col("_scores"), (b + 1).cast("int")))) < math.min(nprobe, nCentroids))))
       .select(col("query_id"), col("q_vec"), col("bucket").cast("int").as("bucket"))
     val scored = c.join(q, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -82,7 +82,9 @@ object TextQueries extends QueryPack {
           col("doc_id"),
           winnowingFingerprints(col("text")).as("fps"))
         .select(col("doc_id"), size(col("fps")).as("n_fingerprints"),
-          element_at(col("fps"), 1).as("min_fingerprint"))
+          // try_: docs shorter than the k-gram width have no fingerprints,
+          // and plain element_at errors on empty arrays under ANSI mode
+          try_element_at(col("fps"), lit(1)).as("min_fingerprint"))
     },
 
     // -- Composite quality score + subword counts (rows-only: heuristic

@@ -203,9 +203,15 @@ object EventStreams {
         val touched = batch.select(col(partitionCol)).distinct()
           .collect().map(_.get(0))
         if (touched.nonEmpty) {
+          // only a missing table (first batch ever) may be treated as
+          // empty — any other read failure must abort the batch, or the
+          // dynamic overwrite would silently drop previously merged rows
           val existing =
             try spark.read.parquet(outDir).filter(col(partitionCol).isin(touched: _*))
-            catch { case _: Exception => spark.emptyDataFrame }
+            catch {
+              case e: org.apache.spark.sql.AnalysisException
+                  if e.getCondition == "PATH_NOT_FOUND" => spark.emptyDataFrame
+            }
           val merged =
             if (existing.isEmpty) batch
             else {
