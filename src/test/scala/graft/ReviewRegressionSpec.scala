@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+import graft.operators.{Dedup, SimilaritySearch}
+
+/** Regressions for the full-source review findings (commit 2b34891):
+  * each test reproduces the original failure scenario.
+  */
+class ReviewRegressionSpec extends SparkSpec {
+
+  test("dedupNearDups works when the docs frame has columns named id/component") {
+    import spark.implicits._
+    val base = "near duplicate detection must not eat caller columns that collide with internals"
+    val docs = Seq(
+      (1L, base, "keep-me", "also-keep"),
+      (2L, base.replace("eat", "drop"), "keep-me-2", "also-keep-2"),
+      (77L, "entirely different text goes here today", "x", "y")
+    ).toDF("id", "text", "component", "payload")
+    val kept = Dedup.dedupNearDups(docs, "text", "id", threshold = 0.5, bands = 32)
+    assert(kept.columns.toSet === Set("id", "text", "component", "payload"))
+    assert(kept.select("id").collect().map(_.getLong(0)).toSet === Set(1L, 77L))
+  }
+
+  test("connectedComponents handles string ids via the distributed path") {
+    import spark.implicits._
+    val pairs = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(comp("a") === "a" && comp("b") === "a" && comp("c") === "a")
+    assert(comp("x") === "x" && comp("y") === "x")
+  }
+
+  test("simhash of an empty document is 0 on both the operator and HOF paths") {
+    import spark.implicits._
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "real tokens here")).toDF("doc_id", "text")
+    val op = Dedup.simhashSignatures(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hof = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.simhash64(
+        graft.functions.TextFunctions.tokens(
+          graft.functions.TextFunctions.normalizeText(col("text")))).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(op(1L) === 0L && op(2L) === 0L)
+    assert(op === hof)
+  }
+
+  test("ivfTopK survives a corpus smaller than nlist") {
+    val emb = graft.sources.Tables(spark, sf).embeddings.filter(col("vec_id") < 10)
+    val out = SimilaritySearch.ivfTopK(
+      emb.filter(col("vec_id") < 2), emb, "vec_id", "embedding",
+      k = 3, nlist = 16, nprobe = 4)
+    assert(out.count() > 0)
+  }
+
+  test("extractMeta yields null meta for null payloads instead of crashing") {
+    import spark.implicits._
+    val media = Seq((1L, "has text"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"),
+        lit("image").as("modality"))
+    val out = Multimodal.extractMeta(media).collect()
+      .map(r => r.getLong(0) -> Option(r.get(r.fieldIndex("meta")))).toMap
+    assert(out(1L).isDefined)
+    assert(out(2L).isEmpty)
+  }
+
+  test("t07 winnowing handles documents shorter than the k-gram width") {
+    import spark.implicits._
+    val docs = Seq((1L, "hi"), (2L, "a much longer document with plenty of characters"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("short_docs")
+    val out = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.winnowingFingerprints(col("text")).as("fps"))
+      .select(col("doc_id"), size(col("fps")).as("n"),
+        try_element_at(col("fps"), lit(1)).as("first"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), Option(r.get(2)))).toMap
+    assert(out(1L)._1 === 0 && out(1L)._2.isEmpty)
+    assert(out(2L)._1 > 0 && out(2L)._2.isDefined)
+  }
+}
