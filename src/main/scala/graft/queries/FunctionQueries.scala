@@ -95,6 +95,35 @@ object FunctionQueries extends QueryPack {
       )
     },
 
+    // -- F1 extended strings: edit distance, positional ops, formatting.
+    "f08_strings_extended" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.nation.crossJoin(t.region).select(
+        col("n_name"), col("r_name"),
+        levenshtein(col("n_name"), col("r_name")).as("edit_dist"),
+        ascii(col("n_name")).as("first_char_code"),
+        instr(col("n_name"), "A").cast("long").as("a_pos"),
+        repeat(lit("-"), 3).as("dashes"),
+        format_string("%s/%s", col("r_name"), col("n_name")).as("qualified"),
+        translate(col("n_name"), "AEIOU", "aeiou").as("vowels_lower")
+      )
+    },
+
+    // -- F3 extended math: trig, log bases, exponents.
+    "f09_math_extended" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.supplier.select(
+        col("s_suppkey"),
+        sin(col("s_acctbal") / 1000.0).as("sin_bal"),
+        cos(col("s_acctbal") / 1000.0).as("cos_bal"),
+        atan2(col("s_acctbal"), lit(100.0)).as("angle"),
+        log(2.0, col("s_acctbal") + 10000.0).as("log2_bal"),
+        log10(col("s_acctbal") + 10000.0).as("log10_bal"),
+        exp(col("s_acctbal") / 10000.0).as("exp_bal"),
+        cbrt(col("s_acctbal") + 10000.0).as("cbrt_bal")
+      )
+    },
+
     // -- F8 structs: build, nest, extract (FHIR-style nesting in miniature).
     "f06_structs" -> { (spark, dir) =>
       val t = Tables(spark, dir)
@@ -176,6 +205,25 @@ object FunctionQueries extends QueryPack {
     "f06_structs" ->
       """SELECT c_custkey, c_acctbal AS balance, c_mktsegment AS segment, c_name AS name
         |FROM customer""".stripMargin,
+    "f08_strings_extended" ->
+      """SELECT n_name, r_name,
+        |  CAST(levenshtein(n_name, r_name) AS INT) AS edit_dist,
+        |  CAST(ascii(n_name) AS INT) AS first_char_code,
+        |  strpos(n_name, 'A') AS a_pos,
+        |  repeat('-', 3) AS dashes,
+        |  printf('%s/%s', r_name, n_name) AS qualified,
+        |  translate(n_name, 'AEIOU', 'aeiou') AS vowels_lower
+        |FROM nation CROSS JOIN region""".stripMargin,
+    "f09_math_extended" ->
+      """SELECT s_suppkey,
+        |  sin(s_acctbal / 1000.0) AS sin_bal,
+        |  cos(s_acctbal / 1000.0) AS cos_bal,
+        |  atan2(s_acctbal, 100.0) AS angle,
+        |  ln(s_acctbal + 10000.0) / ln(2.0) AS log2_bal,
+        |  log10(s_acctbal + 10000.0) AS log10_bal,
+        |  exp(s_acctbal / 10000.0) AS exp_bal,
+        |  cbrt(s_acctbal + 10000.0) AS cbrt_bal
+        |FROM supplier""".stripMargin,
     "f07_explode" ->
       """SELECT vec_id, CAST(u.pos - 1 AS INT) AS pos, CAST(u.component AS DOUBLE) AS component
         |FROM (

@@ -102,6 +102,17 @@ object WindowQueries extends QueryPack {
       )
     },
 
+    // -- W1: cumulative distribution per segment.
+    "w08_cume_dist" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      t.customer.select(
+        col("c_mktsegment"), col("c_custkey"),
+        cume_dist().over(w).as("bal_cume")
+      )
+    },
+
     // -- W2: first/last/nth within an explicit full frame.
     "w07_first_last_nth" -> { (spark, dir) =>
       val t = Tables(spark, dir)
@@ -161,6 +172,11 @@ object WindowQueries extends QueryPack {
         |    ORDER BY epoch(o_orderdate) ASC
         |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS trailing_30d_spend
         |FROM orders""".stripMargin,
+    "w08_cume_dist" ->
+      """SELECT c_mktsegment, c_custkey,
+        |  cume_dist() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal ASC, c_custkey ASC) AS bal_cume
+        |FROM customer""".stripMargin,
     "w07_first_last_nth" ->
       """SELECT o_custkey, o_orderkey,
         |  first_value(o_totalprice) OVER w AS first_price,
