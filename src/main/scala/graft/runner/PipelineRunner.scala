@@ -81,6 +81,50 @@ object PipelineRunner {
         col("_t.detail.bucket").as("bucket"),
         col("_t.detail.key").as("key"))
 
+  /** Training-corpus preparation pipeline — the LLM-data-pipeline operators
+    * (SURVEY.md §2.11) composed end to end: ingest → quality signals →
+    * language ID → exact dedup → near-dup dedup → quality gate → clean
+    * corpus + per-language stats. Each stage reads the previous stage's
+    * parquet, so any stage can be re-run or inspected in isolation (the
+    * same property the reference's promote-per-stage CI/CD gives templates).
+    */
+  def corpusPrepStages(nearDupThreshold: Double = 0.9,
+      minQuality: Double = 0.3): Seq[Stage] = {
+    import graft.functions.TextFunctions._
+    Seq(
+      "ingest_documents" -> { (spark, cfg) =>
+        graft.sources.Tables(spark, cfg.inputDir).documents
+      },
+      "annotate_quality" -> { (spark, cfg) =>
+        spark.read.parquet(s"${cfg.outputDir}/ingest_documents")
+          .withColumn("n_tokens", tokenCount(col("text")))
+          .withColumn("quality", qualityScore(col("text"), col("n_chars")))
+          .withColumn("lang_guess", languageId(col("text")))
+      },
+      "exact_dedup" -> { (spark, cfg) =>
+        graft.operators.Dedup.exactByText(
+          spark.read.parquet(s"${cfg.outputDir}/annotate_quality"), "text", "doc_id")
+      },
+      "near_dedup" -> { (spark, cfg) =>
+        graft.operators.Dedup.dedupNearDups(
+          spark.read.parquet(s"${cfg.outputDir}/exact_dedup"), "text", "doc_id",
+          threshold = nearDupThreshold)
+      },
+      "quality_gate" -> { (spark, cfg) =>
+        spark.read.parquet(s"${cfg.outputDir}/near_dedup")
+          .filter(col("quality") >= minQuality)
+      },
+      "corpus_stats" -> { (spark, cfg) =>
+        spark.read.parquet(s"${cfg.outputDir}/quality_gate")
+          .groupBy(col("lang_guess"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            avg(col("quality")).as("avg_quality"))
+      }
+    )
+  }
+
   /** The reference's namesake orders job as a canned stage sequence:
     * ingest (filter to the env's date window) → enrich (join customer) →
     * aggregate (revenue per segment) — scan→filter→join→agg→sink, the full

@@ -17,6 +17,23 @@ class PipelineRunnerSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/segment_revenue").count() === 5)
   }
 
+  test("corpus preparation pipeline runs end to end and shrinks monotonically") {
+    val out = java.nio.file.Files.createTempDirectory("graft_corpus").toString
+    val results = PipelineRunner.run(spark,
+      EngineConfig("dev", sf, out), PipelineRunner.corpusPrepStages())
+    assert(results.map(_.status).forall(_ == "ok"), results.mkString(", "))
+    val byStage = results.map(r => r.stage -> r.rows).toMap
+    assert(byStage("ingest_documents") === 500)
+    // each cleaning stage can only remove documents
+    assert(byStage("exact_dedup") <= byStage("annotate_quality"))
+    assert(byStage("near_dedup") <= byStage("exact_dedup"))
+    assert(byStage("quality_gate") <= byStage("near_dedup"))
+    assert(byStage("quality_gate") > 0)
+    // stats cover every language present in the gated corpus
+    val langs = spark.read.parquet(s"$out/corpus_stats").count()
+    assert(langs > 0 && langs <= 6)
+  }
+
   test("a failing stage stops the run and marks the rest skipped") {
     val out = java.nio.file.Files.createTempDirectory("graft_run_fail").toString
     val stages: Seq[PipelineRunner.Stage] = Seq(
