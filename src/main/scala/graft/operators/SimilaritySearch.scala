@@ -64,11 +64,11 @@ object SimilaritySearch {
     require(planes <= 62, "bucket packs into a long")
     val rnd = new scala.util.Random(seed)
     val planeVecs = Array.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
+    // native codegen'd dot against the plane literal — the interpreted
+    // zip_with+aggregate version cost ~3x on the bucketing scans
     val bits = planeVecs.zipWithIndex.map { case (p, i) =>
-      val dot = aggregate(
-        zip_with(vec, lit(p), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot >= 0, lit(1L << i)).otherwise(0L)
+      when(graft.plans.GraftExtensions.vectorDot(vec, lit(p)) >= 0, lit(1L << i))
+        .otherwise(0L)
     }
     bits.reduce(_ + _)
   }
@@ -85,6 +85,7 @@ object SimilaritySearch {
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, dim: Int, planes: Int = 8, tables: Int = 4,
       probes: Int = 8): DataFrame = {
+    graft.plans.GraftExtensions.register(queries.sparkSession)
     val nProbes = math.min(probes, planes)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
       .withColumn("tb", explode(array((0 until tables).flatMap { t =>
@@ -104,7 +105,8 @@ object SimilaritySearch {
     val scored = c.join(q, Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("sim",
+        graft.plans.GraftExtensions.cosineSim(col("q_vec"), col("c_vec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored
@@ -199,6 +201,7 @@ object SimilaritySearch {
     */
   def cosineNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
       dim: Int, minCosine: Double, planes: Int = 8): DataFrame = {
+    graft.plans.GraftExtensions.register(vectors.sparkSession)
     val v = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("bucket", hyperplaneBucket(col("vec"), dim, planes))
     val a = v.select(col("id").as("id_a"), col("vec").as("v_a"), col("bucket"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.functions.call_function
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, VectorDot}
 
 /** Engine extensions, injected via the public `SparkSessionExtensions` hook
   * (SURVEY.md §2.10 X4, §4): native functions beyond Spark's built-ins.
@@ -18,8 +18,10 @@ import graft.functions.CosineSimilarity
   * `GraftExtensions.cosineSim(colA, colB)` on the DataFrame API.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSimDescriptor)
+    ext.injectFunction(GraftExtensions.vectorDotDescriptor)
+  }
 }
 
 object GraftExtensions {
@@ -32,13 +34,28 @@ object GraftExtensions {
       CosineSimilarity(children.head, children(1))
     })
 
+  private val vectorDotDescriptor = (
+    FunctionIdentifier("vector_dot"),
+    new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.size == 2, "vector_dot takes exactly 2 arguments")
+      VectorDot(children.head, children(1))
+    })
+
   /** Idempotent registration on a live session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim",
       children => cosineSimDescriptor._3(children),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vector_dot",
+      children => vectorDotDescriptor._3(children),
+      "built-in")
+  }
 
-  /** Column-API access to the native expression (requires `register`). */
+  /** Column-API access to the native expressions (requires `register`). */
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+
+  def vectorDot(a: Column, b: Column): Column = call_function("vector_dot", a, b)
 }
