@@ -37,8 +37,15 @@ object SimilaritySearch {
     * @return (query_id, neighbor_id, sim) — k rows per query, ordered
     *         deterministically (sim desc, neighbor_id asc).
     */
+  /** Exact top-k neighbors per query vector.
+    *
+    * @param rankPrecision when set, ranking happens on `round(sim, n)` with
+    *        neighbor_id as tiebreak — quantizing the ordering key makes the
+    *        top-k selection reproducible across engines whose float cosine
+    *        differs in the last ulps (the oracle-comparability mode).
+    */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int): DataFrame = {
+      vecCol: String, k: Int, rankPrecision: Option[Int] = None): DataFrame = {
     // |Q| x |corpus| x dim inner loop → use the native codegen'd expression
     // (graft.functions.CosineSimilarity); `cosine` below is its public-API
     // twin with identical double-precision semantics.
@@ -48,8 +55,9 @@ object SimilaritySearch {
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("sim",
         graft.plans.GraftExtensions.cosineSim(col("q_vec"), col("c_vec")))
+    val rankKey = rankPrecision.map(p => round(col("sim"), p)).getOrElse(col("sim"))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
+      .orderBy(rankKey.desc, col("neighbor_id").asc)
     scored
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)

@@ -67,7 +67,7 @@ object AggExtrasQueries extends QueryPack {
       val t = Tables(spark, dir)
       t.lineitem.groupBy(col("l_returnflag")).agg(
         concat_ws(",", sort_array(collect_set(col("l_linestatus")))).as("statuses"),
-        size(collect_list(col("l_linestatus"))).cast("long").as("n_rows")
+        count(lit(1)).as("n_rows") // NOT size(collect_list(..)): that drops NULLs, count(*) doesn't
       )
     },
 

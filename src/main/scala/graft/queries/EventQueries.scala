@@ -115,8 +115,8 @@ object EventQueries extends QueryPack {
         |GROUP BY user_id, session_id""".stripMargin,
     "e03_props_json" ->
       """SELECT event_type,
-        |  avg(CAST(json_extract_string(props, '$.k') AS INT)) AS avg_k,
-        |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+        |  avg(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS avg_k,
+        |  max(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
         |  count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
     "e05_asof_purchase_click" ->

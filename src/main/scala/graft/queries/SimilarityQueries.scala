@@ -21,7 +21,8 @@ object SimilarityQueries extends QueryPack {
       val t = Tables(spark, dir)
       val emb = t.embeddings
       SimilaritySearch.bruteForceTopK(
-        emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", k = 5)
+        emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", k = 5,
+        rankPrecision = Some(6)) // quantized ordering key — see operator doc
         .select(col("query_id"), col("neighbor_id"),
           round(col("sim"), 6).as("sim"), col("rn"))
     },
@@ -83,10 +84,10 @@ object SimilarityQueries extends QueryPack {
         |      list_transform(c.embedding, x -> CAST(x AS DOUBLE))) AS sim
         |  FROM q JOIN embeddings c ON c.vec_id <> q.query_id),
         |ranked AS (
-        |  SELECT query_id, neighbor_id, round(sim, 6) AS sim,
+        |  SELECT query_id, neighbor_id, sim_r AS sim,
         |    CAST(row_number() OVER (PARTITION BY query_id
-        |      ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rn
-        |  FROM scored)
+        |      ORDER BY sim_r DESC, neighbor_id ASC) AS INT) AS rn
+        |  FROM (SELECT query_id, neighbor_id, round(sim, 6) AS sim_r FROM scored))
         |SELECT query_id, neighbor_id, sim, rn FROM ranked WHERE rn <= 5""".stripMargin,
     "s03_label_centroids" ->
       """WITH comps AS (

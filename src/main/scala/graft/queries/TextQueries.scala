@@ -135,6 +135,7 @@ object TextQueries extends QueryPack {
         |  SELECT unnest(string_split_regex(trim(regexp_replace(regexp_replace(lower(text),
         |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), '\s+')) AS token
         |  FROM documents)
+        |WHERE token <> ''
         |GROUP BY token
         |ORDER BY n DESC, token ASC
         |LIMIT 25""".stripMargin

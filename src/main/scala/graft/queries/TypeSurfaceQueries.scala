@@ -58,7 +58,7 @@ object TypeSurfaceQueries extends QueryPack {
         |  count(*) AS n
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "x03_variant_props" ->
-      """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, count(*) AS n
+      """SELECT TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k, count(*) AS n
         |FROM events GROUP BY 1""".stripMargin
   )
 }

@@ -169,7 +169,7 @@ object WindowQueries extends QueryPack {
     "w06_trailing_spend" ->
       """SELECT o_orderkey, o_custkey,
         |  sum(o_totalprice) OVER (PARTITION BY o_custkey
-        |    ORDER BY epoch(o_orderdate) ASC
+        |    ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT) ASC
         |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS trailing_30d_spend
         |FROM orders""".stripMargin,
     "w08_cume_dist" ->
