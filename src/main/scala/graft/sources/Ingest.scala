@@ -51,6 +51,39 @@ object Ingest {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 
+  /** S1-adjacent columnar alternative: ORC with the vectorized reader —
+    * for lakes standardized on ORC instead of parquet; same pushdown and
+    * pruning guarantees.
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  /** Raw line ingestion (logs, JSONL pre-splitting): one `value` column. */
+  def readText(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
+  /** S2-adjacent: XML (native in Spark 4) — FHIR's other wire format.
+    * Same permissive posture as JSON.
+    */
+  def readXml(spark: SparkSession, path: String, rowTag: String,
+      schema: Option[StructType] = None): DataFrame = {
+    val base = spark.read.format("xml")
+      .option("rowTag", rowTag)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+    schema match {
+      case Some(s) => base.schema(s.add(CorruptCol, "string")).load(path)
+      case None    => base.load(path)
+    }
+  }
+
+  def writeXml(df: DataFrame, path: String, rowTag: String): Unit =
+    df.write.mode(SaveMode.Overwrite).format("xml")
+      .option("rowTag", rowTag).save(path)
+
   /** S7: catalog table (metastore-backed; Derby locally, Glue/HMS on a
     * cluster — the catalog choice is session config, not code).
     */

@@ -101,6 +101,40 @@ class IngestSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters") && scan.contains("yr"), scan)
   }
 
+  test("orc round trip preserves rows and pushes filters") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val df = graft.sources.Tables(spark, sf).orders
+    Ingest.writeOrc(df, s"$tmp/orders")
+    val back = Ingest.readOrc(spark, s"$tmp/orders")
+    assert(back.count() === df.count())
+    val plan = back.filter(col("o_totalprice") > 100000.0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("o_totalprice"), plan.take(1200))
+  }
+
+  test("text source reads raw lines") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_txt")
+    java.nio.file.Files.write(tmp.resolve("log.txt"),
+      java.util.Arrays.asList("line one", "line two", "line three"))
+    val df = Ingest.readText(spark, tmp.toString)
+    assert(df.columns.sameElements(Array("value")))
+    assert(df.count() === 3)
+  }
+
+  test("xml round trip on FHIR-shaped observations") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_xml").toString
+    import spark.implicits._
+    val obs = Seq(
+      ("o1", "mmHg", 120.5), ("o2", "mmHg", 80.0), ("o3", "F", 98.6)
+    ).toDF("id", "unit", "value")
+    Ingest.writeXml(obs, s"$tmp/obs", rowTag = "Observation")
+    val back = Ingest.readXml(spark, s"$tmp/obs", rowTag = "Observation")
+    assert(back.count() === 3)
+    val got = back.select("id", "unit", "value").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got === Set(("o1", "mmHg", 120.5), ("o2", "mmHg", 80.0), ("o3", "F", 98.6)))
+  }
+
   test("catalog table save + SQL query over it") {
     spark.sql("DROP TABLE IF EXISTS graft_nation")
     Ingest.saveAsTable(graft.sources.Tables(spark, sf).nation, "graft_nation")
