@@ -1,32 +1,41 @@
 package graft.tools
 import org.apache.spark.sql.functions._
+/** Pseudo-sf1 scale probe: replicate sf0.1 facts 10x with shifted keys. */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = graft.Sessions.local("scratch", 32)
+    val spark = graft.Sessions.local("scale-probe", 32)
     val out = new java.io.PrintWriter("/tmp/scratch.out")
-    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
-      .repartition(32).cache()
-    emb.count()
+    val src = "/root/testdata/sf0.1"
+    val dst = "/tmp/graft_sf1"
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime(); val n = f
-      out.println(f"$name%-28s ${(System.nanoTime()-t0)/1e9}%8.2f s  rows=$n")
+      out.println(f"$name%-30s ${(System.nanoTime()-t0)/1e9}%8.2f s  rows=$n")
       out.flush()
     }
-    val rnd = new scala.util.Random(42L)
-    val planes = Array.fill(6)(Array.fill(64)(rnd.nextGaussian()))
-    // HOF version
-    def hofBucket = planes.zipWithIndex.map { case (p, i) =>
-      when(aggregate(zip_with(col("embedding"), lit(p), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v) >= 0, lit(1L << i)).otherwise(0L)
-    }.reduce(_ + _)
-    def natBucket = planes.zipWithIndex.map { case (p, i) =>
-      when(graft.plans.GraftExtensions.vectorDot(col("embedding"), lit(p)) >= 0, lit(1L << i)).otherwise(0L)
-    }.reduce(_ + _)
-    // warm both
-    emb.select(hofBucket.as("b")).agg(sum("b")).count()
-    emb.select(natBucket.as("b")).agg(sum("b")).count()
-    time("hof_bucket_x20")((0 until 20).map(_ => emb.select(hofBucket.as("b")).agg(sum("b")).count()).sum)
-    time("native_bucket_x20")((0 until 20).map(_ => emb.select(natBucket.as("b")).agg(sum("b")).count()).sum)
+    if (!new java.io.File(s"$dst/lineitem.parquet").exists()) {
+      val li = spark.read.parquet(s"$src/lineitem.parquet")
+      val o = spark.read.parquet(s"$src/orders.parquet")
+      val nOrders = 150000L
+      val reps = spark.range(10).select(col("id").as("rep"))
+      li.crossJoin(reps)
+        .withColumn("l_orderkey", col("l_orderkey") + col("rep") * nOrders)
+        .drop("rep")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+      o.crossJoin(reps)
+        .withColumn("o_orderkey", col("o_orderkey") + col("rep") * nOrders)
+        .drop("rep")
+        .repartition(16)
+        .write.mode("overwrite").parquet(s"$dst/orders.parquet")
+      for (t <- Seq("customer","supplier","nation","region","part","documents","embeddings","events"))
+        spark.read.parquet(s"$src/$t.parquet").write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+    time("warmup")(spark.read.parquet(s"$dst/lineitem.parquet").count())
+    for (q <- Seq("q01_pricing_summary","q02_mktsegment_revenue","q03_top_orders",
+        "q05_regional_revenue","q06_forecast_revenue","q10_returned_items",
+        "q13_order_count_distribution","w03_running_revenue","u06_keyed_dedup",
+        "q18_large_orders"))
+      time(q)(graft.SparkEntry.queries(q)(spark, dst).count())
     out.close()
     spark.stop()
   }
