@@ -97,7 +97,10 @@ object TextFunctions {
       )
     }
     val best = greatest(scored: _*)
-    when(c.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
+    // null text propagates null (like every other function here); "und"
+    // means "real text, no markers matched", never "no text"
+    when(c.isNull, lit(null).cast("string"))
+      .when(c.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
       .when(best.getField("score") > 0, best.getField("lang"))
       .otherwise(lit("und"))
   }
@@ -211,7 +214,10 @@ object TextFunctions {
         slice(gramHashes, lit(j + 1), greatest(size(gramHashes) - j, lit(0))),
         (a, b) => least(a, b))
     }
-    // zip_with null-pads the short tail; drop the null entries, dedup, sort
-    sort_array(array_distinct(filter(windowMins, x => x.isNotNull)))
+    // zip_with null-pads the short tail, but least() SKIPS nulls rather
+    // than propagating them, so the tail entries are minima over partial
+    // windows — slice to the g-w+1 full windows instead of null-filtering
+    val nFull = greatest(size(gramHashes) - (w - 1), lit(0))
+    sort_array(array_distinct(slice(windowMins, lit(1), nFull)))
   }
 }

@@ -16,10 +16,16 @@ object VectorCentroid extends Aggregator[Array[Float], (Array[Double], Long), Ar
 
   override def zero: (Array[Double], Long) = (Array.empty[Double], 0L)
 
+  // Mixed vector lengths in one group (corrupt rows) must not kill the
+  // job: the buffer grows to the longest vector seen; shorter vectors
+  // contribute zeros on their missing tail.
+  private def grown(arr: Array[Double], n: Int): Array[Double] =
+    if (arr.length >= n) arr else java.util.Arrays.copyOf(arr, n)
+
   override def reduce(buf: (Array[Double], Long), v: Array[Float]): (Array[Double], Long) = {
     if (v == null) buf
     else {
-      val sums = if (buf._1.isEmpty) new Array[Double](v.length) else buf._1
+      val sums = grown(buf._1, v.length)
       var i = 0
       while (i < v.length) { sums(i) += v(i); i += 1 }
       (sums, buf._2 + 1)
@@ -30,9 +36,10 @@ object VectorCentroid extends Aggregator[Array[Float], (Array[Double], Long), Ar
     if (a._1.isEmpty) b
     else if (b._1.isEmpty) a
     else {
+      val (big, small) = if (a._1.length >= b._1.length) (a._1, b._1) else (b._1, a._1)
       var i = 0
-      while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }
-      (a._1, a._2 + b._2)
+      while (i < small.length) { big(i) += small(i); i += 1 }
+      (big, a._2 + b._2)
     }
   }
 

@@ -101,8 +101,9 @@ object Multimodal {
     */
   def frameSamplePlan(meta: DataFrame, stride: Int): DataFrame =
     meta.withColumn("sample_frames",
-      filter(
-        sequence(lit(0), col("meta.n_frames") - 1),
-        i => i % stride === 0
-      ))
+      when(col("meta.n_frames") > 0,
+        filter(
+          sequence(lit(0), col("meta.n_frames") - 1),
+          i => i % stride === 0))
+        .otherwise(array().cast("array<int>"))) // 0-frame media: no plan, not frame [-1,0]
 }

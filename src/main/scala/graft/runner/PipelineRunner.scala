@@ -52,11 +52,17 @@ object PipelineRunner {
         }
       }
     }
+    def esc(v: String): String = v.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case ch if ch < ' ' => f"\\u${ch.toInt}%04x"
+      case ch => ch.toString
+    }
     val manifest = results.map { r =>
-      s"""{"stage":"${r.stage}","rows":${r.rows},"millis":${r.millis},"status":"${r.status}"}"""
+      s"""{"stage":"${esc(r.stage)}","rows":${r.rows},"millis":${r.millis},"status":"${esc(r.status)}"}"""
     }.mkString("[", ",", "]")
     Files.writeString(Paths.get(s"${config.outputDir}/manifest.json"),
-      s"""{"env":"${config.env}","stages":$manifest}""")
+      s"""{"env":"${esc(config.env)}","stages":$manifest}""")
     results
   }
 

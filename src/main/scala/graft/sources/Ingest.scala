@@ -90,15 +90,20 @@ object Ingest {
   def saveAsTable(df: DataFrame, name: String): Unit =
     df.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(name)
 
-  /** Splits a permissively-parsed frame into (clean, quarantine).
+  /** Splits a permissively-parsed frame into (clean, quarantine, release).
     * Caches the parsed frame first: Spark disallows referencing only the
     * internal corrupt-record column on a raw file scan
     * (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), and both
-    * halves re-read the input otherwise.
+    * halves re-read the input otherwise. Call `release()` once both halves
+    * are consumed — long-lived sessions leak storage otherwise.
     */
-  def quarantine(df: DataFrame): (DataFrame, DataFrame) = {
+  final case class Quarantined(clean: DataFrame, bad: DataFrame, release: () => Unit)
+
+  def quarantine(df: DataFrame): Quarantined = {
     val parsed = df.cache()
-    (parsed.filter(col(CorruptCol).isNull).drop(CorruptCol),
-      parsed.filter(col(CorruptCol).isNotNull))
+    Quarantined(
+      parsed.filter(col(CorruptCol).isNull).drop(CorruptCol),
+      parsed.filter(col(CorruptCol).isNotNull),
+      () => { parsed.unpersist(); () })
   }
 }

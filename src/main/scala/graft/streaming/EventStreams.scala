@@ -103,20 +103,36 @@ object EventStreams {
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          val gapMs = 30L * 60 * 1000
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
             Iterator(SessionOut(userId, s.nEvents, s.totalValue))
           } else {
-            val evs = rows.toSeq
-            val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
-            val updated = SessionState(
-              prev.nEvents + evs.size,
-              prev.totalValue + evs.map(_.value).sum,
-              math.max(prev.lastTs, evs.map(_.ts.getTime).max))
-            state.update(updated)
-            state.setTimeoutTimestamp(updated.lastTs + 30 * 60 * 1000)
-            Iterator.empty
+            // fold the batch's events in event-time order, splitting on
+            // gaps WITHIN the batch too — under AvailableNow catch-up a
+            // single micro-batch can span a user's whole history, and the
+            // timeout callback only fires for batches with no input
+            val evs = rows.toSeq.sortBy(_.ts.getTime)
+            val completed = scala.collection.mutable.Buffer.empty[SessionOut]
+            var cur = state.getOption
+            evs.foreach { e =>
+              cur = cur match {
+                case Some(s) if e.ts.getTime - s.lastTs > gapMs =>
+                  completed += SessionOut(userId, s.nEvents, s.totalValue)
+                  Some(SessionState(1L, e.value, e.ts.getTime))
+                case Some(s) =>
+                  Some(SessionState(s.nEvents + 1, s.totalValue + e.value,
+                    math.max(s.lastTs, e.ts.getTime)))
+                case None =>
+                  Some(SessionState(1L, e.value, e.ts.getTime))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTs + gapMs)
+            }
+            completed.iterator
           }
       }
   }
@@ -212,23 +228,23 @@ object EventStreams {
               case e: org.apache.spark.sql.AnalysisException
                   if e.getCondition == "PATH_NOT_FOUND" => spark.emptyDataFrame
             }
-          val merged =
-            if (existing.isEmpty) batch
-            else {
-              import org.apache.spark.sql.expressions.Window
-              val w = Window.partitionBy(col(keyCol))
-                .orderBy(col(orderCol).desc)
-              existing.unionByName(batch)
-                .withColumn("_rn", row_number().over(w))
-                .filter(col("_rn") === 1).drop("_rn")
-            }
+          // dedup applies to the FIRST batch too: a catch-up micro-batch
+          // can carry several rows per key on its own
+          import org.apache.spark.sql.expressions.Window
+          val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol).desc)
+          val merged = (if (existing.isEmpty) batch else existing.unionByName(batch))
+            .withColumn("_rn", row_number().over(w))
+            .filter(col("_rn") === 1).drop("_rn")
           // materialize before the overwrite — `merged` lazily reads the
-          // same files the write replaces
-          merged.localCheckpoint(eager = true)
+          // same files the write replaces; release the blocks afterwards
+          // so a long catch-up run doesn't accumulate executor storage
+          val checkpointed = merged.localCheckpoint(eager = true)
+          try checkpointed
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(partitionCol)
             .parquet(outDir)
+          finally checkpointed.unpersist()
         }
       }
       .start()

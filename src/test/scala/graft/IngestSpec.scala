@@ -27,14 +27,16 @@ class IngestSpec extends SparkSpec {
 
   test("permissive JSON read quarantines the malformed line, keeps the rest") {
     val raw = Ingest.readJson(spark, fixturePath, bundleSchema)
-    val (clean, bad) = Ingest.quarantine(raw)
-    assert(clean.count() === 4)
-    assert(bad.count() === 1)
-    assert(bad.select(Ingest.CorruptCol).head.getString(0).contains("not json"))
+    val q = Ingest.quarantine(raw)
+    assert(q.clean.count() === 4)
+    assert(q.bad.count() === 1)
+    assert(q.bad.select(Ingest.CorruptCol).head.getString(0).contains("not json"))
+    q.release() // storage freed; clean remains queryable via its own columns
+    assert(q.clean.select("id").na.drop().count() === 4)
   }
 
   test("nested access + explode flattens FHIR-style bundles to observations") {
-    val (clean, _) = Ingest.quarantine(Ingest.readJson(spark, fixturePath, bundleSchema))
+    val clean = Ingest.quarantine(Ingest.readJson(spark, fixturePath, bundleSchema)).clean
     val obs = clean
       .select(col("id").as("bundle_id"),
         col("subject.reference").as("patient"),
@@ -52,7 +54,7 @@ class IngestSpec extends SparkSpec {
   }
 
   test("extension key-value extraction via map_from_entries") {
-    val (clean, _) = Ingest.quarantine(Ingest.readJson(spark, fixturePath, bundleSchema))
+    val clean = Ingest.quarantine(Ingest.readJson(spark, fixturePath, bundleSchema)).clean
     val risks = clean
       .withColumn("ext", map_from_entries(
         transform(col("extension"), e => struct(e.getField("url"), e.getField("valueString")))))

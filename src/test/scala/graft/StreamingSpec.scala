@@ -155,6 +155,27 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("statefulSessions splits sessions on gaps WITHIN one micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = EventStreams.statefulSessions(
+      stream.toDS().withWatermark("ts", "10 minutes").as[Event])
+      .writeStream.format("memory").queryName("inbatch").outputMode("append").start()
+    try {
+      // one batch spanning two sessions (gap 2h > 30m) — catch-up shape
+      stream.addData(
+        ev(1, "2024-01-01 10:00:00", 9, "click", 1.0),
+        ev(2, "2024-01-01 10:10:00", 9, "click", 2.0),
+        ev(3, "2024-01-01 13:00:00", 9, "click", 4.0))
+      q.processAllAvailable()
+      val got = spark.table("inbatch").as[EventStreams.SessionOut].collect()
+        .map(s => (s.user_id, s.n_events, s.total_value)).toSet
+      // first session completed by the in-batch gap; second still open
+      assert(got === Set((9L, 2L, 3.0)), s"got $got")
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert keeps the latest row per key across micro-batches") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_upsert").toString
@@ -173,6 +194,17 @@ class StreamingSpec extends SparkSpec {
       partitionCol = "day")
     run("ck1")
     assert(spark.read.parquet(outDir).count() === 2)
+    // first-batch dedup: a fresh table fed a batch with duplicate keys
+    val dupOut = s"$tmp/out_dup"
+    // separate input dir: the main scenario's stream globs $inDir/*
+    Seq((9L, "2024-01-03", 1.0), (9L, "2024-01-03", 7.0))
+      .toDF("user_id", "day", "score").write.parquet(s"$tmp/dup_in/d")
+    EventStreams.upsertForeachBatchAvailableNow(
+      spark.readStream.schema(schema).parquet(s"$tmp/dup_in/*"),
+      dupOut, s"$tmp/ck_dup", keyCol = "user_id", orderCol = "score",
+      partitionCol = "day")
+    val dupRows = spark.read.parquet(dupOut).collect()
+    assert(dupRows.length === 1 && dupRows.head.getAs[Double]("score") === 7.0)
     // batch 2: user 1 updated (higher score wins), user 3 new
     writeBatch("b2", Seq((1L, "2024-01-01", 99.0), (3L, "2024-01-02", 30.0)))
     run("ck1")
