@@ -37,4 +37,47 @@ object Sessions {
     graft.plans.GraftExtensions.register(spark)
     spark
   }
+
+  /** Cluster session builder — the production twin of `local` for the
+    * north-star deployment (Spark on EMR/K8s reading and writing S3).
+    * Master/executor sizing comes from spark-submit; this pins the settings
+    * the engine's operators assume:
+    *
+    *  - shuffle partitions ~2.5x total cores (AQE coalesces down);
+    *  - S3A: magic committer (no rename commit on object storage),
+    *    directory marker retention (avoids delete storms), and a bounded
+    *    connection pool sized to task parallelism;
+    *  - RocksDB state store (transformWithState requirement; bounded heap
+    *    for large streaming state);
+    *  - dynamic partition overwrite as the default write protocol.
+    *
+    * All settings are public Spark/Hadoop configuration — reviewed against
+    * the Spark 4.1 cloud-integration and structured-streaming docs.
+    */
+  def clusterConf(totalCores: Int): Map[String, String] = Map(
+    "spark.sql.shuffle.partitions" -> (totalCores * 5 / 2).toString,
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.sources.partitionOverwriteMode" -> "dynamic",
+    "spark.sql.files.maxPartitionBytes" -> (128L * 1024 * 1024).toString,
+    "spark.sql.extensions" -> "graft.plans.GraftExtensions",
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.hadoop.fs.s3a.committer.name" -> "magic",
+    "spark.hadoop.fs.s3a.committer.magic.enabled" -> "true",
+    "spark.hadoop.fs.s3a.directory.marker.retention" -> "keep",
+    "spark.hadoop.fs.s3a.connection.maximum" -> (totalCores * 2).toString,
+    "spark.sql.parquet.int96RebaseModeInRead" -> "CORRECTED",
+    "spark.sql.parquet.datetimeRebaseModeInRead" -> "CORRECTED"
+  )
+
+  /** Applies `clusterConf` to a builder (master left to spark-submit). */
+  def cluster(appName: String, totalCores: Int): SparkSession = {
+    val builder = SparkSession.builder().appName(appName)
+    clusterConf(totalCores).foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    graft.plans.GraftExtensions.register(spark)
+    spark
+  }
 }
