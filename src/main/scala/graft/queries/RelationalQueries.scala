@@ -232,6 +232,50 @@ object RelationalQueries extends QueryPack {
           count(lit(1)).as("n_lines"))
     },
 
+    // -- TPC-H Q21 shape: the classic hard decorrelation — EXISTS plus a
+    //    correlated NOT EXISTS over the same fact table ("suppliers who
+    //    were the last to ship on a multi-supplier finished order").
+    "q21_waiting_suppliers" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.supplier.createOrReplaceTempView("q21_supplier")
+      t.lineitem.createOrReplaceTempView("q21_lineitem")
+      t.orders.createOrReplaceTempView("q21_orders")
+      spark.sql(
+        """SELECT s_name, count(*) AS numwait
+          |FROM q21_supplier
+          |JOIN q21_lineitem l1 ON s_suppkey = l1.l_suppkey
+          |JOIN q21_orders ON o_orderkey = l1.l_orderkey
+          |WHERE o_orderstatus = 'F'
+          |  AND l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
+          |  AND EXISTS (
+          |    SELECT 1 FROM q21_lineitem l2
+          |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (
+          |    SELECT 1 FROM q21_lineitem l3
+          |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          |      AND l3.l_shipdate > l1.l_shipdate)
+          |GROUP BY s_name
+          |ORDER BY numwait DESC, s_name ASC
+          |LIMIT 10""".stripMargin)
+    },
+
+    // -- TPC-H Q22 shape: scalar subquery threshold + NOT EXISTS anti join.
+    "q22_lost_customers" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.customer.createOrReplaceTempView("q22_customer")
+      t.orders.createOrReplaceTempView("q22_orders")
+      spark.sql(
+        """SELECT c_mktsegment, count(*) AS n_customers, sum(c_acctbal) AS total_bal
+          |FROM q22_customer
+          |WHERE c_acctbal > (
+          |    SELECT avg(c_acctbal) FROM q22_customer WHERE c_acctbal > 0.0)
+          |  AND NOT EXISTS (
+          |    SELECT 1 FROM q22_orders
+          |    WHERE o_custkey = c_custkey
+          |      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+          |GROUP BY c_mktsegment""".stripMargin)
+    },
+
     // -- IN-list + BETWEEN + IS NULL surface (P3, P4, P6, P7).
     "q15_predicate_surface" -> { (spark, dir) =>
       val t = Tables(spark, dir)
@@ -248,6 +292,33 @@ object RelationalQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q21_waiting_suppliers" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > l1.l_shipdate)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name ASC
+        |LIMIT 10""".stripMargin,
+    "q22_lost_customers" ->
+      """SELECT c_mktsegment, count(*) AS n_customers, sum(c_acctbal) AS total_bal
+        |FROM customer
+        |WHERE c_acctbal > (
+        |    SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY c_mktsegment""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
