@@ -24,20 +24,31 @@ object Bench {
       try SparkEntry.queries(q)(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // BASELINE.md protocol: median of 3 runs per query (n=1 is noise-bound)
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          false
+          -1.0 // a crashed query reports -1, never a normal-looking duration
       }
-      // a crashed query reports -1, never a normal-looking duration
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    }
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples: Seq[Seq[(String, Double)]] = (1 to nRuns).map { _ =>
+      names.map { case (name, fn) => name -> timeOnce(name, fn) }
+    }
+    val results = names.map { case (name, _) =>
+      val runs = samples.map(_.find(_._1 == name).get._2)
+      val median =
+        if (runs.exists(_ < 0)) -1.0
+        else runs.sorted.apply(runs.size / 2)
+      name -> median
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).filter(_ >= 0).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$nRuns}""")
     spark.stop()
   }
 }

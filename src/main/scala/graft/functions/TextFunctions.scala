@@ -105,6 +105,37 @@ object TextFunctions {
       .otherwise(lit("und"))
   }
 
+  /** Scalable twin of [[languageId]] for whole-corpus scans: marker counts
+    * as codegen'd conditional SUM aggregates over exploded tokens (HOF
+    * `filter` bodies are interpreted — measured ~6s for the corpus scan vs
+    * sub-second for explode + HashAggregate with map-side partial
+    * aggregation). Usage: explode tokens to a column `tokenCol`, aggregate
+    * `languageMarkerSums(col("t"))` per document alongside max(cjk)/
+    * max(no_text) flags, then project [[languageFromSums]]. Semantics are
+    * identical to languageId (same markers, same struct-max tie-break:
+    * score, then lang descending).
+    */
+  def languageMarkerSums(tokenCol: Column): Seq[Column] =
+    LangMarkers.map { case (lang, markers) =>
+      sum(when(tokenCol.isin(markers: _*), 1L).otherwise(0L)).as(s"s_$lang")
+    }
+
+  /** CJK short-circuit flag for the pre-explode projection (null-safe). */
+  def cjkFlag(text: Column): Column =
+    coalesce(text.rlike("[\\u4e00-\\u9fff]"), lit(false))
+
+  /** Argmax over the `s_<lang>` columns produced by [[languageMarkerSums]]. */
+  def languageFromSums(noText: Column, cjk: Column): Column = {
+    val scored = LangMarkers.map { case (lang, _) =>
+      struct(col(s"s_$lang").as("score"), lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(noText, lit(null).cast("string"))
+      .when(cjk, lit("zh"))
+      .when(best.getField("score") > 0, best.getField("lang"))
+      .otherwise(lit("und"))
+  }
+
   // -- Fingerprints & signatures --------------------------------------------
 
   /** 64-bit exact-dup fingerprint of the normalized text. */

@@ -190,11 +190,12 @@ object Dedup {
     result
   }
 
-  /** Full L2 pipeline: keep one survivor (min id) per near-dup cluster. */
-  def dedupNearDups(docs: DataFrame, textCol: String, idCol: String,
-      threshold: Double = 0.8, bands: Int = 16): DataFrame = {
-    val pairs = minhashNearDupPairs(docs, textCol, idCol, bands = bands,
-      threshold = threshold)
+  /** Survivor selection given a near-dup pair set (any source: MinHash,
+    * SimHash, exact Jaccard, embedding cosine): cluster via connected
+    * components, keep the min-id row per cluster. The pair source and the
+    * keep policy compose — every *NearDupPairs operator feeds this.
+    */
+  def dedupByPairs(docs: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
     // component frame columns are renamed to reserved names so drop()
     // cannot collide with caller columns named "id"/"component"
     val components = connectedComponents(pairs)
@@ -206,6 +207,13 @@ object Dedup {
       .transform(d => exactByKey(d, Seq("_cluster"), idCol))
       .drop("_cluster")
   }
+
+  /** Full L2 pipeline: keep one survivor (min id) per near-dup cluster. */
+  def dedupNearDups(docs: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.8, bands: Int = 16): DataFrame =
+    dedupByPairs(docs,
+      minhashNearDupPairs(docs, textCol, idCol, bands = bands, threshold = threshold),
+      idCol)
 
   /** SimHash signatures (map-only). Near-dup = hamming(sig_a, sig_b) <= k,
     * candidates found by banding the 64-bit signature into 16-bit chunks
@@ -254,25 +262,66 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
-  /** Exact n-gram (unigram by default) Jaccard for candidate pairs —
-    * the verification primitive, also usable standalone at modest scale
-    * with a blocking key.
+  /** Exact n-gram (unigram by default) Jaccard — the verification
+    * primitive. All-pairs is quadratic, so the API refuses to cartesian an
+    * unbounded frame: callers must either pass `blockCol` (pairs are formed
+    * only within equal blocking-key values — an equi join, never a cross
+    * join) or stay under `maxUnblockedRows` (the all-pairs escape hatch for
+    * candidate sets that are already small, enforced with a cheap
+    * `limit(n+1).count`). For pre-computed candidate pairs use
+    * [[jaccardVerify]] instead — it never forms pairs at all.
     */
   def jaccardPairs(docs: DataFrame, textCol: String, idCol: String,
-      k: Int = 1, minJaccard: Double = 0.0): DataFrame = {
+      k: Int = 1, minJaccard: Double = 0.0, blockCol: Option[String] = None,
+      maxUnblockedRows: Long = 100000L): DataFrame = {
+    val blockCols = blockCol.toSeq
+    if (blockCol.isEmpty) {
+      val n = docs.limit((maxUnblockedRows + 1).toInt).count()
+      require(n <= maxUnblockedRows,
+        s"jaccardPairs without blockCol is all-pairs (O(n^2)); input exceeds " +
+          s"$maxUnblockedRows rows — pass blockCol or use jaccardVerify on candidate pairs")
+    }
+    val toks = docs
+      .select((Seq(col(idCol).as("id"), col(textCol).as("text")) ++
+        blockCols.map(col)): _*)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("id"))
+      .withColumn("toks", tokens(normalizeText(col("text"))))
+      .select(
+        (Seq(col("id"),
+          array_distinct(
+            if (k == 1) col("toks") else shingles(col("toks"), k)
+          ).as("grams")) ++ blockCols.map(col)): _*)
+    val a = toks.select((Seq(col("id").as("id_a"), col("grams").as("g_a")) ++
+      blockCols.map(col)): _*)
+    val b = toks.select((Seq(col("id").as("id_b"), col("grams").as("g_b")) ++
+      blockCols.map(col)): _*)
+    val paired =
+      if (blockCols.nonEmpty) a.join(b, blockCols) // equi join on the block key
+      else a.crossJoin(b) // guarded above: provably small
+    paired
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("inter", size(array_intersect(col("g_a"), col("g_b"))).cast("double"))
+      .withColumn("uni", (size(col("g_a")) + size(col("g_b"))).cast("double") - col("inter"))
+      .withColumn("jaccard", when(col("uni") > 0, col("inter") / col("uni")).otherwise(lit(1.0)))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Exact Jaccard over pre-computed candidate pairs (id_a, id_b): the
+    * verification stage of any blocked pipeline — joins each side's grams
+    * by id, never forms pairs itself, so cost is O(|candidates|).
+    */
+  def jaccardVerify(candidates: DataFrame, docs: DataFrame, textCol: String,
+      idCol: String, k: Int = 1, minJaccard: Double = 0.0): DataFrame = {
     val toks = docs.select(col(idCol).as("id"), col(textCol).as("text"))
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("id"))
-      .select(
-        col("id"), tokens(normalizeText(col("text"))).as("toks"))
-      .select(
-        col("id"),
+      .withColumn("toks", tokens(normalizeText(col("text"))))
+      .select(col("id"),
         array_distinct(
-          if (k == 1) col("toks") else shingles(col("toks"), k)
-        ).as("grams"))
-    val a = toks.select(col("id").as("id_a"), col("grams").as("g_a"))
-    val b = toks.select(col("id").as("id_b"), col("grams").as("g_b"))
-    a.crossJoin(b)
-      .filter(col("id_a") < col("id_b"))
+          if (k == 1) col("toks") else shingles(col("toks"), k)).as("grams"))
+    candidates.select(col("id_a"), col("id_b"))
+      .join(toks.select(col("id").as("id_a"), col("grams").as("g_a")), Seq("id_a"))
+      .join(toks.select(col("id").as("id_b"), col("grams").as("g_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("g_a"), col("g_b"))).cast("double"))
       .withColumn("uni", (size(col("g_a")) + size(col("g_b"))).cast("double") - col("inter"))
       .withColumn("jaccard", when(col("uni") > 0, col("inter") / col("uni")).otherwise(lit(1.0)))

@@ -205,18 +205,32 @@ object SimilaritySearch {
   }
 
   /** Embedding-cosine near-dup pairs (L2's vector variant): exact over a
-    * blocked candidate set — block on the LSH bucket, verify with cosine.
+    * blocked candidate set. The blocking key is either a caller-supplied
+    * column (`blockCol` — e.g. a cluster/label/shard id; recall within a
+    * block is exact and the result is engine-reproducible, the
+    * oracle-comparable mode) or, by default, the deterministic LSH
+    * hyperplane bucket (the self-tuning scale path; approximate recall,
+    * tunable via `planes`). Either way the pair meeting is an equi join on
+    * the block key — never a cross join.
     */
   def cosineNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
-      dim: Int, minCosine: Double, planes: Int = 8): DataFrame = {
+      dim: Int, minCosine: Double, planes: Int = 8,
+      blockCol: Option[String] = None): DataFrame = {
     graft.plans.GraftExtensions.register(vectors.sparkSession)
-    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("bucket", hyperplaneBucket(col("vec"), dim, planes))
+    val v = blockCol match {
+      case Some(bc) => vectors.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        col(bc).as("bucket"))
+      case None => vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
+        .withColumn("bucket", hyperplaneBucket(col("vec"), dim, planes))
+    }
     val a = v.select(col("id").as("id_a"), col("vec").as("v_a"), col("bucket"))
     val b = v.select(col("id").as("id_b"), col("vec").as("v_b"), col("bucket"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", cosine(col("v_a"), col("v_b")))
+      // native codegen'd cosine: the hot inner loop runs over every in-block
+      // pair — the interpreted HOF twin (`cosine`) costs ~10x here
+      .withColumn("cosine",
+        graft.plans.GraftExtensions.cosineSim(col("v_a"), col("v_b")))
       .filter(col("cosine") >= minCosine)
       .select("id_a", "id_b", "cosine")
   }

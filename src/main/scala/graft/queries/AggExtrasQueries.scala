@@ -25,7 +25,7 @@ object AggExtrasQueries extends QueryPack {
         .rollup(col("r_name"), col("n_name"))
         .agg(
           count(lit(1)).as("n_customers"),
-          sum(col("c_acctbal")).as("total_balance"),
+          Exact.dsum(col("c_acctbal"), 2).as("total_balance"),
           grouping(col("r_name")).cast("int").as("g_region"),
           grouping(col("n_name")).cast("int").as("g_nation")
         )
@@ -37,17 +37,23 @@ object AggExtrasQueries extends QueryPack {
       t.orders
         .join(t.customer, col("o_custkey") === col("c_custkey"))
         .cube(col("c_mktsegment"), col("o_orderstatus"))
-        .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("revenue"))
+        .agg(count(lit(1)).as("n_orders"), Exact.dsum(col("o_totalprice"), 2).as("revenue"))
     },
 
-    // -- A3: statistical aggregates per return flag.
+    // -- A3: statistical aggregates per return flag. The four moment
+    //    aggregates are association-order-sensitive double reductions, so
+    //    they cannot be made exact — instead BOTH sides round at a
+    //    granularity ≥10^5 × the worst-case cross-engine divergence
+    //    (var ~1e9 rounds to hundreds, stddev ~3e4 to 0.01, covar ~3e3 to
+    //    0.01, corr ~1e-3 to 1e-6). Median is an order statistic
+    //    (interpolation of two sorted values) — deterministic unrounded.
     "a03_stats" -> { (spark, dir) =>
       val t = Tables(spark, dir)
       t.lineitem.groupBy(col("l_returnflag")).agg(
-        stddev_samp(col("l_extendedprice")).as("price_stddev"),
-        var_samp(col("l_extendedprice")).as("price_var"),
-        corr(col("l_quantity"), col("l_extendedprice")).as("qty_price_corr"),
-        covar_samp(col("l_quantity"), col("l_extendedprice")).as("qty_price_covar"),
+        round(stddev_samp(col("l_extendedprice")), 2).as("price_stddev"),
+        round(var_samp(col("l_extendedprice")), -2).as("price_var"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("qty_price_covar"),
         median(col("l_extendedprice")).as("price_median")
       )
     },
@@ -76,9 +82,11 @@ object AggExtrasQueries extends QueryPack {
       val t = Tables(spark, dir)
       t.orders.groupBy(col("o_orderstatus")).agg(
         count_if(col("o_totalprice") > 200000.0).as("n_big"),
-        sum(when(col("o_orderpriority") === "1-URGENT", col("o_totalprice"))).as("urgent_revenue"),
-        avg(when(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1999-01-01 00:00:00")),
-          col("o_totalprice"))).as("late_avg_price")
+        Exact.dsum(when(col("o_orderpriority") === "1-URGENT", col("o_totalprice")), 2).as("urgent_revenue"),
+        (Exact.dsum(when(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1999-01-01 00:00:00")),
+          col("o_totalprice")), 2) /
+          count(when(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1999-01-01 00:00:00")),
+            lit(1)))).as("late_avg_price")
       )
     },
 
@@ -93,11 +101,28 @@ object AggExtrasQueries extends QueryPack {
     },
 
     // -- A6: pivot events by type (explicit value list keeps the plan static).
+    //    The pivoted measure sums arbitrary doubles → pinned to the
+    //    decimal(28,10) grid on both sides (Exact).
     "a08_pivot" -> { (spark, dir) =>
       val t = Tables(spark, dir)
       t.events.groupBy(col("user_id"))
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
-        .agg(sum(col("value")))
+        .agg(sum(col("value").cast("decimal(28,10)")).cast("double"))
+    },
+
+    // -- A5: explicit GROUPING SETS (the arbitrary-sets SQL form; rollup and
+    //    cube above are its two canned shapes).
+    "a09_grouping_sets" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.orders.createOrReplaceTempView("a09_orders")
+      spark.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |  count(*) AS n_orders,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue,
+          |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+          |  CAST(grouping(o_orderpriority) AS INT) AS g_priority
+          |FROM a09_orders
+          |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())""".stripMargin)
     }
   )
 
@@ -105,7 +130,7 @@ object AggExtrasQueries extends QueryPack {
     "a01_rollup" ->
       """SELECT r_name, n_name,
         |  count(*) AS n_customers,
-        |  sum(c_acctbal) AS total_balance,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS total_balance,
         |  CAST(grouping(r_name) AS INT) AS g_region,
         |  CAST(grouping(n_name) AS INT) AS g_nation
         |FROM customer
@@ -114,15 +139,16 @@ object AggExtrasQueries extends QueryPack {
         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
     "a02_cube" ->
       """SELECT c_mktsegment, o_orderstatus,
-        |  count(*) AS n_orders, sum(o_totalprice) AS revenue
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY CUBE (c_mktsegment, o_orderstatus)""".stripMargin,
     "a03_stats" ->
       """SELECT l_returnflag,
-        |  stddev_samp(l_extendedprice) AS price_stddev,
-        |  var_samp(l_extendedprice) AS price_var,
-        |  corr(l_quantity, l_extendedprice) AS qty_price_corr,
-        |  covar_samp(l_quantity, l_extendedprice) AS qty_price_covar,
+        |  round(stddev_samp(l_extendedprice), 2) AS price_stddev,
+        |  round(var_samp(l_extendedprice), -2) AS price_var,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
         |  median(l_extendedprice) AS price_median
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "a04_percentiles" ->
@@ -139,16 +165,25 @@ object AggExtrasQueries extends QueryPack {
     "a06_filtered_agg" ->
       """SELECT o_orderstatus,
         |  count(*) FILTER (WHERE o_totalprice > 200000.0) AS n_big,
-        |  sum(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent_revenue,
-        |  avg(o_totalprice) FILTER (WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00') AS late_avg_price
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS urgent_revenue,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) FILTER (WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00') AS DOUBLE)
+        |    / count(*) FILTER (WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00') AS late_avg_price
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "a08_pivot" ->
       """SELECT user_id,
-        |  sum(value) FILTER (WHERE event_type = 'click') AS click,
-        |  sum(value) FILTER (WHERE event_type = 'error') AS "error",
-        |  sum(value) FILTER (WHERE event_type = 'purchase') AS purchase,
-        |  sum(value) FILTER (WHERE event_type = 'signup') AS signup,
-        |  sum(value) FILTER (WHERE event_type = 'view') AS "view"
-        |FROM events GROUP BY user_id""".stripMargin
+        |  CAST(sum(CAST(value AS DECIMAL(28,10))) FILTER (WHERE event_type = 'click') AS DOUBLE) AS click,
+        |  CAST(sum(CAST(value AS DECIMAL(28,10))) FILTER (WHERE event_type = 'error') AS DOUBLE) AS "error",
+        |  CAST(sum(CAST(value AS DECIMAL(28,10))) FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS purchase,
+        |  CAST(sum(CAST(value AS DECIMAL(28,10))) FILTER (WHERE event_type = 'signup') AS DOUBLE) AS signup,
+        |  CAST(sum(CAST(value AS DECIMAL(28,10))) FILTER (WHERE event_type = 'view') AS DOUBLE) AS "view"
+        |FROM events GROUP BY user_id""".stripMargin,
+    "a09_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_priority
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())""".stripMargin
   )
 }

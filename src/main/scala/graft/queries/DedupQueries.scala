@@ -44,11 +44,18 @@ object DedupQueries extends QueryPack {
         k = 1, minJaccard = 0.95)
     },
 
-    // -- Full near-dup pipeline: survivors after LSH + connected components
-    //    (rows-only; cluster-keep semantics property-tested).
+    // -- Full near-dup pipeline on a blocked subset: exact Jaccard pairs →
+    //    connected components → min-id survivor per cluster. Using d04's
+    //    exact pair set (instead of the LSH candidates d02 covers) makes the
+    //    survivor set SQL-derivable, so the clustering + keep policy is
+    //    oracle-checked end to end via a recursive transitive closure.
+    //    The MinHash-candidate variant of the same pipeline
+    //    (Dedup.dedupNearDups) is property-tested in LlmOpsSpec.
     "d05_neardup_survivors" -> { (spark, dir) =>
       val t = Tables(spark, dir)
-      Dedup.dedupNearDups(t.documents, "text", "doc_id", threshold = 0.9)
+      val docs = t.documents.filter(col("doc_id") < 200)
+      val pairs = Dedup.jaccardPairs(docs, "text", "doc_id", k = 1, minJaccard = 0.95)
+      Dedup.dedupByPairs(docs, pairs, "doc_id")
         .select(col("doc_id"), col("source"))
     }
   )
@@ -78,6 +85,31 @@ object DedupQueries extends QueryPack {
         |WHERE CASE WHEN len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) > 0
         |    THEN len(list_intersect(a.grams, b.grams)) * 1.0
         |      / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
-        |    ELSE 1.0 END >= 0.95""".stripMargin
+        |    ELSE 1.0 END >= 0.95""".stripMargin,
+    "d05_neardup_survivors" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id AS id,
+        |    list_distinct(string_split_regex(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), '\s+')) AS grams
+        |  FROM documents WHERE doc_id < 200),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM toks a JOIN toks b ON a.id < b.id
+        |  WHERE CASE WHEN len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) > 0
+        |      THEN len(list_intersect(a.grams, b.grams)) * 1.0
+        |        / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+        |      ELSE 1.0 END >= 0.95),
+        |edges AS (
+        |  SELECT id_a AS s, id_b AS d FROM pairs
+        |  UNION
+        |  SELECT id_b AS s, id_a AS d FROM pairs),
+        |reach AS (
+        |  SELECT s AS a, d AS b FROM edges
+        |  UNION
+        |  SELECT e.s AS a, r.b AS b FROM edges e JOIN reach r ON e.d = r.a
+        |  WHERE e.s <> r.b)
+        |SELECT doc_id, source FROM documents
+        |WHERE doc_id < 200
+        |  AND doc_id NOT IN (SELECT a FROM reach WHERE b < a)""".stripMargin
   )
 }

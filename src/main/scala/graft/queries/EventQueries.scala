@@ -18,7 +18,9 @@ object EventQueries extends QueryPack {
       val t = Tables(spark, dir)
       t.events
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+        // value sums pinned to the decimal(28,10) grid on both sides (Exact)
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(28,10)")).cast("double").as("total_value"))
         .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
     },
 
@@ -29,7 +31,7 @@ object EventQueries extends QueryPack {
         .groupBy(col("user_id"), col("session_id"))
         .agg(
           count(lit(1)).as("n_events"),
-          sum(col("value")).as("session_value"),
+          sum(col("value").cast("decimal(28,10)")).cast("double").as("session_value"),
           min(col("ts")).as("session_start")
         )
         .select(col("user_id"), col("session_id"), col("n_events"),
@@ -45,19 +47,26 @@ object EventQueries extends QueryPack {
         .agg(avg(col("k")).as("avg_k"), max(col("k")).as("max_k"), count(lit(1)).as("n"))
     },
 
-    // -- F6: from_json into a typed map, then map functions (F5).
-    //    No SQL oracle (from_json map semantics are Spark-specific);
-    //    property-tested against e03's get_json_object path in ScalaTest.
+    // -- F6/F5: from_json into a typed map, then the map-function surface
+    //    (map_concat, map_entries, transform_values, element_at, size).
+    //    Map iteration order is engine-specific, so the output is
+    //    CANONICALIZED to a sorted entries string — which makes the whole
+    //    query oracle-checkable despite maps having no cross-engine order.
     "e04_props_map" -> { (spark, dir) =>
       val t = Tables(spark, dir)
       t.events
         .withColumn("m", from_json(col("props"), MapType(StringType, StringType)))
+        .withColumn("m2",
+          map_concat(col("m"), map(lit("etype"), col("event_type"))))
+        .withColumn("m3",
+          transform_values(col("m2"), (k, v) => concat(k, lit(":"), v)))
         .select(
           col("event_id"),
-          map_keys(col("m")).as("prop_keys"),
-          element_at(col("m"), "k").cast(IntegerType).as("k")
+          size(col("m3")).as("n_props"),
+          element_at(col("m"), "k").cast(IntegerType).as("k"),
+          concat_ws(",", sort_array(transform(map_entries(col("m3")),
+            e => concat(e.getField("key"), lit("="), e.getField("value"))))).as("props_canon")
         )
-        .groupBy(col("k")).agg(count(lit(1)).as("n"))
     },
 
     // -- J7 as-of join: for each purchase, the user's most recent click at
@@ -92,7 +101,8 @@ object EventQueries extends QueryPack {
   override def oracles: Map[String, String] = Map(
     "e01_hourly_windows" ->
       """SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
-        |  event_type, count(*) AS n, sum(value) AS total_value
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total_value
         |FROM events
         |GROUP BY 1, 2""".stripMargin,
     "e02_sessions" ->
@@ -110,7 +120,9 @@ object EventQueries extends QueryPack {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_seq
         |  FROM flagged)
         |SELECT user_id, user_id || '-' || session_seq AS session_id,
-        |  count(*) AS n_events, sum(value) AS session_value, min(ts) AS session_start
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS session_value,
+        |  min(ts) AS session_start
         |FROM numbered
         |GROUP BY user_id, session_id""".stripMargin,
     "e03_props_json" ->
@@ -119,6 +131,13 @@ object EventQueries extends QueryPack {
         |  max(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
         |  count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
+    "e04_props_map" ->
+      """SELECT event_id,
+        |  2 AS n_props,
+        |  TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        |  'etype=etype:' || event_type || ',k=k:' || json_extract_string(props, '$.k')
+        |    AS props_canon
+        |FROM events""".stripMargin,
     "e05_asof_purchase_click" ->
       """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts, p.value,
         |  (SELECT max(CAST(c.ts AS TIMESTAMP)) FROM events c

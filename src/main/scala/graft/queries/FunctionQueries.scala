@@ -54,9 +54,11 @@ object FunctionQueries extends QueryPack {
         floor(col("l_extendedprice")).cast("long").as("price_floor"),
         ceil(col("l_extendedprice")).cast("long").as("price_ceil"),
         abs(col("l_discount") - 0.05).as("disc_dev"),
+        // sqrt is IEEE-exact (correctly rounded in both engines); ln/pow are
+        // libm calls whose last ulps differ per engine → rounded both sides
         sqrt(col("l_quantity")).as("qty_sqrt"),
-        log(col("l_extendedprice")).as("price_ln"),
-        pow(col("l_tax"), 2).as("tax_sq"),
+        round(log(col("l_extendedprice")), 6).as("price_ln"),
+        round(pow(col("l_tax"), 2), 6).as("tax_sq"),
         signum(col("l_discount") - 0.05).as("disc_sign"),
         greatest(col("l_quantity"), col("l_tax") * 100).as("g"),
         least(col("l_quantity"), col("l_tax") * 100).as("l"),
@@ -72,14 +74,14 @@ object FunctionQueries extends QueryPack {
         col("vec_id"),
         size(col("embedding")).as("dim"),
         element_at(col("embedding"), 1).cast("double").as("first_component"),
-        aggregate(
+        round(aggregate(
           transform(slice(col("embedding"), 1, 8), x => x.cast("double")),
           lit(0.0), (acc, x) => acc + x
-        ).as("head8_sum"),
-        sqrt(aggregate(
+        ), 6).as("head8_sum"),
+        round(sqrt(aggregate(
           transform(col("embedding"), x => x.cast("double") * x.cast("double")),
           lit(0.0), (acc, x) => acc + x
-        )).as("l2_norm")
+        )), 6).as("l2_norm")
       )
     },
 
@@ -112,16 +114,40 @@ object FunctionQueries extends QueryPack {
     // -- F3 extended math: trig, log bases, exponents.
     "f09_math_extended" -> { (spark, dir) =>
       val t = Tables(spark, dir)
+      // all libm functions — rounded identically on both sides (last-ulp
+      // results differ between JVM and C library implementations)
       t.supplier.select(
         col("s_suppkey"),
-        sin(col("s_acctbal") / 1000.0).as("sin_bal"),
-        cos(col("s_acctbal") / 1000.0).as("cos_bal"),
-        atan2(col("s_acctbal"), lit(100.0)).as("angle"),
-        log(2.0, col("s_acctbal") + 10000.0).as("log2_bal"),
-        log10(col("s_acctbal") + 10000.0).as("log10_bal"),
-        exp(col("s_acctbal") / 10000.0).as("exp_bal"),
-        cbrt(col("s_acctbal") + 10000.0).as("cbrt_bal")
+        round(sin(col("s_acctbal") / 1000.0), 6).as("sin_bal"),
+        round(cos(col("s_acctbal") / 1000.0), 6).as("cos_bal"),
+        round(atan2(col("s_acctbal"), lit(100.0)), 6).as("angle"),
+        round(log(2.0, col("s_acctbal") + 10000.0), 6).as("log2_bal"),
+        round(log10(col("s_acctbal") + 10000.0), 6).as("log10_bal"),
+        round(exp(col("s_acctbal") / 10000.0), 6).as("exp_bal"),
+        round(cbrt(col("s_acctbal") + 10000.0), 6).as("cbrt_bal")
       )
+    },
+
+    // -- F1/F2 gap-closers: case-insensitive LIKE and fractional month
+    //    arithmetic (both operands truncated to month starts, so the result
+    //    is an exact integer count of months on both engines).
+    "f10_ilike_months" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.orders.select(
+        col("o_orderkey"),
+        col("o_orderpriority").ilike("%URGent%").as("is_urgent"),
+        months_between(
+          lit(java.sql.Timestamp.valueOf("2002-01-01 00:00:00")),
+          date_trunc("month", col("o_orderdate"))).as("months_to_2002")
+      )
+    },
+
+    // -- F6 generator form: json_tuple over the props column.
+    "f11_json_tuple" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.events
+        .select(col("event_id"), json_tuple(col("props"), "k").as(Seq("k_str")))
+        .groupBy(col("k_str")).agg(count(lit(1)).as("n"))
     },
 
     // -- F8 structs: build, nest, extract (FHIR-style nesting in miniature).
@@ -182,8 +208,8 @@ object FunctionQueries extends QueryPack {
         |  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
         |  abs(l_discount - 0.05) AS disc_dev,
         |  sqrt(l_quantity) AS qty_sqrt,
-        |  ln(l_extendedprice) AS price_ln,
-        |  power(l_tax, 2) AS tax_sq,
+        |  round(ln(l_extendedprice), 6) AS price_ln,
+        |  round(power(l_tax, 2), 6) AS tax_sq,
         |  CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
         |  greatest(l_quantity, l_tax * 100) AS g,
         |  least(l_quantity, l_tax * 100) AS l,
@@ -193,8 +219,8 @@ object FunctionQueries extends QueryPack {
       """SELECT vec_id,
         |  CAST(len(embedding) AS INT) AS dim,
         |  CAST(embedding[1] AS DOUBLE) AS first_component,
-        |  list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))) AS head8_sum,
-        |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2_norm
+        |  round(list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))), 6) AS head8_sum,
+        |  round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
         |FROM embeddings""".stripMargin,
     "f05_hash" ->
       """SELECT doc_id,
@@ -216,14 +242,23 @@ object FunctionQueries extends QueryPack {
         |FROM nation CROSS JOIN region""".stripMargin,
     "f09_math_extended" ->
       """SELECT s_suppkey,
-        |  sin(s_acctbal / 1000.0) AS sin_bal,
-        |  cos(s_acctbal / 1000.0) AS cos_bal,
-        |  atan2(s_acctbal, 100.0) AS angle,
-        |  ln(s_acctbal + 10000.0) / ln(2.0) AS log2_bal,
-        |  log10(s_acctbal + 10000.0) AS log10_bal,
-        |  exp(s_acctbal / 10000.0) AS exp_bal,
-        |  cbrt(s_acctbal + 10000.0) AS cbrt_bal
+        |  round(sin(s_acctbal / 1000.0), 6) AS sin_bal,
+        |  round(cos(s_acctbal / 1000.0), 6) AS cos_bal,
+        |  round(atan2(s_acctbal, 100.0), 6) AS angle,
+        |  round(ln(s_acctbal + 10000.0) / ln(2.0), 6) AS log2_bal,
+        |  round(log10(s_acctbal + 10000.0), 6) AS log10_bal,
+        |  round(exp(s_acctbal / 10000.0), 6) AS exp_bal,
+        |  round(cbrt(s_acctbal + 10000.0), 6) AS cbrt_bal
         |FROM supplier""".stripMargin,
+    "f10_ilike_months" ->
+      """SELECT o_orderkey,
+        |  o_orderpriority ILIKE '%URGent%' AS is_urgent,
+        |  CAST((2002 - year(o_orderdate)) * 12 + (1 - month(o_orderdate)) AS DOUBLE)
+        |    AS months_to_2002
+        |FROM orders""".stripMargin,
+    "f11_json_tuple" ->
+      """SELECT json_extract_string(props, '$.k') AS k_str, count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
     "f07_explode" ->
       """SELECT vec_id, CAST(u.pos - 1 AS INT) AS pos, CAST(u.component AS DOUBLE) AS component
         |FROM (

@@ -25,7 +25,10 @@ object JoinQueries extends QueryPack {
       t.events
         .join(broadcast(buckets), col("value") >= col("lo") && col("value") < col("hi"))
         .groupBy(col("bucket"))
-        .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+        // value is an arbitrary double → pinned to the decimal(28,10) grid
+        // on both sides so the sum is order-independent (see Exact)
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(28,10)")).cast("double").as("total"))
     },
 
     // -- J6 explicit cross join: small dim x derived distinct set.
@@ -78,7 +81,8 @@ object JoinQueries extends QueryPack {
         .join(windows, Seq("day"))
         .filter(col("ts") >= col("win_start") && col("ts") < col("win_end"))
         .groupBy(col("day"))
-        .agg(count(lit(1)).as("n_in_window"), sum(col("value")).as("window_value"))
+        .agg(count(lit(1)).as("n_in_window"),
+          sum(col("value").cast("decimal(28,10)")).cast("double").as("window_value"))
     },
 
     // -- P4 SQL path: NOT IN subquery via spark.sql over temp views.
@@ -108,7 +112,8 @@ object JoinQueries extends QueryPack {
 
   override def oracles: Map[String, String] = Map(
     "j01_value_buckets" ->
-      """SELECT bucket, count(*) AS n, sum(value) AS total
+      """SELECT bucket, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total
         |FROM events
         |JOIN (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 150.0), ('high', 150.0, 1e9))
         |  b(bucket, lo, hi)
@@ -135,7 +140,8 @@ object JoinQueries extends QueryPack {
         |  ON c.nationkey = s.nationkey""".stripMargin,
     "j05_interval_bucketed" ->
       """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
-        |  count(*) AS n_in_window, sum(value) AS window_value
+        |  count(*) AS n_in_window,
+        |  CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS window_value
         |FROM events
         |WHERE CAST(ts AS TIMESTAMP) >= date_trunc('day', CAST(ts AS TIMESTAMP))
         |  AND CAST(ts AS TIMESTAMP) < date_trunc('day', CAST(ts AS TIMESTAMP)) + INTERVAL 6 HOUR

@@ -33,14 +33,22 @@ object MultimodalQueries extends QueryPack {
           col("meta.n_frames").as("n_frames"), col("meta.format").as("format"))
     },
 
-    // -- Frame-sampling plan for the video subset (rows-only).
+    // -- Frame-sampling plan for the video subset. n_frames is derived
+    //    from doc metadata (1 + doc_id % 64) rather than the stub decoder,
+    //    which makes the whole sampling plan — stride arithmetic, frame
+    //    bounds, counts — oracle-checkable in SQL. The decoder-driven
+    //    variant of the same operator is m02's rows-only path.
     "m03_frame_samples" -> { (spark, dir) =>
       val t = Tables(spark, dir)
-      val meta = Multimodal.extractMeta(Multimodal.mediaFromDocuments(t.documents))
+      val meta = Multimodal.mediaFromDocuments(t.documents)
         .filter(col("modality") === "video")
+        .withColumn("meta", struct(
+          (lit(1) + pmod(col("doc_id"), lit(64))).cast("int").as("n_frames")))
       Multimodal.frameSamplePlan(meta, stride = 10)
         .select(col("doc_id"), col("meta.n_frames").as("n_frames"),
-          size(col("sample_frames")).as("n_sampled"))
+          size(col("sample_frames")).as("n_sampled"),
+          element_at(col("sample_frames"), 1).as("first_frame"),
+          element_at(col("sample_frames"), -1).as("last_frame"))
     }
   )
 
@@ -50,6 +58,14 @@ object MultimodalQueries extends QueryPack {
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
         |  octet_length(encode(text)) AS n_bytes,
         |  sha256(text) AS content_sha256
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "m03_frame_samples" ->
+      """SELECT doc_id,
+        |  CAST(1 + doc_id % 64 AS INT) AS n_frames,
+        |  CAST(floor((doc_id % 64) / 10) + 1 AS INT) AS n_sampled,
+        |  0 AS first_frame,
+        |  CAST(10 * floor((doc_id % 64) / 10) AS INT) AS last_frame
+        |FROM documents
+        |WHERE doc_id % 3 = 2""".stripMargin
   )
 }

@@ -28,13 +28,17 @@ object RelationalQueries extends QueryPack {
         .filter(col("l_shipdate") <= ts("2000-12-01 00:00:00"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity")).as("sum_qty"),
-          sum(col("l_extendedprice")).as("sum_base_price"),
-          sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
-          sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
-          avg(col("l_quantity")).as("avg_qty"),
-          avg(col("l_extendedprice")).as("avg_price"),
-          avg(col("l_discount")).as("avg_disc"),
+          // Exact decimal sums (see Exact): quantity/price are 2dp; the
+          // disc/charge products are exact 4dp/6dp values — summing on that
+          // grid is order-independent, so the result is partition-count-
+          // and engine-invariant (raw double sums are neither).
+          Exact.dsum(col("l_quantity"), 2).as("sum_qty"),
+          Exact.dsum(col("l_extendedprice"), 2).as("sum_base_price"),
+          Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("sum_disc_price"),
+          Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 6).as("sum_charge"),
+          Exact.davg(col("l_quantity"), 2).as("avg_qty"),
+          Exact.davg(col("l_extendedprice"), 2).as("avg_price"),
+          Exact.davg(col("l_discount"), 2).as("avg_disc"),
           count(lit(1)).as("count_order")
         )
     },
@@ -51,7 +55,7 @@ object RelationalQueries extends QueryPack {
         .join(t.customer, col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(
-          sum(col("o_totalprice")).as("revenue"),
+          Exact.dsum(col("o_totalprice"), 2).as("revenue"),
           count(lit(1)).as("n_orders"),
           countDistinct(col("o_custkey")).as("n_customers")
         )
@@ -64,7 +68,7 @@ object RelationalQueries extends QueryPack {
         .join(t.orders, col("c_custkey") === col("o_custkey"))
         .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .agg(Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
         .limit(10)
     },
@@ -97,7 +101,7 @@ object RelationalQueries extends QueryPack {
         .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
           col("o_orderdate") < ts("1999-01-01 00:00:00"))
         .groupBy(col("n_name"))
-        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .agg(Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
     },
 
     // -- TPC-H Q6 shape: scalar aggregate, filter fully pushed down (P2, A2).
@@ -108,7 +112,7 @@ object RelationalQueries extends QueryPack {
           col("l_shipdate") < ts("1999-01-01 00:00:00") &&
           col("l_discount").between(0.05, 0.07) &&
           col("l_quantity") < 24)
-        .agg(sum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        .agg(Exact.dsum(col("l_extendedprice") * col("l_discount"), 4).as("revenue"),
           count(lit(1)).as("n_lines"))
     },
 
@@ -121,7 +125,7 @@ object RelationalQueries extends QueryPack {
         .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
           col("l_shipdate") < ts("1999-01-01 00:00:00"))
         .groupBy(col("n_name"), year(col("l_shipdate")).as("l_year"))
-        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("volume"))
+        .agg(Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("volume"))
     },
 
     // -- NOT EXISTS via left-anti join (J4): customers with no 2001 orders.
@@ -141,7 +145,7 @@ object RelationalQueries extends QueryPack {
         .join(t.customer, col("o_custkey") === col("c_custkey"))
         .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
-        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .agg(Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey").asc)
         .limit(20)
     },
@@ -155,7 +159,9 @@ object RelationalQueries extends QueryPack {
         .agg(
           sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("high_line_count"),
           sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("low_line_count"),
-          sum(when(col("l_quantity") < 10, col("l_extendedprice"))).as("small_qty_price")
+          // exact decimal sum (Exact): a raw double sum here diverged from
+          // the oracle beyond the hash gate's precision at high parallelism
+          Exact.dsum(when(col("l_quantity") < 10, col("l_extendedprice")), 2).as("small_qty_price")
         )
     },
 
@@ -178,9 +184,9 @@ object RelationalQueries extends QueryPack {
         .filter(col("l_shipdate") >= ts("1998-01-01 00:00:00") &&
           col("l_shipdate") < ts("1999-01-01 00:00:00"))
         .agg(
-          (lit(100.0) * sum(when(col("p_brand").like("Brand#1%"),
-            col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(lit(0.0))) /
-            sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("brand1_share")
+          (lit(100.0) * Exact.dsum(when(col("p_brand").like("Brand#1%"),
+            col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(lit(0.0)), 4) /
+            Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)).as("brand1_share")
         )
     },
 
@@ -191,7 +197,7 @@ object RelationalQueries extends QueryPack {
       t.lineitem.createOrReplaceTempView("q17_lineitem")
       t.part.createOrReplaceTempView("q17_part")
       spark.sql(
-        """SELECT sum(l_extendedprice) / 7.0 AS avg_yearly
+        """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) / 7.0 AS avg_yearly
           |FROM q17_lineitem JOIN q17_part ON p_partkey = l_partkey
           |WHERE p_brand = 'Brand#1'
           |  AND l_quantity < (
@@ -228,7 +234,7 @@ object RelationalQueries extends QueryPack {
             col("p_size").between(5, 20)) ||
           (col("p_brand") === "Brand#3" && col("l_quantity").between(20, 35) &&
             col("p_size").between(10, 40)))
-        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        .agg(Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"),
           count(lit(1)).as("n_lines"))
     },
 
@@ -265,7 +271,8 @@ object RelationalQueries extends QueryPack {
       t.customer.createOrReplaceTempView("q22_customer")
       t.orders.createOrReplaceTempView("q22_orders")
       spark.sql(
-        """SELECT c_mktsegment, count(*) AS n_customers, sum(c_acctbal) AS total_bal
+        """SELECT c_mktsegment, count(*) AS n_customers,
+          |  CAST(sum(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS total_bal
           |FROM q22_customer
           |WHERE c_acctbal > (
           |    SELECT avg(c_acctbal) FROM q22_customer WHERE c_acctbal > 0.0)
@@ -274,6 +281,20 @@ object RelationalQueries extends QueryPack {
           |    WHERE o_custkey = c_custkey
           |      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
           |GROUP BY c_mktsegment""".stripMargin)
+    },
+
+    // -- O3 limit/offset pagination: page 6 of orders by price. The sort
+    //    key set (o_totalprice, o_orderkey) is unique, so every page is
+    //    deterministic. At scale offset-pagination re-sorts per page —
+    //    keyset pagination (WHERE (price,key) < last-seen) is the 100 TB
+    //    shape — but the operator surface is O3's limit+offset.
+    "q09_pagination" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.orders
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .offset(100)
+        .limit(20)
     },
 
     // -- IN-list + BETWEEN + IS NULL surface (P3, P4, P6, P7).
@@ -310,7 +331,8 @@ object RelationalQueries extends QueryPack {
         |ORDER BY numwait DESC, s_name ASC
         |LIMIT 10""".stripMargin,
     "q22_lost_customers" ->
-      """SELECT c_mktsegment, count(*) AS n_customers, sum(c_acctbal) AS total_bal
+      """SELECT c_mktsegment, count(*) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS total_bal
         |FROM customer
         |WHERE c_acctbal > (
         |    SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
@@ -321,20 +343,20 @@ object RelationalQueries extends QueryPack {
         |GROUP BY c_mktsegment""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(l_quantity) AS sum_qty,
-        |  sum(l_extendedprice) AS sum_base_price,
-        |  sum(l_extendedprice * (1.0 - l_discount)) AS sum_disc_price,
-        |  sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)) AS sum_charge,
-        |  avg(l_quantity) AS avg_qty,
-        |  avg(l_extendedprice) AS avg_price,
-        |  avg(l_discount) AS avg_disc,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(28,2))) AS DOUBLE) / count(l_discount) AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q02_mktsegment_revenue" ->
       """SELECT c_mktsegment,
-        |  sum(o_totalprice) AS revenue,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue,
         |  count(*) AS n_orders,
         |  count(DISTINCT o_custkey) AS n_customers
         |FROM orders JOIN customer ON o_custkey = c_custkey
@@ -343,7 +365,7 @@ object RelationalQueries extends QueryPack {
         |GROUP BY c_mktsegment""".stripMargin,
     "q03_top_orders" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON o_orderkey = l_orderkey
@@ -363,7 +385,7 @@ object RelationalQueries extends QueryPack {
         |GROUP BY o_orderpriority""".stripMargin,
     "q05_regional_revenue" ->
       """SELECT n_name,
-        |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -374,7 +396,7 @@ object RelationalQueries extends QueryPack {
         |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
         |GROUP BY n_name""".stripMargin,
     "q06_forecast_revenue" ->
-      """SELECT sum(l_extendedprice * l_discount) AS revenue,
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
         |  count(*) AS n_lines
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
@@ -383,7 +405,7 @@ object RelationalQueries extends QueryPack {
         |  AND l_quantity < 24""".stripMargin,
     "q07_nation_volume" ->
       """SELECT n_name, CAST(year(l_shipdate) AS INT) AS l_year,
-        |  sum(l_extendedprice * (1.0 - l_discount)) AS volume
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS volume
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
@@ -397,7 +419,7 @@ object RelationalQueries extends QueryPack {
         |  AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')""".stripMargin,
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name,
-        |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -408,9 +430,9 @@ object RelationalQueries extends QueryPack {
         |LIMIT 20""".stripMargin,
     "q12_quantity_buckets" ->
       """SELECT l_linestatus,
-        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-        |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count,
-        |  sum(CASE WHEN l_quantity < 10 THEN l_extendedprice END) AS small_qty_price
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count,
+        |  CAST(sum(CASE WHEN l_quantity < 10 THEN CAST(l_extendedprice AS DECIMAL(28,2)) END) AS DOUBLE) AS small_qty_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY l_linestatus""".stripMargin,
     "q13_order_count_distribution" ->
@@ -423,14 +445,14 @@ object RelationalQueries extends QueryPack {
         |  GROUP BY c_custkey)
         |GROUP BY c_count""".stripMargin,
     "q14_brand_share" ->
-      """SELECT 100.0 * sum(CASE WHEN p_brand LIKE 'Brand#1%'
-        |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
-        |  / sum(l_extendedprice * (1.0 - l_discount)) AS brand1_share
+      """SELECT 100.0 * CAST(sum(CAST(CASE WHEN p_brand LIKE 'Brand#1%'
+        |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(28,4))) AS DOUBLE)
+        |  / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS brand1_share
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'""".stripMargin,
     "q17_small_quantity_revenue" ->
-      """SELECT sum(l_extendedprice) / 7.0 AS avg_yearly
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) / 7.0 AS avg_yearly
         |FROM lineitem JOIN part ON p_partkey = l_partkey
         |WHERE p_brand = 'Brand#1'
         |  AND l_quantity < (
@@ -446,12 +468,17 @@ object RelationalQueries extends QueryPack {
         |ORDER BY o_totalprice DESC, o_orderkey ASC
         |LIMIT 20""".stripMargin,
     "q19_bracketed_discounts" ->
-      """SELECT sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+      """SELECT CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
         |  count(*) AS n_lines
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 15 AND p_size BETWEEN 1 AND 10)
         |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 25 AND p_size BETWEEN 5 AND 20)
         |   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 35 AND p_size BETWEEN 10 AND 40)""".stripMargin,
+    "q09_pagination" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 20 OFFSET 100""".stripMargin,
     "q15_predicate_surface" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_orderpriority = '5-LOW' THEN NULL ELSE o_orderpriority END AS prio_or_null,

@@ -63,14 +63,51 @@ object SetOpQueries extends QueryPack {
 
     // -- U4: canonical keyed dedup — deterministic keeper via row_number,
     //    NOT dropDuplicates (whose survivor is partition-order-dependent).
+    //    Partition key is l_orderkey (high cardinality: ~orders-many
+    //    partitions), so the sort shards across all tasks — never window on
+    //    a handful-valued key (the whole table would sort in that many
+    //    tasks; see the scale note above). Columns are projected BEFORE the
+    //    window so only the 3 output columns enter the shuffle, and the
+    //    ordering keys are a superset of the output columns, which keeps
+    //    the survivor deterministic even on fully tied rows.
     "u06_keyed_dedup" -> { (spark, dir) =>
       val t = Tables(spark, dir)
-      val w = Window.partitionBy(col("l_returnflag"), col("l_linestatus"))
-        .orderBy(col("l_orderkey").asc, col("l_linenumber").asc)
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber").asc, col("l_partkey").asc)
       t.lineitem
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
-        .select(col("l_returnflag"), col("l_linestatus"), col("l_orderkey"), col("l_linenumber"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+    },
+
+    // -- U4 at 100 TB: the window-free twin of u06. min(struct(...)) is a
+    //    lexicographic argmin that partial-aggregates (map-side combine),
+    //    so the shuffle carries one row per key, not the full table — the
+    //    preferred keyed-dedup shape when only the survivor's columns (not
+    //    the whole row) are needed.
+    "u07_agg_dedup" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.lineitem
+        .groupBy(col("l_orderkey"))
+        .agg(min(struct(col("l_linenumber"), col("l_partkey"))).as("s"))
+        .select(col("l_orderkey"),
+          col("s.l_linenumber").as("l_linenumber"),
+          col("s.l_partkey").as("l_partkey"))
+    },
+
+    // -- U3 multiset form: priorities lost between 1997 and 1998 (EXCEPT ALL).
+    "u08_except_all" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val y97 = t.orders
+        .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+          col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+        .select(col("o_orderpriority"))
+      val y98 = t.orders
+        .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")) &&
+          col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1999-01-01 00:00:00")))
+        .select(col("o_orderpriority"))
+      y97.exceptAll(y98).groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
     }
   )
 
@@ -102,11 +139,30 @@ object SetOpQueries extends QueryPack {
         |    AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00')
         |GROUP BY o_orderpriority""".stripMargin,
     "u06_keyed_dedup" ->
-      """SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber FROM (
-        |  SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber,
-        |    row_number() OVER (PARTITION BY l_returnflag, l_linestatus
-        |      ORDER BY l_orderkey ASC, l_linenumber ASC) AS rn
+      """SELECT l_orderkey, l_linenumber, l_partkey FROM (
+        |  SELECT l_orderkey, l_linenumber, l_partkey,
+        |    row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_linenumber ASC, l_partkey ASC) AS rn
         |  FROM lineitem)
-        |WHERE rn = 1""".stripMargin
+        |WHERE rn = 1""".stripMargin,
+    "u07_agg_dedup" ->
+      """SELECT l_orderkey,
+        |  min(l_linenumber) AS l_linenumber,
+        |  min(l_partkey) FILTER (WHERE l_linenumber = min_ln) AS l_partkey
+        |FROM (
+        |  SELECT l_orderkey, l_linenumber, l_partkey,
+        |    min(l_linenumber) OVER (PARTITION BY l_orderkey) AS min_ln
+        |  FROM lineitem)
+        |GROUP BY l_orderkey""".stripMargin,
+    "u08_except_all" ->
+      """SELECT o_orderpriority, count(*) AS n FROM (
+        |  SELECT o_orderpriority FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  EXCEPT ALL
+        |  SELECT o_orderpriority FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00')
+        |GROUP BY o_orderpriority""".stripMargin
   )
 }

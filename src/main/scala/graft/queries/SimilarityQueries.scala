@@ -59,17 +59,24 @@ object SimilarityQueries extends QueryPack {
           col("label"),
           col("n_vectors"),
           size(col("centroid")).as("dim"),
-          sqrt(aggregate(transform(col("centroid"), x => x * x),
-            lit(0.0), (acc, x) => acc + x)).as("centroid_norm")
+          // rounded on BOTH sides: the UDAF's partial-merge order makes the
+          // last ulps partition-count-dependent (see Exact's scaladoc)
+          round(sqrt(aggregate(transform(col("centroid"), x => x * x),
+            lit(0.0), (acc, x) => acc + x)), 6).as("centroid_norm")
         )
     },
 
-    // -- L2 vector variant: near-dup embedding pairs via LSH blocking
-    //    (rows-only; exactness-within-block property-tested).
+    // -- L2 vector variant: near-dup embedding pairs, blocked on the label
+    //    column (exact within blocks → DuckDB-oracle-checked; the LSH-bucket
+    //    blocking mode of the same operator is the unsupervised scale path,
+    //    recall property-tested in LlmOpsSpec). minCosine is calibrated to
+    //    the fixture's similarity distribution so the result is non-trivial
+    //    (a 0-row query verifies nothing).
     "s04_embedding_neardups" -> { (spark, dir) =>
       val t = Tables(spark, dir)
       SimilaritySearch.cosineNearDupPairs(
-        t.embeddings, "vec_id", "embedding", dim = 64, minCosine = 0.75, planes = 6)
+        t.embeddings, "vec_id", "embedding", dim = 64, minCosine = 0.3,
+        blockCol = Some("label"))
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
     }
   )
@@ -89,6 +96,14 @@ object SimilarityQueries extends QueryPack {
         |      ORDER BY sim_r DESC, neighbor_id ASC) AS INT) AS rn
         |  FROM (SELECT query_id, neighbor_id, round(sim, 6) AS sim_r FROM scored))
         |SELECT query_id, neighbor_id, sim, rn FROM ranked WHERE rn <= 5""".stripMargin,
+    "s04_embedding_neardups" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.3""".stripMargin,
     "s03_label_centroids" ->
       """WITH comps AS (
         |  SELECT label, generate_subscripts(embedding, 1) AS pos,
@@ -97,7 +112,7 @@ object SimilarityQueries extends QueryPack {
         |means AS (
         |  SELECT label, pos, avg(comp) AS m FROM comps GROUP BY label, pos),
         |norms AS (
-        |  SELECT label, sqrt(sum(m * m)) AS centroid_norm, count(*) AS dim
+        |  SELECT label, round(sqrt(sum(m * m)), 6) AS centroid_norm, count(*) AS dim
         |  FROM means GROUP BY label)
         |SELECT n.label,
         |  (SELECT count(*) FROM embeddings e WHERE e.label = n.label) AS n_vectors,

@@ -62,12 +62,27 @@ object TextQueries extends QueryPack {
         .limit(25)
     },
 
-    // -- Language ID heuristic (no SQL oracle — marker-word argmax is
-    //    engine-specific; correctness pinned by LlmOpsSpec unit tests).
+    // -- Language ID over the corpus: the scalable explode + codegen'd
+    //    conditional-SUM formulation (languageMarkerSums) — marker counts
+    //    partial-aggregate map-side, CJK/null flags computed ONCE per doc
+    //    below the generator. Identical semantics to the per-row
+    //    TextFunctions.languageId Column (equivalence pinned in LlmOpsSpec);
+    //    the whole pipeline is SQL-expressible, so it is oracle-checked.
     "t05_language_id" -> { (spark, dir) =>
       val t = Tables(spark, dir)
-      t.documents
-        .withColumn("lang_guess", languageId(col("text")))
+      val flagged = t.documents
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+        .select(
+          col("doc_id"),
+          col("text").isNull.as("no_text"),
+          cjkFlag(col("text")).as("cjk"),
+          tokens(lower(col("text"))).as("toks"))
+      val exploded = flagged.select(col("doc_id"), col("no_text"), col("cjk"),
+        explode_outer(col("toks")).as("t"))
+      exploded.groupBy(col("doc_id"))
+        .agg(max(col("no_text")).as("no_text"),
+          (max(col("cjk")).as("cjk") +: languageMarkerSums(col("t"))): _*)
+        .select(languageFromSums(col("no_text"), col("cjk")).as("lang_guess"))
         .groupBy(col("lang_guess"))
         .agg(count(lit(1)).as("n_docs"))
     },
@@ -87,13 +102,15 @@ object TextQueries extends QueryPack {
           try_element_at(col("fps"), lit(1)).as("min_fingerprint"))
     },
 
-    // -- Composite quality score + subword counts (rows-only: heuristic
-    //    weights are engine-defined; monotonicity property-tested).
+    // -- Composite quality score + subword counts. Every signal is pure
+    //    per-row arithmetic over counts, so the whole heuristic is
+    //    oracle-checked (quality rounded both sides: a chain of double
+    //    multiplies where the engines' codegen may fuse differently).
     "t06_quality_scores" -> { (spark, dir) =>
       val t = Tables(spark, dir)
       t.documents.select(
         col("doc_id"),
-        qualityScore(col("text"), col("n_chars")).as("quality"),
+        round(qualityScore(col("text"), col("n_chars")), 6).as("quality"),
         subwordCount(col("text")).as("n_subwords"),
         stopwordRatio(col("text")).as("stopword_ratio")
       )
@@ -130,6 +147,58 @@ object TextQueries extends QueryPack {
         |  min(doc_id) AS canonical_doc, count(*) AS n_copies
         |FROM documents
         |GROUP BY 1""".stripMargin,
+    "t06_quality_scores" ->
+      """WITH sig AS (
+        |  SELECT doc_id, n_chars,
+        |    length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 1.0
+        |      / greatest(length(text), 1) AS punct_ratio,
+        |    length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+        |      / greatest(length(text), 1) AS digit_ratio,
+        |    CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS tk,
+        |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subwords
+        |  FROM documents),
+        |ratio AS (
+        |  SELECT doc_id, n_chars, punct_ratio, digit_ratio, n_subwords,
+        |    len(list_filter(tk, x -> list_contains(
+        |      ['the','a','an','and','or','of','to','in','is','it',
+        |       'that','for','on','with','as','at','by','be','this','are'], x))) * 1.0
+        |      / greatest(len(tk), 1) AS stopword_ratio
+        |  FROM sig)
+        |SELECT doc_id,
+        |  round(greatest(0.0,
+        |    0.35 * least(n_chars / 500.0, 1.0)
+        |    + 0.35 * least(stopword_ratio * 4.0, 1.0)
+        |    + 0.30 * (1.0 - least(punct_ratio * 5.0, 1.0) * 0.5
+        |                  - least(digit_ratio * 5.0, 1.0) * 0.5)), 6) AS quality,
+        |  n_subwords,
+        |  stopword_ratio
+        |FROM ratio""".stripMargin,
+    "t05_language_id" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    text IS NULL AS no_text,
+        |    coalesce(regexp_matches(text, '[\x{4e00}-\x{9fff}]'), false) AS cjk,
+        |    CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS tk
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, no_text, cjk,
+        |    len(list_filter(tk, x -> list_contains(['the','and','of','to','in','is','that','for'], x))) AS s_en,
+        |    len(list_filter(tk, x -> list_contains(['el','la','de','que','y','los','las','por'], x))) AS s_es,
+        |    len(list_filter(tk, x -> list_contains(['der','die','und','das','ist','nicht','ein','mit'], x))) AS s_de,
+        |    len(list_filter(tk, x -> list_contains(['le','les','et','des','une','est','dans','pour'], x))) AS s_fr
+        |  FROM toks),
+        |langed AS (
+        |  SELECT CASE WHEN no_text THEN NULL
+        |    WHEN cjk THEN 'zh'
+        |    WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+        |    WHEN s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+        |    WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+        |    WHEN s_en >= s_de THEN 'en'
+        |    ELSE 'de' END AS lang_guess
+        |  FROM scored)
+        |SELECT lang_guess, count(*) AS n_docs FROM langed GROUP BY lang_guess""".stripMargin,
     "t04_token_freq" ->
       """SELECT token, count(*) AS n FROM (
         |  SELECT unnest(string_split_regex(trim(regexp_replace(regexp_replace(lower(text),

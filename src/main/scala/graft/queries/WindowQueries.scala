@@ -64,7 +64,11 @@ object WindowQueries extends QueryPack {
       )
     },
 
-    // -- W3: moving average over the last 7 events per user.
+    // -- W3: moving average over the last 7 events per user. Computed as
+    //    exact-decimal frame sum / frame count: DuckDB's segment-tree frame
+    //    aggregation associates double additions differently than Spark's
+    //    sequential frame, so the raw avg(double) diverges in the last ulps
+    //    — exact sums make both engines bit-identical (see Exact).
     "w04_moving_avg" -> { (spark, dir) =>
       val t = Tables(spark, dir)
       val w = Window.partitionBy(col("user_id"))
@@ -73,7 +77,8 @@ object WindowQueries extends QueryPack {
       t.events.select(
         col("user_id"),
         col("event_id"),
-        avg(col("value")).over(w).as("avg_7")
+        (sum(col("value").cast("decimal(28,10)")).over(w).cast("double") /
+          count(col("value")).over(w)).as("avg_7")
       )
     },
 
@@ -98,7 +103,8 @@ object WindowQueries extends QueryPack {
       t.orders.select(
         col("o_orderkey"),
         col("o_custkey"),
-        sum(col("o_totalprice")).over(w).as("trailing_30d_spend")
+        sum(col("o_totalprice").cast("decimal(28,2)")).over(w)
+          .cast("double").as("trailing_30d_spend")
       )
     },
 
@@ -155,10 +161,12 @@ object WindowQueries extends QueryPack {
         |FROM lineitem""".stripMargin,
     "w04_moving_avg" ->
       """SELECT user_id, event_id,
-        |  avg(value) OVER (PARTITION BY user_id
-        |    ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC
-        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS avg_7
-        |FROM events""".stripMargin,
+        |  CAST(sum(CAST(value AS DECIMAL(28,10))) OVER w AS DOUBLE)
+        |    / count(value) OVER w AS avg_7
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC
+        |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
     "w05_lag_lead" ->
       """SELECT user_id, event_id,
         |  value - lag(value, 1) OVER w AS value_delta,
@@ -168,9 +176,9 @@ object WindowQueries extends QueryPack {
         |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC)""".stripMargin,
     "w06_trailing_spend" ->
       """SELECT o_orderkey, o_custkey,
-        |  sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) OVER (PARTITION BY o_custkey
         |    ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT) ASC
-        |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS trailing_30d_spend
+        |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d_spend
         |FROM orders""".stripMargin,
     "w08_cume_dist" ->
       """SELECT c_mktsegment, c_custkey,

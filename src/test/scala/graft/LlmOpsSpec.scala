@@ -151,6 +151,63 @@ class LlmOpsSpec extends SparkSpec {
       s"text='${r.getString(0)}' expected=${r.getString(1)} got=${r.getString(2)}"))
   }
 
+  test("jaccardPairs refuses an unblocked cartesian over a large frame") {
+    import spark.implicits._
+    val big = spark.range(0, 500).select(col("id").as("doc_id"),
+      concat(lit("doc number "), col("id")).as("text"))
+    // guard trips: 500 rows > maxUnblockedRows=100 without a blocking key
+    val e = intercept[IllegalArgumentException] {
+      Dedup.jaccardPairs(big, "text", "doc_id", maxUnblockedRows = 100L)
+    }
+    assert(e.getMessage.contains("blockCol"))
+    // same frame with a blocking key is fine (equi join, never cross join)
+    val blocked = big.withColumn("shard", pmod(col("doc_id"), lit(50)))
+    val pairs = Dedup.jaccardPairs(blocked, "text", "doc_id",
+      minJaccard = 0.0, blockCol = Some("shard"), maxUnblockedRows = 100L)
+    assert(pairs.columns.toSeq === Seq("id_a", "id_b", "jaccard"))
+    assert(pairs.count() > 0)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"blocked path must not cartesian:\n$plan")
+  }
+
+  test("jaccardVerify scores exactly the candidate pairs it is given") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "totally different words here")
+    ).toDF("doc_id", "text")
+    val cands = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.jaccardVerify(cands, d, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.size === 2)
+    assert(out((1L, 2L)) === 1.0)
+    assert(out((1L, 3L)) === 0.0)
+  }
+
+  test("cosineNearDupPairs with caller blockCol is exact within blocks") {
+    import spark.implicits._
+    val v = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(1.0f, 0.0f), 1) // same direction as 1 but different block
+    ).toDF("vec_id", "embedding", "label")
+    val pairs = SimilaritySearch.cosineNearDupPairs(
+      v, "vec_id", "embedding", dim = 2, minCosine = 0.9, blockCol = Some("label"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L))) // (1,3) blocked apart; (2,3) below threshold in-block anyway
+  }
+
+  test("t05 exploded language-id agrees with the per-row languageId column") {
+    val perRow = docs
+      .withColumn("lang_guess", TextFunctions.languageId(col("text")))
+      .groupBy("lang_guess").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exploded = SparkEntry.queries("t05_language_id")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exploded === perRow)
+  }
+
   test("binaryFile source reads payloads with metadata and prunes content") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_bin")
     java.nio.file.Files.write(tmp.resolve("a.img"), Array[Byte](1, 2, 3, 4))

@@ -68,10 +68,16 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
-  test("e04 props map path agrees with e03 get_json_object path on total count") {
-    val viaMap = SparkEntry.queries("e04_props_map")(spark, sf)
-      .agg(sum("n")).head.getLong(0)
+  test("e04 props map path agrees with e03 get_json_object path per event") {
+    val e04 = SparkEntry.queries("e04_props_map")(spark, sf)
     val total = graft.sources.Tables(spark, sf).events.count()
-    assert(viaMap === total)
+    assert(e04.count() === total) // one canonicalized row per event
+    // the map-extracted k must agree with the get_json_object extraction
+    val viaJson = graft.sources.Tables(spark, sf).events
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_json"))
+    val mismatches = e04.join(viaJson, "event_id")
+      .filter(!(col("k") <=> col("k_json"))).count()
+    assert(mismatches === 0L)
   }
 }
