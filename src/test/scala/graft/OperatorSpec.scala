@@ -68,6 +68,16 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("schema_of_json / map_filter / map_values close the F5/F6 surface") {
+    val row = spark.range(1).select(
+      schema_of_json(lit("""{"k": 42}""")).as("s"),
+      map_values(map_filter(
+        map(lit("a"), lit(1), lit("b"), lit(2)), (_, v) => v > 1)).as("mv")
+    ).head
+    assert(row.getString(0).toLowerCase.contains("k"), row.getString(0)) // STRUCT<k: BIGINT>
+    assert(row.getSeq[Int](1) === Seq(2))
+  }
+
   test("e04 props map path agrees with e03 get_json_object path per event") {
     val e04 = SparkEntry.queries("e04_props_map")(spark, sf)
     val total = graft.sources.Tables(spark, sf).events.count()

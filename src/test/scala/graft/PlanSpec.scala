@@ -104,6 +104,35 @@ class PlanSpec extends SparkSpec {
     assert(joined.count() === 1)
   }
 
+  test("u06 keyed dedup windows on the high-cardinality key, pruned to 3 columns") {
+    val p = plan("u06_keyed_dedup")
+    assert(p.contains("hashpartitioning(l_orderkey"),
+      s"window must partition on l_orderkey (orders-many partitions):\n${p.take(2000)}")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_extendedprice") && !readSchema.contains("l_shipdate"),
+      s"scan must read only the 3 projected columns: $readSchema")
+  }
+
+  test("u07 agg dedup partial-aggregates (map-side combine, no window sort)") {
+    val p = plan("u07_agg_dedup")
+    // min(struct) is order-based → Spark picks SortAggregate; the scale
+    // property is the PARTIAL phase (shuffle carries one row per key)
+    assert(p.contains("partial_min"), p.take(2000))
+    assert(!p.contains("Window"), s"u07 must be window-free:\n${p.take(2000)}")
+  }
+
+  test("t05 language-id partial-aggregates the exploded marker sums") {
+    val p = plan("t05_language_id")
+    assert(p.contains("Generate explode"), p.take(2000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
+  test("s04 embedding near-dups meet on an equi join, never a cartesian") {
+    val p = plan("s04_embedding_neardups")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"blocked pair generation must be an equi join:\n${p.take(2000)}")
+  }
+
   test("whole-stage codegen covers the relational core queries") {
     Seq("q01_pricing_summary", "q06_forecast_revenue", "w03_running_revenue").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sf)
