@@ -21,6 +21,7 @@ object SparkEntry {
     FunctionQueries,
     JoinQueries,
     TextQueries,
+    CorpusQueries,
     DedupQueries,
     SimilarityQueries,
     MultimodalQueries,

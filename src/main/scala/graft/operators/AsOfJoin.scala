@@ -27,43 +27,102 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** Most recent right row at or before the left time (per key).
+    * @param toleranceSeconds when set, a match further than this many
+    *        seconds in the past is nulled out (the match window is
+    *        `[t - tolerance, t]`); comparison is on fractional epoch
+    *        seconds, exact to the timestamp's microsecond precision.
+    */
   def backward(
       left: DataFrame,
       right: DataFrame,
       keys: Seq[String],
       leftTime: String,
       rightTime: String,
-      rightVals: Seq[(String, String)] // (right column, output alias)
+      rightVals: Seq[(String, String)], // (right column, output alias)
+      toleranceSeconds: Option[Double] = None
+  ): DataFrame =
+    asof(left, right, keys, leftTime, rightTime, rightVals, toleranceSeconds,
+      forwardDir = false)
+
+  /** Earliest right row at or after the left time (per key) — the mirror
+    * of [[backward]]: right rows sort AFTER left rows at equal timestamps
+    * so an exactly-simultaneous right row is still visible (inclusive >=),
+    * and values are carried from the FOLLOWING frame. Match window with
+    * tolerance is `[t, t + tolerance]`.
+    */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightVals: Seq[(String, String)],
+      toleranceSeconds: Option[Double] = None
+  ): DataFrame =
+    asof(left, right, keys, leftTime, rightTime, rightVals, toleranceSeconds,
+      forwardDir = true)
+
+  private def asof(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightVals: Seq[(String, String)],
+      toleranceSeconds: Option[Double],
+      forwardDir: Boolean
   ): DataFrame = {
     val leftCols = left.columns.toSeq
+    // direction decides tie order: the right row must land on the side of
+    // the frame the carry reads from (backward: before the left row at
+    // ties; forward: after it)
+    val (leftSide, rightSide) = if (forwardDir) (0, 1) else (1, 0)
+    // the matched right TIME is always carried too — it drives tolerance
+    val carriedVals = rightVals :+ (rightTime -> "_rt_matched")
     val sideL = left
       .withColumn("_t", col(leftTime))
-      .withColumn("_side", lit(1))
+      .withColumn("_side", lit(leftSide))
       .select(
         Seq(col("_t"), col("_side")) ++
           keys.map(col) ++
           leftCols.filterNot(keys.contains).map(col) ++
-          rightVals.map { case (_, alias) => lit(null).as(s"_rv_$alias") }: _*
+          carriedVals.map { case (_, alias) => lit(null).as(s"_rv_$alias") }: _*
       )
     val sideR = right
       .withColumn("_t", col(rightTime))
-      .withColumn("_side", lit(0))
+      .withColumn("_side", lit(rightSide))
       .select(
         Seq(col("_t"), col("_side")) ++
           keys.map(col) ++
           leftCols.filterNot(keys.contains).map(c => lit(null).as(c)) ++
-          rightVals.map { case (src, alias) => col(src).as(s"_rv_$alias") }: _*
+          carriedVals.map { case (src, alias) => col(src).as(s"_rv_$alias") }: _*
       )
     val unioned = sideL.unionByName(sideR)
-    val w = Window
+    val base = Window
       .partitionBy(keys.map(col): _*)
       .orderBy(col("_t").asc, col("_side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightVals.foldLeft(unioned) { case (df, (_, alias)) =>
-      df.withColumn(alias, last(col(s"_rv_$alias"), ignoreNulls = true).over(w))
+    val w =
+      if (forwardDir) base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def carry(c: org.apache.spark.sql.Column) =
+      if (forwardDir) first(c, ignoreNulls = true).over(w)
+      else last(c, ignoreNulls = true).over(w)
+    val carried = carriedVals.foldLeft(unioned) { case (df, (_, alias)) =>
+      df.withColumn(alias, carry(col(s"_rv_$alias")))
+    }
+    val withinTolerance = toleranceSeconds match {
+      case None => lit(true)
+      case Some(tol) =>
+        val gap =
+          if (forwardDir) col("_rt_matched").cast("double") - col("_t").cast("double")
+          else col("_t").cast("double") - col("_rt_matched").cast("double")
+        col("_rt_matched").isNotNull && gap <= tol
     }
     carried
-      .filter(col("_side") === 1)
-      .select(leftCols.map(col) ++ rightVals.map { case (_, a) => col(a) }: _*)
+      .filter(col("_side") === leftSide)
+      .select(leftCols.map(col) ++ rightVals.map { case (_, a) =>
+        when(withinTolerance, col(a)).otherwise(lit(null)).as(a)
+      }: _*)
   }
 }

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Corpus-preparation operators for LLM training-data pipelines
+  * (SURVEY.md §2.11 family): chunking long documents into overlapping
+  * token windows, deterministic stratified sampling, and packing documents
+  * into fixed-token-budget shards. All are pure DataFrame transforms —
+  * one scan plus (for sample/pack) one shuffle on the stratum key.
+  */
+object Corpus {
+
+  /** Split each document into overlapping token windows ("chunks"):
+    * chunk i covers tokens [i*step, i*step + chunkTokens) with
+    * step = chunkTokens - overlapTokens; the last chunk may be short;
+    * empty documents produce no chunks.
+    *
+    * Output: (idCol, chunk_id, chunk_text, n_chunk_tokens).
+    *
+    * Scale notes: map-only — no shuffle; cost is one tokenization plus
+    * O(chunks) slicing per row. The chunk-window lambda references the
+    * token expression from an outer scope, so the optimizer's projection
+    * collapse re-evaluates tokenization once per CHUNK (bounded by
+    * nChunks, typically ≤ a few) — for very long documents at 100 TB,
+    * stage the token arrays through a cache the way
+    * Dedup.minhashNearDupPairs does.
+    */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlapTokens: Int = 0): DataFrame = {
+    require(chunkTokens > 0 && overlapTokens >= 0 && overlapTokens < chunkTokens,
+      "need 0 <= overlapTokens < chunkTokens")
+    val step = chunkTokens - overlapTokens
+    // chunk ids derived from the _toks ATTRIBUTE (a Generate child output),
+    // not the tokenization expression — the generator then never re-runs
+    // the regex pipeline (tokenize once per row, total)
+    val n = size(col("_toks"))
+    // ceil((n - overlap) / step), at least 1 for any non-empty doc
+    val nChunks = when(n === 0, lit(0)).otherwise(
+      greatest(ceil((n - lit(overlapTokens)).cast("double") / step).cast("int"), lit(1)))
+    val chunkIds = when(nChunks > 0, sequence(lit(0), nChunks - 1))
+      .otherwise(array().cast("array<int>")) // sequence(0,-1) would DESCEND
+    docs
+      // explicit N: single-file inputs scan as ONE task, and AQE would
+      // coalesce a small text shuffle right back (it optimizes bytes, not
+      // downstream regex cost) — same rationale as Dedup's pipelines
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol), tokens(normalizeText(col(textCol))).as("_toks"))
+      .select(col(idCol), col("_toks"), explode(chunkIds).as("chunk_id"))
+      .select(
+        col(idCol),
+        col("chunk_id"),
+        concat_ws(" ",
+          slice(col("_toks"), col("chunk_id") * step + 1, lit(chunkTokens))).as("chunk_text"),
+        (least(col("chunk_id") * step + chunkTokens, size(col("_toks"))) -
+          col("chunk_id") * step).cast("int").as("n_chunk_tokens"))
+  }
+
+  /** Deterministic stratified sample: the first `perStratum` rows of each
+    * stratum under a pseudo-random-but-reproducible order (md5 of the id,
+    * id as tiebreak). Unlike `df.sample`/`sampleBy`, the result is
+    * IDENTICAL across engines, runs, and partitionings — the property a
+    * training-data pipeline needs for auditable subset selection.
+    *
+    * One shuffle on the stratum key; the per-stratum sort is partition-local.
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+      perStratum: Int): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string").cast("binary")).asc, col(idCol).asc)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= perStratum)
+      .drop("_rn")
+  }
+
+  /** Assign documents to fixed-token-budget packs ("shards"): within each
+    * stratum, documents are taken in id order and a document starts in
+    * pack floor(preceding-tokens / budget) — contiguous, deterministic,
+    * single-pass. A document that straddles a budget boundary belongs to
+    * the pack it STARTED in, so packs can overflow by at most one
+    * document (the standard greedy sequence-packing compromise; exact bin
+    * packing is NP-hard and order-dependent).
+    *
+    * Output: input columns + (n_tokens, pack_id). One shuffle on the
+    * stratum key; the running sum is a partition-local window.
+    */
+  def packSequences(docs: DataFrame, stratumCol: String, idCol: String,
+      textCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val w = Window.partitionBy(col(stratumCol)).orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("n_tokens", tokenCount(col(textCol)))
+      .withColumn("_cum", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id",
+        floor((col("_cum") - col("n_tokens")).cast("double") / budgetTokens).cast("long"))
+      .drop("_cum")
+  }
+
+  /** Convenience: per-pack summary of [[packSequences]]. */
+  def packSummary(packed: DataFrame, stratumCol: String): DataFrame =
+    packed.groupBy(col(stratumCol), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
+}

@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.Corpus
+import graft.sources.Tables
+
+/** Corpus-preparation surface over `documents`: chunking, deterministic
+  * stratified sampling, token-budget sequence packing (graft.operators
+  * .Corpus). All three are SQL-expressible, so every query here is
+  * oracle-checked — chunk boundaries, sample membership, and pack
+  * assignment are verified value-by-value against DuckDB.
+  */
+object CorpusQueries extends QueryPack {
+
+  override def queries: Map[String, Query] = Map(
+    // -- Overlapping token windows: 32-token chunks, 8-token overlap.
+    "c01_chunking" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      Corpus.chunkDocuments(t.documents, "doc_id", "text",
+        chunkTokens = 32, overlapTokens = 8)
+    },
+
+    // -- Reproducible stratified sample: 20 docs per source by md5 order.
+    "c02_stratified_sample" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      Corpus.stratifiedSample(t.documents, "source", "doc_id", perStratum = 20)
+        .select(col("source"), col("doc_id"), col("lang"))
+    },
+
+    // -- Token-budget packing: 1024-token shards per source, with the
+    //    per-pack roll-up (n_docs, pack_tokens).
+    "c03_sequence_packing" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      Corpus.packSummary(
+        Corpus.packSequences(t.documents, "source", "doc_id", "text",
+          budgetTokens = 1024L),
+        "source")
+    }
+  )
+
+  override def oracles: Map[String, String] = {
+    // DuckDB twin of tokens(normalizeText(text)): lowercase, strip
+    // non-alphanumerics, collapse whitespace, split (empty → []).
+    val tk =
+      """CASE WHEN length(trim(regexp_replace(regexp_replace(lower(text),
+        |        '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) = 0
+        |     THEN CAST([] AS VARCHAR[])
+        |     ELSE string_split_regex(trim(regexp_replace(regexp_replace(lower(text),
+        |        '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), '\s+') END""".stripMargin
+    Map(
+      "c01_chunking" ->
+        s"""WITH t AS (SELECT doc_id, $tk AS tk FROM documents),
+           |n AS (SELECT doc_id, tk, len(tk) AS n FROM t),
+           |c AS (
+           |  SELECT doc_id, tk, n,
+           |    unnest(generate_series(0,
+           |      CAST(CASE WHEN n = 0 THEN 0
+           |           ELSE greatest(ceil((n - 8) / 24.0), 1) END AS INT) - 1)) AS chunk_id
+           |  FROM n)
+           |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           |  array_to_string(tk[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ') AS chunk_text,
+           |  CAST(least(chunk_id * 24 + 32, n) - chunk_id * 24 AS INT) AS n_chunk_tokens
+           |FROM c""".stripMargin,
+      "c02_stratified_sample" ->
+        """SELECT source, doc_id, lang FROM (
+          |  SELECT source, doc_id, lang,
+          |    row_number() OVER (PARTITION BY source
+          |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+          |  FROM documents)
+          |WHERE rn <= 20""".stripMargin,
+      // n_tokens = tokenCount(text): RAW whitespace tokens (t01's formula),
+      // not the normalized tokens c01 chunks on
+      "c03_sequence_packing" ->
+        s"""WITH t AS (SELECT doc_id, source,
+           |    CASE WHEN length(trim(text)) = 0 THEN 0
+           |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+           |  FROM documents),
+           |packed AS (
+           |  SELECT source, n_tokens,
+           |    CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ASC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 1024.0)
+           |      AS BIGINT) AS pack_id
+           |  FROM t)
+           |SELECT source, pack_id, count(*) AS n_docs,
+           |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+           |FROM packed GROUP BY source, pack_id""".stripMargin
+    )
+  }
+}

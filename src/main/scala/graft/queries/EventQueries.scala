@@ -85,6 +85,24 @@ object EventQueries extends QueryPack {
       )
     },
 
+    // -- J7 as-of join, FORWARD direction with tolerance: for each click,
+    //    the user's next purchase within 1 hour (null beyond tolerance).
+    //    Oracle = correlated bounded-MIN subquery.
+    "e07_asof_forward" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val clicks = t.events.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = t.events.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("purchase_ts"))
+      AsOfJoin.forward(
+        clicks, purchases,
+        keys = Seq("user_id"),
+        leftTime = "ts", rightTime = "purchase_ts",
+        rightVals = Seq(("purchase_ts", "next_purchase_ts")),
+        toleranceSeconds = Some(3600.0)
+      )
+    },
+
     // -- F2 on the stream: daily activity with day-of-week (0=Sunday).
     "e06_daily_activity" -> { (spark, dir) =>
       val t = Tables(spark, dir)
@@ -144,6 +162,14 @@ object EventQueries extends QueryPack {
         |   WHERE c.user_id = p.user_id AND c.event_type = 'click'
         |     AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)) AS last_click_ts
         |FROM events p WHERE p.event_type = 'purchase'""".stripMargin,
+    "e07_asof_forward" ->
+      """SELECT c.event_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS ts,
+        |  (SELECT min(CAST(p.ts AS TIMESTAMP)) FROM events p
+        |   WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+        |     AND epoch(CAST(p.ts AS TIMESTAMP)) >= epoch(CAST(c.ts AS TIMESTAMP))
+        |     AND epoch(CAST(p.ts AS TIMESTAMP)) - epoch(CAST(c.ts AS TIMESTAMP)) <= 3600.0
+        |  ) AS next_purchase_ts
+        |FROM events c WHERE c.event_type = 'click'""".stripMargin,
     "e06_daily_activity" ->
       """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
         |  count(*) AS n_events,

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Corpus
+
+class CorpusSpec extends SparkSpec {
+
+  test("chunkDocuments: boundaries, overlap, short tails, empty docs") {
+    import spark.implicits._
+    // 10 tokens, chunk=4, overlap=1 → step=3 → chunks at 0,3,6 cover
+    // [0,4) [3,7) [6,10) → ceil((10-1)/3)=3 chunks
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "x y"), // shorter than a chunk → 1 chunk
+      (3L, "")     // empty → no chunks
+    ).toDF("doc_id", "text")
+    val out = Corpus.chunkDocuments(docs, "doc_id", "text", chunkTokens = 4, overlapTokens = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getInt(3))).toMap
+    assert(out.keys.count(_._1 == 1L) === 3)
+    assert(out((1L, 0)) === ("a b c d", 4))
+    assert(out((1L, 1)) === ("d e f g", 4)) // overlap: 'd' appears in both
+    assert(out((1L, 2)) === ("g h i j", 4))
+    assert(out((2L, 0)) === ("x y", 2))
+    assert(!out.keys.exists(_._1 == 3L))
+    // every token of every doc appears in at least one chunk
+    val covered = Corpus.chunkDocuments(docs, "doc_id", "text", 4, 1)
+      .select(col("doc_id"), explode(split(col("chunk_text"), " ")).as("t"))
+      .distinct().count()
+    assert(covered === 12) // 10 + 2 distinct (doc_id, token) pairs
+  }
+
+  test("stratifiedSample is deterministic and bounded per stratum") {
+    val docs = graft.sources.Tables(spark, sf).documents
+    val a = Corpus.stratifiedSample(docs, "source", "doc_id", 5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = Corpus.stratifiedSample(docs.repartition(7), "source", "doc_id", 5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a === b, "sample must not depend on partitioning")
+    val perStratum = Corpus.stratifiedSample(docs, "source", "doc_id", 5)
+      .groupBy("source").count().collect().map(_.getLong(1))
+    assert(perStratum.forall(_ <= 5))
+  }
+
+  test("packSequences: contiguous packs, overflow by at most one doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s", "a b c"), // 3 tokens, cum 3  → pack 0
+      (2L, "s", "d e f"), // 3 tokens, cum 6  → pack 0 (starts at 3 < 5)
+      (3L, "s", "g h"),   // 2 tokens, cum 8  → pack 1 (starts at 6 >= 5)
+      (4L, "s", "i")      // 1 token,  cum 9  → pack 1
+    ).toDF("doc_id", "source", "text")
+    val packed = Corpus.packSequences(docs, "source", "doc_id", "text", budgetTokens = 5L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pack_id")).toMap
+    assert(packed === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("packSummary token totals equal the corpus total") {
+    val docs = graft.sources.Tables(spark, sf).documents
+    val packed = Corpus.packSequences(docs, "source", "doc_id", "text", 1024L)
+    val total = packed.agg(sum("n_tokens")).head.getLong(0)
+    val viaPacks = Corpus.packSummary(packed, "source")
+      .agg(sum("pack_tokens")).head.getLong(0)
+    assert(total === viaPacks)
+  }
+}

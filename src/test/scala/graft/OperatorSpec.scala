@@ -30,6 +30,36 @@ class OperatorSpec extends SparkSpec {
     assert(out("c") === None)       // nothing at or before
   }
 
+  test("AsOfJoin.forward attaches earliest right value at or after left time, with tolerance") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a"),
+      (1L, ts("2024-01-01 12:00:00"), "b"), // tie with a right row → visible
+      (1L, ts("2024-01-01 13:00:00"), "c"), // next right is 2h away → beyond tolerance
+      (2L, ts("2024-01-01 09:00:00"), "d")  // no right at or after
+    ).toDF("k", "t", "payload")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:30:00"), 10.0),
+      (1L, ts("2024-01-01 12:00:00"), 20.0),
+      (1L, ts("2024-01-01 15:00:00"), 30.0),
+      (2L, ts("2024-01-01 08:00:00"), 40.0) // before left 'd' → invisible
+    ).toDF("k", "rt", "rv")
+
+    val out = AsOfJoin.forward(left, right, Seq("k"), "t", "rt",
+      Seq(("rv", "next_rv")), toleranceSeconds = Some(3600.0))
+      .collect().map(r => (r.getAs[String]("payload"), Option(r.getAs[Any]("next_rv")))).toMap
+
+    assert(out("a") === Some(10.0)) // 30 min ahead, inside tolerance
+    assert(out("b") === Some(20.0)) // inclusive tie
+    assert(out("c") === None)       // match exists but 2h away → nulled
+    assert(out("d") === None)       // nothing at or after
+
+    // without tolerance, 'c' sees the 15:00 row
+    val noTol = AsOfJoin.forward(left, right, Seq("k"), "t", "rt", Seq(("rv", "next_rv")))
+      .collect().map(r => (r.getAs[String]("payload"), Option(r.getAs[Any]("next_rv")))).toMap
+    assert(noTol("c") === Some(30.0))
+  }
+
   test("Sessionize.byGap splits on gaps strictly greater than the threshold") {
     import spark.implicits._
     val ev = Seq(
