@@ -35,6 +35,28 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 11:00:00.0", "view", 1L)))
   }
 
+  test("chunkDocuments is stateless and runs unchanged under readStream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    stream.addData((1L, "a b c d e f"), (2L, "x y"))
+    val chunked = graft.operators.Corpus.chunkDocuments(
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      chunkTokens = 4, overlapTokens = 1)
+    val q = chunked.writeStream.format("memory").queryName("chunks")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    stream.addData((3L, "p q r s t u v")) // second micro-batch
+    q.processAllAvailable()
+    val got = spark.table("chunks")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    q.stop()
+    assert(got((1L, 0)) === "a b c d")
+    assert(got((1L, 1)) === "d e f")
+    assert(got((2L, 0)) === "x y")
+    assert(got((3L, 1)) === "s t u v")
+  }
+
   test("dedupEvents drops re-delivered event ids within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
