@@ -120,6 +120,19 @@ object PipelineRunner {
         spark.read.parquet(s"${cfg.outputDir}/near_dedup")
           .filter(col("quality") >= minQuality)
       },
+      // training-ready outputs: overlapping token chunks of the gated
+      // corpus, and fixed-token-budget shard assignments per language
+      "chunk_documents" -> { (spark, cfg) =>
+        graft.operators.Corpus.chunkDocuments(
+          spark.read.parquet(s"${cfg.outputDir}/quality_gate"),
+          "doc_id", "text", chunkTokens = 512, overlapTokens = 64)
+      },
+      "pack_shards" -> { (spark, cfg) =>
+        graft.operators.Corpus.packSequences(
+          spark.read.parquet(s"${cfg.outputDir}/quality_gate")
+            .select(col("doc_id"), col("lang_guess"), col("text")),
+          "lang_guess", "doc_id", "text", budgetTokens = 65536L)
+      },
       "corpus_stats" -> { (spark, cfg) =>
         spark.read.parquet(s"${cfg.outputDir}/quality_gate")
           .groupBy(col("lang_guess"))

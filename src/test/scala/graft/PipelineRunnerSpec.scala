@@ -29,6 +29,16 @@ class PipelineRunnerSpec extends SparkSpec {
     assert(byStage("near_dedup") <= byStage("exact_dedup"))
     assert(byStage("quality_gate") <= byStage("near_dedup"))
     assert(byStage("quality_gate") > 0)
+    // chunking can only multiply surviving docs; packing keeps one row per doc
+    assert(byStage("chunk_documents") >= byStage("quality_gate"))
+    assert(byStage("pack_shards") === byStage("quality_gate"))
+    // every pack respects the budget up to one straddling document
+    val overBudget = spark.read.parquet(s"$out/pack_shards")
+      .groupBy(col("lang_guess"), col("pack_id"))
+      .agg(sum(col("n_tokens")).as("pack_tokens"), max(col("n_tokens")).as("max_doc"))
+      .filter(col("pack_tokens") > lit(65536L) + col("max_doc"))
+      .count()
+    assert(overBudget === 0L)
     // stats cover every language present in the gated corpus
     val langs = spark.read.parquet(s"$out/corpus_stats").count()
     assert(langs > 0 && langs <= 6)
