@@ -37,8 +37,10 @@ object Corpus {
     // not the tokenization expression — the generator then never re-runs
     // the regex pipeline (tokenize once per row, total)
     val n = size(col("_toks"))
-    // ceil((n - overlap) / step), at least 1 for any non-empty doc
-    val nChunks = when(n === 0, lit(0)).otherwise(
+    // ceil((n - overlap) / step), at least 1 for any non-empty doc; null
+    // text (null token array → size null) produces no chunks, like empty —
+    // without the isNull arm, greatest(null, 1) would fabricate one chunk
+    val nChunks = when(n.isNull || n === 0, lit(0)).otherwise(
       greatest(ceil((n - lit(overlapTokens)).cast("double") / step).cast("int"), lit(1)))
     val chunkIds = when(nChunks > 0, sequence(lit(0), nChunks - 1))
       .otherwise(array().cast("array<int>")) // sequence(0,-1) would DESCEND

@@ -11,8 +11,9 @@ class CorpusSpec extends SparkSpec {
     // [0,4) [3,7) [6,10) → ceil((10-1)/3)=3 chunks
     val docs = Seq(
       (1L, "a b c d e f g h i j"),
-      (2L, "x y"), // shorter than a chunk → 1 chunk
-      (3L, "")     // empty → no chunks
+      (2L, "x y"),           // shorter than a chunk → 1 chunk
+      (3L, ""),              // empty → no chunks
+      (4L, null: String)     // null text → no chunks (not one empty chunk)
     ).toDF("doc_id", "text")
     val out = Corpus.chunkDocuments(docs, "doc_id", "text", chunkTokens = 4, overlapTokens = 1)
       .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getInt(3))).toMap
@@ -22,6 +23,7 @@ class CorpusSpec extends SparkSpec {
     assert(out((1L, 2)) === ("g h i j", 4))
     assert(out((2L, 0)) === ("x y", 2))
     assert(!out.keys.exists(_._1 == 3L))
+    assert(!out.keys.exists(_._1 == 4L))
     // every token of every doc appears in at least one chunk
     val covered = Corpus.chunkDocuments(docs, "doc_id", "text", 4, 1)
       .select(col("doc_id"), explode(split(col("chunk_text"), " ")).as("t"))
