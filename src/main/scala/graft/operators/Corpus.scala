@@ -94,7 +94,9 @@ object Corpus {
     val w = Window.partitionBy(col(stratumCol)).orderBy(col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
-      .withColumn("n_tokens", tokenCount(col(textCol)))
+      // null text counts as 0 tokens: without the coalesce a null doc gets
+      // a null pack_id (dropped from every shard) instead of riding along
+      .withColumn("n_tokens", coalesce(tokenCount(col(textCol)), lit(0L)))
       .withColumn("_cum", sum(col("n_tokens")).over(w))
       .withColumn("pack_id",
         floor((col("_cum") - col("n_tokens")).cast("double") / budgetTokens).cast("long"))

@@ -54,6 +54,12 @@ class CorpusSpec extends SparkSpec {
     val packed = Corpus.packSequences(docs, "source", "doc_id", "text", budgetTokens = 5L)
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pack_id")).toMap
     assert(packed === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L))
+    // a null-text doc contributes 0 tokens but still lands in a pack
+    import spark.implicits._
+    val withNull = docs.union(Seq((5L, "s", null: String)).toDF("doc_id", "source", "text"))
+    val p5 = Corpus.packSequences(withNull, "source", "doc_id", "text", 5L)
+      .filter(col("doc_id") === 5L).select("n_tokens", "pack_id").head
+    assert(p5.getLong(0) === 0L && p5.getLong(1) === 1L)
   }
 
   test("packSummary token totals equal the corpus total") {
