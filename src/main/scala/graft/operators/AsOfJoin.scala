@@ -63,6 +63,37 @@ object AsOfJoin {
     asof(left, right, keys, leftTime, rightTime, rightVals, toleranceSeconds,
       forwardDir = true)
 
+  /** Skew-resilient [[backward]]: a hot key whose rows exceed one
+    * executor's sort budget is split by salting the LEFT side into
+    * `salts` sub-partitions and replicating the (smaller) RIGHT side into
+    * each — every left row still sees every right row for its key, so the
+    * result is exactly `backward`'s, but each window sorts ~1/salts of
+    * the left rows. Cost: the right side is duplicated `salts` times —
+    * use when the left dominates a key (the common skew: millions of
+    * events as-of-joined against thousands of reference rows).
+    * Deterministic: the salt is a hash of the left row's time+key, not a
+    * random number.
+    */
+  def backwardSalted(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightVals: Seq[(String, String)],
+      salts: Int,
+      toleranceSeconds: Option[Double] = None
+  ): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val saltedLeft = left.withColumn("_salt",
+      pmod(hash(col(leftTime) +: keys.map(col): _*), lit(salts)))
+    val saltedRight = right.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    asof(saltedLeft, saltedRight, keys :+ "_salt", leftTime, rightTime,
+      rightVals, toleranceSeconds, forwardDir = false)
+      .drop("_salt")
+  }
+
   private def asof(
       left: DataFrame,
       right: DataFrame,

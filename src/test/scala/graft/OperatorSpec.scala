@@ -60,6 +60,36 @@ class OperatorSpec extends SparkSpec {
     assert(noTol("c") === Some(30.0))
   }
 
+  test("AsOfJoin.backwardSalted returns exactly backward's rows on a hot key") {
+    import spark.implicits._
+    // one hot key (0) with many left rows — the skew shape the salting splits
+    val left = (0 until 500).map(i =>
+      (if (i < 450) 0L else i.toLong % 7, ts("2024-01-01 00:00:00"), i.toLong))
+      .zipWithIndex.map { case ((k, t0, pay), i) =>
+        (k, new Timestamp(t0.getTime + i * 61000L), pay) }
+      .toDF("k", "t", "payload")
+    val right = (0 until 60).map(i =>
+      (i.toLong % 7, ts("2024-01-01 00:10:00"), i * 1.5))
+      .zipWithIndex.map { case ((k, t0, v), i) =>
+        (k, new Timestamp(t0.getTime + i * 307000L), v) }
+      .toDF("k", "rt", "rv")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        Option(r.getAs[Any]("last_rv")))).toSet
+    val plain = canon(AsOfJoin.backward(left, right, Seq("k"), "t", "rt",
+      Seq(("rv", "last_rv"))))
+    val salted = canon(AsOfJoin.backwardSalted(left, right, Seq("k"), "t", "rt",
+      Seq(("rv", "last_rv")), salts = 8))
+    assert(salted === plain)
+    // and with tolerance applied on both paths
+    val plainTol = canon(AsOfJoin.backward(left, right, Seq("k"), "t", "rt",
+      Seq(("rv", "last_rv")), toleranceSeconds = Some(900.0)))
+    val saltedTol = canon(AsOfJoin.backwardSalted(left, right, Seq("k"), "t", "rt",
+      Seq(("rv", "last_rv")), salts = 8, toleranceSeconds = Some(900.0)))
+    assert(saltedTol === plainTol)
+    assert(plainTol !== plain) // tolerance actually bites on this data
+  }
+
   test("Sessionize.byGap splits on gaps strictly greater than the threshold") {
     import spark.implicits._
     val ev = Seq(
