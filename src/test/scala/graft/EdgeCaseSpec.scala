@@ -75,4 +75,21 @@ class EdgeCaseSpec extends SparkSpec {
     val out = graft.operators.Sessionize.byGap(ev, "user_id", "t", 1800L)
     assert(out.select("session_seq").collect().forall(_.getLong(0) === 0L))
   }
+
+  test("Exact.dsum is partition-count-invariant to the bit") {
+    val li = graft.sources.Tables(spark, sf).lineitem
+    val money = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    def dsumAt(n: Int): Long = java.lang.Double.doubleToLongBits(
+      li.repartition(n).agg(graft.queries.Exact.dsum(money, 4).as("v"))
+        .head.getDouble(0))
+    // the whole point of the decimal-grid discipline: 1 partition and 32
+    // partitions associate the additions completely differently, and the
+    // result must still be the IDENTICAL double
+    assert(dsumAt(1) === dsumAt(32))
+    // and it equals exact BigDecimal accumulation of the 4dp-quantized addends
+    val expected = li.select(money.as("m")).collect()
+      .map(r => BigDecimal(r.getDouble(0)).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble
+    assert(java.lang.Double.doubleToLongBits(expected) === dsumAt(32))
+  }
 }
