@@ -117,14 +117,17 @@ object Dedup {
     result
   }
 
-  /** Connected components over near-dup pairs by iterative min-label
-    * propagation; returns (id, component) where component is the minimum
-    * id reachable. Converges in O(diameter) rounds — near-dup clusters are
-    * shallow (dup families, not long chains), so a small `maxIter` with a
-    * convergence check suffices. At extreme scale swap for the
-    * large-star/small-star algorithm; the interface stays the same.
+  /** Connected components over near-dup pairs; returns (id, component)
+    * where component is the minimum id reachable. Two paths:
+    * below `localThreshold` pairs a driver-side union-find (near-dup edge
+    * sets are output-sized — pairs, not docs — so this is a bounded,
+    * justified collect); above it, the distributed
+    * [[largeStarSmallStar]] algorithm (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC 2014), which converges in
+    * O(log n) rounds regardless of component diameter — unlike min-label
+    * propagation, whose round count is the graph diameter.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
       localThreshold: Long = 5000000L): DataFrame = {
     // Near-dup edge sets are tiny relative to the corpus (pairs, not docs).
     // Below the threshold a driver-side union-find is strictly better than
@@ -156,38 +159,73 @@ object Dedup {
       pairs.unpersist()
       return spark.createDataset(labels).toDF("id", "component")
     }
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .cache()
-    var labels = edges.select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id")))
+    val result = largeStarSmallStar(pairs, maxIter)
+    pairs.unpersist()
+    result
+  }
+
+  /** Large-star/small-star connected components (Kiveris et al. 2014).
+    *
+    * One round = a large-star step (every node points its LARGER neighbors
+    * at its minimum neighbor) followed by a small-star step (every node
+    * re-points its smaller-or-equal neighbors, and itself, at the
+    * minimum). Each step is one groupBy + one equi join — no diameter-many
+    * passes: the edge set contracts to per-component stars rooted at the
+    * component minimum in O(log n) rounds.
+    *
+    * Scale shape per round: two shuffles on node id (the groupBy and the
+    * join re-use the same key) over an edge set that only SHRINKS; the
+    * convergence check is one count. Returns (id, component) for every
+    * node that appears in `pairs`.
+    */
+  def largeStarSmallStar(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    // canonical undirected edges with the LARGER endpoint first: (hi, lo).
+    // Each round ends in an EAGER localCheckpoint: unlike cache, it
+    // truncates the logical plan, which otherwise compounds per round
+    // (unions + exceptAll over the previous round's tree) until plan
+    // construction itself overflows the stack.
+    var edges = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("hi"),
+        least(col("id_a"), col("id_b")).as("lo"))
+      .filter(col("hi") =!= col("lo"))
       .distinct()
-      .withColumn("component", col("id"))
-      .cache()
+      .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      val neighborMin = edges
-        .join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src")).agg(min(col("component")).as("nbr_min"))
-      val updated = labels
-        .join(neighborMin, labels("id") === neighborMin("src"), "left_outer")
-        .select(col("id"),
-          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
-        .cache()
-      val changes = updated.join(labels.withColumnRenamed("component", "old"), "id")
-        .filter(col("component") =!= col("old")).count()
-      labels.unpersist()
-      labels = updated
-      converged = changes == 0
+      // -- large star: for each node u (both orientations), m = min
+      //    neighbor (capped by u itself); larger neighbors v > u re-point
+      //    to m. Output edges keep hi > lo by construction: v > u >= m.
+      val nbrs = edges.select(col("hi").as("u"), col("lo").as("v"))
+        .union(edges.select(col("lo").as("u"), col("hi").as("v")))
+      val minPerU = nbrs.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = nbrs.join(minPerU, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct()
+      // -- small star: group by the larger endpoint x; all its neighbors
+      //    are < x here, so m = min neighbor; re-point every neighbor and
+      //    x itself at m.
+      val minPerX = large.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      val small = large.join(minPerX, "hi")
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .filter(col("hi") =!= col("lo"))
+        .union(minPerX.select(col("hi"), col("m").as("lo")))
+        .distinct()
+        .localCheckpoint(true) // materialize + truncate lineage (see above)
+      // converged when the round is a no-op (same canonical edge set)
+      val changed = small.exceptAll(edges).limit(1).count() +
+        edges.exceptAll(small).limit(1).count()
+      edges = small
+      converged = changed == 0
       iter += 1
     }
-    // materialize the (small) label table, then release every cached input
-    val result = labels.localCheckpoint(true)
-    labels.unpersist()
-    edges.unpersist()
-    pairs.unpersist()
-    result
+    // star edges are (node, root); roots label themselves
+    edges.select(col("hi").as("id"), col("lo").as("component"))
+      .union(edges.select(col("lo").as("id"), col("lo").as("component")))
+      .groupBy(col("id")).agg(min(col("component")).as("component"))
+      .localCheckpoint(true)
   }
 
   /** Survivor selection given a near-dup pair set (any source: MinHash,

@@ -76,6 +76,36 @@ class LlmOpsSpec extends SparkSpec {
     assert(comp(10L) === 10L && comp(11L) === 10L)
   }
 
+  test("largeStarSmallStar matches union-find on chains, cliques, and random graphs") {
+    import spark.implicits._
+    def unionFind(es: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = { var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r }
+      val nodes = scala.collection.mutable.Set.empty[Long]
+      es.foreach { case (a, b) =>
+        nodes += a; nodes += b
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      nodes.iterator.map(n => n -> find(n)).toMap
+    }
+    // chain of 60 nodes: diameter 59 — the case where min-label propagation
+    // needs 59 rounds and large-star/small-star stays logarithmic
+    val chain = (0L until 60L).sliding(2).map(s => (s.head, s.last)).toSeq
+    // two cliques bridged by one edge
+    val cliques = (for (a <- 0L until 8L; b <- (a + 1) until 8L) yield (a, b)) ++
+      (for (a <- 100L until 108L; b <- (a + 1) until 108L) yield (a, b)) :+ (7L -> 100L)
+    // seeded random graph (dupes/self-loops filtered by the operator)
+    val rnd = new scala.util.Random(7)
+    val random = Seq.fill(300)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter(p => p._1 != p._2)
+    for ((es, name) <- Seq((chain, "chain"), (cliques.toSeq, "cliques"), (random, "random"))) {
+      val got = Dedup.largeStarSmallStar(es.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === unionFind(es), s"graph=$name")
+    }
+  }
+
   test("dedupNearDups keeps exactly one survivor per planted dup family") {
     import spark.implicits._
     val base = "llm training data pipelines deduplicate documents with minhash lsh banding before tokenization for best model quality"
