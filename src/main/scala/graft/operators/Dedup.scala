@@ -314,7 +314,7 @@ object Dedup {
       maxUnblockedRows: Long = 100000L): DataFrame = {
     val blockCols = blockCol.toSeq
     if (blockCol.isEmpty) {
-      val n = docs.limit((maxUnblockedRows + 1).toInt).count()
+      val n = docs.limit(math.min(maxUnblockedRows + 1, Int.MaxValue.toLong).toInt).count()
       require(n <= maxUnblockedRows,
         s"jaccardPairs without blockCol is all-pairs (O(n^2)); input exceeds " +
           s"$maxUnblockedRows rows — pass blockCol or use jaccardVerify on candidate pairs")

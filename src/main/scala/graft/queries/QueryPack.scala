@@ -39,14 +39,9 @@ object Exact {
   def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(s"decimal(28,$scale)")).cast("double")
 
-  /** Exact-numerator average (sum on the decimal grid / non-null count). */
+  /** Exact-numerator average (sum on the decimal grid / non-null count).
+    * Oracle twin: `CAST(sum(CAST(x AS DECIMAL(28,s))) AS DOUBLE) / count(x)`.
+    */
   def davg(c: Column, scale: Int = 2): Column =
     dsum(c, scale) / count(c)
-
-  /** Oracle-side twin of dsum for splicing into DuckDB SQL. */
-  def sqlDsum(expr: String, scale: Int = 2): String =
-    s"CAST(sum(CAST($expr AS DECIMAL(28,$scale))) AS DOUBLE)"
-
-  def sqlDavg(expr: String, scale: Int = 2): String =
-    s"${sqlDsum(expr, scale)} / count($expr)"
 }
