@@ -110,6 +110,21 @@ object AggExtrasQueries extends QueryPack {
         .agg(sum(col("value").cast("decimal(28,10)")).cast("double"))
     },
 
+    // -- A2 long tail: boolean/bitwise aggregates and argmin/argmax.
+    //    min_by/max_by order on o_orderkey (unique), so the selected row is
+    //    deterministic — never key min_by on a column with ties.
+    "a10_bit_bool_aggs" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.orders.groupBy(col("o_orderstatus")).agg(
+        bool_and(col("o_totalprice") > 1000.0).as("all_over_1k"),
+        bool_or(col("o_orderpriority") === "1-URGENT").as("any_urgent"),
+        bit_and(col("o_custkey")).as("custkey_and"),
+        bit_or(col("o_custkey")).as("custkey_or"),
+        min_by(col("o_custkey"), col("o_orderkey")).as("first_custkey"),
+        max_by(col("o_custkey"), col("o_orderkey")).as("last_custkey")
+      )
+    },
+
     // -- A5: explicit GROUPING SETS (the arbitrary-sets SQL form; rollup and
     //    cube above are its two canned shapes).
     "a09_grouping_sets" -> { (spark, dir) =>
@@ -177,6 +192,15 @@ object AggExtrasQueries extends QueryPack {
         |  CAST(sum(CAST(value AS DECIMAL(28,10))) FILTER (WHERE event_type = 'signup') AS DOUBLE) AS signup,
         |  CAST(sum(CAST(value AS DECIMAL(28,10))) FILTER (WHERE event_type = 'view') AS DOUBLE) AS "view"
         |FROM events GROUP BY user_id""".stripMargin,
+    "a10_bit_bool_aggs" ->
+      """SELECT o_orderstatus,
+        |  bool_and(o_totalprice > 1000.0) AS all_over_1k,
+        |  bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+        |  bit_and(o_custkey) AS custkey_and,
+        |  bit_or(o_custkey) AS custkey_or,
+        |  min_by(o_custkey, o_orderkey) AS first_custkey,
+        |  max_by(o_custkey, o_orderkey) AS last_custkey
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "a09_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  count(*) AS n_orders,
