@@ -66,15 +66,30 @@ object Corpus {
     * IDENTICAL across engines, runs, and partitionings — the property a
     * training-data pipeline needs for auditable subset selection.
     *
-    * One shuffle on the stratum key; the per-stratum sort is partition-local.
+    * Scale shape: strata are usually LOW-cardinality (a handful of
+    * sources/languages), so a single per-stratum window would sort the
+    * whole corpus in that many tasks. This runs the canonical two-phase
+    * top-k instead: a local top-`perStratum` within each of
+    * (stratum × `salts`) hash sub-partitions, then the global
+    * top-`perStratum` over the ≤ salts×perStratum survivors per stratum —
+    * every stratum's true top-k row wins its own salt's local round, so
+    * the result is exactly the single-window answer, but no task ever
+    * sorts more than ~1/salts of a stratum.
     */
   def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
-      perStratum: Int): DataFrame = {
-    val w = Window.partitionBy(col(stratumCol))
-      .orderBy(md5(col(idCol).cast("string").cast("binary")).asc, col(idCol).asc)
-    df.withColumn("_rn", row_number().over(w))
+      perStratum: Int, salts: Int = 32): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val ord = md5(col(idCol).cast("string").cast("binary"))
+    val w1 = Window.partitionBy(col(stratumCol), col("_salt"))
+      .orderBy(ord.asc, col(idCol).asc)
+    val w2 = Window.partitionBy(col(stratumCol))
+      .orderBy(ord.asc, col(idCol).asc)
+    df.withColumn("_salt", pmod(hash(col(idCol)), lit(salts)))
+      .withColumn("_rn", row_number().over(w1))
       .filter(col("_rn") <= perStratum)
-      .drop("_rn")
+      .withColumn("_rn2", row_number().over(w2))
+      .filter(col("_rn2") <= perStratum)
+      .drop("_rn", "_rn2", "_salt")
   }
 
   /** Assign documents to fixed-token-budget packs ("shards"): within each
@@ -86,7 +101,11 @@ object Corpus {
     * packing is NP-hard and order-dependent).
     *
     * Output: input columns + (n_tokens, pack_id). One shuffle on the
-    * stratum key; the running sum is a partition-local window.
+    * stratum key; the running sum is a partition-local window. NOTE the
+    * prefix sum is inherently sequential per stratum, so each stratum
+    * lives in one task — at 100 TB make strata composite (language ×
+    * date-bucket, shard id, …) so their cardinality grows with the
+    * corpus; pack ids are then unique per (stratum, pack_id) pair.
     */
   def packSequences(docs: DataFrame, stratumCol: String, idCol: String,
       textCol: String, budgetTokens: Long): DataFrame = {
