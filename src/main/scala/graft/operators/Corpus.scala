@@ -126,4 +126,77 @@ object Corpus {
   def packSummary(packed: DataFrame, stratumCol: String): DataFrame =
     packed.groupBy(col(stratumCol), col("pack_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
+
+  /** Scale path of [[packSequences]] — identical output, no per-stratum
+    * single-task window. A windowed prefix sum puts each stratum in ONE
+    * task (strata are few: languages, sources); this computes the same
+    * running sum with the classic two-pass distributed scan instead:
+    *
+    *  1. range-partition by (stratum, id) and sort within partitions —
+    *     then CACHE, freezing the sampled range boundaries so both passes
+    *     see identical partitions;
+    *  2. per-(partition, stratum) token totals — a tiny aggregate
+    *     (partitions × strata rows) collected to the driver and turned
+    *     into per-partition starting offsets;
+    *  3. one order-preserving `mapPartitions` pass adds the offset plus a
+    *     partition-local running count (the justified per-partition
+    *     imperative escape hatch: a prefix sum is sequential by
+    *     definition, but only WITHIN a partition here).
+    *
+    * Every task holds ~1/N of the corpus regardless of stratum
+    * cardinality. The offsets collect is bounded by partitions × strata —
+    * aggregated state, not data.
+    */
+  def packSequencesScalable(docs: DataFrame, stratumCol: String, idCol: String,
+      textCol: String, budgetTokens: Long, numPartitions: Int = 0): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val spark = docs.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+      else spark.sparkContext.defaultParallelism
+    val withTokens = docs
+      .withColumn("n_tokens", coalesce(tokenCount(col(textCol)), lit(0L)))
+    val ranged = withTokens
+      .repartitionByRange(n, col(stratumCol), col(idCol))
+      .sortWithinPartitions(col(stratumCol), col(idCol))
+      .cache()
+    val totals = ranged
+      .select(spark_partition_id().as("_pid"), col(stratumCol).as("_s"), col("n_tokens"))
+      .groupBy(col("_pid"), col("_s")).agg(sum(col("n_tokens")).as("_t"))
+      .collect()
+      .map(r => (r.getInt(0), r.get(1)) -> r.getLong(2))
+    // offset of (pid, stratum) = tokens of the same stratum in earlier partitions
+    val offsets: Map[(Int, Any), Long] = totals.map { case ((pid, s), _) =>
+      (pid, s) -> totals.collect { case ((p2, s2), t) if s2 == s && p2 < pid => t }.sum
+    }.toMap
+    val schema = org.apache.spark.sql.types.StructType(
+      ranged.schema :+ org.apache.spark.sql.types.StructField("_start", org.apache.spark.sql.types.LongType))
+    val stratumIdx = ranged.schema.fieldIndex(stratumCol)
+    val tokensIdx = ranged.schema.fieldIndex("n_tokens")
+    implicit val enc: org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+        org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema))
+    val withStart = ranged.mapPartitions { rows =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var current: Any = null
+      var started = false
+      var run = 0L
+      rows.map { r =>
+        val s = r.get(stratumIdx)
+        if (!started || s != current) {
+          current = s; started = true
+          run = offsets.getOrElse((pid, s), 0L)
+        }
+        val start = run
+        run += r.getLong(tokensIdx)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ start)
+      }
+    }
+    val result = withStart
+      .withColumn("pack_id",
+        floor(col("_start").cast("double") / budgetTokens).cast("long"))
+      .drop("_start")
+      .localCheckpoint(true) // materialize, then release the frozen partitions
+    ranged.unpersist()
+    result
+  }
 }

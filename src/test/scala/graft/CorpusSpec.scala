@@ -62,6 +62,24 @@ class CorpusSpec extends SparkSpec {
     assert(p5.getLong(0) === 0L && p5.getLong(1) === 1L)
   }
 
+  test("packSequencesScalable matches the windowed packSequences exactly") {
+    val docs = graft.sources.Tables(spark, sf).documents
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_tokens", "pack_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val windowed = canon(Corpus.packSequences(docs, "source", "doc_id", "text", 512L))
+    // several partition counts: the range boundaries move, the result must not
+    for (n <- Seq(1, 3, 16)) {
+      val scalable = canon(Corpus.packSequencesScalable(
+        docs, "source", "doc_id", "text", 512L, numPartitions = n))
+      assert(scalable === windowed, s"numPartitions=$n")
+    }
+    // and the plan has no Window at all — the point of the scale path
+    val plan = Corpus.packSequencesScalable(docs, "source", "doc_id", "text", 512L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(1500))
+  }
+
   test("packSummary token totals equal the corpus total") {
     val docs = graft.sources.Tables(spark, sf).documents
     val packed = Corpus.packSequences(docs, "source", "doc_id", "text", 1024L)
