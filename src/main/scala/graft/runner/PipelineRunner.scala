@@ -133,6 +133,13 @@ object PipelineRunner {
             .select(col("doc_id"), col("lang_guess"), col("text")),
           "lang_guess", "doc_id", "text", budgetTokens = 65536L)
       },
+      // reproducible held-out eval sample: same docs on every run, so eval
+      // sets stay comparable across pipeline re-runs
+      "holdout_sample" -> { (spark, cfg) =>
+        graft.operators.Corpus.stratifiedSample(
+          spark.read.parquet(s"${cfg.outputDir}/quality_gate"),
+          "lang_guess", "doc_id", perStratum = 25)
+      },
       "corpus_stats" -> { (spark, cfg) =>
         spark.read.parquet(s"${cfg.outputDir}/quality_gate")
           .groupBy(col("lang_guess"))

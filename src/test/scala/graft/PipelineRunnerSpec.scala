@@ -39,6 +39,12 @@ class PipelineRunnerSpec extends SparkSpec {
       .filter(col("pack_tokens") > lit(65536L) + col("max_doc"))
       .count()
     assert(overBudget === 0L)
+    // holdout: at most 25 docs per language, all from the gated corpus
+    val holdout = spark.read.parquet(s"$out/holdout_sample")
+    assert(holdout.groupBy("lang_guess").count()
+      .collect().forall(_.getLong(1) <= 25))
+    assert(holdout.join(spark.read.parquet(s"$out/quality_gate"), "doc_id").count()
+      === holdout.count())
     // stats cover every language present in the gated corpus
     val langs = spark.read.parquet(s"$out/corpus_stats").count()
     assert(langs > 0 && langs <= 6)
