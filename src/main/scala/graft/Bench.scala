@@ -17,6 +17,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // default 100 generated-class entries: with ~100 query plans per
+      // pass, the big signature-stage classes (d02/d03) evict and
+      // recompile EVERY pass — measured ~3.5s of d02's 5.5s was Janino
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm-up: exercise scan+agg, window, and text paths untimed

@@ -31,6 +31,10 @@ object Sessions {
       // Parquet TIMESTAMP(NANOS) (events.ts) is unreadable by Spark 4.1
       // without this; Tables.events converts the raw nanos to micros.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the default 100-entry codegen cache thrashes on workloads with
+      // ~100+ distinct plans (each signature-stage class recompiles on
+      // every revisit — ~1.5-3.5 s each; see SCALE.md §9)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // engine-native functions (cosine_sim, …) available in SQL + Column API
