@@ -24,6 +24,10 @@ import org.apache.spark.sql.functions._
   * exactly-simultaneous right row is visible to the left row (inclusive <=).
   * Right rows whose value column is itself null are skipped by
   * `last(ignoreNulls)` — document values as non-null or pre-coalesce them.
+  * When several right rows share the same (key, time), the winner is decided
+  * by a content hash of the carried value columns (backward keeps the
+  * max-hash row, forward the min-hash row) — an arbitrary but DETERMINISTIC
+  * choice, stable across runs and partitionings.
   */
 object AsOfJoin {
 
@@ -115,16 +119,20 @@ object AsOfJoin {
       .withColumn("_t", col(leftTime))
       .withColumn("_side", lit(leftSide))
       .select(
-        Seq(col("_t"), col("_side")) ++
+        Seq(col("_t"), col("_side"), lit(0L).as("_tb")) ++
           keys.map(col) ++
           leftCols.filterNot(keys.contains).map(col) ++
           carriedVals.map { case (_, alias) => lit(null).as(s"_rv_$alias") }: _*
       )
+    // content-hash tiebreak: several right rows at the same (key, time) would
+    // otherwise resolve by partition-internal sort order, which can flap
+    // across runs; hashing the carried values pins one winner deterministically
     val sideR = right
       .withColumn("_t", col(rightTime))
       .withColumn("_side", lit(rightSide))
       .select(
-        Seq(col("_t"), col("_side")) ++
+        Seq(col("_t"), col("_side"),
+          xxhash64(carriedVals.map { case (src, _) => col(src) }: _*).as("_tb")) ++
           keys.map(col) ++
           leftCols.filterNot(keys.contains).map(c => lit(null).as(c)) ++
           carriedVals.map { case (src, alias) => col(src).as(s"_rv_$alias") }: _*
@@ -132,7 +140,7 @@ object AsOfJoin {
     val unioned = sideL.unionByName(sideR)
     val base = Window
       .partitionBy(keys.map(col): _*)
-      .orderBy(col("_t").asc, col("_side").asc)
+      .orderBy(col("_t").asc, col("_side").asc, col("_tb").asc)
     val w =
       if (forwardDir) base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
       else base.rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -21,12 +21,11 @@ object Corpus {
     * Output: (idCol, chunk_id, chunk_text, n_chunk_tokens).
     *
     * Scale notes: map-only — no shuffle; cost is one tokenization plus
-    * O(chunks) slicing per row. The chunk-window lambda references the
-    * token expression from an outer scope, so the optimizer's projection
-    * collapse re-evaluates tokenization once per CHUNK (bounded by
-    * nChunks, typically ≤ a few) — for very long documents at 100 TB,
-    * stage the token arrays through a cache the way
-    * Dedup.minhashNearDupPairs does.
+    * O(chunks) slicing per row. The chunk-id derivation and the slices all
+    * reference the `_toks` ATTRIBUTE output by the projection below the
+    * Generate, not the tokenization expression itself, so projection
+    * collapse cannot inline the regex pipeline into the per-chunk lambda —
+    * tokenization runs exactly once per row, total.
     */
   def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int, overlapTokens: Int = 0): DataFrame = {

@@ -90,13 +90,26 @@ object AggExtrasQueries extends QueryPack {
       )
     },
 
-    // -- A4: HLL approximate distinct (no SQL oracle — property-tested in
-    //    ScalaTest against exact countDistinct; rows-only check here).
+    // -- A4: HLL approximate distinct, under a BOUNDED-PROPERTY ORACLE:
+    //    Spark's HLL++ estimate is not reproducible in another engine, so
+    //    the query emits the EXACT counts (hash-compared cross-engine) plus
+    //    within-10%-of-exact booleans for the HLL estimates (rsd 0.02 →
+    //    10% is 5 sigma; HLL is deterministic, so the booleans cannot
+    //    flap). The oracle recomputes the exact counts and expects TRUE —
+    //    a broken or degraded HLL path now hard-fails the driver gate.
     "a07_approx_distinct" -> { (spark, dir) =>
       val t = Tables(spark, dir)
       t.lineitem.groupBy(col("l_returnflag")).agg(
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders")
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("_ap"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("_ao")
+      ).select(
+        col("l_returnflag"), col("exact_parts"), col("exact_orders"),
+        (abs(col("_ap") - col("exact_parts")) <=
+          col("exact_parts") * 0.10).as("parts_within_10pct"),
+        (abs(col("_ao") - col("exact_orders")) <=
+          col("exact_orders") * 0.10).as("orders_within_10pct")
       )
     },
 
@@ -184,6 +197,13 @@ object AggExtrasQueries extends QueryPack {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) FILTER (WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00') AS DOUBLE)
         |    / count(*) FILTER (WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00') AS late_avg_price
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "a07_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  count(DISTINCT l_orderkey) AS exact_orders,
+        |  TRUE AS parts_within_10pct,
+        |  TRUE AS orders_within_10pct
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "a08_pivot" ->
       """SELECT user_id,
         |  CAST(sum(CAST(value AS DECIMAL(28,10))) FILTER (WHERE event_type = 'click') AS DOUBLE) AS click,

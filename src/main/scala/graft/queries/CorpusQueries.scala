@@ -54,7 +54,7 @@ object CorpusQueries extends QueryPack {
            |c AS (
            |  SELECT doc_id, tk, n,
            |    unnest(generate_series(0,
-           |      CAST(CASE WHEN n = 0 THEN 0
+           |      CAST(CASE WHEN n IS NULL OR n = 0 THEN 0
            |           ELSE greatest(ceil((n - 8) / 24.0), 1) END AS INT) - 1)) AS chunk_id
            |  FROM n)
            |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,

@@ -149,13 +149,30 @@ object EventQueries extends QueryPack {
         |  max(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
         |  count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
+    // derived from the JSON itself (json_keys), not the fixture's single-key
+    // shape: any key set, a null/malformed props (→ NULL entries, like
+    // Spark's null map through map_concat), and the etype-key collision
+    // (map_concat last-wins) all mirror the Spark semantics
     "e04_props_map" ->
-      """SELECT event_id,
-        |  2 AS n_props,
+      """WITH base AS (
+        |  SELECT event_id, event_type, props,
+        |    CASE WHEN props IS NULL OR NOT json_valid(props) THEN NULL
+        |         ELSE json_keys(props) END AS jk
+        |  FROM events),
+        |ent AS (
+        |  SELECT event_id, props,
+        |    CASE WHEN jk IS NULL THEN NULL
+        |         ELSE list_sort(
+        |           list_transform(list_filter(jk, kk -> kk != 'etype'),
+        |             kk -> kk || '=' || kk || ':' || json_extract_string(props, kk))
+        |           || ['etype=etype:' || event_type]) END AS entries
+        |  FROM base)
+        |SELECT event_id,
+        |  CAST(len(entries) AS INT) AS n_props,
         |  TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k,
-        |  'etype=etype:' || event_type || ',k=k:' || json_extract_string(props, '$.k')
+        |  CASE WHEN entries IS NULL THEN '' ELSE array_to_string(entries, ',') END
         |    AS props_canon
-        |FROM events""".stripMargin,
+        |FROM ent""".stripMargin,
     "e05_asof_purchase_click" ->
       """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts, p.value,
         |  (SELECT max(CAST(c.ts AS TIMESTAMP)) FROM events c

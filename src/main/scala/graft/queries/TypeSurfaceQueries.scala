@@ -27,16 +27,26 @@ object TypeSurfaceQueries extends QueryPack {
 
     // -- HLL sketch agg + union (Spark 4 built-ins): per-segment sketches
     //    merged to a global distinct estimate — the pattern for incremental
-    //    distinct counts across partitioned 100 TB runs. Rows-only (sketch
-    //    binary is engine-specific); accuracy pinned in TypeSurfaceSpec.
+    //    distinct counts across partitioned 100 TB runs. The sketch binary
+    //    is engine-specific, so like a07 this runs under a BOUNDED-PROPERTY
+    //    ORACLE: exact distinct anchors the cross-engine hash compare, and
+    //    the merged-sketch estimate must land within 5% of it (datasketches
+    //    HLL at lgK=12 is ~1.6% rsd; deterministic, so no flapping). The
+    //    sketch-merge accuracy is additionally pinned in TypeSurfaceSpec.
     "x02_hll_sketches" -> { (spark, dir) =>
       val t = Tables(spark, dir)
-      val perSegment = t.orders
+      val joined = t.orders
         .join(t.customer, col("o_custkey") === col("c_custkey"))
+      val perSegment = joined
         .groupBy(col("c_mktsegment"))
         .agg(hll_sketch_agg(col("o_custkey")).as("sketch"))
-      perSegment.agg(
-        hll_sketch_estimate(hll_union_agg(col("sketch"))).as("distinct_customers_global"))
+      val merged = perSegment.agg(
+        hll_sketch_estimate(hll_union_agg(col("sketch"))).as("_est"))
+      val exact = joined.agg(countDistinct(col("o_custkey")).as("exact_customers"))
+      exact.crossJoin(merged).select(
+        col("exact_customers"),
+        (abs(col("_est") - col("exact_customers")) <=
+          col("exact_customers") * 0.05).as("est_within_5pct"))
     },
 
     // -- VARIANT (Spark 4): parse ONCE, extract four typed fields — the
@@ -76,6 +86,10 @@ object TypeSurfaceQueries extends QueryPack {
         |  CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price,
         |  count(*) AS n
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "x02_hll_sketches" ->
+      """SELECT count(DISTINCT o_custkey) AS exact_customers,
+        |  TRUE AS est_within_5pct
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
     "x03_variant_props" ->
       """SELECT event_type AS etype,
         |  count(*) AS n,
