@@ -22,6 +22,7 @@ object SparkEntry {
     JoinQueries,
     TextQueries,
     CorpusQueries,
+    RetrievalQueries,
     DedupQueries,
     SimilarityQueries,
     MultimodalQueries,

@@ -91,6 +91,42 @@ object Corpus {
       .drop("_rn", "_rn2", "_salt")
   }
 
+  /** Domain-mixture sampling: draw a target mixture over strata — e.g.
+    * 40% web, 30% code, 20% books, 10% wiki — as per-stratum quotas
+    * `ceil(weight x total)`, filled deterministically in md5-of-id order
+    * (same reproducible order as [[stratifiedSample]]). Strata absent from
+    * `weights` are dropped; a stratum with fewer rows than its quota
+    * contributes everything it has (the shortfall is reported by the
+    * caller comparing counts, not silently rebalanced — rebalancing would
+    * make membership depend on OTHER strata's sizes and break
+    * reproducibility).
+    *
+    * Scale shape: identical to [[stratifiedSample]] — two-phase salted
+    * top-k with the quota looked up from a broadcast-sized literal map, so
+    * no task ever sorts more than ~1/salts of a stratum.
+    */
+  def mixtureSample(df: DataFrame, stratumCol: String, idCol: String,
+      weights: Map[String, Double], total: Int, salts: Int = 32): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0), "need positive weights")
+    require(total > 0 && salts > 0, "total and salts must be positive")
+    val quotaMap = map(weights.toSeq.sortBy(_._1).flatMap { case (s, w) =>
+      Seq(lit(s), lit(math.ceil(w * total).toLong))
+    }: _*)
+    val ord = md5(col(idCol).cast("string").cast("binary"))
+    val w1 = Window.partitionBy(col(stratumCol), col("_salt"))
+      .orderBy(ord.asc, col(idCol).asc)
+    val w2 = Window.partitionBy(col(stratumCol))
+      .orderBy(ord.asc, col(idCol).asc)
+    df.withColumn("_quota", element_at(quotaMap, col(stratumCol)))
+      .filter(col("_quota").isNotNull)
+      .withColumn("_salt", pmod(hash(col(idCol)), lit(salts)))
+      .withColumn("_rn", row_number().over(w1))
+      .filter(col("_rn") <= col("_quota"))
+      .withColumn("_rn2", row_number().over(w2))
+      .filter(col("_rn2") <= col("_quota"))
+      .drop("_rn", "_rn2", "_salt", "_quota")
+  }
+
   /** Assign documents to fixed-token-budget packs ("shards"): within each
     * stratum, documents are taken in id order and a document starts in
     * pack floor(preceding-tokens / budget) — contiguous, deterministic,

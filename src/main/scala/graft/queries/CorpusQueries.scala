@@ -35,6 +35,18 @@ object CorpusQueries extends QueryPack {
         Corpus.packSequences(t.documents, "source", "doc_id", "text",
           budgetTokens = 1024L),
         "source")
+    },
+
+    // -- Domain-mixture sampling: a 40/30/20/10 target mixture over four
+    //    sources, quotas filled in reproducible md5 order. src0/src1's
+    //    quotas (40/30) exceed the stratum size, so the query also
+    //    exercises the quota-capped-by-availability path.
+    "c04_domain_mixture" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      Corpus.mixtureSample(t.documents, "source", "doc_id",
+        weights = Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1),
+        total = 100)
+        .select(col("source"), col("doc_id"), col("lang"))
     }
   )
 
@@ -68,6 +80,14 @@ object CorpusQueries extends QueryPack {
           |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
           |  FROM documents)
           |WHERE rn <= 20""".stripMargin,
+      "c04_domain_mixture" ->
+        """SELECT source, doc_id, lang FROM (
+          |  SELECT source, doc_id, lang,
+          |    row_number() OVER (PARTITION BY source
+          |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+          |  FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3'))
+          |WHERE rn <= CASE source WHEN 'src0' THEN 40 WHEN 'src1' THEN 30
+          |  WHEN 'src2' THEN 20 ELSE 10 END""".stripMargin,
       // n_tokens = tokenCount(text): RAW whitespace tokens (t01's formula),
       // not the normalized tokens c01 chunks on
       "c03_sequence_packing" ->

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
+import graft.functions.{QualityRules, Redact}
 import graft.sources.Tables
 
 /** Text analysis over `documents` (SURVEY.md §2.11 L4): token counting,
@@ -102,6 +103,56 @@ object TextQueries extends QueryPack {
           try_element_at(col("fps"), lit(1)).as("min_fingerprint"))
     },
 
+    // -- Gopher-style quality rules (QualityRules): every signal is integer
+    //    counting + one final division, so values are bit-identical
+    //    cross-engine without rounding; the keep flag is the published
+    //    threshold conjunction.
+    "t08_gopher_rules" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.documents.select(
+        col("doc_id"),
+        QualityRules.wordCount(col("text")).as("n_words"),
+        QualityRules.meanWordLength(col("text")).as("mean_word_len"),
+        QualityRules.symbolWordRatio(col("text")).as("symbol_ratio"),
+        QualityRules.alphaWordFrac(col("text")).as("alpha_frac"),
+        QualityRules.distinctStopwordHits(col("text")).cast("long").as("stop_hits"),
+        QualityRules.gopherKeep(col("text")).as("keep")
+      )
+    },
+
+    // -- Token-n-gram repetition signals (Gopher's repetitious-text family):
+    //    most-frequent-bigram character coverage + duplicate-trigram
+    //    occurrence fraction, per document.
+    "t09_repetition" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      QualityRules.repetitionSignals(t.documents, "doc_id", "text")
+    },
+
+    // -- PII scrub: emails/phones/IPs counted then replaced with typed
+    //    tags. The fixture text carries no PII, so each doc gets a
+    //    deterministic doc_id-derived PII suffix INJECTED in-query (both
+    //    engines inject identically) — the scrubber is then verified
+    //    against known-present PII rather than vacuously against none.
+    "t10_pii_scrub" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val injected = concat(col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com now")))
+          .when(pmod(col("doc_id"), lit(3)) === 1,
+            concat(lit(" call 415-555-"),
+              lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"), lit(" today")))
+          .otherwise(
+            concat(lit(" host 10.0."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".7 up"))))
+      t.documents
+        .withColumn("_aug", injected)
+        .select(
+          col("doc_id"),
+          Redact.emailCount(col("_aug")).as("n_emails"),
+          Redact.phoneCount(col("_aug")).as("n_phones"),
+          Redact.ipv4Count(col("_aug")).as("n_ips"),
+          Redact.scrub(col("_aug")).as("scrubbed"))
+    },
+
     // -- Composite quality score + subword counts. Every signal is pure
     //    per-row arithmetic over counts, so the whole heuristic is
     //    oracle-checked (quality rounded both sides: a chain of double
@@ -199,6 +250,94 @@ object TextQueries extends QueryPack {
         |    ELSE 'de' END AS lang_guess
         |  FROM scored)
         |SELECT lang_guess, count(*) AS n_docs FROM langed GROUP BY lang_guess""".stripMargin,
+    "t08_gopher_rules" ->
+      """WITH sig AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+        |    CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS tk_lower,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS tk,
+        |    length(regexp_replace(text, '\s', '', 'g')) AS n_nonws,
+        |    length(text) - length(replace(text, '#', '')) AS n_hash,
+        |    len(regexp_extract_all(text, '\.\.\.')) AS n_ellipsis,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_words,
+        |    n_nonws * 1.0 / greatest(n_words, 1) AS mean_word_len,
+        |    (n_hash + n_ellipsis) * 1.0 / greatest(n_words, 1) AS symbol_ratio,
+        |    len(list_filter(tk, w -> regexp_matches(w, '[A-Za-z]'))) * 1.0
+        |      / greatest(len(tk), 1) AS alpha_frac,
+        |    CASE WHEN tk_lower IS NULL THEN NULL
+        |      ELSE len(list_filter(['the','be','to','of','and','that','have','with'],
+        |        s -> list_contains(tk_lower, s))) END AS stop_hits,
+        |    len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*•]'))) * 1.0
+        |      / greatest(len(lines), 1) AS bullet_frac,
+        |    len(list_filter(lines, l -> regexp_matches(rtrim(l), '\.\.\.$'))) * 1.0
+        |      / greatest(len(lines), 1) AS ellipsis_frac
+        |  FROM sig)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len,
+        |  symbol_ratio, alpha_frac, CAST(stop_hits AS BIGINT) AS stop_hits,
+        |  (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+        |    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+        |    AND alpha_frac >= 0.8 AND stop_hits >= 2 AS keep
+        |FROM r""".stripMargin,
+    "t09_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(regexp_replace(regexp_replace(lower(text),
+        |        '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) = 0
+        |      THEN CAST([] AS VARCHAR[])
+        |      ELSE string_split_regex(trim(regexp_replace(regexp_replace(lower(text),
+        |        '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), '\s+') END AS tk,
+        |    length(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS nchars
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, nchars,
+        |    unnest(list_transform(generate_series(1, greatest(len(tk) - 1, 0)),
+        |      i -> tk[i] || ' ' || tk[i + 1])) AS g
+        |  FROM t),
+        |bgc AS (SELECT doc_id, nchars, g, count(*) AS n FROM bg GROUP BY ALL),
+        |top AS (SELECT doc_id, g, n, nchars,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, g DESC) AS rn
+        |  FROM bgc),
+        |tg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
+        |      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS g
+        |  FROM t),
+        |tgc AS (SELECT doc_id, count(*) AS total, count(DISTINCT g) AS dist
+        |  FROM tg GROUP BY doc_id)
+        |SELECT t.doc_id, top.g AS top_bigram,
+        |  coalesce(top.n * length(top.g) * 1.0 / greatest(top.nchars, 1), 0.0)
+        |    AS top_bigram_frac,
+        |  coalesce((tgc.total - tgc.dist) * 1.0 / greatest(tgc.total, 1), 0.0)
+        |    AS dup_trigram_frac
+        |FROM t
+        |LEFT JOIN (SELECT * FROM top WHERE rn = 1) top USING (doc_id)
+        |LEFT JOIN tgc USING (doc_id)""".stripMargin,
+    "t10_pii_scrub" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+        |    WHEN doc_id % 3 = 1
+        |      THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+        |    ELSE ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 up' END AS a
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(a, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(a, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(a, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(a, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS scrubbed
+        |FROM aug""".stripMargin,
     "t04_token_freq" ->
       """SELECT token, count(*) AS n FROM (
         |  SELECT unnest(string_split_regex(trim(regexp_replace(regexp_replace(lower(text),

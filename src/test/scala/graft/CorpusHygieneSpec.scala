@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{QualityRules, Redact}
+import graft.operators.{Corpus, TextIndex}
+
+/** Round-3 corpus-hygiene surface: Gopher rules, repetition signals,
+  * PII redaction, domain-mixture sampling, inverted index + BM25.
+  */
+class CorpusHygieneSpec extends SparkSpec {
+
+  private def docsDF(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("gopherKeep: each rule rejects its own pathology") {
+    val good = ("the quick brown fox jumps over the lazy dog and then runs " +
+      "to be with all of that pack which we have seen before in many long " +
+      "stories told with great care about dogs and foxes ") * 3
+    val docs = docsDF(Seq(
+      1L -> good,
+      2L -> "too short to keep with the best of that", // < 50 words
+      3L -> ("### ### ### " * 40 + good),               // symbol soup
+      4L -> Seq.fill(60)("zzzz").mkString(" "),         // no stopwords
+      5L -> Seq.fill(60)("12345").mkString(" ")         // no alpha words
+    ))
+    val out = docs.select(col("doc_id"), QualityRules.gopherKeep(col("text")).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out(1L), "clean doc must pass")
+    assert(!out(2L), "short doc must fail word-count rule")
+    assert(!out(3L), "symbol soup must fail symbol-ratio rule")
+    assert(!out(4L), "stopword-free doc must fail stopword rule")
+    assert(!out(5L), "digit-only words must fail alpha-word rule")
+  }
+
+  test("repetitionSignals: exact fractions on a constructed repeat") {
+    // tokens a b c a b c a b c: 8 bigrams ("a b" x3, "b c" x3, "c a" x2),
+    // 7 trigrams (distinct 3) -> dup frac 4/7; top bigram "a b" (ties "b c"
+    // broken by gram DESC -> "b c"!). nchars = 17.
+    val out = QualityRules.repetitionSignals(
+      docsDF(Seq(1L -> "a b c a b c a b c", 2L -> "x", 3L -> "p q r s t u")),
+      "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (Option(r.getString(1)), r.getDouble(2), r.getDouble(3))).toMap
+    val (topG, topF, dupF) = out(1L)
+    assert(topG.contains("b c"), s"tie between 'a b'/'b c' breaks to the max gram, got $topG")
+    assert(math.abs(topF - 3.0 * 3 / 17) < 1e-12)
+    assert(math.abs(dupF - 4.0 / 7) < 1e-12)
+    assert(out(2L) === ((None, 0.0, 0.0)), "single-token doc has no grams")
+    assert(out(3L)._3 === 0.0, "all-distinct trigrams -> 0 dup fraction")
+  }
+
+  test("Redact: counts and scrub for all three PII kinds; clean text untouched") {
+    val df = docsDF(Seq(
+      1L -> "mail a.b+c@ex-ample.org or x@y.io, call 415-555-0101, host 10.0.3.7 ok",
+      2L -> "nothing sensitive here 1.2 or v1.2.3.4.5 draft"
+    )).select(col("doc_id"),
+      Redact.emailCount(col("text")).as("e"),
+      Redact.phoneCount(col("text")).as("p"),
+      Redact.ipv4Count(col("text")).as("i"),
+      Redact.scrub(col("text")).as("s"))
+    val rows = df.collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getLong(1) === 2 && rows(1L).getLong(2) === 1 && rows(1L).getLong(3) === 1)
+    val s = rows(1L).getString(4)
+    assert(s.contains("[EMAIL]") && s.contains("[PHONE]") && s.contains("[IP]"))
+    assert(!s.exists(_ == '@'), s"no raw email may survive: $s")
+    // bare 1.2 is not an IPv4; v1.2.3.4.5 partially matches ("2.3.4.5" has
+    // a \b after "1.") — the standard over-redaction of a plain IPv4 regex,
+    // pinned here because both engines agree on it
+    assert(rows(2L).getLong(1) === 0 && rows(2L).getLong(2) === 0)
+    assert(rows(2L).getString(4) === "nothing sensitive here 1.2 or v1.[IP] draft")
+  }
+
+  test("mixtureSample: quotas, availability cap, reproducibility, unknown strata dropped") {
+    import spark.implicits._
+    val docs = (0L until 90L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    val weights = Map("src0" -> 0.5, "src1" -> 0.2, "missing" -> 0.3)
+    val s1 = Corpus.mixtureSample(docs, "source", "doc_id", weights, total = 40)
+    val byStratum = s1.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStratum("src0") === 20, "ceil(0.5*40)=20 <= 30 available")
+    assert(byStratum("src1") === 8, "ceil(0.2*40)=8")
+    assert(!byStratum.contains("src2"), "unweighted stratum dropped")
+    assert(!byStratum.contains("missing"), "empty stratum contributes nothing")
+    // availability cap: quota above stratum size returns the whole stratum
+    val capped = Corpus.mixtureSample(docs, "source", "doc_id",
+      Map("src0" -> 1.0), total = 100)
+    assert(capped.count() === 30)
+    // deterministic: same membership across runs and partitionings
+    val a = s1.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Corpus.mixtureSample(docs.repartition(7), "source", "doc_id", weights, 40)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b)
+  }
+
+  test("TextIndex: postings are exact; BM25 ranks by relevance") {
+    val docs = docsDF(Seq(
+      1L -> "spark spark spark join",          // 3x spark
+      2L -> "spark join",                      // both terms, short
+      3L -> "join join join join other words", // only the common term
+      4L -> "unrelated text entirely"
+    ))
+    val post = TextIndex.postings(docs, "doc_id", "text")
+    val tf = post.collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(tf(("spark", 1L)) === 3 && tf(("join", 1L)) === 1)
+    assert(tf.get(("spark", 3L)).isEmpty)
+    val stats = TextIndex.termStats(post, "doc_id").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(stats("spark") === ((2L, 4L)), "df=2 docs, 4 occurrences")
+    val scores = TextIndex.bm25Scores(docs, "doc_id", "text", Seq("spark", "join"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(!scores.contains(4L), "no query term -> unscored")
+    assert(scores(2L) > scores(3L),
+      "matching the rarer term (spark, df=2) must outscore tf-heavy common-term-only doc")
+    assert(scores.values.forall(_ > 0), "Lucene-style idf keeps scores positive")
+    val top = TextIndex.bm25TopK(docs, "doc_id", "text", Seq("spark", "join"), k = 2)
+      .collect().map(_.getLong(0))
+    assert(top.length === 2 && top(0) === 1L, "3x-spark doc ranks first")
+  }
+}

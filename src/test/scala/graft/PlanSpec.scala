@@ -133,6 +133,22 @@ class PlanSpec extends SparkSpec {
       s"blocked pair generation must be an equi join:\n${p.take(2000)}")
   }
 
+  test("r01 BM25 broadcasts df/corpus stats and takes top-k without a global sort") {
+    val p = plan("r01_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must not be a global Sort+Limit:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-term df frame must broadcast to the postings side:\n${p.take(2000)}")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"postings build must partial-aggregate:\n${p.take(2000)}")
+  }
+
+  test("t09 repetition signals partial-aggregate the exploded n-grams") {
+    val p = plan("t09_repetition")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
   test("whole-stage codegen covers the relational core queries") {
     Seq("q01_pricing_summary", "q06_forecast_revenue", "w03_running_revenue").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sf)
