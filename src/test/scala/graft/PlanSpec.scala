@@ -133,14 +133,16 @@ class PlanSpec extends SparkSpec {
       s"blocked pair generation must be an equi join:\n${p.take(2000)}")
   }
 
-  test("r01 BM25 broadcasts df/corpus stats and takes top-k without a global sort") {
+  test("r01 BM25 small-|Q| plan: no explode, broadcast stats, top-k without a global sort") {
     val p = plan("r01_bm25_topk")
     assert(p.contains("TakeOrderedAndProject"),
       s"top-k must not be a global Sort+Limit:\n${p.take(2000)}")
-    assert(p.contains("BroadcastHashJoin"),
-      s"per-term df frame must broadcast to the postings side:\n${p.take(2000)}")
+    assert(!p.contains("Generate"),
+      s"bounded query sets must score via per-row array scans, not explode:\n${p.take(2000)}")
+    assert(p.contains("Broadcast"),
+      s"the one-row stats frame must broadcast:\n${p.take(2000)}")
     assert("HashAggregate".r.findAllIn(p).size >= 2,
-      s"postings build must partial-aggregate:\n${p.take(2000)}")
+      s"df/stats aggregate must be partial (map-side combine):\n${p.take(2000)}")
   }
 
   test("t09 repetition signals partial-aggregate the exploded n-grams") {
