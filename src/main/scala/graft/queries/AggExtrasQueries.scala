@@ -138,6 +138,22 @@ object AggExtrasQueries extends QueryPack {
       )
     },
 
+    // -- A6 inverse: unpivot/melt (wide metrics back to long form) — the
+    //    Dataset.unpivot API over a decimal-grid aggregate. Value columns
+    //    share one type (double) as unpivot requires.
+    "a11_unpivot" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val wide = t.lineitem.groupBy(col("l_returnflag")).agg(
+        Exact.dsum(col("l_quantity"), 2).as("sum_qty"),
+        Exact.dsum(col("l_extendedprice"), 2).as("sum_price"),
+        count(lit(1)).cast("double").as("n_rows"))
+      wide.unpivot(
+        ids = Array(col("l_returnflag")),
+        values = Array(col("sum_qty"), col("sum_price"), col("n_rows")),
+        variableColumnName = "metric",
+        valueColumnName = "val")
+    },
+
     // -- A5: explicit GROUPING SETS (the arbitrary-sets SQL form; rollup and
     //    cube above are its two canned shapes).
     "a09_grouping_sets" -> { (spark, dir) =>
@@ -221,6 +237,15 @@ object AggExtrasQueries extends QueryPack {
         |  min_by(o_custkey, o_orderkey) AS first_custkey,
         |  max_by(o_custkey, o_orderkey) AS last_custkey
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "a11_unpivot" ->
+      """UNPIVOT (
+        |  SELECT l_returnflag,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price,
+        |    CAST(count(*) AS DOUBLE) AS n_rows
+        |  FROM lineitem GROUP BY l_returnflag)
+        |ON sum_qty, sum_price, n_rows
+        |INTO NAME metric VALUE val""".stripMargin,
     "a09_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  count(*) AS n_orders,

@@ -107,6 +107,25 @@ object JoinQueries extends QueryPack {
           |WHERE c_custkey IN (
           |    SELECT o_custkey FROM orders_v WHERE o_totalprice > 400000.0)
           |  AND c_acctbal > (SELECT avg(c_acctbal) FROM customer_v)""".stripMargin)
+    },
+
+    // -- J-family SQL surface: LATERAL correlated subquery with LIMIT —
+    //    per-customer top-2 orders as a lateral join (the SQL twin of the
+    //    w01 window formulation; Catalyst decorrelates it to a ranked
+    //    join, so no per-row re-execution at scale). Deterministic
+    //    tiebreak on o_orderkey.
+    "j08_lateral_topk" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.customer.createOrReplaceTempView("j08_customer")
+      t.orders.createOrReplaceTempView("j08_orders")
+      spark.sql(
+        """SELECT c_custkey, o.o_orderkey, o.o_totalprice
+          |FROM j08_customer,
+          |LATERAL (
+          |  SELECT o_orderkey, o_totalprice FROM j08_orders
+          |  WHERE o_custkey = c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) o
+          |WHERE c_custkey <= 100""".stripMargin)
     }
   )
 
@@ -155,6 +174,14 @@ object JoinQueries extends QueryPack {
       """SELECT c_custkey, c_acctbal FROM customer
         |WHERE c_custkey IN (
         |    SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
-        |  AND c_acctbal > (SELECT avg(c_acctbal) FROM customer)""".stripMargin
+        |  AND c_acctbal > (SELECT avg(c_acctbal) FROM customer)""".stripMargin,
+    "j08_lateral_topk" ->
+      """SELECT c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer,
+        |LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) o
+        |WHERE c_custkey <= 100""".stripMargin
   )
 }

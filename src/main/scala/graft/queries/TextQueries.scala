@@ -105,8 +105,11 @@ object TextQueries extends QueryPack {
 
     // -- Gopher-style quality rules (QualityRules): every signal is integer
     //    counting + one final division, so values are bit-identical
-    //    cross-engine without rounding; the keep flag is the published
-    //    threshold conjunction.
+    //    cross-engine without rounding. Per-rule verdict columns report
+    //    WHICH rule failed (the actionable output of a corpus filter —
+    //    and on this synthetic word-soup fixture the stopword rule fails
+    //    everywhere, so the conjunction alone would be a constant column);
+    //    `keep` remains the paper's full threshold conjunction.
     "t08_gopher_rules" -> { (spark, dir) =>
       val t = Tables(spark, dir)
       t.documents.select(
@@ -116,6 +119,9 @@ object TextQueries extends QueryPack {
         QualityRules.symbolWordRatio(col("text")).as("symbol_ratio"),
         QualityRules.alphaWordFrac(col("text")).as("alpha_frac"),
         QualityRules.distinctStopwordHits(col("text")).cast("long").as("stop_hits"),
+        QualityRules.wordCount(col("text")).between(50L, 100000L).as("rule_word_count"),
+        QualityRules.meanWordLength(col("text")).between(3.0, 10.0).as("rule_mean_word_len"),
+        (QualityRules.distinctStopwordHits(col("text")) >= 2).as("rule_stopwords"),
         QualityRules.gopherKeep(col("text")).as("keep")
       )
     },
@@ -280,6 +286,9 @@ object TextQueries extends QueryPack {
         |  FROM sig)
         |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len,
         |  symbol_ratio, alpha_frac, CAST(stop_hits AS BIGINT) AS stop_hits,
+        |  (n_words BETWEEN 50 AND 100000) AS rule_word_count,
+        |  (mean_word_len BETWEEN 3.0 AND 10.0) AS rule_mean_word_len,
+        |  (stop_hits >= 2) AS rule_stopwords,
         |  (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
         |    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
         |    AND alpha_frac >= 0.8 AND stop_hits >= 2 AS keep

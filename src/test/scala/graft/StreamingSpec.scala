@@ -57,6 +57,31 @@ class StreamingSpec extends SparkSpec {
     assert(got((3L, 1)) === "s t u v")
   }
 
+  test("quality rules + PII scrub are stateless and run unchanged under readStream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(
+      (1L, "reach me at a@b.io for the offer to be had with all of that"),
+      (2L, "zz"))
+    val filtered = stream.toDF().toDF("doc_id", "text").select(
+      col("doc_id"),
+      graft.functions.QualityRules.distinctStopwordHits(col("text")).as("stops"),
+      graft.functions.QualityRules.wordCount(col("text")).as("n_words"),
+      graft.functions.Redact.scrub(col("text")).as("clean"))
+    val q = filtered.writeStream.format("memory").queryName("hygiene")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    stream.addData((3L, "ping x@y.dev again")) // second micro-batch
+    q.processAllAvailable()
+    val got = spark.table("hygiene").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getString(3)))).toMap
+    q.stop()
+    assert(got(1L)._1 >= 5 && got(1L)._2.contains("[EMAIL]"))
+    assert(got(2L) === ((0, "zz")))
+    assert(got(3L)._2 === "ping [EMAIL] again")
+  }
+
   test("dedupEvents drops re-delivered event ids within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
