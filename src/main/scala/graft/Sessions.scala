@@ -60,6 +60,11 @@ object Sessions {
     */
   def clusterConf(totalCores: Int): Map[String, String] = Map(
     "spark.sql.shuffle.partitions" -> (totalCores * 5 / 2).toString,
+    // runtime bloom-filter join filters: a selective dim predicate prunes
+    // the fact scan before the join shuffle (SPARK-32268; injection shape
+    // pinned in PlanSpec). Explicit because the engine's fact-fact joins
+    // assume it at 100 TB.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
     "spark.sql.adaptive.enabled" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",

@@ -151,6 +151,32 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
   }
 
+  test("runtime bloom-filter join filter injects for a selective fact-fact SMJ") {
+    // 100 TB posture: a selective dimension predicate seeds a bloom filter
+    // that prunes the fact scan BEFORE the join shuffle (SPARK-32268).
+    // Thresholds lowered because the fixture is tiny; on a cluster the
+    // defaults (10MB creation side) fire on exactly this query shape.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val t = graft.sources.Tables(spark, sf)
+      val sel = t.orders.filter(col("o_totalprice") > 500000.0)
+      val p = t.lineitem.join(sel, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+        .queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom_filter_agg") && p.contains("might_contain"),
+        s"bloom filter must inject on the fact side:\n${p.take(2000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("whole-stage codegen covers the relational core queries") {
     Seq("q01_pricing_summary", "q06_forecast_revenue", "w03_running_revenue").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sf)
