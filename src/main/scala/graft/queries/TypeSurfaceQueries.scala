@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import graft.functions.ZOrder
 import graft.sources.Tables
 
 /** Type-surface extensions (SURVEY.md §1.2): exact decimal money math,
@@ -49,6 +50,22 @@ object TypeSurfaceQueries extends QueryPack {
           col("exact_customers") * 0.05).as("est_within_5pct"))
     },
 
+    // -- Z-order (Morton) clustering key for multi-dimension data layout
+    //    (functions/ZOrder): pure shift/mask bit interleave, so the whole
+    //    curve is oracle-checkable arithmetic. The layout recipe and the
+    //    partition-pruning payoff are pinned in ZOrderSpec; this query
+    //    verifies the curve itself (z + coarse bucket per order) and its
+    //    total-order determinism.
+    "x04_zorder" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.orders
+        .select(col("o_orderkey"), col("o_custkey"),
+          ZOrder.zorder2(col("o_custkey"), col("o_orderkey")).as("z"))
+        .withColumn("zb", ZOrder.zbucket(col("z"), 2))
+        .orderBy(col("z").asc, col("o_orderkey").asc)
+        .limit(1000)
+    },
+
     // -- VARIANT (Spark 4): parse ONCE, extract four typed fields — the
     //    shape where VARIANT beats per-field get_json_object (one parse
     //    amortized over N extractions; whole-stage codegen's subexpression
@@ -90,6 +107,16 @@ object TypeSurfaceQueries extends QueryPack {
       """SELECT count(DISTINCT o_custkey) AS exact_customers,
         |  TRUE AS est_within_5pct
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "x04_zorder" ->
+      """WITH z AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(list_sum(list_transform(generate_series(0, 30),
+        |      i -> (((o_custkey >> i) & 1) << (2 * i)))) AS BIGINT)
+        |    + CAST(list_sum(list_transform(generate_series(0, 30),
+        |      i -> (((o_orderkey >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS z
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, z, z >> 58 AS zb
+        |FROM z ORDER BY z ASC, o_orderkey ASC LIMIT 1000""".stripMargin,
     "x03_variant_props" ->
       """SELECT event_type AS etype,
         |  count(*) AS n,

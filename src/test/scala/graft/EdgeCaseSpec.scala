@@ -92,4 +92,52 @@ class EdgeCaseSpec extends SparkSpec {
       .sum.toDouble
     assert(java.lang.Double.doubleToLongBits(expected) === dsumAt(32))
   }
+
+  test("quality rules and PII scrub on null/empty/whitespace text") {
+    import spark.implicits._
+    val df = Seq((1L, null: String), (2L, ""), (3L, "   "), (4L, "one two"))
+      .toDF("id", "text")
+    val got = df.select(
+      col("id"),
+      graft.functions.QualityRules.wordCount(col("text")).as("n"),
+      graft.functions.QualityRules.meanWordLength(col("text")).as("mwl"),
+      graft.functions.QualityRules.distinctStopwordHits(col("text")).as("sh"),
+      graft.functions.Redact.scrub(col("text")).as("s"),
+      graft.functions.Redact.emailCount(col("text")).as("e")
+    ).collect().map { r =>
+      r.getLong(0) -> ((Option(r.get(1)), Option(r.get(3)), Option(r.get(4)), Option(r.get(5))))
+    }.toMap
+    // null text propagates null everywhere (never a fabricated 0/empty)
+    assert(got(1L) === ((None, None, None, None)))
+    assert(got(2L)._1 === Some(0L) && got(2L)._2 === Some(0))
+    assert(got(3L)._1 === Some(0L), "whitespace-only counts zero words")
+    assert(got(4L) === ((Some(2L), Some(0), Some("one two"), Some(0L))))
+  }
+
+  test("repetition signals and BM25 tolerate null-text and empty docs") {
+    import spark.implicits._
+    val docs = Seq((1L, null: String), (2L, ""), (3L, "spark join spark"))
+      .toDF("doc_id", "text")
+    val rep = graft.functions.QualityRules
+      .repetitionSignals(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(rep(1L) === 0.0 && rep(2L) === 0.0, "gram-less docs report 0 frac")
+    val bm = graft.operators.TextIndex
+      .bm25TopK(docs, "doc_id", "text", Seq("spark"), k = 5)
+      .collect().map(_.getLong(0))
+    assert(bm.toSeq === Seq(3L), "null/empty docs are unscored, not crashed")
+    val post = graft.operators.TextIndex.postings(docs, "doc_id", "text")
+    assert(post.filter(col("doc_id") =!= 3L).count() === 0)
+  }
+
+  test("mixtureSample with quota zero-weight edge and empty input") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "source")
+    assert(graft.operators.Corpus
+      .mixtureSample(empty, "source", "doc_id", Map("a" -> 1.0), 10).count() === 0)
+    val one = Seq((1L, "a")).toDF("doc_id", "source")
+    // ceil(0.01 * 10) = 1: tiny weights still draw at least one row
+    assert(graft.operators.Corpus
+      .mixtureSample(one, "source", "doc_id", Map("a" -> 0.01), 10).count() === 1)
+  }
 }

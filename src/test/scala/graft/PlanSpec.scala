@@ -151,6 +151,12 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
   }
 
+  test("w01 per-group top-k plans a WindowGroupLimit (partial rank pruning, SPARK-37099)") {
+    val p = plan("w01_top_customers_per_nation")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"rank<=k filter must push a partial+final group limit below the sort:\n${p.take(2000)}")
+  }
+
   test("runtime bloom-filter join filter injects for a selective fact-fact SMJ") {
     // 100 TB posture: a selective dimension predicate seeds a bloom filter
     // that prunes the fact scan BEFORE the join shuffle (SPARK-32268).
