@@ -88,11 +88,13 @@ object PipelineRunner {
         col("_t.detail.key").as("key"))
 
   /** Training-corpus preparation pipeline — the LLM-data-pipeline operators
-    * (SURVEY.md §2.11) composed end to end: ingest → quality signals →
-    * language ID → exact dedup → near-dup dedup → quality gate → clean
-    * corpus + per-language stats. Each stage reads the previous stage's
-    * parquet, so any stage can be re-run or inspected in isolation (the
-    * same property the reference's promote-per-stage CI/CD gives templates).
+    * (SURVEY.md §2.11) composed end to end: ingest → PII scrub → quality
+    * signals (score, Gopher rule verdicts, repetition) → language ID →
+    * exact dedup → near-dup dedup → quality gate → clean corpus +
+    * per-language stats. Each stage reads the previous stage's parquet, so
+    * any stage can be re-run or inspected in isolation (the same property
+    * the reference's promote-per-stage CI/CD gives templates). PII is
+    * scrubbed FIRST so no downstream stage ever persists raw identifiers.
     */
   def corpusPrepStages(nearDupThreshold: Double = 0.9,
       minQuality: Double = 0.3): Seq[Stage] = {
@@ -101,11 +103,27 @@ object PipelineRunner {
       "ingest_documents" -> { (spark, cfg) =>
         graft.sources.Tables(spark, cfg.inputDir).documents
       },
+      "pii_scrub" -> { (spark, cfg) =>
+        val raw = spark.read.parquet(s"${cfg.outputDir}/ingest_documents")
+        raw.withColumn("n_redactions",
+            graft.functions.Redact.emailCount(col("text")) +
+              graft.functions.Redact.phoneCount(col("text")) +
+              graft.functions.Redact.ipv4Count(col("text")))
+          .withColumn("text", graft.functions.Redact.scrub(col("text")))
+      },
       "annotate_quality" -> { (spark, cfg) =>
-        spark.read.parquet(s"${cfg.outputDir}/ingest_documents")
+        val scrubbed = spark.read.parquet(s"${cfg.outputDir}/pii_scrub")
           .withColumn("n_tokens", tokenCount(col("text")))
           .withColumn("quality", qualityScore(col("text"), col("n_chars")))
           .withColumn("lang_guess", languageId(col("text")))
+          .withColumn("rule_word_count",
+            graft.functions.QualityRules.wordCount(col("text")).between(50L, 100000L))
+          .withColumn("rule_mean_word_len",
+            graft.functions.QualityRules.meanWordLength(col("text")).between(3.0, 10.0))
+        scrubbed.join(
+          graft.functions.QualityRules.repetitionSignals(scrubbed, "doc_id", "text")
+            .select(col("doc_id"), col("dup_trigram_frac")),
+          Seq("doc_id"), "left")
       },
       "exact_dedup" -> { (spark, cfg) =>
         graft.operators.Dedup.exactByText(
@@ -116,9 +134,12 @@ object PipelineRunner {
           spark.read.parquet(s"${cfg.outputDir}/exact_dedup"), "text", "doc_id",
           threshold = nearDupThreshold)
       },
+      // gate on the composite score plus the repetition rule; the Gopher
+      // verdict columns ride along for downstream mixture decisions
       "quality_gate" -> { (spark, cfg) =>
         spark.read.parquet(s"${cfg.outputDir}/near_dedup")
-          .filter(col("quality") >= minQuality)
+          .filter(col("quality") >= minQuality &&
+            col("dup_trigram_frac") <= 0.5)
       },
       // training-ready outputs: overlapping token chunks of the gated
       // corpus, and fixed-token-budget shard assignments per language

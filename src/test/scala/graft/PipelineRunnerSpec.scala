@@ -24,6 +24,9 @@ class PipelineRunnerSpec extends SparkSpec {
     assert(results.map(_.status).forall(_ == "ok"), results.mkString(", "))
     val byStage = results.map(r => r.stage -> r.rows).toMap
     assert(byStage("ingest_documents") === 500)
+    // scrub and annotate are row-preserving
+    assert(byStage("pii_scrub") === 500)
+    assert(byStage("annotate_quality") === 500)
     // each cleaning stage can only remove documents
     assert(byStage("exact_dedup") <= byStage("annotate_quality"))
     assert(byStage("near_dedup") <= byStage("exact_dedup"))
