@@ -113,6 +113,48 @@ object EventQueries extends QueryPack {
           countDistinct(col("user_id")).as("n_users")
         )
         .withColumn("dow", (dayofweek(col("day")) - 1).cast("long"))
+    },
+
+    // -- Funnel analysis: view → click → purchase, each step within 24h of
+    //    the previous. Per user, the earliest qualifying timestamp per
+    //    stage (min-aggregates over stage-filtered events joined on user),
+    //    rolled up to per-stage user counts. One shuffle per stage frame,
+    //    all joined on the high-cardinality user_id — no window over a
+    //    low-cardinality key, no per-user sort.
+    "e08_funnel" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val horizon = 24 * 3600L
+      def stage(tpe: String) = t.events.filter(col("event_type") === tpe)
+        .select(col("user_id"), col("ts"))
+      val v = stage("view").groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val c = stage("click").join(v, "user_id")
+        .filter(col("ts") >= col("t_view") &&
+          col("ts").cast("long") - col("t_view").cast("long") <= horizon)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      val p = stage("purchase").join(c, "user_id")
+        .filter(col("ts") >= col("t_click") &&
+          col("ts").cast("long") - col("t_click").cast("long") <= horizon)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+      v.agg(count(lit(1)).as("n_viewed"))
+        .crossJoin(c.agg(count(lit(1)).as("n_clicked")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchased")))
+    },
+
+    // -- Cohort retention: users grouped by first-seen day, activity
+    //    counted per day offset — the (cohort, offset) → distinct-users
+    //    matrix. Two shuffles (first-seen aggregate, matrix aggregate),
+    //    both keyed on user_id / composite keys that grow with the data.
+    "e09_cohort_retention" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val firstSeen = t.events.groupBy(col("user_id"))
+        .agg(date_trunc("day", min(col("ts"))).as("cohort_day"))
+      t.events
+        .join(firstSeen, "user_id")
+        .withColumn("day_offset",
+          datediff(date_trunc("day", col("ts")), col("cohort_day")).cast("long"))
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .filter(col("day_offset") <= 7)
     }
   )
 
@@ -187,6 +229,39 @@ object EventQueries extends QueryPack {
         |     AND epoch(CAST(p.ts AS TIMESTAMP)) - epoch(CAST(c.ts AS TIMESTAMP)) <= 3600.0
         |  ) AS next_purchase_ts
         |FROM events c WHERE c.event_type = 'click'""".stripMargin,
+    "e08_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t_view
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click'
+        |    AND CAST(e.ts AS TIMESTAMP) >= v.t_view
+        |    AND CAST(floor(epoch(CAST(e.ts AS TIMESTAMP))) AS BIGINT)
+        |      - CAST(floor(epoch(v.t_view)) AS BIGINT) <= 86400
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND CAST(e.ts AS TIMESTAMP) >= c.t_click
+        |    AND CAST(floor(epoch(CAST(e.ts AS TIMESTAMP))) AS BIGINT)
+        |      - CAST(floor(epoch(c.t_click)) AS BIGINT) <= 86400
+        |  GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM v) AS n_viewed,
+        |  (SELECT count(*) FROM c) AS n_clicked,
+        |  (SELECT count(*) FROM p) AS n_purchased""".stripMargin,
+    "e09_cohort_retention" ->
+      """WITH fs AS (
+        |  SELECT user_id, date_trunc('day', min(CAST(ts AS TIMESTAMP))) AS cohort_day
+        |  FROM events GROUP BY user_id)
+        |SELECT fs.cohort_day, CAST(date_diff('day', fs.cohort_day,
+        |    date_trunc('day', CAST(e.ts AS TIMESTAMP))) AS BIGINT) AS day_offset,
+        |  count(DISTINCT e.user_id) AS n_active
+        |FROM events e JOIN fs ON e.user_id = fs.user_id
+        |GROUP BY 1, 2
+        |HAVING day_offset <= 7""".stripMargin,
     "e06_daily_activity" ->
       """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
         |  count(*) AS n_events,
