@@ -140,6 +140,32 @@ object EventQueries extends QueryPack {
         .crossJoin(p.agg(count(lit(1)).as("n_purchased")))
     },
 
+    // -- Time-series resample + forward fill: each user's event values
+    //    aggregated to a dense daily grid (sequence-explode between the
+    //    user's first and last day), empty days forward-filled from the
+    //    last observed day. The window is per-user ordered by day —
+    //    high-cardinality partition key, bounded rows per user.
+    "e10_daily_fill" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val ev = t.events.filter(col("user_id") < 50)
+        .withColumn("day", date_trunc("day", col("ts")))
+      val daily = ev.groupBy(col("user_id"), col("day"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(28,10)")).cast("double").as("day_value"))
+      val grid = ev.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("day").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          last(col("day_value"), ignoreNulls = true).over(w).as("filled_value"))
+    },
+
     // -- Cohort retention: users grouped by first-seen day, activity
     //    counted per day offset — the (cohort, offset) → distinct-users
     //    matrix. Two shuffles (first-seen aggregate, matrix aggregate),
@@ -252,6 +278,24 @@ object EventQueries extends QueryPack {
         |SELECT (SELECT count(*) FROM v) AS n_viewed,
         |  (SELECT count(*) FROM c) AS n_clicked,
         |  (SELECT count(*) FROM p) AS n_purchased""".stripMargin,
+    "e10_daily_fill" ->
+      """WITH ev AS (
+        |  SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, value
+        |  FROM events WHERE user_id < 50),
+        |daily AS (
+        |  SELECT user_id, day, count(*) AS n_events,
+        |    CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS day_value
+        |  FROM ev GROUP BY user_id, day),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(min(day), max(day),
+        |    INTERVAL 1 DAY)) AS day
+        |  FROM ev GROUP BY user_id)
+        |SELECT g.user_id, g.day,
+        |  coalesce(d.n_events, 0) AS n_events,
+        |  last_value(d.day_value IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+        |FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day""".stripMargin,
     "e09_cohort_retention" ->
       """WITH fs AS (
         |  SELECT user_id, date_trunc('day', min(CAST(ts AS TIMESTAMP))) AS cohort_day
