@@ -154,6 +154,22 @@ object AggExtrasQueries extends QueryPack {
         valueColumnName = "val")
     },
 
+    // -- A3 depth: linear-regression aggregates (both engines implement the
+    //    SQL-standard regr_* family). Like a03's moments these are
+    //    association-order-sensitive double reductions — rounded at
+    //    granularities >=10^5 x the worst observed cross-engine divergence.
+    "a12_regression" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.lineitem.groupBy(col("l_returnflag")).agg(
+        round(expr("regr_slope(l_extendedprice, l_quantity)"), 4).as("slope"),
+        round(expr("regr_intercept(l_extendedprice, l_quantity)"), 2).as("intercept"),
+        round(expr("regr_r2(l_extendedprice, l_quantity)"), 8).as("r2"),
+        expr("regr_count(l_extendedprice, l_quantity)").as("n"),
+        round(expr("regr_avgx(l_extendedprice, l_quantity)"), 6).as("avgx"),
+        round(expr("regr_avgy(l_extendedprice, l_quantity)"), 4).as("avgy")
+      )
+    },
+
     // -- A5: explicit GROUPING SETS (the arbitrary-sets SQL form; rollup and
     //    cube above are its two canned shapes).
     "a09_grouping_sets" -> { (spark, dir) =>
@@ -246,6 +262,15 @@ object AggExtrasQueries extends QueryPack {
         |  FROM lineitem GROUP BY l_returnflag)
         |ON sum_qty, sum_price, n_rows
         |INTO NAME metric VALUE val""".stripMargin,
+    "a12_regression" ->
+      """SELECT l_returnflag,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 8) AS r2,
+        |  regr_count(l_extendedprice, l_quantity) AS n,
+        |  round(regr_avgx(l_extendedprice, l_quantity), 6) AS avgx,
+        |  round(regr_avgy(l_extendedprice, l_quantity), 4) AS avgy
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "a09_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  count(*) AS n_orders,
