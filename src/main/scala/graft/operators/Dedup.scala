@@ -31,6 +31,29 @@ object Dedup {
     exactByKey(docs.withColumn("_fp", fingerprint64(col(textCol))), Seq("_fp"), idCol)
       .drop("_fp")
 
+  /** Incremental exact dedup — the continuous-ingestion shape: a new batch
+    * deduped against the FULL corpus history without rescanning it. The
+    * history is a persisted fingerprint table (one long per ever-seen
+    * document — tiny relative to the corpus); the batch survives if its
+    * fingerprint is unseen there AND it wins the within-batch dedup.
+    *
+    * Scale: one left-anti shuffle join of batch-sized frames against the
+    * fingerprint store (bucket the store by `fp` to make the probe
+    * zero-shuffle), plus the usual within-batch dedup. Append
+    * `fingerprints(survivors)` to the store after each batch — history
+    * grows by O(new unique docs), never reread as text.
+    */
+  def incrementalExact(newDocs: DataFrame, seenFps: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    val withFp = newDocs.withColumn("_fp", fingerprint64(col(textCol)))
+    val unseen = withFp.join(seenFps.select(col("fp").as("_fp")), Seq("_fp"), "left_anti")
+    exactByKey(unseen, Seq("_fp"), idCol).drop("_fp")
+  }
+
+  /** The fingerprint frame to append to the history store after a batch. */
+  def fingerprints(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(fingerprint64(col(textCol)).as("fp")).distinct()
+
   /** MinHash-LSH candidate pairs with exact-Jaccard verification (L2).
     *
     * @param shingleK   words per shingle

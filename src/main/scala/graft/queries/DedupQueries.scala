@@ -21,6 +21,25 @@ object DedupQueries extends QueryPack {
         .select(col("doc_id"), col("lang"), col("source"))
     },
 
+    // -- L1 incremental: a "new batch" (doc_id >= 250) deduped against the
+    //    fingerprint HISTORY of the already-ingested corpus (doc_id < 250)
+    //    without rescanning its text — the continuous-ingestion shape. The
+    //    oracle mirrors membership via normalized-text equality (equivalent
+    //    to fingerprint equality absent xxhash64 collisions, which the
+    //    within-corpus d01 oracle already relies on). The batch starts at
+    //    doc_id 200, OVERLAPPING the history by 50 docs — those are
+    //    already-seen texts the anti-join must remove, so a broken history
+    //    probe changes the row count (the fixture has no organic exact
+    //    dups; without the overlap this query could not catch one).
+    "d06_incremental_dedup" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val history = Dedup.fingerprints(
+        t.documents.filter(col("doc_id") < 250), "text")
+      Dedup.incrementalExact(
+        t.documents.filter(col("doc_id") >= 200), history, "text", "doc_id")
+        .select(col("doc_id"), col("source"))
+    },
+
     // -- L2 MinHash-LSH verified near-dup pairs (rows-only).
     "d02_minhash_pairs" -> { (spark, dir) =>
       val t = Tables(spark, dir)
@@ -69,6 +88,19 @@ object DedupQueries extends QueryPack {
         |        '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))
         |      ORDER BY doc_id ASC) AS rn
         |  FROM documents)
+        |WHERE rn = 1""".stripMargin,
+    "d06_incremental_dedup" ->
+      """WITH n AS (
+        |  SELECT doc_id, source,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS nt
+        |  FROM documents),
+        |old AS (SELECT DISTINCT nt FROM n WHERE doc_id < 250)
+        |SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY nt ORDER BY doc_id ASC) AS rn
+        |  FROM n
+        |  WHERE doc_id >= 200 AND nt NOT IN (SELECT nt FROM old))
         |WHERE rn = 1""".stripMargin,
     "d04_jaccard_pairs" ->
       """WITH toks AS (

@@ -93,6 +93,22 @@ class CorpusHygieneSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("incrementalExact: history kills seen texts, batch dedup keeps min id") {
+    val history = graft.operators.Dedup.fingerprints(
+      docsDF(Seq(1L -> "seen text", 2L -> "other seen")), "text")
+    val batch = docsDF(Seq(
+      10L -> "seen text",      // in history -> dropped
+      11L -> "brand new",      // unseen, unique -> kept
+      12L -> "repeated batch", // unseen, duplicated in batch -> min id kept
+      13L -> "repeated batch",
+      14L -> "Seen  TEXT!"     // normalizes to a history fingerprint -> dropped
+    ))
+    val out = graft.operators.Dedup
+      .incrementalExact(batch, history, "text", "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(out === Set(11L, 12L))
+  }
+
   test("TextIndex: postings are exact; BM25 ranks by relevance") {
     val docs = docsDF(Seq(
       1L -> "spark spark spark join",          // 3x spark
