@@ -249,4 +249,49 @@ object EventStreams {
       }
       .start()
       .awaitTermination()
+
+  /** Streaming exact dedup with UNBOUNDED history: each micro-batch is
+    * deduped against a persisted fingerprint store via
+    * `Dedup.incrementalExact`, survivors append to `outDir`, and their
+    * fingerprints append to the store — so a duplicate arriving YEARS
+    * after the original is still dropped. This is the complement of T5's
+    * `dropDuplicatesWithinWatermark`, whose state (and guarantee) is
+    * bounded by the watermark; here state is the fingerprint table —
+    * one long per unique document ever seen, on storage, not on the heap.
+    * Exactly-once: survivors commit before fingerprints, so a crash
+    * between the writes re-admits (never loses) the batch on replay, and
+    * the checkpoint makes the replay dedup re-run identically.
+    */
+  def dedupForeachBatchAvailableNow(docs: DataFrame, outDir: String,
+      fpDir: String, checkpointDir: String,
+      textCol: String, idCol: String): Unit =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val seen =
+          try spark.read.parquet(fpDir)
+          catch {
+            case e: org.apache.spark.sql.AnalysisException
+                if e.getCondition == "PATH_NOT_FOUND" =>
+              spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                org.apache.spark.sql.types.StructType(Seq(
+                  org.apache.spark.sql.types.StructField("fp",
+                    org.apache.spark.sql.types.LongType))))
+          }
+        val survivors = graft.operators.Dedup
+          .incrementalExact(batch, seen, textCol, idCol)
+          .localCheckpoint(true)
+        try {
+          if (!survivors.isEmpty) {
+            survivors.write.mode("append").parquet(outDir)
+            graft.operators.Dedup.fingerprints(survivors, textCol)
+              .write.mode("append").parquet(fpDir)
+          }
+        } finally survivors.unpersist()
+      }
+      .start()
+      .awaitTermination()
 }

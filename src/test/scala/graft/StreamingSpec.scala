@@ -277,4 +277,29 @@ class StreamingSpec extends SparkSpec {
     // watermark progress, schema is the contract here.
     assert(out.count() >= 0)
   }
+
+  test("streaming dedup against a persisted fingerprint store survives across runs") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fpdedup").toString
+    val inDir = s"$tmp/in"; val outDir = s"$tmp/out"
+    val fpDir = s"$tmp/fp"; val ckpt = s"$tmp/ckpt"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    def stream = spark.readStream.schema(schema).parquet(inDir)
+    // run 1: two unique docs plus an in-batch duplicate
+    Seq((1L, "alpha"), (2L, "beta"), (3L, "alpha")).toDF("doc_id", "text")
+      .write.mode("append").parquet(inDir)
+    EventStreams.dedupForeachBatchAvailableNow(stream, outDir, fpDir, ckpt, "text", "doc_id")
+    val afterRun1 = spark.read.parquet(outDir).collect().map(_.getLong(0)).toSet
+    assert(afterRun1 === Set(1L, 2L), "in-batch dup keeps the min id")
+    // run 2 (fresh query, same store): a late duplicate of run 1 + a new doc
+    Seq((10L, "beta"), (11L, "gamma")).toDF("doc_id", "text")
+      .write.mode("append").parquet(inDir)
+    EventStreams.dedupForeachBatchAvailableNow(stream, outDir, fpDir, ckpt, "text", "doc_id")
+    val afterRun2 = spark.read.parquet(outDir).collect().map(_.getLong(0)).toSet
+    assert(afterRun2 === Set(1L, 2L, 11L),
+      "the run-1 duplicate must be dropped by the fingerprint store, not re-admitted")
+    assert(spark.read.parquet(fpDir).count() === 3, "one fingerprint per unique text")
+  }
 }
