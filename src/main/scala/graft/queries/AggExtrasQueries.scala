@@ -154,6 +154,25 @@ object AggExtrasQueries extends QueryPack {
         valueColumnName = "val")
     },
 
+    // -- A3/A4: t-digest-style approximate percentiles under the a07
+    //    bounded-property pattern — exact interpolated percentiles anchor
+    //    the cross-engine compare; percentile_approx (accuracy 10000 →
+    //    worst-case rank error 1/10000) must land within 1% of exact on
+    //    both probed quantiles. Deterministic: no flapping.
+    "a13_approx_percentile" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.lineitem.groupBy(col("l_returnflag")).agg(
+        expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
+        expr("percentile(l_extendedprice, 0.95)").as("exact_p95"),
+        expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("_a50"),
+        expr("percentile_approx(l_extendedprice, 0.95, 10000)").as("_a95")
+      ).select(
+        col("l_returnflag"), col("exact_p50"), col("exact_p95"),
+        (abs(col("_a50") - col("exact_p50")) <= col("exact_p50") * 0.01).as("p50_within_1pct"),
+        (abs(col("_a95") - col("exact_p95")) <= col("exact_p95") * 0.01).as("p95_within_1pct")
+      )
+    },
+
     // -- A3 depth: linear-regression aggregates (both engines implement the
     //    SQL-standard regr_* family). Like a03's moments these are
     //    association-order-sensitive double reductions — rounded at
@@ -262,6 +281,13 @@ object AggExtrasQueries extends QueryPack {
         |  FROM lineitem GROUP BY l_returnflag)
         |ON sum_qty, sum_price, n_rows
         |INTO NAME metric VALUE val""".stripMargin,
+    "a13_approx_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.5) AS exact_p50,
+        |  quantile_cont(l_extendedprice, 0.95) AS exact_p95,
+        |  TRUE AS p50_within_1pct,
+        |  TRUE AS p95_within_1pct
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "a12_regression" ->
       """SELECT l_returnflag,
         |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
