@@ -161,6 +161,18 @@ object PipelineRunner {
           spark.read.parquet(s"${cfg.outputDir}/quality_gate"),
           "lang_guess", "doc_id", perStratum = 25)
       },
+      // lexical retrieval index over the gated corpus (postings persist;
+      // repeated queries then probe them instead of rescanning text)
+      "term_index" -> { (spark, cfg) =>
+        graft.operators.TextIndex.postings(
+          spark.read.parquet(s"${cfg.outputDir}/quality_gate"), "doc_id", "text")
+      },
+      // fingerprint store for the NEXT run's incremental dedup
+      // (Dedup.incrementalExact probes this instead of rescanning history)
+      "fingerprint_store" -> { (spark, cfg) =>
+        graft.operators.Dedup.fingerprints(
+          spark.read.parquet(s"${cfg.outputDir}/quality_gate"), "text")
+      },
       "corpus_stats" -> { (spark, cfg) =>
         spark.read.parquet(s"${cfg.outputDir}/quality_gate")
           .groupBy(col("lang_guess"))
