@@ -109,8 +109,10 @@ object Corpus {
       weights: Map[String, Double], total: Int, salts: Int = 32): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0), "need positive weights")
     require(total > 0 && salts > 0, "total and salts must be positive")
+    // epsilon guards the IEEE product: 0.07 * 100 = 7.000000000000001
+    // would otherwise ceil to 8 and silently over-draw the stratum
     val quotaMap = map(weights.toSeq.sortBy(_._1).flatMap { case (s, w) =>
-      Seq(lit(s), lit(math.ceil(w * total).toLong))
+      Seq(lit(s), lit(math.ceil(w * total - 1e-9).toLong))
     }: _*)
     val ord = md5(col(idCol).cast("string").cast("binary"))
     val w1 = Window.partitionBy(col(stratumCol), col("_salt"))

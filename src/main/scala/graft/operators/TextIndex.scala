@@ -81,7 +81,11 @@ object TextIndex {
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol), tokens(normalizeText(col(textCol))).as("_toks"))
       .select(col(idCol), size(col("_toks")).cast("long").as("dl"), col("_toks"))
-      .localCheckpoint()
+      // LAZY checkpoint: building the query stays side-effect-free (plan
+      // inspection triggers no job); the first action materializes the
+      // tokenized base once and both passes below reuse it. Blocks are
+      // released by the ContextCleaner when the frame goes out of scope.
+      .localCheckpoint(eager = false)
     val tfCols = queryTerms.indices.map { i =>
       (size(col("_toks")) - size(array_remove(col("_toks"), lit(queryTerms(i)))))
         .cast("double").as(s"_tf_$i")

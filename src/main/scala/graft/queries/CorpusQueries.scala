@@ -92,8 +92,8 @@ object CorpusQueries extends QueryPack {
       // not the normalized tokens c01 chunks on
       "c03_sequence_packing" ->
         s"""WITH t AS (SELECT doc_id, source,
-           |    CASE WHEN length(trim(text)) = 0 THEN 0
-           |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+           |    len(list_filter(string_split_regex(trim(text), '\\s+'),
+           |      x -> x <> '')) AS n_tokens
            |  FROM documents),
            |packed AS (
            |  SELECT source, n_tokens,

@@ -100,7 +100,8 @@ object DedupQueries extends QueryPack {
         |  SELECT doc_id, source,
         |    row_number() OVER (PARTITION BY nt ORDER BY doc_id ASC) AS rn
         |  FROM n
-        |  WHERE doc_id >= 200 AND nt NOT IN (SELECT nt FROM old))
+        |  WHERE doc_id >= 200 AND NOT EXISTS (
+        |    SELECT 1 FROM old WHERE old.nt IS NOT DISTINCT FROM n.nt))
         |WHERE rn = 1""".stripMargin,
     "d04_jaccard_pairs" ->
       """WITH toks AS (

@@ -56,8 +56,12 @@ object EventQueries extends QueryPack {
       val t = Tables(spark, dir)
       t.events
         .withColumn("m", from_json(col("props"), MapType(StringType, StringType)))
+        // drop a pre-existing 'etype' key before the concat: Spark's default
+        // mapKeyDedupPolicy=EXCEPTION would otherwise THROW on the collision
+        // (the oracle models drop-then-append, i.e. injected-key-wins)
         .withColumn("m2",
-          map_concat(col("m"), map(lit("etype"), col("event_type"))))
+          map_concat(map_filter(col("m"), (k, _) => k =!= "etype"),
+            map(lit("etype"), col("event_type"))))
         .withColumn("m3",
           transform_values(col("m2"), (k, v) => concat(k, lit(":"), v)))
         .select(

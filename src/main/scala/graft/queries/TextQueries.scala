@@ -178,8 +178,8 @@ object TextQueries extends QueryPack {
     "t01_text_stats" ->
       """SELECT doc_id,
         |  length(text) AS n_chars_actual,
-        |  CASE WHEN length(trim(text)) = 0 THEN 0
-        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'),
+        |    x -> x <> '')) AS n_tokens,
         |  length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 1.0
         |    / greatest(length(text), 1) AS punct_ratio,
         |  length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
@@ -194,8 +194,8 @@ object TextQueries extends QueryPack {
         |  min(n_tokens) AS min_tokens,
         |  max(n_tokens) AS max_tokens
         |FROM (SELECT source, n_chars,
-        |        CASE WHEN length(trim(text)) = 0 THEN 0
-        |             ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+        |        len(list_filter(string_split_regex(trim(text), '\s+'),
+        |          x -> x <> '')) AS n_tokens
         |      FROM documents)
         |GROUP BY source""".stripMargin,
     "t03_fingerprints" ->
@@ -211,8 +211,8 @@ object TextQueries extends QueryPack {
         |      / greatest(length(text), 1) AS punct_ratio,
         |    length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
         |      / greatest(length(text), 1) AS digit_ratio,
-        |    CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
-        |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS tk,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      x -> x <> '') AS tk,
         |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subwords
         |  FROM documents),
         |ratio AS (
@@ -236,8 +236,8 @@ object TextQueries extends QueryPack {
         |  SELECT doc_id,
         |    text IS NULL AS no_text,
         |    coalesce(regexp_matches(text, '[\x{4e00}-\x{9fff}]'), false) AS cjk,
-        |    CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
-        |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS tk
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      x -> x <> '') AS tk
         |  FROM documents),
         |scored AS (
         |  SELECT doc_id, no_text, cjk,
@@ -259,12 +259,13 @@ object TextQueries extends QueryPack {
     "t08_gopher_rules" ->
       """WITH sig AS (
         |  SELECT doc_id,
-        |    CASE WHEN length(trim(text)) = 0 THEN 0
-        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
-        |    CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
-        |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS tk_lower,
-        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-        |         ELSE string_split_regex(trim(text), '\s+') END AS tk,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x <> '')) AS n_words,
+        |    CASE WHEN text IS NULL THEN NULL
+        |      ELSE list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |        x -> x <> '') END AS tk_lower,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x <> '') AS tk,
         |    length(regexp_replace(text, '\s', '', 'g')) AS n_nonws,
         |    length(text) - length(replace(text, '#', '')) AS n_hash,
         |    len(regexp_extract_all(text, '\.\.\.')) AS n_ellipsis,

@@ -110,6 +110,9 @@ object PipelineRunner {
               graft.functions.Redact.phoneCount(col("text")) +
               graft.functions.Redact.ipv4Count(col("text")))
           .withColumn("text", graft.functions.Redact.scrub(col("text")))
+          // n_chars is fixture-precomputed from the RAW text; downstream
+          // quality scoring must see post-scrub lengths
+          .withColumn("n_chars", length(col("text")).cast("long"))
       },
       "annotate_quality" -> { (spark, cfg) =>
         val scrubbed = spark.read.parquet(s"${cfg.outputDir}/pii_scrub")

@@ -252,15 +252,21 @@ object EventStreams {
 
   /** Streaming exact dedup with UNBOUNDED history: each micro-batch is
     * deduped against a persisted fingerprint store via
-    * `Dedup.incrementalExact`, survivors append to `outDir`, and their
+    * `Dedup.incrementalExact`, survivors land in `outDir`, and their
     * fingerprints append to the store — so a duplicate arriving YEARS
     * after the original is still dropped. This is the complement of T5's
     * `dropDuplicatesWithinWatermark`, whose state (and guarantee) is
     * bounded by the watermark; here state is the fingerprint table —
     * one long per unique document ever seen, on storage, not on the heap.
-    * Exactly-once: survivors commit before fingerprints, so a crash
-    * between the writes re-admits (never loses) the batch on replay, and
-    * the checkpoint makes the replay dedup re-run identically.
+    *
+    * Failure semantics: the survivor write is IDEMPOTENT — output is
+    * partitioned by batch id with dynamic overwrite, so a crash-replayed
+    * batch replaces its own partition instead of appending duplicates
+    * (the checkpoint re-runs the same batch id, and the fingerprint store
+    * is only consulted, never mutated, before the survivor commit). The
+    * fingerprint append after it is at-least-once: a replay can append
+    * the same fps twice, which costs store bytes but cannot change
+    * results (the anti-join probe is membership, not count).
     */
   def dedupForeachBatchAvailableNow(docs: DataFrame, outDir: String,
       fpDir: String, checkpointDir: String,
@@ -268,7 +274,7 @@ object EventStreams {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val seen =
           try spark.read.parquet(fpDir)
@@ -283,10 +289,14 @@ object EventStreams {
           }
         val survivors = graft.operators.Dedup
           .incrementalExact(batch, seen, textCol, idCol)
+          .withColumn("_batch_id", lit(batchId))
           .localCheckpoint(true)
         try {
           if (!survivors.isEmpty) {
-            survivors.write.mode("append").parquet(outDir)
+            survivors.write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("_batch_id")
+              .parquet(outDir)
             graft.operators.Dedup.fingerprints(survivors, textCol)
               .write.mode("append").parquet(fpDir)
           }
