@@ -93,6 +93,27 @@ class EdgeCaseSpec extends SparkSpec {
     assert(java.lang.Double.doubleToLongBits(expected) === dsumAt(32))
   }
 
+  test("tokens never emit empty strings for edge whitespace (tabs/newlines)") {
+    import spark.implicits._
+    // trim() strips only spaces, so regex-split on "abc\n" or "\tabc"
+    // produces empty-string artifacts the old when()-guard kept; the
+    // array_remove form (and every DuckDB oracle's list_filter twin)
+    // drops them — token counts must see words, not artifacts
+    val df = Seq(
+      (1L, "abc\n"), (2L, "\tabc"), (3L, "\t"), (4L, "a\tb\nc"), (5L, " x ")
+    ).toDF("id", "text")
+    val got = df.select(col("id"),
+      TextFunctions.tokens(col("text")).as("t"),
+      TextFunctions.tokenCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[String](1), r.getLong(2)))).toMap
+    assert(got(1L) === ((Seq("abc"), 1L)))
+    assert(got(2L) === ((Seq("abc"), 1L)))
+    assert(got(3L) === ((Seq(), 0L)), "whitespace-only text has zero tokens")
+    assert(got(4L) === ((Seq("a", "b", "c"), 3L)))
+    assert(got(5L) === ((Seq("x"), 1L)))
+    assert(!got.values.exists(_._1.contains("")), "no empty-string tokens, ever")
+  }
+
   test("quality rules and PII scrub on null/empty/whitespace text") {
     import spark.implicits._
     val df = Seq((1L, null: String), (2L, ""), (3L, "   "), (4L, "one two"))
