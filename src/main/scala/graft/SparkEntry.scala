@@ -23,6 +23,7 @@ object SparkEntry {
     TextQueries,
     CorpusQueries,
     RetrievalQueries,
+    ValidationQueries,
     DedupQueries,
     SimilarityQueries,
     MultimodalQueries,

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Validate
+import graft.operators.Validate._
+
+class ValidateSpec extends SparkSpec {
+
+  test("report counts each violation class exactly, in one pass") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("ok"), 5.0, "A"),
+      (2L, None, 5.0, "A"),          // null name
+      (2L, Some("dup"), 5.0, "B"),   // duplicate id
+      (3L, Some("ok"), 99.0, "A"),   // out of range
+      (4L, Some("ok"), 5.0, "X"),    // unaccepted category
+      (5L, Some("ok"), -1.0, "Z")    // out of range AND unaccepted
+    ).toDF("id", "name", "v", "cat")
+      .withColumn("name", col("name"))
+    val rep = Validate.report(df, Seq(
+      notNull("name"),
+      unique("id"),
+      inRange("v", 0.0, 10.0),
+      accepted("cat", Seq("A", "B")),
+      matches("cat", "^[A-C]$")
+    )).collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(rep("not_null(name)") === ((1L, false)))
+    assert(rep("unique(id)") === ((1L, false)))
+    assert(rep("in_range(v,0.0,10.0)") === ((2L, false)))
+    assert(rep("accepted(cat)") === ((2L, false)))
+    assert(rep("matches(cat)") === ((2L, false)))
+    // one aggregate pass: a single Aggregate pair in the plan, no joins
+    val plan = Validate.report(df, Seq(notNull("name"), unique("id")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(1500))
+  }
+
+  test("composite unique and clean-table reports") {
+    import spark.implicits._
+    val df = Seq((1L, 1L), (1L, 2L), (1L, 2L)).toDF("a", "b")
+    val rep = Validate.report(df, Seq(unique("a", "b")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep("unique(a,b)") === 1L, "one duplicated (a,b) pair")
+    val clean = Validate.report(Seq((1L, "x")).toDF("id", "s"),
+      Seq(notNull("s"), unique("id")))
+    assert(clean.filter(!col("pass")).count() === 0)
+  }
+
+  test("refIntegrity counts orphans, ignores null FKs") {
+    import spark.implicits._
+    val parent = Seq(1L, 2L).toDF("pk")
+    val child = Seq(Some(1L), Some(2L), Some(99L), None).toDF("fk")
+    val rep = Validate.refIntegrity(child, "fk", parent, "pk", "fk_check").head
+    assert(rep.getString(0) === "fk_check")
+    assert(rep.getLong(1) === 1L, "only the orphan 99 counts; null FK is not a violation")
+    assert(!rep.getBoolean(2))
+  }
+}
