@@ -197,6 +197,20 @@ object PipelineRunner {
       graft.sources.Tables(spark, cfg.inputDir).orders
         .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")))
     },
+    // publish gate: constraint report on the ingested batch — the run
+    // FAILS (stopping downstream stages, like the reference's state
+    // machine on a failed step) if any constraint is violated
+    "validate_orders" -> { (spark, cfg) =>
+      import graft.operators.Validate
+      val batch = spark.read.parquet(s"${cfg.outputDir}/ingest_orders")
+      val rep = Validate.report(batch, Seq(
+        Validate.notNull("o_custkey"),
+        Validate.unique("o_orderkey"),
+        Validate.inRange("o_totalprice", 0.0, 1e9)))
+      val bad = rep.filter(!col("pass")).collect()
+      require(bad.isEmpty, s"constraint violations: ${bad.mkString("; ")}")
+      rep
+    },
     "enrich_customers" -> { (spark, cfg) =>
       val t = graft.sources.Tables(spark, cfg.inputDir)
       spark.read.parquet(s"${cfg.outputDir}/ingest_orders")

@@ -10,7 +10,7 @@ class PipelineRunnerSpec extends SparkSpec {
     val out = java.nio.file.Files.createTempDirectory("graft_run").toString
     val results = PipelineRunner.run(spark,
       EngineConfig("dev", sf, out), PipelineRunner.ordersJobStages)
-    assert(results.map(_.status) === Seq("ok", "ok", "ok"))
+    assert(results.map(_.status) === Seq("ok", "ok", "ok", "ok"))
     assert(results.last.rows === 5) // five market segments
     val manifest = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$out/manifest.json"))
     assert(manifest.contains("\"env\":\"dev\"") && manifest.contains("segment_revenue"))
