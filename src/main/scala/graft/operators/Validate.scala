@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
   * (the public Deequ / dbt-test shape, rebuilt as plain DataFrame ops).
   *
   * Each check compiles to one aggregate expression, and [[report]] runs
-  * ALL checks on a table in a single scan (one map-side-combined
-  * aggregate — no per-check passes). Cross-table checks (referential
-  * integrity) are an anti-join counted the same way. At 100 TB a full
-  * constraint sweep therefore costs one pass per table plus one shuffle
-  * per FK — and the report is rows, so gating a pipeline on it is
+  * ALL checks on a table in a single scan — no per-check passes. Checks
+  * other than `unique` partial-aggregate map-side; each DISTINCT
+  * [[unique]] check adds an Expand + key shuffle (Catalyst's
+  * multi-distinct plan), so a sweep with unique checks costs one scan
+  * plus one distinct-shuffle per unique key set. Cross-table checks
+  * (referential integrity) are an anti-join counted the same way. The
+  * report is rows, so gating a pipeline on it is
   * `report.filter(!pass).isEmpty`.
   */
 object Validate {
@@ -26,10 +28,15 @@ object Validate {
   def notNull(c: String): Check =
     Check(s"not_null($c)", count(when(col(c).isNull, 1)))
 
-  /** Duplicate-key count: rows beyond the first per key value. */
-  def unique(cols: String*): Check =
+  /** Duplicate-key count: rows beyond the first per key value. SQL UNIQUE
+    * semantics — rows with any null key column never violate (they are
+    * pairwise distinct); forbid them with [[notNull]] instead.
+    */
+  def unique(cols: String*): Check = {
+    val allSet = cols.map(col(_).isNotNull).reduce(_ && _)
     Check(s"unique(${cols.mkString(",")})",
-      (count(lit(1)) - countDistinct(cols.head, cols.tail: _*)))
+      (count(when(allSet, 1)) - countDistinct(cols.head, cols.tail: _*)))
+  }
 
   def inRange(c: String, lo: Double, hi: Double): Check =
     Check(s"in_range($c,$lo,$hi)",

@@ -203,10 +203,13 @@ object PipelineRunner {
     "validate_orders" -> { (spark, cfg) =>
       import graft.operators.Validate
       val batch = spark.read.parquet(s"${cfg.outputDir}/ingest_orders")
+      // materialize the 3-row report ONCE: the gate collect and the
+      // runner's parquet write must not each re-run the batch aggregate
       val rep = Validate.report(batch, Seq(
         Validate.notNull("o_custkey"),
         Validate.unique("o_orderkey"),
         Validate.inRange("o_totalprice", 0.0, 1e9)))
+        .localCheckpoint(true)
       val bad = rep.filter(!col("pass")).collect()
       require(bad.isEmpty, s"constraint violations: ${bad.mkString("; ")}")
       rep

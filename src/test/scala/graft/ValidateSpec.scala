@@ -16,7 +16,6 @@ class ValidateSpec extends SparkSpec {
       (4L, Some("ok"), 5.0, "X"),    // unaccepted category
       (5L, Some("ok"), -1.0, "Z")    // out of range AND unaccepted
     ).toDF("id", "name", "v", "cat")
-      .withColumn("name", col("name"))
     val rep = Validate.report(df, Seq(
       notNull("name"),
       unique("id"),
@@ -35,12 +34,14 @@ class ValidateSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan.take(1500))
   }
 
-  test("composite unique and clean-table reports") {
+  test("composite unique, null-key rows, and clean-table reports") {
     import spark.implicits._
-    val df = Seq((1L, 1L), (1L, 2L), (1L, 2L)).toDF("a", "b")
+    val df = Seq((Some(1L), 1L), (Some(1L), 2L), (Some(1L), 2L),
+      (None, 7L), (None, 7L)).toDF("a", "b")
     val rep = Validate.report(df, Seq(unique("a", "b")))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(rep("unique(a,b)") === 1L, "one duplicated (a,b) pair")
+    assert(rep("unique(a,b)") === 1L,
+      "one duplicated (a,b) pair; null-key rows are pairwise distinct (SQL UNIQUE)")
     val clean = Validate.report(Seq((1L, "x")).toDF("id", "s"),
       Seq(notNull("s"), unique("id")))
     assert(clean.filter(!col("pass")).count() === 0)
