@@ -164,6 +164,44 @@ object Corpus {
     packed.groupBy(col(stratumCol), col("pack_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
 
+  /** Eval-set decontamination flags (the public GPT-3/Pile methodology:
+    * a training document is contaminated if it shares any token n-gram
+    * with the evaluation set; n = 13 is the published choice). Output:
+    * (idCol, contaminated) for every training doc.
+    *
+    * Scale shape: the eval side collapses to its DISTINCT n-grams —
+    * eval sets are tiny relative to the corpus, so that frame broadcasts
+    * — and the training side is one explode + broadcast-hash probe +
+    * per-doc max: map-only over the corpus, no corpus-sized shuffle.
+    * For an eval set too large to broadcast, drop the `broadcast` hint
+    * and the same plan runs as a shuffle join on the gram key.
+    */
+  def contaminationFlags(train: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, n: Int = 13): DataFrame = {
+    require(n > 0, "n must be positive")
+    import graft.functions.TextFunctions.{normalizeText, tokens, shingles}
+    def grams(df: DataFrame) = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol), tokens(normalizeText(col(textCol))).as("_toks"))
+      .select(col(idCol), explode(shingles(col("_toks"), n)).as("gram"))
+    val evalGrams = grams(evalSet).select(col("gram")).distinct()
+    val hits = grams(train)
+      .join(broadcast(evalGrams), Seq("gram"))
+      .select(col(idCol)).distinct()
+      .withColumn("contaminated", lit(true))
+    train.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("contaminated"), lit(false)).as("contaminated"))
+  }
+
+  /** [[contaminationFlags]] applied: the training set minus contaminated docs. */
+  def decontaminate(train: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, n: Int = 13): DataFrame =
+    train.join(
+      contaminationFlags(train, evalSet, idCol, textCol, n)
+        .filter(col("contaminated")).select(col(idCol)),
+      Seq(idCol), "left_anti")
+
   /** Scale path of [[packSequences]] — identical output, no per-stratum
     * single-task window. A windowed prefix sum puts each stratum in ONE
     * task (strata are few: languages, sources); this computes the same

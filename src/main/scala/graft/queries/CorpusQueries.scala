@@ -37,6 +37,16 @@ object CorpusQueries extends QueryPack {
         "source")
     },
 
+    // -- Eval decontamination: training docs sharing any 13-token n-gram
+    //    with the held-out eval slice (doc_id % 10 = 0) are flagged —
+    //    the fixture's seeded near-dup families produce real hits.
+    "c05_decontaminate" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val evalSet = t.documents.filter(pmod(col("doc_id"), lit(10)) === 0)
+      val train = t.documents.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      Corpus.contaminationFlags(train, evalSet, "doc_id", "text", n = 13)
+    },
+
     // -- Domain-mixture sampling: a 40/30/20/10 target mixture over four
     //    sources, quotas filled in reproducible md5 order. src0/src1's
     //    quotas (40/30) exceed the stratum size, so the query also
@@ -80,6 +90,18 @@ object CorpusQueries extends QueryPack {
           |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
           |  FROM documents)
           |WHERE rn <= 20""".stripMargin,
+      "c05_decontaminate" ->
+        s"""WITH t AS (SELECT doc_id, $tk AS tk FROM documents),
+           |g AS (SELECT doc_id,
+           |    unnest(list_transform(generate_series(1, greatest(len(tk) - 12, 0)),
+           |      i -> array_to_string(tk[i : i + 12], ' '))) AS gram
+           |  FROM t),
+           |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+           |hits AS (SELECT DISTINCT doc_id FROM g
+           |  WHERE doc_id % 10 <> 0 AND gram IN (SELECT gram FROM ev))
+           |SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+           |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+           |LEFT JOIN hits h ON d.doc_id = h.doc_id""".stripMargin,
       "c04_domain_mixture" ->
         """SELECT source, doc_id, lang FROM (
           |  SELECT source, doc_id, lang,

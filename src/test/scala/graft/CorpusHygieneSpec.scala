@@ -93,6 +93,23 @@ class CorpusHygieneSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("decontaminate: shared n-gram flags the training doc, n-1 overlap does not") {
+    val evalSet = docsDF(Seq(100L -> "alpha beta gamma delta epsilon"))
+    val train = docsDF(Seq(
+      1L -> "x alpha beta gamma y",      // shares the 3-gram "alpha beta gamma"
+      2L -> "alpha beta x gamma delta",  // only 2-gram overlaps
+      3L -> "totally different words"
+    ))
+    val flags = graft.operators.Corpus
+      .contaminationFlags(train, evalSet, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(flags === Map(1L -> true, 2L -> false, 3L -> false))
+    val clean = graft.operators.Corpus
+      .decontaminate(train, evalSet, "doc_id", "text", n = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(clean === Set(2L, 3L))
+  }
+
   test("incrementalExact: history kills seen texts, batch dedup keeps min id") {
     val history = graft.operators.Dedup.fingerprints(
       docsDF(Seq(1L -> "seen text", 2L -> "other seen")), "text")
