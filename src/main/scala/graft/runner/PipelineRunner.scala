@@ -164,6 +164,16 @@ object PipelineRunner {
           spark.read.parquet(s"${cfg.outputDir}/quality_gate"),
           "lang_guess", "doc_id", perStratum = 25)
       },
+      // decontaminate the TRAINING corpus against the held-out sample:
+      // any doc sharing a 13-gram with the eval slice leaves training
+      // (the eval docs themselves leave too, via the id anti-join)
+      "train_decontaminated" -> { (spark, cfg) =>
+        val gated = spark.read.parquet(s"${cfg.outputDir}/quality_gate")
+        val holdout = spark.read.parquet(s"${cfg.outputDir}/holdout_sample")
+        graft.operators.Corpus.decontaminate(
+          gated.join(holdout.select(col("doc_id")), Seq("doc_id"), "left_anti"),
+          holdout, "doc_id", "text", n = 13)
+      },
       // lexical retrieval index over the gated corpus (postings persist;
       // repeated queries then probe them instead of rescanning text)
       "term_index" -> { (spark, cfg) =>
