@@ -10,59 +10,92 @@ import org.apache.spark.sql.functions._
   * per-constraint violation report instead of downstream corruption
   * (the public Deequ / dbt-test shape, rebuilt as plain DataFrame ops).
   *
-  * Each check compiles to one aggregate expression, and [[report]] runs
-  * ALL checks on a table in a single scan — no per-check passes. Checks
-  * other than `unique` partial-aggregate map-side; each DISTINCT
-  * [[unique]] check adds an Expand + key shuffle (Catalyst's
-  * multi-distinct plan), so a sweep with unique checks costs one scan
-  * plus one distinct-shuffle per unique key set. Cross-table checks
+  * Scalar checks compile to one aggregate expression each, and [[report]]
+  * runs ALL of them on a table in a single partial-aggregating scan — no
+  * per-check passes. Each [[unique]] check is a grouped duplicate count
+  * on its key set: `groupBy(keys).count` partial-aggregates map-side and
+  * shuffles one row per key (never the raw table, never Catalyst's
+  * Expand-based multi-distinct plan), then a global sum of `cnt - 1`
+  * yields the violation count — so a sweep costs one scan plus one
+  * map-combined key shuffle per unique key set. Cross-table checks
   * (referential integrity) are an anti-join counted the same way. The
   * report is rows, so gating a pipeline on it is
   * `report.filter(!pass).isEmpty`.
   */
 object Validate {
 
-  /** One constraint: a name plus the aggregate counting its violations. */
-  final case class Check(name: String, violations: Column)
+  /** One constraint: a scalar aggregate counting violations, or a key set
+    * whose duplicates count as violations (planned as a grouped pass).
+    */
+  sealed trait Check { def name: String }
+  final case class AggCheck(name: String, violations: Column) extends Check
+  final case class UniqueCheck(cols: Seq[String]) extends Check {
+    val name: String = s"unique(${cols.mkString(",")})"
+  }
 
   def notNull(c: String): Check =
-    Check(s"not_null($c)", count(when(col(c).isNull, 1)))
+    AggCheck(s"not_null($c)", count(when(col(c).isNull, 1)))
 
   /** Duplicate-key count: rows beyond the first per key value. SQL UNIQUE
     * semantics — rows with any null key column never violate (they are
     * pairwise distinct); forbid them with [[notNull]] instead.
     */
-  def unique(cols: String*): Check = {
-    val allSet = cols.map(col(_).isNotNull).reduce(_ && _)
-    Check(s"unique(${cols.mkString(",")})",
-      (count(when(allSet, 1)) - countDistinct(cols.head, cols.tail: _*)))
-  }
+  def unique(cols: String*): Check = UniqueCheck(cols)
 
   def inRange(c: String, lo: Double, hi: Double): Check =
-    Check(s"in_range($c,$lo,$hi)",
+    AggCheck(s"in_range($c,$lo,$hi)",
       count(when(col(c).isNotNull && (col(c) < lo || col(c) > hi), 1)))
 
   def accepted(c: String, values: Seq[String]): Check =
-    Check(s"accepted($c)",
+    AggCheck(s"accepted($c)",
       count(when(col(c).isNotNull && !col(c).isin(values: _*), 1)))
 
   def matches(c: String, re: String): Check =
-    Check(s"matches($c)",
+    AggCheck(s"matches($c)",
       count(when(col(c).isNotNull && !col(c).rlike(re), 1)))
 
-  /** Run every check in ONE aggregate pass over `df`.
-    * Output: (check_name, n_violations, pass), one row per check.
+  /** Run the checks: all scalar checks in ONE aggregate pass over `df`,
+    * plus one grouped duplicate-count pass per [[unique]] key set.
+    * Output: (check_name, n_violations, pass), one row per check, in the
+    * order given.
     */
   def report(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "need at least one check")
-    val aggs = checks.map(c => c.violations.cast("long").as(c.name))
-    val wide = df.agg(aggs.head, aggs.tail: _*)
-    wide.unpivot(
-      ids = Array.empty[Column],
-      values = checks.map(c => col(s"`${c.name}`")).toArray,
-      variableColumnName = "check_name",
-      valueColumnName = "n_violations")
+    val parts: Seq[DataFrame] = {
+      val aggChecks = checks.collect { case c: AggCheck => c }
+      val scalarPass = if (aggChecks.isEmpty) None else Some {
+        val aggs = aggChecks.map(c => c.violations.cast("long").as(c.name))
+        df.agg(aggs.head, aggs.tail: _*)
+          .unpivot(
+            ids = Array.empty[Column],
+            values = aggChecks.map(c => col(s"`${c.name}`")).toArray,
+            variableColumnName = "check_name",
+            valueColumnName = "n_violations")
+      }
+      // checks report in declaration order; the scalar pass carries every
+      // AggCheck, so splice it in at the first AggCheck's position
+      val firstAgg = checks.indexWhere(_.isInstanceOf[AggCheck])
+      checks.zipWithIndex.flatMap {
+        case (_: AggCheck, i) => if (i == firstAgg) scalarPass else None
+        case (u: UniqueCheck, _) => Some(uniqueViolations(df, u))
+      }
+    }
+    parts.reduce(_ unionByName _)
       .withColumn("pass", col("n_violations") === 0L)
+  }
+
+  /** Duplicates on a key set as a grouped pass: count per key value
+    * (partial-aggregates map-side → the shuffle carries one row per key),
+    * then sum the beyond-the-first counts. No Expand, no raw-row shuffle —
+    * the 100 TB shape for uniqueness sweeps.
+    */
+  private def uniqueViolations(df: DataFrame, u: UniqueCheck): DataFrame = {
+    val allSet = u.cols.map(col(_).isNotNull).reduce(_ && _)
+    df.filter(allSet)
+      .groupBy(u.cols.map(col): _*)
+      .agg(count(lit(1)).as("_cnt"))
+      .agg(coalesce(sum(col("_cnt") - 1L), lit(0L)).cast("long").as("n_violations"))
+      .select(lit(u.name).as("check_name"), col("n_violations"))
   }
 
   /** Referential integrity as a report row: child keys with no parent.

@@ -38,7 +38,11 @@ object ValidationQueries extends QueryPack {
         |  FROM orders
         |  UNION ALL
         |  SELECT 'unique(o_orderkey)',
-        |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+        |    -- mirror the operator's SQL-UNIQUE null semantics: null-key
+        |    -- rows are never violations (count DISTINCT skips nulls, so
+        |    -- the minuend must skip them too)
+        |    CAST(count(*) FILTER (WHERE o_orderkey IS NOT NULL)
+        |      - count(DISTINCT o_orderkey) AS BIGINT)
         |  FROM orders
         |  UNION ALL
         |  SELECT 'accepted(o_orderstatus)',
@@ -52,7 +56,8 @@ object ValidationQueries extends QueryPack {
         |  FROM lineitem
         |  UNION ALL
         |  SELECT 'unique(l_orderkey)',
-        |    CAST(count(*) - count(DISTINCT l_orderkey) AS BIGINT)
+        |    CAST(count(*) FILTER (WHERE l_orderkey IS NOT NULL)
+        |      - count(DISTINCT l_orderkey) AS BIGINT)
         |  FROM lineitem
         |  UNION ALL
         |  SELECT 'ref_integrity(lineitem.l_orderkey)',
