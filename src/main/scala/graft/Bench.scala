@@ -39,9 +39,19 @@ object Bench {
       }
     }
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // load anchor: a fixed cheap calibration query timed immediately before
+    // each pass and after the last one. Box contention between rounds shows
+    // up as anchor drift, so a regression table can tell "the code got
+    // slower" from "the box was loaded" (r3->r4 medians swung up to 3x with
+    // zero code change).
+    val anchorName = "q01_pricing_summary"
+    val anchorFn = SparkEntry.queries(anchorName)
+    val anchors = scala.collection.mutable.ArrayBuffer.empty[Double]
     val samples: Seq[Seq[(String, Double)]] = (1 to nRuns).map { _ =>
+      anchors += timeOnce(anchorName, anchorFn)
       names.map { case (name, fn) => name -> timeOnce(name, fn) }
     }
+    anchors += timeOnce(anchorName, anchorFn)
     val results = names.map { case (name, _) =>
       val runs = samples.map(_.find(_._1 == name).get._2)
       val median =
@@ -52,14 +62,22 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).filter(_ >= 0).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$nRuns}"""
+    val anchorJson = anchors.map(a => f"$a%.3f").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$nRuns,"anchor":{"query":"$anchorName","samples":$anchorJson}}"""
     println(line)
     // The driver captures a bounded tail of stdout, which truncates the head
     // of the per-query map on a 113-query suite; persist the full line so
-    // every round's regression table is complete.
-    val outPath = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
-    java.nio.file.Files.write(outPath, (line + "\n").getBytes("UTF-8"))
+    // every round's regression table is complete. Best-effort: a bad
+    // SPARK_GRAFT_BENCH_OUT path must not crash the bench after the results
+    // already printed (and must not skip spark.stop()).
+    try {
+      val outPath = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+      java.nio.file.Files.write(outPath, (line + "\n").getBytes("UTF-8"))
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] could not persist bench_out: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -145,21 +145,29 @@ object SimilaritySearch {
   def trainCentroids(vectors: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int = 3): Array[Array[Float]] = {
     graft.plans.GraftExtensions.register(vectors.sparkSession)
-    var centroids: Array[Array[Float]] = vectors
-      .orderBy(col(idCol)).limit(nlist)
-      .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).toArray)
-    val centroidUdaf = udaf(graft.functions.VectorCentroid)
-    for (_ <- 0 until iters) {
-      val updated = assignBucket(vectors, vecCol, centroids)
-        .groupBy(col("_bucket"))
-        .agg(centroidUdaf(col(vecCol)).as("c"))
-        .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1).map(_.toFloat).toArray)
-        .toMap
-      centroids = centroids.indices.map(i => updated.getOrElse(i, centroids(i))).toArray
-    }
-    centroids
+    // the loop runs iters+1 actions (init + one per assignment round) over
+    // the same projected frame — persist it once so training costs ONE
+    // corpus scan, not iters+1 full scans (at 100 TB the difference is the
+    // whole job). Only (id, vec) is cached, never unprojected rows.
+    val train = vectors.select(col(idCol).as("_id"), col(vecCol).as("_vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var centroids: Array[Array[Float]] = train
+        .orderBy(col("_id")).limit(nlist)
+        .select(col("_vec")).collect()
+        .map(_.getSeq[Float](0).toArray)
+      val centroidUdaf = udaf(graft.functions.VectorCentroid)
+      for (_ <- 0 until iters) {
+        val updated = assignBucket(train, "_vec", centroids)
+          .groupBy(col("_bucket"))
+          .agg(centroidUdaf(col("_vec")).as("c"))
+          .collect()
+          .map(r => r.getInt(0) -> r.getSeq[Double](1).map(_.toFloat).toArray)
+          .toMap
+        centroids = centroids.indices.map(i => updated.getOrElse(i, centroids(i))).toArray
+      }
+      centroids
+    } finally train.unpersist()
   }
 
   /** Adds `_bucket` = argmax-cosine centroid index (map-only). */

@@ -16,8 +16,10 @@ import org.apache.spark.sql.functions._
   * on its key set: `groupBy(keys).count` partial-aggregates map-side and
   * shuffles one row per key (never the raw table, never Catalyst's
   * Expand-based multi-distinct plan), then a global sum of `cnt - 1`
-  * yields the violation count — so a sweep costs one scan plus one
-  * map-combined key shuffle per unique key set. Cross-table checks
+  * yields the violation count — so a sweep costs one scan for all the
+  * scalar checks plus one scan + map-combined key shuffle per unique key
+  * set (cache `df` first if several unique sweeps share an expensive
+  * upstream). Cross-table checks
   * (referential integrity) are an anti-join counted the same way. The
   * report is rows, so gating a pipeline on it is
   * `report.filter(!pass).isEmpty`.
@@ -56,8 +58,9 @@ object Validate {
 
   /** Run the checks: all scalar checks in ONE aggregate pass over `df`,
     * plus one grouped duplicate-count pass per [[unique]] key set.
-    * Output: (check_name, n_violations, pass), one row per check, in the
-    * order given.
+    * Output: (check_name, n_violations, pass), one row per check, sorted
+    * into the declaration order (an explicit ordinal sort — the scalar
+    * pass computes every AggCheck together, so raw union order differs).
     */
   def report(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "need at least one check")
@@ -72,16 +75,24 @@ object Validate {
             variableColumnName = "check_name",
             valueColumnName = "n_violations")
       }
-      // checks report in declaration order; the scalar pass carries every
-      // AggCheck, so splice it in at the first AggCheck's position
+      // the scalar pass carries EVERY AggCheck in one row-turned-rows block,
+      // so physical union order is not declaration order; an explicit
+      // ordinal sort below restores it
       val firstAgg = checks.indexWhere(_.isInstanceOf[AggCheck])
       checks.zipWithIndex.flatMap {
         case (_: AggCheck, i) => if (i == firstAgg) scalarPass else None
         case (u: UniqueCheck, _) => Some(uniqueViolations(df, u))
       }
     }
+    // declaration-order output: map check_name -> ordinal and sort on it
+    // (names are the map keys, so duplicates of the same check collapse to
+    // the same ordinal — harmless for ordering)
+    val ordinal = map(checks.zipWithIndex.flatMap {
+      case (c, i) => Seq(lit(c.name), lit(i))
+    }: _*)
     parts.reduce(_ unionByName _)
       .withColumn("pass", col("n_violations") === 0L)
+      .orderBy(element_at(ordinal, col("check_name")))
   }
 
   /** Duplicates on a key set as a grouped pass: count per key value
@@ -90,11 +101,14 @@ object Validate {
     * the 100 TB shape for uniqueness sweeps.
     */
   private def uniqueViolations(df: DataFrame, u: UniqueCheck): DataFrame = {
+    // collision-proof internal alias: a user key column literally named
+    // "_cnt" must not collide with the grouped count
+    val cnt = "__graft_unique_cnt"
     val allSet = u.cols.map(col(_).isNotNull).reduce(_ && _)
     df.filter(allSet)
       .groupBy(u.cols.map(col): _*)
-      .agg(count(lit(1)).as("_cnt"))
-      .agg(coalesce(sum(col("_cnt") - 1L), lit(0L)).cast("long").as("n_violations"))
+      .agg(count(lit(1)).as(cnt))
+      .agg(coalesce(sum(col(cnt) - 1L), lit(0L)).cast("long").as("n_violations"))
       .select(lit(u.name).as("check_name"), col("n_violations"))
   }
 

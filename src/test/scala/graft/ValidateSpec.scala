@@ -28,10 +28,34 @@ class ValidateSpec extends SparkSpec {
     assert(rep("in_range(v,0.0,10.0)") === ((2L, false)))
     assert(rep("accepted(cat)") === ((2L, false)))
     assert(rep("matches(cat)") === ((2L, false)))
-    // one aggregate pass: a single Aggregate pair in the plan, no joins
+    // plan shape: a Union of aggregate passes (one scalar pass + one grouped
+    // pass per unique key set) — no joins anywhere
     val plan = Validate.report(df, Seq(notNull("name"), unique("id")))
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), plan.take(1500))
+    // and critically no Expand in the unique pass: it must stay a grouped
+    // count-per-key (one row per key shuffled), never Catalyst's
+    // Expand-based multi-distinct rewrite, which re-shuffles the raw table
+    // per distinct set. (Asserted on a unique-only report: the scalar
+    // pass's unpivot legitimately plans an Expand over its one-row input.)
+    val uniquePlan = Validate.report(df, Seq(unique("id")))
+      .queryExecution.executedPlan.toString
+    assert(!uniquePlan.contains("Expand"), uniquePlan.take(1500))
+    assert(!uniquePlan.contains("Join"), uniquePlan.take(1500))
+  }
+
+  test("report rows come out in declaration order") {
+    import spark.implicits._
+    val df = Seq((1L, Some("x")), (2L, None)).toDF("id", "name")
+    val names = Validate.report(df,
+      Seq(notNull("name"), unique("id"), inRange("id", 0.0, 10.0)))
+      .collect().map(_.getString(0)).toSeq
+    assert(names === Seq("not_null(name)", "unique(id)", "in_range(id,0.0,10.0)"))
+    // a key column literally named like the internal count alias still works
+    val tricky = Seq((1L, 1L), (1L, 2L)).toDF("_cnt", "b")
+    val rep = Validate.report(tricky, Seq(unique("_cnt")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep("unique(_cnt)") === 1L)
   }
 
   test("composite unique, null-key rows, and clean-table reports") {
