@@ -10,10 +10,13 @@ import org.apache.spark.sql.types._
   * feature-extraction as batched partition-local transforms.
   *
   * The Spark-side machinery here is real and tested — schema, partitioning,
-  * batch shape, mapPartitions signature. The actual media decoding is
-  * STUBBED (no codec libraries in this environment): `stubDecoder` derives
-  * deterministic fake dimensions from the payload bytes, and is injected
-  * where a real decoder (javacv, TwelveMonkeys, ffmpeg-cli) would be.
+  * batch shape, mapPartitions signature. IMAGE decoding is real:
+  * `imageioDecoder` decodes PNG/JPEG through the JDK's built-in
+  * `javax.imageio` (no external codec dependency), and `synthesizeImages`
+  * produces genuine PNG payloads executor-side for fixtures. Audio/video
+  * decoding stays STUBBED (`stubDecoder` — no codec libraries in this
+  * environment); a real decoder (javacv, ffmpeg-cli) injects at the same
+  * `Decoder` seam without changing the pipeline shape.
   *
   * Scale design (100 TB of media):
   *  - payloads stay off the driver; decode runs inside `mapPartitions`,
@@ -35,9 +38,35 @@ object Multimodal {
 
   type Decoder = Array[Byte] => (Int, Int, Int, String)
 
+  /** REAL image decoder via the JDK's `javax.imageio` — handles PNG, JPEG,
+    * GIF, BMP with zero external dependencies. Returns
+    * (width, height, 1 frame, lowercased format name); undecodable payloads
+    * map to the (0, 0, 0, "undecodable") sentinel instead of killing the
+    * task — at 100 TB a corrupt object is a row to quarantine, not a job
+    * failure. Runs headless (pure-Java codecs, no display needed).
+    */
+  val imageioDecoder: Decoder = bytes => {
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (readers != null && readers.hasNext) {
+        val reader = readers.next()
+        try {
+          reader.setInput(in)
+          // header-only dimension read: no pixel decode needed for metadata
+          (reader.getWidth(0), reader.getHeight(0),
+            1, reader.getFormatName.toLowerCase)
+        } finally reader.dispose()
+      } else (0, 0, 0, "undecodable")
+    } catch {
+      case _: java.io.IOException => (0, 0, 0, "undecodable")
+    } finally if (in != null) in.close()
+  }
+
   /** Deterministic fake decoder: dimensions derived from a stable 64-bit
-    * fold of the payload. Replace with a real codec in production; the
-    * pipeline shape does not change.
+    * fold of the payload. Stands in for the audio/video codecs absent from
+    * this environment; the pipeline shape does not change.
     */
   val stubDecoder: Decoder = bytes => {
     var h = 1125899906842597L
@@ -60,6 +89,37 @@ object Multimodal {
       .option("pathGlobFilter", glob)
       .load(dir)
       .filter(col("length") <= maxBytes)
+
+  /** Synthesizes a GENUINE image table from documents: each doc becomes a
+    * real PNG payload (encoded executor-side via `javax.imageio`, inside
+    * mapPartitions — no driver round-trip, no shuffle) whose dimensions are
+    * doc_id-derived arithmetic: width = 8 + doc_id % 64,
+    * height = 8 + doc_id % 48, solid fill color folded from doc_id. The
+    * decode path over these payloads is therefore end-to-end REAL (PNG
+    * encode → bytes → header parse) while staying oracle-checkable: any
+    * engine can recompute the expected dimensions from doc_id alone.
+    */
+  def synthesizeImages(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = 8 + (id % 64).toInt
+        val h = 8 + (id % 48).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = (((id * 7) % 256) << 16 | ((id * 13) % 256) << 8 | ((id * 31) % 256)).toInt
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        (id, out.toByteArray, "image")
+      }
+    }.toDF("doc_id", "content", "modality")
+  }
 
   /** Builds a media table from documents: payload = utf-8 bytes of the text
     * (a stand-in for real image bytes), modality assigned deterministically.

@@ -4,9 +4,10 @@ import org.apache.spark.sql.functions._
 import graft.multimodal.Multimodal
 import graft.sources.Tables
 
-/** Multimodal column surface (SURVEY.md §2.11 L5). The binary payloads are
-  * utf-8 text stand-ins (no media fixtures exist); the plumbing — binary
-  * columns, metadata structs, partition-local decode — is the real thing.
+/** Multimodal column surface (SURVEY.md §2.11 L5). m01 uses utf-8 text
+  * stand-in payloads; m02 synthesizes GENUINE PNGs executor-side and
+  * decodes them through javax.imageio — binary columns, metadata structs,
+  * partition-local decode, and the image codec path are all real.
   */
 object MultimodalQueries extends QueryPack {
 
@@ -22,12 +23,15 @@ object MultimodalQueries extends QueryPack {
       )
     },
 
-    // -- Stubbed decode via mapPartitions: metadata extraction (rows-only —
-    //    the stub decoder is engine-defined; determinism property-tested).
+    // -- REAL decode via mapPartitions: genuine PNG payloads synthesized
+    //    executor-side (doc_id-derived dimensions), then header-decoded
+    //    through javax.imageio. Oracle-checked: the expected width/height
+    //    are recomputable from doc_id alone, so DuckDB verifies the whole
+    //    encode→decode round trip without owning a PNG codec.
     "m02_media_meta" -> { (spark, dir) =>
       val t = Tables(spark, dir)
-      val media = Multimodal.mediaFromDocuments(t.documents)
-      Multimodal.extractMeta(media)
+      val media = Multimodal.synthesizeImages(t.documents)
+      Multimodal.extractMeta(media, Multimodal.imageioDecoder)
         .select(col("doc_id"), col("modality"),
           col("meta.width").as("width"), col("meta.height").as("height"),
           col("meta.n_frames").as("n_frames"), col("meta.format").as("format"))
@@ -53,6 +57,13 @@ object MultimodalQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    "m02_media_meta" ->
+      """SELECT doc_id, 'image' AS modality,
+        |  CAST(8 + doc_id % 64 AS INT) AS width,
+        |  CAST(8 + doc_id % 48 AS INT) AS height,
+        |  1 AS n_frames,
+        |  'png' AS format
+        |FROM documents""".stripMargin,
     "m01_binary_columns" ->
       """SELECT doc_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,

@@ -257,6 +257,35 @@ class LlmOpsSpec extends SparkSpec {
     assert(decoded.count() === 2)
   }
 
+  test("imageio decoder reads real PNG and JPEG headers; sentinel on garbage") {
+    def encode(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, out)
+      out.toByteArray
+    }
+    assert(Multimodal.imageioDecoder(encode("png", 17, 9)) === ((17, 9, 1, "png")))
+    assert(Multimodal.imageioDecoder(encode("jpg", 33, 21)) === ((33, 21, 1, "jpeg")))
+    assert(Multimodal.imageioDecoder(Array[Byte](1, 2, 3, 4)) === ((0, 0, 0, "undecodable")))
+  }
+
+  test("synthesized PNGs decode to their doc_id-derived dimensions") {
+    val meta = Multimodal.extractMeta(
+      Multimodal.synthesizeImages(docs.limit(25)), Multimodal.imageioDecoder)
+      .select(col("doc_id"), col("meta.width"), col("meta.height"),
+        col("meta.n_frames"), col("meta.format"))
+      .collect()
+    assert(meta.length === 25)
+    meta.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) === 8 + (id % 64).toInt, s"width of doc $id")
+      assert(r.getInt(2) === 8 + (id % 48).toInt, s"height of doc $id")
+      assert(r.getInt(3) === 1)
+      assert(r.getString(4) === "png")
+    }
+  }
+
   test("stub media decode is deterministic and drops the payload column") {
     val media = Multimodal.mediaFromDocuments(docs.limit(20))
     val a = Multimodal.extractMeta(media).collect()
