@@ -10,10 +10,34 @@ import graft.sources.Tables
   *
   * s01 (exact brute force) is oracle-checked: cosine is computed in double
   * precision in index order on both engines, and ordering keys are rounded
-  * so float noise below 1e-6 cannot flip ranks. s02 (LSH) is the
-  * approximate scale path — recall vs s01 is property-tested in LlmOpsSpec.
+  * so float noise below 1e-6 cannot flip ranks. s02 (LSH) and s05 (IVF)
+  * are the approximate scale paths, gated by bounded-property oracles:
+  * DuckDB recomputes the exact ground-truth top-k anchor, and the in-query
+  * recall boolean (vs literal TRUE) fails the gate on any recall
+  * regression. Toy-scale recall is additionally property-tested in
+  * LlmOpsSpec.
   */
 object SimilarityQueries extends QueryPack {
+
+  /** Bounded-property report for an ANN result: per query, the exact
+    * brute-force top-k neighbor ids in rank order (the cross-engine anchor
+    * — DuckDB recomputes it independently) and whether the ANN result
+    * recalled at least `minHits` of them (literal TRUE on the oracle side;
+    * deterministic here because every ANN path is seeded).
+    */
+  private def annRecallReport(truth: org.apache.spark.sql.DataFrame,
+      ann: org.apache.spark.sql.DataFrame, minHits: Int): org.apache.spark.sql.DataFrame = {
+    val trueIds = truth.groupBy(col("query_id")).agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("rn"), col("neighbor_id")))),
+        x => x.getField("neighbor_id").cast("string")), ",").as("true_ids"))
+    val hits = ann.select("query_id", "neighbor_id")
+      .join(truth.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    trueIds.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("true_ids"),
+        (coalesce(col("n_hits"), lit(0L)) >= minHits).as("recall_ok"))
+  }
 
   override def queries: Map[String, Query] = Map(
     // -- L3 exact: top-5 cosine neighbors for query vectors vec_id < 5.
@@ -27,25 +51,37 @@ object SimilarityQueries extends QueryPack {
           round(col("sim"), 6).as("sim"), col("rn"))
     },
 
-    // -- L3 approximate: LSH-bucketed top-5 (rows-only; recall tested).
+    // -- L3 approximate: LSH-bucketed top-5, gated by the bounded-property
+    //    pattern (the a07/x02 shape): the query emits the EXACT brute-force
+    //    top-5 ids per query (a real cross-engine anchor DuckDB recomputes)
+    //    plus an in-query recall>=3/5 boolean vs that ground truth. The LSH
+    //    internals stay engine-specific, but a recall regression now fails
+    //    the driver gate. Bound calibration (deterministic, seeded): hits/5
+    //    per query measured 3..5 at sf0.001/0.01/0.1 — min observed 3.
     "s02_lsh_topk" -> { (spark, dir) =>
       val t = Tables(spark, dir)
       val emb = t.embeddings
-      SimilaritySearch.lshTopK(
-        emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding",
+      val q = emb.filter(col("vec_id") < 5)
+      val truth = SimilaritySearch.bruteForceTopK(
+        q, emb, "vec_id", "embedding", k = 5, rankPrecision = Some(6))
+      val ann = SimilaritySearch.lshTopK(
+        q, emb, "vec_id", "embedding",
         k = 5, dim = 64, planes = 6, tables = 8, probes = 6)
-        .select(col("query_id"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
+      annRecallReport(truth, ann, minHits = 3)
     },
 
-    // -- L3 approximate, IVF variant: trained-centroid inverted lists
-    //    (rows-only; recall vs brute force tested in LlmOpsSpec).
+    // -- L3 approximate, IVF variant: trained-centroid inverted lists. Same
+    //    bounded-property gate; measured hits/5 were 4..5 across all three
+    //    fixture scales — min observed 4.
     "s05_ivf_topk" -> { (spark, dir) =>
       val t = Tables(spark, dir)
       val emb = t.embeddings
-      SimilaritySearch.ivfTopK(
-        emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding",
-        k = 5, nlist = 16, nprobe = 6)
-        .select(col("query_id"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
+      val q = emb.filter(col("vec_id") < 5)
+      val truth = SimilaritySearch.bruteForceTopK(
+        q, emb, "vec_id", "embedding", k = 5, rankPrecision = Some(6))
+      val ann = SimilaritySearch.ivfTopK(
+        q, emb, "vec_id", "embedding", k = 5, nlist = 16, nprobe = 6)
+      annRecallReport(truth, ann, minHits = 4)
     },
 
     // -- A9 custom typed aggregate: per-label centroid, reported via norm.
@@ -81,6 +117,25 @@ object SimilarityQueries extends QueryPack {
     }
   )
 
+  private val annRecallOracleSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT q.query_id, c.vec_id AS neighbor_id,
+      |    list_cosine_similarity(
+      |      list_transform(q.q_vec, x -> CAST(x AS DOUBLE)),
+      |      list_transform(c.embedding, x -> CAST(x AS DOUBLE))) AS sim
+      |  FROM q JOIN embeddings c ON c.vec_id <> q.query_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY round(sim, 6) DESC, neighbor_id ASC) AS rn
+      |  FROM scored)
+      |SELECT query_id,
+      |  string_agg(CAST(neighbor_id AS VARCHAR), ',' ORDER BY rn) AS true_ids,
+      |  TRUE AS recall_ok
+      |FROM ranked WHERE rn <= 5
+      |GROUP BY query_id""".stripMargin
+
   override def oracles: Map[String, String] = Map(
     "s01_brute_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
@@ -96,6 +151,11 @@ object SimilarityQueries extends QueryPack {
         |      ORDER BY sim_r DESC, neighbor_id ASC) AS INT) AS rn
         |  FROM (SELECT query_id, neighbor_id, round(sim, 6) AS sim_r FROM scored))
         |SELECT query_id, neighbor_id, sim, rn FROM ranked WHERE rn <= 5""".stripMargin,
+    // s02/s05: same ground-truth anchor (exact brute-force top-5 per query,
+    // the s01 ranking), recall boolean is literal TRUE — the Spark side
+    // computes it for real and must agree (bounded-property pattern).
+    "s02_lsh_topk" -> annRecallOracleSql,
+    "s05_ivf_topk" -> annRecallOracleSql,
     "s04_embedding_neardups" ->
       """WITH e AS (SELECT vec_id, label,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
