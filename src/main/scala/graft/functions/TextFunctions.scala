@@ -250,10 +250,17 @@ object TextFunctions {
     * window minima via the same zip-shifted-copies trick as `shingles`
     * (every reference to the hash array is per-row). Output is the
     * DISTINCT, sorted fingerprint set.
+    *
+    * `hash` is any uniform per-gram hash; the winnowing guarantee is
+    * hash-agnostic (it only needs a total order). Default is xxhash64
+    * (fastest codegen'd builtin). `md5` yields hex-string fingerprints
+    * that other engines reproduce bit-identically — the cross-engine
+    * verification hash (see t07's oracle).
     */
-  def winnowingFingerprints(c: Column, k: Int = 5, w: Int = 4): Column = {
+  def winnowingFingerprints(c: Column, k: Int = 5, w: Int = 4,
+      hash: Column => Column = xxhash64(_)): Column = {
     val chars = filter(split(normalizeText(c), ""), ch => length(ch) > 0)
-    val gramHashes = transform(ngrams(chars, k, ""), g => xxhash64(g))
+    val gramHashes = transform(ngrams(chars, k, ""), g => hash(g))
     val windowMins = (1 until w).foldLeft(gramHashes) { (acc, j) =>
       zip_with(acc,
         slice(gramHashes, lit(j + 1), greatest(size(gramHashes) - j, lit(0))),

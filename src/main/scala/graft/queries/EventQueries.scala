@@ -170,6 +170,42 @@ object EventQueries extends QueryPack {
           last(col("day_value"), ignoreNulls = true).over(w).as("filled_value"))
     },
 
+    // -- S9/T9 streaming upsert, pinned END-TO-END: replays a
+    //    deterministic slice of the events fixture as date-ranged
+    //    AvailableNow micro-batches through the real foreachBatch merge
+    //    sink (EventStreams.upsertForeachBatchAvailableNow) and returns
+    //    the merged table read back from disk. The oracle recomputes
+    //    latest-event-per-user in SQL — so the STREAMING code path's
+    //    result, not a batch twin, is what gets verified cross-engine.
+    //    (ts, event_id) is a total order per user, so the merged table is
+    //    identical no matter how the input splits into micro-batches.
+    "e11_streaming_upsert" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e11_").toString
+      val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+      // 1-in-7 users keeps the replay cheap at bench scale; the oracle
+      // filters identically. The table partitions by a KEY bucket (the
+      // sink's stable-per-key contract): each user lives in exactly one
+      // partition, so a later batch updating that user rewrites it —
+      // a date partition would strand stale rows when a user's latest
+      // event moves to a new date.
+      val slice = t.events.filter(col("user_id") % 7 === 0)
+        .withColumn("bucket", pmod(col("user_id"), lit(8)).cast("int"))
+      // range-split on ts so the replay is 3 time-ordered micro-batches —
+      // later batches genuinely overwrite earlier merge results
+      slice.repartitionByRange(3, col("ts")).write.parquet(inDir)
+      graft.streaming.EventStreams.upsertForeachBatchAvailableNow(
+        spark.readStream.schema(slice.schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir),
+        outDir, ckpt, keyCol = "user_id",
+        orderCols = Seq("ts", "event_id"), partitionCol = "bucket")
+      spark.read.parquet(outDir).select(
+        col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        col("value"), col("props"),
+        // partition-value inference is config-dependent; pin the type
+        col("bucket").cast("int").as("bucket"))
+    },
+
     // -- Cohort retention: users grouped by first-seen day, activity
     //    counted per day offset — the (cohort, offset) → distinct-users
     //    matrix. Two shuffles (first-seen aggregate, matrix aggregate),
@@ -316,6 +352,18 @@ object EventQueries extends QueryPack {
         |  count(DISTINCT user_id) AS n_users,
         |  CAST(dayofweek(date_trunc('day', CAST(ts AS TIMESTAMP))) AS BIGINT) AS dow
         |FROM events
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+    // Latest event per user over the same 1-in-7 slice: what the
+    // streaming foreachBatch merge must converge to regardless of how
+    // the input split into micro-batches.
+    "e11_streaming_upsert" ->
+      """SELECT user_id, event_id, ts, event_type, value, props,
+        |  CAST(user_id % 8 AS INT) AS bucket
+        |FROM (
+        |  SELECT *, row_number() OVER (
+        |      PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |  FROM events WHERE user_id % 7 = 0)
+        |WHERE rn = 1""".stripMargin
   )
 }

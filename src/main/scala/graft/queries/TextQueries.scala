@@ -88,16 +88,22 @@ object TextQueries extends QueryPack {
         .agg(count(lit(1)).as("n_docs"))
     },
 
-    // -- Winnowing fingerprints (rows-only: xxhash64-based; the shared-
-    //    substring guarantee is property-tested in LlmOpsSpec).
+    // -- Winnowing fingerprints, verified cross-engine: the query runs the
+    //    full winnowing pipeline (normalize -> k-grams -> per-gram hash ->
+    //    w-window minima -> distinct) with md5 as the gram hash, which
+    //    DuckDB reproduces bit-identically — so fingerprint COUNT and the
+    //    minimum fingerprint VALUE are both oracled exactly. Production
+    //    callers keep the faster xxhash64 default; the algorithm under
+    //    test (window minima, full-window slicing, dedup) is identical.
     "t07_winnowing" -> { (spark, dir) =>
       val t = Tables(spark, dir)
       t.documents
         .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
         .select(
           col("doc_id"),
-          winnowingFingerprints(col("text")).as("fps"))
-        .select(col("doc_id"), size(col("fps")).as("n_fingerprints"),
+          winnowingFingerprints(col("text"), hash = md5(_)).as("fps"))
+        .select(col("doc_id"),
+          size(col("fps")).cast("long").as("n_fingerprints"),
           // try_: docs shorter than the k-gram width have no fingerprints,
           // and plain element_at errors on empty arrays under ANSI mode
           try_element_at(col("fps"), lit(1)).as("min_fingerprint"))
@@ -204,6 +210,34 @@ object TextQueries extends QueryPack {
         |  min(doc_id) AS canonical_doc, count(*) AS n_copies
         |FROM documents
         |GROUP BY 1""".stripMargin,
+    // Winnowing (SIGMOD 2003) re-derived from scratch in SQL: same
+    // normalize, k=5 char grams, md5 gram hash, w=4 window minima over
+    // full windows only, distinct per doc. LEFT JOIN keeps docs too short
+    // to produce any full window (count 0, null min).
+    "t07_winnowing" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS s
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(1, greatest(length(s) - 4, 0))) AS i,
+        |    s, length(s) - 4 AS n_grams
+        |  FROM norm),
+        |hashed AS (
+        |  SELECT doc_id, i, n_grams, md5(substr(s, CAST(i AS INT), 5)) AS h
+        |  FROM grams),
+        |wins AS (
+        |  SELECT doc_id, i, n_grams,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wm
+        |  FROM hashed),
+        |fps AS (
+        |  SELECT DISTINCT doc_id, wm FROM wins WHERE i <= n_grams - 3)
+        |SELECT d.doc_id, count(f.wm) AS n_fingerprints,
+        |  min(f.wm) AS min_fingerprint
+        |FROM documents d LEFT JOIN fps f ON d.doc_id = f.doc_id
+        |GROUP BY d.doc_id""".stripMargin,
     "t06_quality_scores" ->
       """WITH sig AS (
         |  SELECT doc_id, n_chars,

@@ -202,14 +202,24 @@ object EventStreams {
   /** S9 upsert-style sink via foreachBatch: each micro-batch merges into a
     * keyed parquet table by partition-wise read-union-dedup-rewrite — the
     * plain-parquet stand-in for a MERGE INTO against a transactional table
-    * format. The merge keeps the LATEST row per key (by `orderCol` desc).
+    * format. The merge keeps the LATEST row per key (by `orderCols` desc,
+    * compared left to right). Pass enough columns to form a TOTAL order
+    * within each key (e.g. a timestamp plus a unique id): with ties the
+    * surviving row — and therefore the merged table — is nondeterministic
+    * across runs and engines.
     *
     * Scale note: the rewrite is bounded by the partitions a batch touches,
-    * not the table — `partitionCol` should be a date-like bucket so a
-    * micro-batch rewrites only its own day(s).
+    * not the table. `partitionCol` must be STABLE PER KEY (a function of
+    * `keyCol`, e.g. a hash bucket) for global latest-per-key semantics:
+    * each key then lives in exactly one partition, which every batch
+    * carrying that key rewrites. A time-derived partition column is only
+    * correct when keys never move across partitions (e.g. the key embeds
+    * the date) — otherwise a key whose latest row lands in a new
+    * partition leaves its stale row behind in the old one, which dynamic
+    * overwrite never touches.
     */
   def upsertForeachBatchAvailableNow(df: DataFrame, outDir: String,
-      checkpointDir: String, keyCol: String, orderCol: String,
+      checkpointDir: String, keyCol: String, orderCols: Seq[String],
       partitionCol: String): Unit =
     df.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -231,7 +241,8 @@ object EventStreams {
           // dedup applies to the FIRST batch too: a catch-up micro-batch
           // can carry several rows per key on its own
           import org.apache.spark.sql.expressions.Window
-          val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol).desc)
+          val w = Window.partitionBy(col(keyCol))
+            .orderBy(orderCols.map(col(_).desc): _*)
           val merged = (if (existing.isEmpty) batch else existing.unionByName(batch))
             .withColumn("_rn", row_number().over(w))
             .filter(col("_rn") === 1).drop("_rn")

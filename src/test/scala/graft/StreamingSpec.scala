@@ -237,7 +237,7 @@ class StreamingSpec extends SparkSpec {
       org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType)))
     def run(ckpt: String): Unit = EventStreams.upsertForeachBatchAvailableNow(
       spark.readStream.schema(schema).parquet(s"$inDir/*"),
-      outDir, s"$tmp/$ckpt", keyCol = "user_id", orderCol = "score",
+      outDir, s"$tmp/$ckpt", keyCol = "user_id", orderCols = Seq("score"),
       partitionCol = "day")
     run("ck1")
     assert(spark.read.parquet(outDir).count() === 2)
@@ -248,7 +248,7 @@ class StreamingSpec extends SparkSpec {
       .toDF("user_id", "day", "score").write.parquet(s"$tmp/dup_in/d")
     EventStreams.upsertForeachBatchAvailableNow(
       spark.readStream.schema(schema).parquet(s"$tmp/dup_in/*"),
-      dupOut, s"$tmp/ck_dup", keyCol = "user_id", orderCol = "score",
+      dupOut, s"$tmp/ck_dup", keyCol = "user_id", orderCols = Seq("score"),
       partitionCol = "day")
     val dupRows = spark.read.parquet(dupOut).collect()
     assert(dupRows.length === 1 && dupRows.head.getAs[Double]("score") === 7.0)
@@ -259,6 +259,37 @@ class StreamingSpec extends SparkSpec {
       .select("user_id", "score").collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(rows === Map(1L -> 99.0, 2L -> 20.0, 3L -> 30.0))
+  }
+
+  test("upsert with key-bucket partitioning replaces a key whose date moved") {
+    import spark.implicits._
+    // partitionCol must be stable per key (sink contract): here the
+    // update arrives on a LATER day — with day partitioning the stale
+    // day-1 row would survive in an untouched partition, with a key
+    // bucket it cannot.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_upsert_bkt").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("day", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.LongType)))
+    def writeBatch(sub: String, rows: Seq[(Long, String, Double)]): Unit =
+      rows.toDF("user_id", "day", "score")
+        .withColumn("bucket", org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.col("user_id"), org.apache.spark.sql.functions.lit(4)))
+        .write.parquet(s"$tmp/in/$sub")
+    def run(): Unit = EventStreams.upsertForeachBatchAvailableNow(
+      spark.readStream.schema(schema).parquet(s"$tmp/in/*"),
+      s"$tmp/out", s"$tmp/ckpt", keyCol = "user_id",
+      orderCols = Seq("day", "score"), partitionCol = "bucket")
+    writeBatch("b1", Seq((1L, "2024-01-01", 10.0), (2L, "2024-01-01", 20.0)))
+    run()
+    writeBatch("b2", Seq((1L, "2024-02-05", 7.0)))
+    run()
+    val rows = spark.read.parquet(s"$tmp/out")
+      .select("user_id", "day", "score").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(rows === Map(1L -> (("2024-02-05", 7.0)), 2L -> (("2024-01-01", 20.0))))
   }
 
   test("file-source stream with AvailableNow writes a parquet sink end to end") {
