@@ -72,7 +72,8 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
-      .config("spark.driver.memory", "16g")
+      // heap comes from the forked JVM (build.sbt SPARK_DRIVER_MEM);
+      // spark.driver.memory set here would be ignored in local mode
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -6,10 +6,12 @@ import graft.operators.Dedup
 import graft.sources.Tables
 
 /** Deduplication surface (SURVEY.md §2.11 L1/L2) over `documents`.
-  * d01/d04 are oracle-checked end to end; the signature-based operators
-  * (MinHash/SimHash/LSH) are engine-specific and covered rows-only here +
-  * property-tested in LlmOpsSpec (signature determinism, Jaccard agreement,
-  * synthetic dup families).
+  * d01/d04 are oracle-checked end to end. The signature-based operators'
+  * pair lists (d02 MinHash, d03 SimHash) stay rows-only — their candidate
+  * hashes are engine-internal — but the MinHash pipeline's ACCURACY is
+  * driver-gated via d07 (exact-Jaccard ground truth DuckDB recomputes,
+  * subset + recall booleans), and both are property-tested in LlmOpsSpec
+  * (signature determinism, Jaccard agreement, synthetic dup families).
   */
 object DedupQueries extends QueryPack {
 
@@ -52,6 +54,35 @@ object DedupQueries extends QueryPack {
       val t = Tables(spark, dir)
       Dedup.simhashNearDupPairs(t.documents, "text", "doc_id", maxHamming = 3)
         .orderBy(col("id_a").asc, col("id_b").asc)
+    },
+
+    // -- L2 MinHash accuracy gate (the a07/s02 bounded-property pattern
+    //    applied to dedup): exact 3-shingle Jaccard >= 0.8 pairs on a
+    //    500-doc block are the ground truth DuckDB recomputes
+    //    independently; the MinHash-LSH pipeline's verified pairs must
+    //    (a) be a subset of the exact set (precision 1, by construction
+    //    of the verify step — asserted anyway) and (b) cover >= 90% of it
+    //    (recall, the LSH banding property). An accuracy regression in
+    //    signatures, banding, or verification flips a boolean and fails
+    //    the driver gate — d02's candidate hashes stay engine-internal,
+    //    but the operator's OUTPUT quality is now cross-engine-checked.
+    "d07_minhash_recall" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val docs = t.documents.filter(col("doc_id") < 500)
+      val exact = Dedup.jaccardPairs(docs, "text", "doc_id",
+        k = 3, minJaccard = 0.8).select(col("id_a"), col("id_b"))
+      val found = Dedup.minhashNearDupPairs(docs, "text", "doc_id",
+        threshold = 0.8).select(col("id_a"), col("id_b"))
+      // one distributed plan, no driver-side counts: full outer join of
+      // the two pair sets, then a single aggregate over the match flags
+      val joined = found.withColumn("_f", lit(1))
+        .join(exact.withColumn("_e", lit(1)), Seq("id_a", "id_b"), "full_outer")
+      joined.agg(
+        count(col("_e")).as("n_exact_pairs"),
+        (count(when(col("_f") === 1 && col("_e").isNull, 1)) === 0L)
+          .as("found_subset_of_exact"),
+        (count(when(col("_f") === 1 && col("_e") === 1, 1)) * 10L >=
+          count(col("_e")) * 9L).as("recall_ok"))
     },
 
     // -- L2 exact unigram-Jaccard near-dup pairs over a blocked subset
@@ -103,6 +134,34 @@ object DedupQueries extends QueryPack {
         |  WHERE doc_id >= 200 AND NOT EXISTS (
         |    SELECT 1 FROM old WHERE old.nt IS NOT DISTINCT FROM n.nt))
         |WHERE rn = 1""".stripMargin,
+    // Ground truth for the MinHash gate, re-derived from scratch: 3-token
+    // shingles (distinct), exact Jaccard >= 0.8 over all pairs of the
+    // 500-doc block. The booleans are TRUE by the operator's contract
+    // (verified pairs are a subset; banding recall >= 0.9 at this
+    // threshold) — if Spark's side computes otherwise, the hash differs.
+    "d07_minhash_recall" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id,
+        |    list_filter(string_split_regex(trim(regexp_replace(lower(text),
+        |      '[^a-z0-9]+', ' ', 'g')), '\s+'), x -> x <> '') AS tk
+        |  FROM documents WHERE doc_id < 500),
+        |sh AS (
+        |  SELECT id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(tk) - 2, 0)),
+        |    i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS grams
+        |  FROM toks),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    CASE WHEN len(a.grams) + len(b.grams)
+        |           - len(list_intersect(a.grams, b.grams)) > 0
+        |      THEN len(list_intersect(a.grams, b.grams)) * 1.0
+        |        / (len(a.grams) + len(b.grams)
+        |           - len(list_intersect(a.grams, b.grams)))
+        |      ELSE 1.0 END AS j
+        |  FROM sh a JOIN sh b ON a.id < b.id)
+        |SELECT count(*) AS n_exact_pairs,
+        |  TRUE AS found_subset_of_exact, TRUE AS recall_ok
+        |FROM pairs WHERE j >= 0.8""".stripMargin,
     "d04_jaccard_pairs" ->
       """WITH toks AS (
         |  SELECT doc_id AS id,

@@ -67,6 +67,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(ham(s(1L), s(2L)) < ham(s(1L), s(3L)))
   }
 
+  test("simhash banding geometry does not change the pair set") {
+    // pigeonhole recall holds for every blocks > maxHamming, and the exact
+    // hamming filter makes the output identical across geometries — so the
+    // scale-motivated default (6 blocks, ~32-bit combo keys) must emit
+    // exactly what the minimal 4-block scheme emits
+    val docs = graft.sources.Tables(spark, sf).documents
+    def pairs(blocks: Int) =
+      Dedup.simhashNearDupPairs(docs, "text", "doc_id", maxHamming = 3,
+        blocks = blocks)
+        .select("id_a", "id_b", "hamming")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val p4 = pairs(4)
+    assert(pairs(6) === p4)
+    assert(pairs(5) === p4)
+  }
+
   test("connectedComponents groups transitive pairs to the min id") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
