@@ -149,16 +149,38 @@ object ScaleProbe {
       // block size — at factor>=10 the prescribed mitigation is this mode
       // or a finer blockCol, so this is the number that matters at scale)
       val fn: (SparkSession, String) => org.apache.spark.sql.DataFrame =
-        if (name == "s04_lsh_mode") { (s, d) =>
+        if (name == "d08_probe") { (s, d) =>
+          // experiment behind d08's bound: of the exact near-identical
+          // pairs (3-shingle Jaccard >= 0.8), how many fall within each
+          // hamming cutoff? (fixture: [25 exact, 15 @h<=3, 25 @h<=6,
+          // 25 @h<=10, max 5] -> gate at h<=6, bound 0.9)
+          val docs = graft.sources.Tables(s, d).documents
+            .filter(col("doc_id") < 500)
+          val exact = graft.operators.Dedup.jaccardPairs(
+            docs, "text", "doc_id", k = 3, minJaccard = 0.8)
+            .select("id_a", "id_b")
+          val sigs = graft.operators.Dedup.simhashSignatures(docs, "text", "doc_id")
+          exact
+            .join(sigs.select(col("id").as("id_a"), col("simhash").as("sh_a")), Seq("id_a"))
+            .join(sigs.select(col("id").as("id_b"), col("simhash").as("sh_b")), Seq("id_b"))
+            .select(graft.functions.TextFunctions.hamming64(col("sh_a"), col("sh_b")).as("h"))
+            .agg(count(lit(1)).as("n_exact"),
+              sum(when(col("h") <= 3, 1).otherwise(0)).as("h3"),
+              sum(when(col("h") <= 6, 1).otherwise(0)).as("h6"),
+              sum(when(col("h") <= 10, 1).otherwise(0)).as("h10"),
+              max(col("h")).as("h_max"))
+        } else if (name == "s04_lsh_mode") { (s, d) =>
           graft.operators.SimilaritySearch.cosineNearDupPairs(
             graft.sources.Tables(s, d).embeddings, "vec_id", "embedding",
             dim = 64, minCosine = 0.95, planes = 14, blockCol = None)
         } else SparkEntry.queries(name)
       def once(): Double = {
         val t0 = System.nanoTime()
-        val n = fn(spark, probeDir).count()
+        val df = fn(spark, probeDir)
+        val n = df.count()
         val s = (System.nanoTime() - t0) / 1e9
         println(f"[probe] $name%-24s $s%7.2f s  ($n rows)")
+        if (n == 1) println(s"[probe]   row: ${df.head()}")
         s
       }
       try { once(); once() } catch {

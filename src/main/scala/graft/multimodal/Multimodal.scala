@@ -10,13 +10,15 @@ import org.apache.spark.sql.types._
   * feature-extraction as batched partition-local transforms.
   *
   * The Spark-side machinery here is real and tested — schema, partitioning,
-  * batch shape, mapPartitions signature. IMAGE decoding is real:
-  * `imageioDecoder` decodes PNG/JPEG through the JDK's built-in
-  * `javax.imageio` (no external codec dependency), and `synthesizeImages`
-  * produces genuine PNG payloads executor-side for fixtures. Audio/video
-  * decoding stays STUBBED (`stubDecoder` — no codec libraries in this
-  * environment); a real decoder (javacv, ffmpeg-cli) injects at the same
-  * `Decoder` seam without changing the pipeline shape.
+  * batch shape, mapPartitions signature. IMAGE decoding is real
+  * (`imageioDecoder`: PNG/JPEG via the JDK's `javax.imageio`), image
+  * RESIZE is real (`resizeImages`: pixel decode → scale → re-encode), and
+  * AUDIO decoding is real (`audioDecoder`: WAV/AIFF/AU headers via the
+  * JDK's `javax.sound.sampled`); `synthesizeImages`/`synthesizeAudio`
+  * produce genuine payloads executor-side for fixtures. Only VIDEO decode
+  * stays STUBBED (`stubDecoder` — no video codec ships with the JDK);
+  * a real decoder (javacv, ffmpeg-cli) injects at the same `Decoder` seam
+  * without changing the pipeline shape.
   *
   * Scale design (100 TB of media):
   *  - payloads stay off the driver; decode runs inside `mapPartitions`,
@@ -76,6 +78,137 @@ object Multimodal {
     val ht = 64 + (math.abs(h >> 10) % 1024).toInt
     val frames = 1 + (math.abs(h >> 20) % 64).toInt
     (w, ht, frames, if (bytes.length % 2 == 0) "png" else "jpeg")
+  }
+
+  /** Decoded-audio metadata. `n_frames` counts PCM sample frames, so
+    * duration_ms = n_frames * 1000 / sample_rate exactly when sample_rate
+    * divides 1000 evenly into the frame count (true for the fixtures).
+    */
+  val audioMetaSchema: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("format", StringType, nullable = false)
+  ))
+
+  /** REAL audio decoder via the JDK's `javax.sound.sampled` — parses
+    * WAV/AIFF/AU headers with zero external dependencies (header-only, no
+    * sample decode). Undecodable payloads map to the (0, 0, 0,
+    * "undecodable") sentinel — quarantine a row, never kill the task.
+    */
+  val audioDecoder: Decoder = bytes => {
+    try {
+      val fmt = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))
+      val af = fmt.getFormat
+      (af.getSampleRate.toInt, af.getChannels, fmt.getFrameLength,
+        fmt.getType.getExtension.toLowerCase)
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException =>
+        (0, 0, 0, "undecodable")
+      case _: java.io.IOException => (0, 0, 0, "undecodable")
+    }
+  }
+
+  /** Synthesizes a GENUINE audio table from documents: each doc becomes a
+    * real 16-bit PCM WAV payload (encoded executor-side inside
+    * mapPartitions) whose shape is doc_id-derived arithmetic:
+    * sample_rate = 8000, channels = 1 + doc_id % 2,
+    * n_frames = 400 + 8 * (doc_id % 200) (i.e. 50–249 ms), samples a
+    * doc_id-seeded square wave. The decode path over these payloads is
+    * end-to-end REAL (WAV encode → bytes → header parse) while staying
+    * oracle-checkable from doc_id alone.
+    */
+  def synthesizeAudio(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val channels = 1 + (id % 2).toInt
+        val nFrames = 400 + 8 * (id % 200).toInt
+        val af = new javax.sound.sampled.AudioFormat(8000f, 16, channels, true, false)
+        val bytes = new Array[Byte](nFrames * channels * 2)
+        val period = 16 + (id % 48).toInt // doc_id-seeded square wave
+        var f = 0
+        while (f < nFrames) {
+          val v: Short = if ((f / period) % 2 == 0) 12000 else -12000
+          var c = 0
+          while (c < channels) {
+            val off = (f * channels + c) * 2
+            bytes(off) = (v & 0xFF).toByte
+            bytes(off + 1) = ((v >> 8) & 0xFF).toByte
+            c += 1
+          }
+          f += 1
+        }
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(bytes), af, nFrames.toLong)
+        val out = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+        (id, out.toByteArray, "audio")
+      }
+    }.toDF("doc_id", "content", "modality")
+  }
+
+  /** Batched partition-local audio metadata extraction — same seam as
+    * [[extractMeta]] with the audio-shaped struct.
+    */
+  def extractAudioMeta(media: DataFrame,
+      decoder: Decoder = audioDecoder): DataFrame = {
+    val outSchema = StructType(
+      media.schema.filterNot(_.name == "content") :+
+        StructField("meta", audioMetaSchema, nullable = true))
+    val contentIdx = media.schema.fieldIndex("content")
+    val keptIdx = media.schema.indices.filterNot(_ == contentIdx)
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](contentIdx)
+        val meta = if (bytes == null) null
+        else { val (sr, ch, nf, fmt) = decoder(bytes); Row(sr, ch, nf, fmt) }
+        Row.fromSeq(keptIdx.map(r.get) :+ meta)
+      }
+    }
+  }
+
+  /** REAL image resize inside mapPartitions: decode pixels, scale the long
+    * edge to `maxDim` (never upscale; integer math so the output dims are
+    * arithmetic any engine can recompute: d' = max(1, d * maxDim / max(w,
+    * h))), re-encode PNG. Payloads that fail pixel decode pass through as
+    * null content — quarantine, not task failure.
+    */
+  def resizeImages(media: DataFrame, maxDim: Int): DataFrame = {
+    val outSchema = media.schema
+    val contentIdx = media.schema.fieldIndex("content")
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](contentIdx)
+        val resized: Array[Byte] =
+          if (bytes == null) null
+          else try {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            if (img == null) null
+            else {
+              val (w, h) = (img.getWidth, img.getHeight)
+              val m = math.max(w, h)
+              if (m <= maxDim) bytes // never upscale; payload unchanged
+              else {
+                val rw = math.max(1, w * maxDim / m)
+                val rh = math.max(1, h * maxDim / m)
+                val out = new java.awt.image.BufferedImage(
+                  rw, rh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                val g = out.createGraphics()
+                try g.drawImage(img, 0, 0, rw, rh, null) finally g.dispose()
+                val bos = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(out, "png", bos)
+                bos.toByteArray
+              }
+            }
+          } catch { case _: java.io.IOException => null }
+        Row.fromSeq(r.toSeq.updated(contentIdx, resized))
+      }
+    }
   }
 
   /** S-surface for real media lakes: `binaryFile` reads whole objects as

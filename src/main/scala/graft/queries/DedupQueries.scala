@@ -85,6 +85,28 @@ object DedupQueries extends QueryPack {
           count(col("_e")) * 9L).as("recall_ok"))
     },
 
+    // -- L2 SimHash accuracy gate (d07's pattern for the other signature
+    //    family): every truly near-identical pair (exact 3-shingle
+    //    Jaccard >= 0.8 — the same DuckDB-recomputable ground truth as
+    //    d07) must fall within hamming 6 of SimHash's 64-bit signature;
+    //    measured on the fixture the max hamming over those pairs is 5
+    //    and recall is 1.0, so the 0.9 bound has headroom. No subset
+    //    property here — SimHash legitimately pairs docs below the
+    //    Jaccard cutoff — recall is the gated direction. blocks=7
+    //    (pigeonhole needs blocks > maxHamming).
+    "d08_simhash_recall" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val docs = t.documents.filter(col("doc_id") < 500)
+      val exact = Dedup.jaccardPairs(docs, "text", "doc_id",
+        k = 3, minJaccard = 0.8).select(col("id_a"), col("id_b"))
+      val found = Dedup.simhashNearDupPairs(docs, "text", "doc_id",
+        maxHamming = 6, blocks = 7).select(col("id_a"), col("id_b"))
+      exact.join(found.withColumn("_f", lit(1)), Seq("id_a", "id_b"), "left")
+        .agg(
+          count(lit(1)).as("n_exact_pairs"),
+          (count(col("_f")) * 10L >= count(lit(1)) * 9L).as("recall_ok"))
+    },
+
     // -- L2 exact unigram-Jaccard near-dup pairs over a blocked subset
     //    (doc_id < 200): the verification primitive, oracle-checked.
     "d04_jaccard_pairs" -> { (spark, dir) =>
@@ -161,6 +183,29 @@ object DedupQueries extends QueryPack {
         |  FROM sh a JOIN sh b ON a.id < b.id)
         |SELECT count(*) AS n_exact_pairs,
         |  TRUE AS found_subset_of_exact, TRUE AS recall_ok
+        |FROM pairs WHERE j >= 0.8""".stripMargin,
+    // Same ground truth as d07; only recall is gated (see the query doc).
+    "d08_simhash_recall" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id,
+        |    list_filter(string_split_regex(trim(regexp_replace(lower(text),
+        |      '[^a-z0-9]+', ' ', 'g')), '\s+'), x -> x <> '') AS tk
+        |  FROM documents WHERE doc_id < 500),
+        |sh AS (
+        |  SELECT id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(tk) - 2, 0)),
+        |    i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS grams
+        |  FROM toks),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    CASE WHEN len(a.grams) + len(b.grams)
+        |           - len(list_intersect(a.grams, b.grams)) > 0
+        |      THEN len(list_intersect(a.grams, b.grams)) * 1.0
+        |        / (len(a.grams) + len(b.grams)
+        |           - len(list_intersect(a.grams, b.grams)))
+        |      ELSE 1.0 END AS j
+        |  FROM sh a JOIN sh b ON a.id < b.id)
+        |SELECT count(*) AS n_exact_pairs, TRUE AS recall_ok
         |FROM pairs WHERE j >= 0.8""".stripMargin,
     "d04_jaccard_pairs" ->
       """WITH toks AS (

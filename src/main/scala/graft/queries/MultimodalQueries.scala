@@ -6,8 +6,12 @@ import graft.sources.Tables
 
 /** Multimodal column surface (SURVEY.md §2.11 L5). m01 uses utf-8 text
   * stand-in payloads; m02 synthesizes GENUINE PNGs executor-side and
-  * decodes them through javax.imageio — binary columns, metadata structs,
-  * partition-local decode, and the image codec path are all real.
+  * decodes them through javax.imageio; m04 does the same for audio
+  * (real PCM WAVs through javax.sound.sampled); m05 runs the full
+  * decode → pixel resize → re-encode → decode chain. Binary columns,
+  * metadata structs, partition-local decode, and the image/audio codec
+  * paths are all real; every emitted field is doc_id arithmetic, so
+  * DuckDB verifies the codec round trips without owning any codec.
   */
 object MultimodalQueries extends QueryPack {
 
@@ -35,6 +39,38 @@ object MultimodalQueries extends QueryPack {
         .select(col("doc_id"), col("modality"),
           col("meta.width").as("width"), col("meta.height").as("height"),
           col("meta.n_frames").as("n_frames"), col("meta.format").as("format"))
+    },
+
+    // -- REAL audio decode via mapPartitions: genuine 16-bit PCM WAV
+    //    payloads synthesized executor-side (doc_id-derived shape), then
+    //    header-decoded through javax.sound.sampled. Oracle-checked the
+    //    same way as m02: every decoded field is doc_id arithmetic.
+    "m04_audio_meta" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val media = Multimodal.synthesizeAudio(t.documents)
+      Multimodal.extractAudioMeta(media, Multimodal.audioDecoder)
+        .select(col("doc_id"), col("modality"),
+          col("meta.sample_rate").as("sample_rate"),
+          col("meta.channels").as("channels"),
+          col("meta.n_frames").as("n_frames"),
+          // exact: n_frames is a multiple of 8 and sample_rate is 8000
+          (col("meta.n_frames").cast("long") * lit(1000L) /
+            col("meta.sample_rate").cast("long")).cast("long").as("duration_ms"),
+          col("meta.format").as("format"))
+    },
+
+    // -- REAL resize: decode pixels, scale the long edge to 16 (integer
+    //    math, never upscale), re-encode PNG, decode the result's header.
+    //    The resized dimensions are pure doc_id arithmetic, so the whole
+    //    decode → resize → encode → decode chain is oracle-checked.
+    "m05_resized_meta" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val media = Multimodal.synthesizeImages(t.documents)
+      val resized = Multimodal.resizeImages(media, maxDim = 16)
+      Multimodal.extractMeta(resized, Multimodal.imageioDecoder)
+        .select(col("doc_id"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.format").as("format"))
     },
 
     // -- Frame-sampling plan for the video subset. n_frames is derived
@@ -70,6 +106,29 @@ object MultimodalQueries extends QueryPack {
         |  octet_length(encode(text)) AS n_bytes,
         |  sha256(text) AS content_sha256
         |FROM documents""".stripMargin,
+    "m04_audio_meta" ->
+      """SELECT doc_id, 'audio' AS modality,
+        |  8000 AS sample_rate,
+        |  CAST(1 + doc_id % 2 AS INT) AS channels,
+        |  CAST(400 + 8 * (doc_id % 200) AS INT) AS n_frames,
+        |  50 + doc_id % 200 AS duration_ms,
+        |  'wav' AS format
+        |FROM documents""".stripMargin,
+    // resize arithmetic: d' = max(1, d * 16 // max(w, h)) when the long
+    // edge exceeds 16, unchanged otherwise (// = integer floor division,
+    // matching Java int division for positive ints)
+    "m05_resized_meta" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    8 + doc_id % 64 AS w, 8 + doc_id % 48 AS h
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN greatest(w, h) <= 16 THEN w
+        |    ELSE greatest(1, (w * 16) // greatest(w, h)) END AS INT) AS width,
+        |  CAST(CASE WHEN greatest(w, h) <= 16 THEN h
+        |    ELSE greatest(1, (h * 16) // greatest(w, h)) END AS INT) AS height,
+        |  'png' AS format
+        |FROM dims""".stripMargin,
     "m03_frame_samples" ->
       """SELECT doc_id,
         |  CAST(1 + doc_id % 64 AS INT) AS n_frames,

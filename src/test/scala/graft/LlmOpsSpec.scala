@@ -302,6 +302,42 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("audio decoder reads real WAV headers; sentinel on garbage") {
+    val meta = Multimodal.extractAudioMeta(
+      Multimodal.synthesizeAudio(docs.limit(25)), Multimodal.audioDecoder)
+      .select(col("doc_id"), col("meta.sample_rate"), col("meta.channels"),
+        col("meta.n_frames"), col("meta.format"))
+      .collect()
+    assert(meta.length === 25)
+    meta.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) === 8000, s"sample_rate of doc $id")
+      assert(r.getInt(2) === 1 + (id % 2).toInt, s"channels of doc $id")
+      assert(r.getInt(3) === 400 + 8 * (id % 200).toInt, s"n_frames of doc $id")
+      assert(r.getString(4) === "wav")
+    }
+    assert(Multimodal.audioDecoder(Array[Byte](9, 9, 9, 9)) === ((0, 0, 0, "undecodable")))
+  }
+
+  test("resize scales the long edge, preserves solid fill, never upscales") {
+    val media = Multimodal.synthesizeImages(docs.limit(25))
+    val resized = Multimodal.resizeImages(media, maxDim = 16)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    resized.foreach { case (id, bytes) =>
+      val (w, h) = (8 + (id % 64).toInt, 8 + (id % 48).toInt)
+      val m = math.max(w, h)
+      val (ew, eh) =
+        if (m <= 16) (w, h)
+        else (math.max(1, w * 16 / m), math.max(1, h * 16 / m))
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert((img.getWidth, img.getHeight) === ((ew, eh)), s"dims of doc $id")
+      // solid-fill source: every resampled pixel keeps the fill color
+      val rgb = (((id * 7) % 256) << 16 | ((id * 13) % 256) << 8 | ((id * 31) % 256)).toInt
+      assert((img.getRGB(0, 0) & 0xFFFFFF) === rgb, s"fill of doc $id")
+      assert((img.getRGB(img.getWidth - 1, img.getHeight - 1) & 0xFFFFFF) === rgb)
+    }
+  }
+
   test("stub media decode is deterministic and drops the payload column") {
     val media = Multimodal.mediaFromDocuments(docs.limit(20))
     val a = Multimodal.extractMeta(media).collect()
