@@ -54,6 +54,88 @@ object Dedup {
   def fingerprints(docs: DataFrame, textCol: String): DataFrame =
     docs.select(fingerprint64(col(textCol)).as("fp")).distinct()
 
+  /** Map-only MinHash signature frame (id, sig: array of numHashes longs)
+    * — the per-batch artifact an incremental near-dup pipeline PERSISTS:
+    * numHashes longs per document, tiny relative to the corpus, and the
+    * only thing [[incrementalNearDup]] ever reads for history. Signatures
+    * are eagerly materialized (bounded: docs x numHashes x 8B) and the
+    * intermediate caches released.
+    */
+  def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3, numHashes: Int = 128): DataFrame = {
+    val p = TextFunctions.MersennePrime31
+    val toksDf = docs
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("id"))
+      .select(col("id"), tokens(normalizeText(col("text"))).as("toks"))
+      .cache() // barrier: see minhashNearDupPairs on CollapseProject
+    val shingled = toksDf
+      .select(col("id"), array_distinct(shingles(col("toks"), shingleK)).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val exploded = shingled
+      .select(col("id"), explode(col("shingles")).as("s"))
+      .withColumn("h", pmod(xxhash64(col("s")), lit(p)))
+    val minCols = TextFunctions.hashParams(numHashes).zipWithIndex.map {
+      case ((a, b), i) => min(pmod(col("h") * a + b, lit(p))).as(s"_m$i")
+    }
+    val sigs = exploded.groupBy(col("id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"_m$i")): _*).as("sig"))
+      .localCheckpoint(true)
+    toksDf.unpersist()
+    sigs
+  }
+
+  /** (band, bucket) LSH keys of a signature frame: band b's key is the
+    * murmur3 hash of its signature slice — only ids enter the join.
+    */
+  private def bandKeys(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val r = numHashes / bands
+    sigs.select(
+      col("id"),
+      posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("sig"), b * r + 1, lit(r))))
+      ).as(Seq("band", "bucket")))
+  }
+
+  /** L2 incremental near-dup — the continuous-ingestion twin of
+    * [[incrementalExact]]: a new batch's signatures probe the persisted
+    * signature HISTORY on (band, bucket), so detecting near-dups against
+    * the full corpus never rescans corpus text. Similarity is estimated
+    * from the signatures themselves (matching-minhash fraction, an
+    * unbiased Jaccard estimator with std <= 1/(2*sqrt(numHashes))) —
+    * exactly what a store that keeps signatures, not shingles, can verify.
+    * Returns (new_id, seen_id, est_jaccard >= minEstJaccard).
+    *
+    * Scale: both band-key frames are map-only expansions (bands rows per
+    * doc); the candidate meeting is an equi join; est-jaccard runs only on
+    * candidates. After a batch, append its signatures to the store —
+    * history grows by O(new docs) signature rows.
+    */
+  def incrementalNearDup(newSigs: DataFrame, seenSigs: DataFrame,
+      numHashes: Int = 128, bands: Int = 16,
+      minEstJaccard: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val cand = bandKeys(newSigs, numHashes, bands)
+      .select(col("id").as("new_id"), col("band"), col("bucket"))
+      .join(bandKeys(seenSigs, numHashes, bands)
+        .select(col("id").as("seen_id"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select("new_id", "seen_id")
+      .dropDuplicates("new_id", "seen_id")
+    cand
+      .join(newSigs.select(col("id").as("new_id"), col("sig").as("sig_n")), Seq("new_id"))
+      .join(seenSigs.select(col("id").as("seen_id"), col("sig").as("sig_s")), Seq("seen_id"))
+      .withColumn("est_jaccard",
+        aggregate(
+          zip_with(col("sig_n"), col("sig_s"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numHashes)
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select("new_id", "seen_id", "est_jaccard")
+  }
+
   /** MinHash-LSH candidate pairs with exact-Jaccard verification (L2).
     *
     * @param shingleK   words per shingle

@@ -107,6 +107,41 @@ object DedupQueries extends QueryPack {
           (count(col("_f")) * 10L >= count(lit(1)) * 9L).as("recall_ok"))
     },
 
+    // -- L2 incremental near-dup, accuracy-gated end to end: history
+    //    (doc_id < 250) is reduced to its SIGNATURE store, a new batch
+    //    (250-499) probes it via incrementalNearDup — no history text is
+    //    rescanned — and the detections are judged against the exact
+    //    cross-batch 3-shingle-Jaccard >= 0.8 pairs (the d07/d08 ground
+    //    truth, restricted to history x batch; DuckDB recomputes it).
+    //    recall_ok: >= 90% of true cross-batch near-dups detected
+    //    (fixture: 13/13, min J 0.9 — banding at J >= 0.9 is near-certain
+    //    and the seeded hashes make it deterministic). precision_ok:
+    //    every detection has exact Jaccard >= 0.5 (est_jaccard >= 0.7
+    //    with 128 hashes cannot fire on genuinely unrelated docs).
+    "d09_incremental_neardup" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val docs = t.documents.filter(col("doc_id") < 500)
+      val history = docs.filter(col("doc_id") < 250)
+      val batch = docs.filter(col("doc_id") >= 250)
+      val found = Dedup.incrementalNearDup(
+        Dedup.minhashSignatures(batch, "text", "doc_id"),
+        Dedup.minhashSignatures(history, "text", "doc_id"))
+        .select(col("seen_id").as("id_a"), col("new_id").as("id_b"))
+      val exact = Dedup.jaccardPairs(docs, "text", "doc_id",
+        k = 3, minJaccard = 0.8)
+        .filter(col("id_a") < 250 && col("id_b") >= 250)
+        .select(col("id_a"), col("id_b"))
+      // exact Jaccard of every detection, for the precision bound
+      val foundJ = Dedup.jaccardVerify(found, docs, "text", "doc_id", k = 3)
+      val recallAgg = exact
+        .join(found.withColumn("_f", lit(1)), Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_exact_cross"),
+          (count(col("_f")) * 10L >= count(lit(1)) * 9L).as("recall_ok"))
+      val precisionAgg = foundJ
+        .agg((coalesce(min(col("jaccard")), lit(1.0)) >= 0.5).as("precision_ok"))
+      recallAgg.crossJoin(precisionAgg)
+    },
+
     // -- L2 exact unigram-Jaccard near-dup pairs over a blocked subset
     //    (doc_id < 200): the verification primitive, oracle-checked.
     "d04_jaccard_pairs" -> { (spark, dir) =>
@@ -183,6 +218,31 @@ object DedupQueries extends QueryPack {
         |  FROM sh a JOIN sh b ON a.id < b.id)
         |SELECT count(*) AS n_exact_pairs,
         |  TRUE AS found_subset_of_exact, TRUE AS recall_ok
+        |FROM pairs WHERE j >= 0.8""".stripMargin,
+    // d07's ground truth restricted to history x batch pairs.
+    "d09_incremental_neardup" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id,
+        |    list_filter(string_split_regex(trim(regexp_replace(lower(text),
+        |      '[^a-z0-9]+', ' ', 'g')), '\s+'), x -> x <> '') AS tk
+        |  FROM documents WHERE doc_id < 500),
+        |sh AS (
+        |  SELECT id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(tk) - 2, 0)),
+        |    i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS grams
+        |  FROM toks),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    CASE WHEN len(a.grams) + len(b.grams)
+        |           - len(list_intersect(a.grams, b.grams)) > 0
+        |      THEN len(list_intersect(a.grams, b.grams)) * 1.0
+        |        / (len(a.grams) + len(b.grams)
+        |           - len(list_intersect(a.grams, b.grams)))
+        |      ELSE 1.0 END AS j
+        |  FROM sh a JOIN sh b ON a.id < b.id
+        |  WHERE a.id < 250 AND b.id >= 250)
+        |SELECT count(*) AS n_exact_cross,
+        |  TRUE AS recall_ok, TRUE AS precision_ok
         |FROM pairs WHERE j >= 0.8""".stripMargin,
     // Same ground truth as d07; only recall is gated (see the query doc).
     "d08_simhash_recall" ->

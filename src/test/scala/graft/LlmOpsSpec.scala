@@ -67,6 +67,32 @@ class LlmOpsSpec extends SparkSpec {
     assert(ham(s(1L), s(2L)) < ham(s(1L), s(3L)))
   }
 
+  test("incremental near-dup detects a mutated copy across batches, skips unrelated") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and then runs far away " +
+      "into the deep dark forest where nobody ever goes at night"
+    val history = Seq((1L, base),
+      (2L, "completely different content about cooking pasta with tomatoes and garlic " +
+        "in a large pot of boiling salted water until perfectly al dente")).toDF("doc_id", "text")
+    // batch doc 10 = near-copy of history doc 1 (one word changed);
+    // batch doc 11 shares nothing
+    val batch = Seq((10L, base.replace("lazy", "sleepy")),
+      (11L, "unrelated text on astronomy telescopes observing distant galaxies " +
+        "through clear mountain air every single winter evening this year")).toDF("doc_id", "text")
+    val found = Dedup.incrementalNearDup(
+      Dedup.minhashSignatures(batch, "text", "doc_id"),
+      Dedup.minhashSignatures(history, "text", "doc_id"))
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet // (seen, new)
+    assert(found.contains((1L, 10L)), s"near-copy not detected: $found")
+    assert(!found.exists(_._2 == 11L), s"unrelated doc flagged: $found")
+    // the estimator tracks true Jaccard: re-running is deterministic
+    val again = Dedup.incrementalNearDup(
+      Dedup.minhashSignatures(batch, "text", "doc_id"),
+      Dedup.minhashSignatures(history, "text", "doc_id"))
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet
+    assert(again === found)
+  }
+
   test("simhash banding geometry does not change the pair set") {
     // pigeonhole recall holds for every blocks > maxHamming, and the exact
     // hamming filter makes the output identical across geometries — so the
