@@ -169,6 +169,18 @@ object ScaleProbe {
               sum(when(col("h") <= 6, 1).otherwise(0)).as("h6"),
               sum(when(col("h") <= 10, 1).otherwise(0)).as("h10"),
               max(col("h")).as("h_max"))
+        } else if (name == "d09_operator") { (s, d) =>
+          // incremental near-dup at corpus scale: the first half of the
+          // corpus is the persisted signature history, the second half is
+          // the incoming batch — the d09 query itself pins accuracy on a
+          // constant block, this measures the operator's cost shape
+          val docs = graft.sources.Tables(s, d).documents
+          val half = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+          graft.operators.Dedup.incrementalNearDup(
+            graft.operators.Dedup.minhashSignatures(
+              docs.filter(col("doc_id") > half), "text", "doc_id"),
+            graft.operators.Dedup.minhashSignatures(
+              docs.filter(col("doc_id") <= half), "text", "doc_id"))
         } else if (name == "s04_lsh_mode") { (s, d) =>
           graft.operators.SimilaritySearch.cosineNearDupPairs(
             graft.sources.Tables(s, d).embeddings, "vec_id", "embedding",
