@@ -202,7 +202,11 @@ object EventStreams {
   /** S9 upsert-style sink via foreachBatch: each micro-batch merges into a
     * keyed parquet table by partition-wise read-union-dedup-rewrite — the
     * plain-parquet stand-in for a MERGE INTO against a transactional table
-    * format. The merge keeps the LATEST row per key (by `orderCols` desc,
+    * format (no Delta/Iceberg/Hudi runtime ships in /opt/spark/jars —
+    * verified — so plain parquet + dynamic partition overwrite is the
+    * honest sandbox implementation; swap the body for `MERGE INTO` when a
+    * table format is on the classpath, the orchestration is identical).
+    * The merge keeps the LATEST row per key (by `orderCols` desc,
     * compared left to right). Pass enough columns to form a TOTAL order
     * within each key (e.g. a timestamp plus a unique id): with ties the
     * surviving row — and therefore the merged table — is nondeterministic
