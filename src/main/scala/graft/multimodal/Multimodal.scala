@@ -10,15 +10,17 @@ import org.apache.spark.sql.types._
   * feature-extraction as batched partition-local transforms.
   *
   * The Spark-side machinery here is real and tested — schema, partitioning,
-  * batch shape, mapPartitions signature. IMAGE decoding is real
-  * (`imageioDecoder`: PNG/JPEG via the JDK's `javax.imageio`), image
-  * RESIZE is real (`resizeImages`: pixel decode → scale → re-encode), and
-  * AUDIO decoding is real (`audioDecoder`: WAV/AIFF/AU headers via the
-  * JDK's `javax.sound.sampled`); `synthesizeImages`/`synthesizeAudio`
-  * produce genuine payloads executor-side for fixtures. Only VIDEO decode
-  * stays STUBBED (`stubDecoder` — no video codec ships with the JDK);
-  * a real decoder (javacv, ffmpeg-cli) injects at the same `Decoder` seam
-  * without changing the pipeline shape.
+  * batch shape, mapPartitions signature — and so are all three codec
+  * paths, using only the JDK: IMAGE decode (`imageioDecoder`: PNG/JPEG
+  * via `javax.imageio`), image RESIZE (`resizeImages`: pixel decode →
+  * scale → re-encode), AUDIO decode (`audioDecoder`: WAV/AIFF/AU via
+  * `javax.sound.sampled`), and multi-frame VIDEO decode (animated GIF —
+  * the one multi-frame container the JDK encodes and decodes natively;
+  * frame counting via `getNumImages`). `synthesizeImages`/
+  * `synthesizeAudio`/`synthesizeVideos` produce genuine payloads
+  * executor-side for fixtures. Heavyweight codecs (H.264, MP3) are not in
+  * the JDK; a javacv/ffmpeg decoder injects at the same `Decoder` seam
+  * (`stubDecoder` marks that seam) without changing the pipeline shape.
   *
   * Scale design (100 TB of media):
   *  - payloads stay off the driver; decode runs inside `mapPartitions`,
@@ -56,9 +58,12 @@ object Multimodal {
         val reader = readers.next()
         try {
           reader.setInput(in)
-          // header-only dimension read: no pixel decode needed for metadata
+          // header-only dimension read: no pixel decode needed for
+          // metadata. getNumImages(true) counts frames in multi-frame
+          // containers (animated GIF) and returns 1 for PNG/JPEG; the
+          // search is bounded by the payload the task already holds.
           (reader.getWidth(0), reader.getHeight(0),
-            1, reader.getFormatName.toLowerCase)
+            reader.getNumImages(true), reader.getFormatName.toLowerCase)
         } finally reader.dispose()
       } else (0, 0, 0, "undecodable")
     } catch {
@@ -146,6 +151,50 @@ object Multimodal {
         javax.sound.sampled.AudioSystem.write(ais,
           javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
         (id, out.toByteArray, "audio")
+      }
+    }.toDF("doc_id", "content", "modality")
+  }
+
+  /** Synthesizes a GENUINE multi-frame video table from documents: each
+    * doc becomes a real animated GIF (the one multi-frame container the
+    * JDK can encode AND decode with zero dependencies), written
+    * executor-side frame by frame via the imageio sequence writer. Shape
+    * is doc_id arithmetic — width = 8 + doc_id % 16,
+    * height = 8 + doc_id % 12, n_frames = 2 + doc_id % 8 — so the
+    * encode → bytes → multi-frame header decode round trip is end-to-end
+    * real and oracle-checkable from doc_id alone. Real codecs (H.264 via
+    * javacv/ffmpeg) inject at the same Decoder seam.
+    */
+  def synthesizeVideos(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = 8 + (id % 16).toInt
+        val h = 8 + (id % 12).toInt
+        val nFrames = 2 + (id % 8).toInt
+        val out = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        try {
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var f = 0
+          while (f < nFrames) {
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = img.createGraphics()
+            try {
+              g.setColor(new java.awt.Color((id * 7 % 256).toInt,
+                (f * 29 % 256), (id * 31 % 256).toInt))
+              g.fillRect(0, 0, w, h)
+            } finally g.dispose()
+            writer.writeToSequence(
+              new javax.imageio.IIOImage(img, null, null), null)
+            f += 1
+          }
+          writer.endWriteSequence()
+        } finally { writer.dispose(); ios.close() }
+        (id, out.toByteArray, "video")
       }
     }.toDF("doc_id", "content", "modality")
   }

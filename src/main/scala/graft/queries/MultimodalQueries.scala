@@ -73,6 +73,23 @@ object MultimodalQueries extends QueryPack {
           col("meta.format").as("format"))
     },
 
+    // -- REAL multi-frame video decode: genuine animated GIFs synthesized
+    //    executor-side, frame count read back through the imageio
+    //    multi-frame reader, and the frame-sampling plan (m03's operator)
+    //    driven by the DECODED count — the full video pipeline, decode
+    //    through sampling, oracle-checked from doc_id arithmetic.
+    "m06_video_meta" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val media = Multimodal.synthesizeVideos(t.documents)
+      val meta = Multimodal.extractMeta(media, Multimodal.imageioDecoder)
+      Multimodal.frameSamplePlan(meta, stride = 3)
+        .select(col("doc_id"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.n_frames").as("n_frames"),
+          col("meta.format").as("format"),
+          size(col("sample_frames")).as("n_sampled"))
+    },
+
     // -- Frame-sampling plan for the video subset. n_frames is derived
     //    from doc metadata (1 + doc_id % 64) rather than the stub decoder,
     //    which makes the whole sampling plan — stride arithmetic, frame
@@ -105,6 +122,15 @@ object MultimodalQueries extends QueryPack {
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
         |  octet_length(encode(text)) AS n_bytes,
         |  sha256(text) AS content_sha256
+        |FROM documents""".stripMargin,
+    // n_sampled = frames at indices 0, 3, 6, ... below n_frames
+    "m06_video_meta" ->
+      """SELECT doc_id,
+        |  CAST(8 + doc_id % 16 AS INT) AS width,
+        |  CAST(8 + doc_id % 12 AS INT) AS height,
+        |  CAST(2 + doc_id % 8 AS INT) AS n_frames,
+        |  'gif' AS format,
+        |  CAST(floor((1 + doc_id % 8) / 3) + 1 AS INT) AS n_sampled
         |FROM documents""".stripMargin,
     "m04_audio_meta" ->
       """SELECT doc_id, 'audio' AS modality,

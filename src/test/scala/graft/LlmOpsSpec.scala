@@ -364,6 +364,22 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("synthesized animated GIFs decode to their doc_id-derived frame counts") {
+    val meta = Multimodal.extractMeta(
+      Multimodal.synthesizeVideos(docs.limit(20)), Multimodal.imageioDecoder)
+      .select(col("doc_id"), col("meta.width"), col("meta.height"),
+        col("meta.n_frames"), col("meta.format"))
+      .collect()
+    assert(meta.length === 20)
+    meta.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) === 8 + (id % 16).toInt, s"width of doc $id")
+      assert(r.getInt(2) === 8 + (id % 12).toInt, s"height of doc $id")
+      assert(r.getInt(3) === 2 + (id % 8).toInt, s"n_frames of doc $id")
+      assert(r.getString(4) === "gif")
+    }
+  }
+
   test("stub media decode is deterministic and drops the payload column") {
     val media = Multimodal.mediaFromDocuments(docs.limit(20))
     val a = Multimodal.extractMeta(media).collect()
