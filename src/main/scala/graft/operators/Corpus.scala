@@ -202,6 +202,34 @@ object Corpus {
         .filter(col("contaminated")).select(col(idCol)),
       Seq(idCol), "left_anti")
 
+  /** Cross-document duplicate-passage index (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022, the n-gram
+    * variant): token n-grams appearing in at least `minDocs` DISTINCT
+    * documents — the boilerplate/repeated-passage signal a corpus filter
+    * removes at sub-document granularity, where document-level dedup
+    * (d01/d02) cannot reach.
+    *
+    * Grams are hashed with md5 so any engine reproduces the key (see the
+    * t11 oracle). `array_distinct` runs per doc BEFORE the explode, so
+    * `count(*)` per gram IS the distinct-document count — no
+    * count-distinct (and no Expand) in the aggregate. Scale shape: one
+    * explode + map-side-combined shuffle of distinct (gram, doc) pairs —
+    * the intentional full-index build, same class as r02.
+    */
+  def duplicatePassages(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 13, minDocs: Int = 2): DataFrame = {
+    import graft.functions.TextFunctions.{normalizeText, tokens, shingles}
+    require(n > 0 && minDocs >= 2, "need n > 0 and minDocs >= 2")
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol), tokens(normalizeText(col(textCol))).as("_toks"))
+      .select(col(idCol), explode(array_distinct(shingles(col("_toks"), n))).as("gram"))
+      .select(col(idCol).as("doc"), md5(col("gram")).as("gram_md5"))
+      .groupBy(col("gram_md5"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc")).as("first_doc"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   /** Scale path of [[packSequences]] — identical output, no per-stratum
     * single-task window. A windowed prefix sum puts each stratum in ONE
     * task (strata are few: languages, sources); this computes the same

@@ -47,6 +47,15 @@ object CorpusQueries extends QueryPack {
       Corpus.contaminationFlags(train, evalSet, "doc_id", "text", n = 13)
     },
 
+    // -- Duplicate-passage index: 13-token grams shared by >= 2 distinct
+    //    docs (sub-document dedup signal; md5 gram keys make the index
+    //    cross-engine-reproducible, so counts AND keys are oracled).
+    "c06_duplicate_passages" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      Corpus.duplicatePassages(t.documents, "doc_id", "text",
+        n = 13, minDocs = 2)
+    },
+
     // -- Domain-mixture sampling: a 40/30/20/10 target mixture over four
     //    sources, quotas filled in reproducible md5 order. src0/src1's
     //    quotas (40/30) exceed the stratum size, so the query also
@@ -90,6 +99,17 @@ object CorpusQueries extends QueryPack {
           |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
           |  FROM documents)
           |WHERE rn <= 20""".stripMargin,
+      // distinct grams per doc before the count, so count(*) = n_docs
+      "c06_duplicate_passages" ->
+        s"""WITH t AS (SELECT doc_id, $tk AS tk FROM documents),
+           |g AS (SELECT doc_id,
+           |    unnest(list_distinct(list_transform(
+           |      generate_series(1, greatest(len(tk) - 12, 0)),
+           |      i -> array_to_string(tk[i : i + 12], ' ')))) AS gram
+           |  FROM t)
+           |SELECT md5(gram) AS gram_md5, count(*) AS n_docs,
+           |  min(doc_id) AS first_doc
+           |FROM g GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
       "c05_decontaminate" ->
         s"""WITH t AS (SELECT doc_id, $tk AS tk FROM documents),
            |g AS (SELECT doc_id,

@@ -14,6 +14,24 @@ class CorpusHygieneSpec extends SparkSpec {
     rows.toDF("doc_id", "text")
   }
 
+  test("duplicatePassages finds a shared 13-gram once, per-doc repeats don't inflate n_docs") {
+    val passage = "one two three four five six seven eight nine ten eleven twelve thirteen"
+    val docs = docsDF(Seq(
+      (1L, s"alpha beta $passage gamma delta"),
+      // doc 2 repeats the passage TWICE: array_distinct must keep n_docs at 2
+      (2L, s"$passage filler words here $passage"),
+      (3L, "totally unrelated text with no repeated passages at all in it whatsoever")))
+    val out = graft.operators.Corpus
+      .duplicatePassages(docs, "doc_id", "text", n = 13, minDocs = 2)
+      .collect()
+    // the shared passage window produces exactly one gram present in both docs
+    val shared = out.filter(_.getLong(1) == 2L)
+    assert(shared.nonEmpty, "shared passage not found")
+    assert(shared.forall(_.getLong(2) == 1L), "first_doc must be the min doc id")
+    // nothing reaches 3 docs, and doc 2's internal repeat must not double-count
+    assert(out.forall(_.getLong(1) == 2L), s"unexpected counts: ${out.mkString(";")}")
+  }
+
   test("gopherKeep: each rule rejects its own pathology") {
     val good = ("the quick brown fox jumps over the lazy dog and then runs " +
       "to be with all of that pack which we have seen before in many long " +
