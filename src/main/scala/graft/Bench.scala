@@ -40,18 +40,38 @@ object Bench {
     }
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     // load anchor: a fixed cheap calibration query timed immediately before
-    // each pass and after the last one. Box contention between rounds shows
-    // up as anchor drift, so a regression table can tell "the code got
-    // slower" from "the box was loaded" (r3->r4 medians swung up to 3x with
-    // zero code change).
+    // and after every pass. Box contention between rounds shows up as
+    // anchor drift, so a regression table can tell "the code got slower"
+    // from "the box was loaded" (r3->r4 medians swung up to 3x, and the
+    // r5 driver record 70x, with zero code change). The anchor now
+    // DEFENDS the run, not just annotates it: a pass whose bracketing
+    // anchors drift >3x above the quietest anchor seen is discarded and
+    // re-run (bounded extra passes), and the artifact records anchor_ok —
+    // a contended run either heals itself or is machine-readably invalid.
     val anchorName = "q01_pricing_summary"
     val anchorFn = SparkEntry.queries(anchorName)
+    val anchorFloor = 0.05 // below this, ratios measure timer noise, not load
+    val maxExtraPasses = 3
     val anchors = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val samples: Seq[Seq[(String, Double)]] = (1 to nRuns).map { _ =>
-      anchors += timeOnce(anchorName, anchorFn)
-      names.map { case (name, fn) => name -> timeOnce(name, fn) }
+    val keptPasses = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Double)]]
+    var contaminatedKept = 0 // kept only because the retry budget ran out
+    var extrasUsed = 0
+    var aPre = timeOnce(anchorName, anchorFn)
+    anchors += aPre
+    while (keptPasses.size < nRuns) {
+      val passSamples = names.map { case (name, fn) => name -> timeOnce(name, fn) }
+      val aPost = timeOnce(anchorName, anchorFn)
+      anchors += aPost
+      val ref = math.max(anchors.filter(_ >= 0).min, anchorFloor)
+      val quiet = math.max(aPre, aPost) <= 3.0 * ref
+      if (quiet || extrasUsed >= maxExtraPasses) {
+        keptPasses += passSamples
+        if (!quiet) contaminatedKept += 1
+      } else extrasUsed += 1 // discard the loaded pass and re-run it
+      aPre = aPost
     }
-    anchors += timeOnce(anchorName, anchorFn)
+    val anchorOk = contaminatedKept == 0
+    val samples: Seq[Seq[(String, Double)]] = keptPasses.toSeq
     val results = names.map { case (name, _) =>
       val runs = samples.map(_.find(_._1 == name).get._2)
       val median =
@@ -59,11 +79,20 @@ object Bench {
         else runs.sorted.apply(runs.size / 2)
       name -> median
     }
+    // per-query MIN alongside the median: min is the noise-robust
+    // wall-clock statistic (contention only ever ADDS time), so a loaded
+    // run's mins still lower-bound the engine's true cost
+    val mins = names.map { case (name, _) =>
+      val runs = samples.map(_.find(_._1 == name).get._2)
+      name -> (if (runs.exists(_ < 0)) -1.0 else runs.min)
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val qsMin = mins.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).filter(_ >= 0).sum else 0.0
     val anchorJson = anchors.map(a => f"$a%.3f").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$nRuns,"anchor":{"query":"$anchorName","samples":$anchorJson}}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"sf":"$sfDir","runs":$nRuns,"anchor":{"query":"$anchorName","samples":$anchorJson,"ok":$anchorOk,"retries":$extrasUsed}}"""
     println(line)
     // The driver captures a bounded tail of stdout, which truncates the head
     // of the per-query map on a 113-query suite; persist the full line so

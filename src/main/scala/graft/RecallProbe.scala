@@ -37,6 +37,23 @@ object RecallProbe {
         .collect().map(r => r.getLong(0) -> r.getLong(1))
       println(s"$name $sfDir hits/5 per query: ${hits.mkString(", ")}")
     }
+    // s06 calibration: raw recall of the multi-table LSH near-dup mode
+    // against the planted-twin ground truth (see SimilarityQueries s06)
+    val base = emb.filter(col("vec_id") < 250).select(col("vec_id"), col("embedding"))
+    val twins = base.select(
+      (col("vec_id") + lit(100000L)).as("vec_id"),
+      transform(col("embedding"),
+        x => (x.cast("double") * 0.97 + 0.02).cast("float")).as("embedding"))
+    val aug = base.unionByName(twins)
+    val exact = SimilaritySearch.cosineNearDupPairs(
+      aug.withColumn("_blk", lit(0)), "vec_id", "embedding", dim = 64,
+      minCosine = 0.95, blockCol = Some("_blk")).select("id_a", "id_b")
+    val found = SimilaritySearch.cosineNearDupPairs(
+      aug, "vec_id", "embedding", dim = 64, minCosine = 0.95,
+      planes = 12, tables = 6).select("id_a", "id_b")
+    val nExact = exact.count()
+    val nHit = found.join(exact, Seq("id_a", "id_b")).count()
+    println(s"s06_lsh_neardup $sfDir recall: $nHit/$nExact")
     spark.stop()
   }
 }

@@ -337,6 +337,77 @@ object Multimodal {
     }
   }
 
+  /** Per-frame PIXEL statistics for multi-frame payloads: decodes every
+    * `stride`-th frame's full raster (not just the header) and emits one
+    * row per sampled frame with mean R/G/B channel values. This is the
+    * frame-feature-extraction shape of a video pipeline — sample frames,
+    * decode pixels, reduce to a small feature row — with the wide binary
+    * column dropped before anything shuffles.
+    *
+    * Scale: decode runs inside `mapPartitions` (one reader per payload,
+    * frames read by index through the imageio multi-frame API), output is
+    * a few doubles per sampled frame, and the work is map-only — per-row
+    * codec cost parallelizes across executors exactly like [[extractMeta]].
+    * Undecodable payloads quarantine as a single (frame_idx = -1,
+    * means = -1) sentinel row, never a task failure.
+    */
+  def videoFrameStats(media: DataFrame, stride: Int): DataFrame = {
+    require(stride > 0, "stride must be positive")
+    val contentIdx = media.schema.fieldIndex("content")
+    val keptIdx = media.schema.indices.filterNot(_ == contentIdx)
+    val outSchema = StructType(
+      media.schema.filterNot(_.name == "content") ++ Seq(
+        StructField("frame_idx", IntegerType, nullable = false),
+        StructField("mean_r", DoubleType, nullable = false),
+        StructField("mean_g", DoubleType, nullable = false),
+        StructField("mean_b", DoubleType, nullable = false)))
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val sentinel = Seq[Any](-1, -1.0, -1.0, -1.0)
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](contentIdx)
+        val kept = keptIdx.map(r.get)
+        val out: Seq[Seq[Any]] =
+          if (bytes == null) Seq(sentinel)
+          else {
+            val in = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            try {
+              val readers = javax.imageio.ImageIO.getImageReaders(in)
+              if (readers == null || !readers.hasNext) Seq(sentinel)
+              else {
+                val reader = readers.next()
+                try {
+                  reader.setInput(in)
+                  val n = reader.getNumImages(true)
+                  (0 until n by stride).map { f =>
+                    val img = reader.read(f)
+                    val (w, h) = (img.getWidth, img.getHeight)
+                    var (sr, sg, sb) = (0L, 0L, 0L)
+                    var y = 0
+                    while (y < h) {
+                      var x = 0
+                      while (x < w) {
+                        val p = img.getRGB(x, y)
+                        sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+                        x += 1
+                      }
+                      y += 1
+                    }
+                    val np = w.toLong * h
+                    Seq[Any](f, sr.toDouble / np, sg.toDouble / np, sb.toDouble / np)
+                  }
+                } finally reader.dispose()
+              }
+            } catch {
+              case _: java.io.IOException => Seq(sentinel)
+            } finally if (in != null) in.close()
+          }
+        out.map(tail => Row.fromSeq(kept ++ tail))
+      }
+    }
+  }
+
   /** Deterministic frame sampling plan for video payloads: every `stride`-th
     * frame index up to `n_frames` — a pure expression over the metadata, no
     * decode needed to plan the work.

@@ -360,17 +360,31 @@ object Dedup {
 
   /** SimHash signatures (map-only). Near-dup = hamming(sig_a, sig_b) <= k;
     * candidate generation is [[simhashNearDupPairs]]'s combination banding.
+    *
+    * `minTokens` is the signature-quality floor: a SimHash bit is the sign
+    * of a sum of one ±1 vote per token, so a doc with k tokens has bit
+    * margins bounded by k — near-empty token sets produce sign-noise
+    * signatures that land within small hamming of each other REGARDLESS of
+    * content (the 100x probe measured ~20x hamming<=3 false families from
+    * exactly this). Docs below the floor get no signature and therefore
+    * never reach candidate generation; identical short docs are still
+    * caught upstream by exact dedup (L1), which is the right tool for
+    * them. Default 0 = no filter (full backward compatibility).
     */
-  def simhashSignatures(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def simhashSignatures(docs: DataFrame, textCol: String, idCol: String,
+      minTokens: Int = 0): DataFrame = {
     // Explode + 64 bit-sum aggregates: codegen'd, partial-aggregating twin
     // of TextFunctions.simhash64 (kept for per-row Column use). A doc whose
     // token list is empty contributes one null-token row via explode_outer;
     // the hash is null-guarded (xxhash64(null) would return the SEED, 42),
     // so its bit sums are all -1 → simhash 0, matching the HOF version.
-    val sums = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("text"))
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("id"))
-      .select(col("id"),
-        explode_outer(tokens(normalizeText(col("text")))).as("t"))
+      .select(col("id"), tokens(normalizeText(col("text"))).as("toks"))
+    val floored =
+      if (minTokens > 0) base.filter(size(col("toks")) >= minTokens) else base
+    val sums = floored
+      .select(col("id"), explode_outer(col("toks")).as("t"))
       .withColumn("h", when(col("t").isNotNull, xxhash64(col("t"))))
       .groupBy(col("id"))
       .agg(
@@ -400,7 +414,7 @@ object Dedup {
     * corpus, at 5x the (cheap) explode fan-out.
     */
   def simhashNearDupPairs(docs: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3, blocks: Int = 6): DataFrame = {
+      maxHamming: Int = 3, blocks: Int = 6, minTokens: Int = 0): DataFrame = {
     require(blocks > maxHamming && blocks <= 64,
       s"need maxHamming < blocks <= 64, got maxHamming=$maxHamming blocks=$blocks")
     // block widths differ by at most 1 and cover all 64 bits
@@ -412,7 +426,7 @@ object Dedup {
     val keyExprs = (0 until blocks).combinations(m).map { c =>
       c.foldLeft(lit(0L))((acc, i) => shiftleft(acc, widths(i)) + blockVal(i))
     }.toSeq
-    val sigs = simhashSignatures(docs, textCol, idCol)
+    val sigs = simhashSignatures(docs, textCol, idCol, minTokens)
     val keyed = sigs.select(
       col("id"), col("simhash"),
       posexplode(array(keyExprs: _*)).as(Seq("combo_idx", "combo_key")))

@@ -237,21 +237,43 @@ object SimilaritySearch {
     * cardinality that grows with the corpus (shard/cluster ids, not a
     * 10-value label); the LSH mode self-scales because bucket count is
     * 2^planes and `planes` can grow with the corpus.
+    *
+    * `tables` (LSH mode only): independent hyperplane sets OR-combined —
+    * a pair is a candidate when it collides in ANY table, so recall
+    * compounds as 1-(1-p^planes)^tables while per-table bucket granularity
+    * (2^planes) is preserved. The standard AND-OR LSH construction
+    * (Indyk–Motwani; same shape as [[lshTopK]]); corpus cost is `tables`
+    * map-only signature passes and the candidate meeting stays an equi
+    * join on (table, bucket). Cross-table duplicate candidates are
+    * deduped BEFORE cosine verification, so each surviving pair is scored
+    * once.
     */
   def cosineNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
       dim: Int, minCosine: Double, planes: Int = 8,
-      blockCol: Option[String] = None): DataFrame = {
+      blockCol: Option[String] = None, tables: Int = 1): DataFrame = {
     graft.plans.GraftExtensions.register(vectors.sparkSession)
-    val v = blockCol match {
-      case Some(bc) => vectors.select(col(idCol).as("id"), col(vecCol).as("vec"),
-        col(bc).as("bucket"))
-      case None => vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
-        .withColumn("bucket", hyperplaneBucket(col("vec"), dim, planes))
+    val (v, joinKeys) = blockCol match {
+      case Some(bc) => (vectors.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        col(bc).as("bucket")), Seq("bucket"))
+      case None =>
+        val keyed = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
+          .withColumn("tb", explode(array((0 until tables).map { t =>
+            struct(lit(t).as("tbl"),
+              hyperplaneBucket(col("vec"), dim, planes, seed = 42L + t).as("bucket"))
+          }: _*)))
+          .select(col("id"), col("vec"),
+            col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+        (keyed, Seq("tbl", "bucket"))
     }
-    val a = v.select(col("id").as("id_a"), col("vec").as("v_a"), col("bucket"))
-    val b = v.select(col("id").as("id_b"), col("vec").as("v_b"), col("bucket"))
-    a.join(b, Seq("bucket"))
+    val a = v.select(joinKeys.map(col) ++ Seq(col("id").as("id_a"), col("vec").as("v_a")): _*)
+    val b = v.select(joinKeys.map(col) ++ Seq(col("id").as("id_b"), col("vec").as("v_b")): _*)
+    val cand = a.join(b, joinKeys)
       .filter(col("id_a") < col("id_b"))
+    // a pair colliding in several tables must be verified once, not `tables`
+    // times; single-table/blockCol candidates are already unique
+    val uniq = if (tables > 1 && blockCol.isEmpty)
+      cand.dropDuplicates("id_a", "id_b") else cand
+    uniq
       // native codegen'd cosine: the hot inner loop runs over every in-block
       // pair — the interpreted HOF twin (`cosine`) costs ~10x here
       .withColumn("cosine",

@@ -90,6 +90,20 @@ object MultimodalQueries extends QueryPack {
           size(col("sample_frames")).as("n_sampled"))
     },
 
+    // -- REAL per-frame PIXEL decode: beyond m06's frame counting, every
+    //    3rd frame of each genuine animated GIF is pixel-decoded and
+    //    reduced to mean R/G/B. Each synthesized frame is a solid fill
+    //    whose color is (doc_id, frame) arithmetic, and GIF's palette is
+    //    lossless for a single-color frame, so the encode → multi-frame
+    //    pixel decode → channel-stats chain is oracle-checked exactly.
+    "m07_video_frame_stats" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val media = Multimodal.synthesizeVideos(t.documents)
+      Multimodal.videoFrameStats(media, stride = 3)
+        .select(col("doc_id"), col("frame_idx"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+    },
+
     // -- Frame-sampling plan for the video subset. n_frames is derived
     //    from doc metadata (1 + doc_id % 64) rather than the stub decoder,
     //    which makes the whole sampling plan — stride arithmetic, frame
@@ -132,6 +146,16 @@ object MultimodalQueries extends QueryPack {
         |  'gif' AS format,
         |  CAST(floor((1 + doc_id % 8) / 3) + 1 AS INT) AS n_sampled
         |FROM documents""".stripMargin,
+    // every 3rd frame index below n_frames = 2 + doc_id % 8; the frame's
+    // solid-fill color is pure (doc_id, frame) arithmetic (see
+    // synthesizeVideos), so mean channel values equal the fill exactly
+    "m07_video_frame_stats" ->
+      """SELECT doc_id, CAST(f AS INT) AS frame_idx,
+        |  CAST(doc_id * 7 % 256 AS DOUBLE) AS mean_r,
+        |  CAST(f * 29 % 256 AS DOUBLE) AS mean_g,
+        |  CAST(doc_id * 31 % 256 AS DOUBLE) AS mean_b
+        |FROM documents, unnest(range(0, 2 + doc_id % 8)) AS t(f)
+        |WHERE f % 3 = 0""".stripMargin,
     "m04_audio_meta" ->
       """SELECT doc_id, 'audio' AS modality,
         |  8000 AS sample_rate,

@@ -114,6 +114,50 @@ object SimilarityQueries extends QueryPack {
         t.embeddings, "vec_id", "embedding", dim = 64, minCosine = 0.3,
         blockCol = Some("label"))
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+    },
+
+    // -- L2 vector variant, LSH-bucket SCALE mode, accuracy-gated (the d07
+    //    pattern): s04's registered query is the label-blocked exact mode
+    //    (quadratic per block — the oracle-comparable contrast case); THIS
+    //    query drives the operator's self-scaling mode — multi-table
+    //    hyperplane buckets, candidates met on (table, bucket) — against a
+    //    planted ground truth DuckDB recomputes from scratch. The corpus is
+    //    250 fixture vectors plus a deterministic perturbed twin of each
+    //    (v' = 0.97*v + 0.02, pure arithmetic any engine can apply): twin
+    //    cosine lands at 0.986–0.990 while the closest non-twin pair is
+    //    ~0.50 at every fixture scale, so minCosine=0.95 makes the exact
+    //    pair set EXACTLY the 250 planted pairs. found_subset_of_exact
+    //    holds by construction (same corpus, same cosine cutoff — asserted
+    //    anyway); recall_ok gates the LSH bucketing itself (seeded →
+    //    deterministic; 12 planes x 6 tables measured recall 250/250,
+    //    247/250, 248/250 at sf0.001/0.01/0.1 — RecallProbe; analytic
+    //    expectation 1-(1-0.9487^12)^6 ≈ 0.989 at twin cosine 0.987 —
+    //    bound 0.9 has headroom).
+    "s06_embedding_neardups_lsh" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val base = t.embeddings.filter(col("vec_id") < 250)
+        .select(col("vec_id"), col("embedding"))
+      val twins = base.select(
+        (col("vec_id") + lit(100000L)).as("vec_id"),
+        transform(col("embedding"),
+          x => (x.cast("double") * 0.97 + 0.02).cast("float")).as("embedding"))
+      val aug = base.unionByName(twins)
+      val exact = SimilaritySearch.cosineNearDupPairs(
+        aug.withColumn("_blk", lit(0)), "vec_id", "embedding", dim = 64,
+        minCosine = 0.95, blockCol = Some("_blk"))
+        .select("id_a", "id_b")
+      val found = SimilaritySearch.cosineNearDupPairs(
+        aug, "vec_id", "embedding", dim = 64, minCosine = 0.95,
+        planes = 12, tables = 6)
+        .select("id_a", "id_b")
+      val joined = found.withColumn("_f", lit(1))
+        .join(exact.withColumn("_e", lit(1)), Seq("id_a", "id_b"), "full_outer")
+      joined.agg(
+        count(col("_e")).as("n_exact_pairs"),
+        (count(when(col("_f") === 1 && col("_e").isNull, 1)) === 0L)
+          .as("found_subset_of_exact"),
+        (count(when(col("_f") === 1 && col("_e") === 1, 1)) * 10L >=
+          count(col("_e")) * 9L).as("recall_ok"))
     }
   )
 
@@ -164,6 +208,24 @@ object SimilarityQueries extends QueryPack {
         |  round(list_cosine_similarity(a.v, b.v), 6) AS cosine
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.3""".stripMargin,
+    // s06: ground truth recomputed from scratch — DuckDB rebuilds the
+    // planted-twin corpus with the same arithmetic and counts the exact
+    // cosine>=0.95 pairs over ALL pairs; the booleans are the operator's
+    // contract (found pairs subset of exact; seeded-LSH recall >= 0.9).
+    "s06_embedding_neardups_lsh" ->
+      """WITH e AS (SELECT vec_id AS id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings WHERE vec_id < 250),
+        |aug AS (
+        |  SELECT id, v FROM e
+        |  UNION ALL
+        |  SELECT id + 100000,
+        |    list_transform(v, x -> CAST(CAST(x * 0.97 + 0.02 AS FLOAT) AS DOUBLE))
+        |  FROM e)
+        |SELECT count(*) AS n_exact_pairs,
+        |  TRUE AS found_subset_of_exact, TRUE AS recall_ok
+        |FROM aug a JOIN aug b ON a.id < b.id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.95""".stripMargin,
     "s03_label_centroids" ->
       """WITH comps AS (
         |  SELECT label, generate_subscripts(embedding, 1) AS pos,

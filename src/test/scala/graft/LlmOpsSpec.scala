@@ -270,6 +270,72 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L))) // (1,3) blocked apart; (2,3) below threshold in-block anyway
   }
 
+  test("cosineNearDupPairs multi-table LSH mode finds planted twins, never invents pairs") {
+    import spark.implicits._
+    // 40 deterministic pseudo-random vectors + a slightly perturbed twin of
+    // each; the LSH mode (no blockCol) must recover every twin pair via
+    // bucket collisions and, because candidates are cosine-verified, emit
+    // nothing below the threshold
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 40).map(i => (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val twins = base.map { case (id, v) => (id + 1000L, v.map(x => x * 0.97f + 0.02f)) }
+    val all = (base ++ twins).toDF("vec_id", "embedding")
+    val pairs = SimilaritySearch.cosineNearDupPairs(
+      all, "vec_id", "embedding", dim = 16, minCosine = 0.95,
+      planes = 8, tables = 6)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    // every emitted pair genuinely clears the cosine bar (verification is
+    // exact, so multi-table candidate fan-in cannot create false pairs)
+    assert(pairs.forall(_._2 >= 0.95))
+    // high recall on the planted twins (seeded LSH → deterministic)
+    val found = pairs.map(_._1).toSet
+    val recalled = base.count { case (id, _) => found.contains((id, id + 1000L)) }
+    assert(recalled >= 36, s"twin recall too low: $recalled/40")
+    // no duplicate pairs despite 6 tables of candidate generation
+    assert(pairs.map(_._1).distinct.length === pairs.length)
+  }
+
+  test("simhash minTokens floor drops degenerate short docs, keeps real pairs") {
+    import spark.implicits._
+    val long1 = "the spark engine executes distributed queries with columnar parquet scans across many executors"
+    val long2 = "the spark engine executes distributed queries with columnar orc scans across many executors"
+    val df = Seq(
+      (1L, long1), (2L, long2),
+      (3L, "ok"), (4L, "no") // 1-token docs: sign-noise signatures
+    ).toDF("doc_id", "text")
+    // floor excludes the short docs from signature generation entirely
+    val sigs = Dedup.simhashSignatures(df, "text", "doc_id", minTokens = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(sigs === Set(1L, 2L))
+    // pair output over the floored corpus equals the long-doc pair set;
+    // short docs can no longer meet anything in candidate generation
+    val guarded = Dedup.simhashNearDupPairs(df, "text", "doc_id",
+      maxHamming = 10, blocks = 12, minTokens = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded.contains((1L, 2L)))
+    assert(!guarded.exists(p => p._1 >= 3L || p._2 >= 3L))
+    // default (0) stays fully backward-compatible: everyone gets a signature
+    val unguarded = Dedup.simhashSignatures(df, "text", "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(unguarded === Set(1L, 2L, 3L, 4L))
+  }
+
+  test("videoFrameStats pixel-decodes sampled frames to exact fill colors") {
+    import spark.implicits._
+    val media = Multimodal.synthesizeVideos(Seq(5L, 12L).toDF("doc_id"))
+    val stats = Multimodal.videoFrameStats(media, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(2),
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toSet
+    // doc 5: n_frames = 2 + 5 % 8 = 7 → frames 0, 3, 6
+    // doc 12: n_frames = 2 + 12 % 8 = 6 → frames 0, 3
+    // fill = (id*7 % 256, f*29 % 256, id*31 % 256), exact through GIF
+    def rgb(id: Long, f: Int) = ((id * 7 % 256).toDouble, (f * 29 % 256).toDouble, (id * 31 % 256).toDouble)
+    val expected = Set(
+      (5L, 0, rgb(5, 0)), (5L, 3, rgb(5, 3)), (5L, 6, rgb(5, 6)),
+      (12L, 0, rgb(12, 0)), (12L, 3, rgb(12, 3)))
+    assert(stats === expected)
+  }
+
   test("t05 exploded language-id agrees with the per-row languageId column") {
     val perRow = docs
       .withColumn("lang_guess", TextFunctions.languageId(col("text")))
