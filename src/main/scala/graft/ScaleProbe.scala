@@ -44,15 +44,26 @@ object ScaleProbe {
   private val digits = "0123456789"
 
   /** Per-replica substitution cipher: disjoint shingle sets across
-    * replicas, identical length/shape statistics.
+    * replicas, identical length/shape statistics. The substitution is a
+    * SEEDED RANDOM PERMUTATION of letters and digits, not a rotation:
+    * the round-5 rotation cipher had only 26 distinct letter maps, so at
+    * factor > 26 the replicas with i ≡ j (mod 26) shared their letter
+    * map and every DIGIT-FREE document came out byte-identical across
+    * them — 720k genuine exact-dup pairs at 100x that looked like
+    * signature false families until diagnosed (d03_diag). Independent
+    * per-replica permutations make coincident token sets vanishingly
+    * unlikely at any factor.
     */
   private def cipher(text: org.apache.spark.sql.Column, i: Int) = {
-    val lrot = i % 26
-    val drot = (i / 26) % 10
-    val from = lower + lower.toUpperCase + digits
-    val lto = lower.drop(lrot) + lower.take(lrot)
-    val to = lto + lto.toUpperCase + digits.drop(drot) + digits.take(drot)
-    translate(text, from, to)
+    if (i == 0) text
+    else {
+      val rnd = new scala.util.Random(1000003L * i)
+      val lto = rnd.shuffle(lower.toList).mkString
+      val dto = rnd.shuffle(digits.toList).mkString
+      val from = lower + lower.toUpperCase + digits
+      val to = lto + lto.toUpperCase + dto
+      translate(text, from, to)
+    }
   }
 
   private def shiftBase(df: DataFrame, key: String): Long =
@@ -170,21 +181,119 @@ object ScaleProbe {
               sum(when(col("h") <= 10, 1).otherwise(0)).as("h10"),
               max(col("h")).as("h_max"))
         } else if (name == "d09_operator") { (s, d) =>
-          // incremental near-dup at corpus scale: the first half of the
-          // corpus is the persisted signature history, the second half is
-          // the incoming batch — the d09 query itself pins accuracy on a
-          // constant block, this measures the operator's cost shape
+          // incremental near-dup at corpus scale: a PARITY split (even
+          // doc_ids = persisted signature history, odd = incoming batch)
+          // so the fixture's within-replica near-dup families straddle
+          // the boundary and the estimator leg runs on real candidates —
+          // a doc_id-range split would put every family on one side now
+          // that the permutation cipher makes replicas fully disjoint.
+          // The d09 query itself pins accuracy on a constant block; this
+          // measures the operator's cost shape
           val docs = graft.sources.Tables(s, d).documents
-          val half = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
           graft.operators.Dedup.incrementalNearDup(
             graft.operators.Dedup.minhashSignatures(
-              docs.filter(col("doc_id") > half), "text", "doc_id"),
+              docs.filter(col("doc_id") % 2 === 1), "text", "doc_id"),
             graft.operators.Dedup.minhashSignatures(
-              docs.filter(col("doc_id") <= half), "text", "doc_id"))
+              docs.filter(col("doc_id") % 2 === 0), "text", "doc_id"))
         } else if (name == "s04_lsh_mode") { (s, d) =>
           graft.operators.SimilaritySearch.cosineNearDupPairs(
             graft.sources.Tables(s, d).embeddings, "vec_id", "embedding",
             dim = 64, minCosine = 0.95, planes = 14, blockCol = None)
+        } else if (name == "d03_diag") { (s, d) =>
+          // diagnosis for the minTokens floor: bucket the hamming<=3 pair
+          // set by the SMALLER endpoint's token count — if false families
+          // concentrate in low-token docs, the floor removes them
+          val docs = graft.sources.Tables(s, d).documents
+          val toks = docs.select(col("doc_id").as("id"),
+            size(graft.functions.TextFunctions.tokens(
+              graft.functions.TextFunctions.normalizeText(col("text")))).as("n_tok"))
+          val pairs = graft.operators.Dedup.simhashNearDupPairs(
+            docs, "text", "doc_id", maxHamming = 3)
+          pairs
+            .join(toks.select(col("id").as("id_a"), col("n_tok").as("ta")), Seq("id_a"))
+            .join(toks.select(col("id").as("id_b"), col("n_tok").as("tb")), Seq("id_b"))
+            .withColumn("mt", least(col("ta"), col("tb")))
+            .withColumn("same_base", col("id_a") % 5000 === col("id_b") % 5000)
+            .withColumn("same_lrot",
+              (col("id_a") / 5000).cast("long") % 26 ===
+                (col("id_b") / 5000).cast("long") % 26)
+            .groupBy(
+              when(col("mt") < 15, "10-14").when(col("mt") < 25, "15-24")
+                .when(col("mt") < 50, "25-49").otherwise("50+").as("min_tok_bucket"))
+            .agg(count(lit(1)).as("n_pairs"),
+              sum(when(col("hamming") === 0, 1).otherwise(0)).as("n_ham0"),
+              sum(when(col("same_base") && col("same_lrot"), 1).otherwise(0))
+                .as("n_samebase_samelrot"),
+              sum(when(col("same_base"), 1).otherwise(0)).as("n_samebase"))
+            .orderBy(col("min_tok_bucket"))
+        } else if (name == "d03_guarded") { (s, d) =>
+          graft.operators.Dedup.simhashNearDupPairs(
+            graft.sources.Tables(s, d).documents, "text", "doc_id",
+            maxHamming = 3, minTokens = 25)
+        } else if (name == "d05_cc_distributed") { (s, d) =>
+          // the one iterative-join operator at scale: a synthetic 8M-edge
+          // graph of 1000-node chains — diameter 1000 is the worst case
+          // for diameter-bound label propagation, and ~8M pairs crosses
+          // the 5M union-find threshold, so connectedComponents dispatches
+          // to the distributed large-star/small-star path (verbose: one
+          // [cc] line per round with the round's edge count = its shuffle
+          // size). Ground truth is exact: 8,000 components x 1,000 nodes.
+          val edges = s.range(8000000L).toDF("id_a")
+            .filter(col("id_a") % 1000 =!= 999)
+            .withColumn("id_b", col("id_a") + lit(1L))
+          graft.operators.Dedup.connectedComponents(edges, verbose = true)
+            .agg(countDistinct(col("component")).as("n_components"),
+              count(lit(1)).as("n_nodes"))
+        } else if (name == "e02_stateful_10m") { (s, d) =>
+          // streaming sessionization state at 10M events / 100x users:
+          // file-stream catch-up replay through flatMapGroupsWithState
+          // (AvailableNow), parquet sink; prints the state store's max
+          // row count and memory from the query progress — the state
+          // growth curve a 100 TB pipeline must bound via watermarks
+          import s.implicits._
+          val tmp = java.nio.file.Files.createTempDirectory("graft_e02probe_").toString
+          val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+          val stream = graft.streaming.EventStreams.readEventStream(
+            s, s"$d/events.parquet", maxFilesPerTrigger = 16)
+          val sessions = graft.streaming.EventStreams.statefulSessions(
+            stream.withWatermark("ts", "1 hour")
+              .as[graft.streaming.EventStreams.Event])
+          val q = sessions.writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .outputMode("append").start()
+          q.awaitTermination()
+          val state = q.recentProgress.toSeq
+            .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+          if (state.nonEmpty) println(
+            f"[probe]   e02 state: batches=${q.recentProgress.length}%d " +
+              f"maxRows=${state.map(_.numRowsTotal).max}%,d " +
+              f"maxMemMB=${state.map(_.memoryUsedBytes).max / 1024 / 1024}%d")
+          s.read.parquet(out)
+        } else if (name == "e11_upsert_10m") { (s, d) =>
+          // keyed-upsert sink at 10M events: 3 time-ordered catch-up
+          // batches build the table (64 bucket partitions), then a 1,000-
+          // row single-bucket batch proves the merge rewrite is bounded
+          // by TOUCHED partitions, not table size (verbose [upsert] lines
+          // carry per-batch touched counts and seconds)
+          val t = graft.sources.Tables(s, d)
+          val tmp = java.nio.file.Files.createTempDirectory("graft_e11probe_").toString
+          val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+          val slice = t.events
+            .withColumn("bucket", pmod(col("user_id"), lit(64)).cast("int"))
+          slice.repartitionByRange(3, col("ts")).write.parquet(inDir)
+          def replay(): Unit =
+            graft.streaming.EventStreams.upsertForeachBatchAvailableNow(
+              s.readStream.schema(slice.schema)
+                .option("maxFilesPerTrigger", "1").parquet(inDir),
+              outDir, ckpt, keyCol = "user_id",
+              orderCols = Seq("ts", "event_id"), partitionCol = "bucket",
+              verbose = true)
+          replay() // full load: 3 batches, each touching all 64 buckets
+          slice.filter(col("bucket") === 0).limit(1000)
+            .coalesce(1).write.mode("append").parquet(inDir)
+          replay() // incremental: 1 batch, 1 touched bucket
+          s.read.parquet(outDir)
         } else SparkEntry.queries(name)
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -192,7 +301,7 @@ object ScaleProbe {
         val n = df.count()
         val s = (System.nanoTime() - t0) / 1e9
         println(f"[probe] $name%-24s $s%7.2f s  ($n rows)")
-        if (n == 1) println(s"[probe]   row: ${df.head()}")
+        if (n <= 10) df.collect().foreach(r => println(s"[probe]   row: $r"))
         s
       }
       try { once(); once() } catch {

@@ -233,7 +233,7 @@ object Dedup {
     * propagation, whose round count is the graph diameter.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
-      localThreshold: Long = 5000000L): DataFrame = {
+      localThreshold: Long = 5000000L, verbose: Boolean = false): DataFrame = {
     // Near-dup edge sets are tiny relative to the corpus (pairs, not docs).
     // Below the threshold a driver-side union-find is strictly better than
     // iterative joins: O(E α(E)) once vs an action + 2 joins per round.
@@ -264,7 +264,7 @@ object Dedup {
       pairs.unpersist()
       return spark.createDataset(labels).toDF("id", "component")
     }
-    val result = largeStarSmallStar(pairs, maxIter)
+    val result = largeStarSmallStar(pairs, maxIter, verbose)
     pairs.unpersist()
     result
   }
@@ -283,7 +283,8 @@ object Dedup {
     * convergence check is one count. Returns (id, component) for every
     * node that appears in `pairs`.
     */
-  def largeStarSmallStar(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def largeStarSmallStar(pairs: DataFrame, maxIter: Int = 25,
+      verbose: Boolean = false): DataFrame = {
     // canonical undirected edges with the LARGER endpoint first: (hi, lo).
     // Each round ends in an EAGER localCheckpoint: unlike cache, it
     // truncates the logical plan, which otherwise compounds per round
@@ -322,6 +323,11 @@ object Dedup {
       // converged when the round is a no-op (same canonical edge set)
       val changed = small.exceptAll(edges).limit(1).count() +
         edges.exceptAll(small).limit(1).count()
+      // per-round probe line: the edge count IS the round's shuffle size
+      // (each round shuffles ~2x edges twice); localCheckpointed, so the
+      // extra count is a cached-block scan, not a recompute
+      if (verbose) println(
+        f"[cc] round ${iter + 1}%d edges=${small.count()}%,d changed=${changed > 0}%b")
       edges = small
       converged = changed == 0
       iter += 1

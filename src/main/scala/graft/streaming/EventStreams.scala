@@ -224,12 +224,13 @@ object EventStreams {
     */
   def upsertForeachBatchAvailableNow(df: DataFrame, outDir: String,
       checkpointDir: String, keyCol: String, orderCols: Seq[String],
-      partitionCol: String): Unit =
+      partitionCol: String, verbose: Boolean = false): Unit =
     df.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        val t0 = System.nanoTime()
         val touched = batch.select(col(partitionCol)).distinct()
           .collect().map(_.get(0))
         if (touched.nonEmpty) {
@@ -254,12 +255,20 @@ object EventStreams {
           // same files the write replaces; release the blocks afterwards
           // so a long catch-up run doesn't accumulate executor storage
           val checkpointed = merged.localCheckpoint(eager = true)
-          try checkpointed
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(partitionCol)
-            .parquet(outDir)
-          finally checkpointed.unpersist()
+          try {
+            checkpointed
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy(partitionCol)
+              .parquet(outDir)
+            // probe observability: per-batch rewrite cost vs touched
+            // partitions is THE scale property of this sink (cost is
+            // bounded by partitions a batch touches, never table size)
+            if (verbose) println(
+              f"[upsert] batch=$batchId touched=${touched.length}%d " +
+                f"merged_rows=${checkpointed.count()}%,d " +
+                f"s=${(System.nanoTime() - t0) / 1e9}%.2f")
+          } finally checkpointed.unpersist()
         }
       }
       .start()
