@@ -62,8 +62,12 @@ object Bench {
       val passSamples = names.map { case (name, fn) => name -> timeOnce(name, fn) }
       val aPost = timeOnce(anchorName, anchorFn)
       anchors += aPost
-      val ref = math.max(anchors.filter(_ >= 0).min, anchorFloor)
-      val quiet = math.max(aPre, aPost) <= 3.0 * ref
+      val clean = anchors.filter(_ >= 0)
+      // a crashed anchor query (-1 samples) disables the defense rather
+      // than dividing by garbage: treat the run as quiet, anchor_ok stays
+      // judgeable from the raw samples array
+      val ref = math.max(if (clean.isEmpty) Double.MaxValue else clean.min, anchorFloor)
+      val quiet = clean.isEmpty || math.max(aPre, aPost) <= 3.0 * ref
       if (quiet || extrasUsed >= maxExtraPasses) {
         keptPasses += passSamples
         if (!quiet) contaminatedKept += 1

@@ -230,6 +230,15 @@ object ScaleProbe {
           graft.operators.Dedup.simhashNearDupPairs(
             graft.sources.Tables(s, d).documents, "text", "doc_id",
             maxHamming = 3, minTokens = 25)
+        } else if (name == "d05_pipeline") { (s, d) =>
+          // the complete user-facing near-dup pipeline at corpus scale:
+          // MinHash signatures -> banded candidates -> exact-Jaccard
+          // verify -> connected components -> min-id survivor per cluster
+          // (pair set is output-sized, so CC takes the bounded union-find
+          // path here; d05_cc_distributed covers the >5M distributed path)
+          val docs = graft.sources.Tables(s, d).documents
+          graft.operators.Dedup.dedupNearDups(docs, "text", "doc_id")
+            .agg(count(lit(1)).as("n_survivors"))
         } else if (name == "d05_cc_distributed") { (s, d) =>
           // the one iterative-join operator at scale: a synthetic 8M-edge
           // graph of 1000-node chains — diameter 1000 is the worst case
