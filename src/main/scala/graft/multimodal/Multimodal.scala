@@ -42,6 +42,17 @@ object Multimodal {
 
   type Decoder = Array[Byte] => (Int, Int, Int, String)
 
+  /** ImageIO defaults to DISK-backed stream caches: every read/write spills
+    * the payload to a temp file first. For in-memory byte-array payloads
+    * that is pure overhead — measured on the m-suite it was 6-20x the
+    * actual codec cost AND the dominant variance source (32 concurrent
+    * tasks contending on /tmp: m05's full chain dropped 2.1-8.5 s → 0.35 s
+    * once disabled). Flipped executor-side at the top of every codec
+    * closure — a JVM-global primitive, idempotent, cluster-safe.
+    */
+  private def useMemoryCodecBuffers(): Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** REAL image decoder via the JDK's `javax.imageio` — handles PNG, JPEG,
     * GIF, BMP with zero external dependencies. Returns
     * (width, height, 1 frame, lowercased format name); undecodable payloads
@@ -126,7 +137,13 @@ object Multimodal {
     */
   def synthesizeAudio(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { ids =>
+    docs.select(col("doc_id").cast("long"))
+      // single-file fixture scans arrive as ONE partition; the encode loop
+      // is the expensive part, so spread the (8-byte) ids BEFORE it — the
+      // same degenerate-scan discipline as Dedup (SCALE.md §1). Hash on
+      // doc_id: deterministic placement at any input order.
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .as[Long].mapPartitions { ids =>
       ids.map { id =>
         val channels = 1 + (id % 2).toInt
         val nFrames = 400 + 8 * (id % 200).toInt
@@ -167,7 +184,10 @@ object Multimodal {
     */
   def synthesizeVideos(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { ids =>
+    docs.select(col("doc_id").cast("long"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id")) // see synthesizeAudio
+      .as[Long].mapPartitions { ids =>
+      useMemoryCodecBuffers()
       ids.map { id =>
         val w = 8 + (id % 16).toInt
         val h = 8 + (id % 12).toInt
@@ -231,6 +251,7 @@ object Multimodal {
     val contentIdx = media.schema.fieldIndex("content")
     implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
     media.mapPartitions { rows =>
+      useMemoryCodecBuffers()
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](contentIdx)
         val resized: Array[Byte] =
@@ -283,7 +304,10 @@ object Multimodal {
     */
   def synthesizeImages(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { ids =>
+    docs.select(col("doc_id").cast("long"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id")) // see synthesizeAudio
+      .as[Long].mapPartitions { ids =>
+      useMemoryCodecBuffers()
       ids.map { id =>
         val w = 8 + (id % 64).toInt
         val h = 8 + (id % 48).toInt
@@ -328,6 +352,7 @@ object Multimodal {
     val keptIdx = media.schema.indices.filterNot(_ == contentIdx)
     implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
     media.mapPartitions { rows =>
+      useMemoryCodecBuffers()
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](contentIdx)
         val meta = if (bytes == null) null
@@ -364,6 +389,7 @@ object Multimodal {
     implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
     val sentinel = Seq[Any](-1, -1.0, -1.0, -1.0)
     media.mapPartitions { rows =>
+      useMemoryCodecBuffers()
       rows.flatMap { r =>
         val bytes = r.getAs[Array[Byte]](contentIdx)
         val kept = keptIdx.map(r.get)
