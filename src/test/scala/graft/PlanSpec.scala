@@ -133,6 +133,26 @@ class PlanSpec extends SparkSpec {
       s"blocked pair generation must be an equi join:\n${p.take(2000)}")
   }
 
+  test("s06 LSH-mode near-dups: multi-table candidates still meet on equi keys") {
+    val p = plan("s06_embedding_neardups_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"LSH candidate generation must be an equi join on (table, bucket):\n${p.take(2000)}")
+    assert(p.contains("Generate"),
+      s"per-table bucket keys fan out via explode (Generate), not plan duplication:\n${p.take(2000)}")
+  }
+
+  test("codec synthesis spreads the single-file scan before the encode loop") {
+    // the 100 TB shape: per-row codec cost must parallelize across all
+    // cores/executors — a single-file fixture scan arrives as ONE
+    // partition and the synthesizers must not inherit it (measured 6x
+    // end-to-end on the m-suite; see SCALE.md)
+    val docs = graft.sources.Tables(spark, sf).documents
+    val n = spark.sparkContext.defaultParallelism
+    assert(graft.multimodal.Multimodal.synthesizeImages(docs).rdd.getNumPartitions === n)
+    assert(graft.multimodal.Multimodal.synthesizeVideos(docs).rdd.getNumPartitions === n)
+    assert(graft.multimodal.Multimodal.synthesizeAudio(docs).rdd.getNumPartitions === n)
+  }
+
   test("r01 BM25 small-|Q| plan: no explode, broadcast stats, top-k without a global sort") {
     val p = plan("r01_bm25_topk")
     assert(p.contains("TakeOrderedAndProject"),
