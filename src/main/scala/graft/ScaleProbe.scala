@@ -253,6 +253,40 @@ object ScaleProbe {
           graft.operators.Dedup.connectedComponents(edges, verbose = true)
             .agg(countDistinct(col("component")).as("n_components"),
               count(lit(1)).as("n_nodes"))
+        } else if (name == "s07_float_topk") { (s, d) =>
+          // float-path contrast for the int8 probe: same query set, same
+          // corpus, native codegen'd float cosine
+          val emb = graft.sources.Tables(s, d).embeddings
+          graft.operators.SimilaritySearch.bruteForceTopK(
+            emb.filter(col("vec_id") < 32), emb, "vec_id", "embedding", k = 10)
+        } else if (name == "s07_int8_topk") { (s, d) =>
+          // the packed-int8 scan at corpus scale: pack on the fly (at 100 TB
+          // the corpus would be PERSISTED packed — s07_storage measures that
+          // form's on-disk footprint), score via the native int8_cosine
+          val emb = graft.sources.Tables(s, d).embeddings
+          graft.operators.SimilaritySearch.int8TopKPacked(
+            emb.filter(col("vec_id") < 32), emb, "vec_id", "embedding", k = 10)
+        } else if (name == "s07_storage") { (s, d) =>
+          // what the 4x claim is actually about: bytes the scan/shuffle/cache
+          // carry. Write the corpus in both forms, report on-disk sizes
+          // (snappy parquet both sides; gaussian floats and int8 codes are
+          // both ~incompressible, so the ratio is the format ratio)
+          graft.plans.GraftExtensions.register(s)
+          val emb = graft.sources.Tables(s, d).embeddings
+            .select(col("vec_id"), col("embedding"))
+          val tmp = java.nio.file.Files.createTempDirectory("graft_s07store_").toString
+          emb.write.mode("overwrite").parquet(s"$tmp/float")
+          emb.select(col("vec_id"),
+            graft.plans.GraftExtensions.int8Pack(col("embedding")).as("codes"))
+            .write.mode("overwrite").parquet(s"$tmp/int8")
+          def dirBytes(p: String): Long = {
+            val dir = new java.io.File(p)
+            dir.listFiles.filter(_.isFile).map(_.length).sum
+          }
+          val fb = dirBytes(s"$tmp/float"); val ib = dirBytes(s"$tmp/int8")
+          println(f"[probe]   s07 storage: float=${fb / 1024 / 1024}%d MB " +
+            f"int8=${ib / 1024 / 1024}%d MB ratio=${fb.toDouble / ib}%.2f")
+          s.read.parquet(s"$tmp/int8")
         } else if (name == "e02_stateful_10m") { (s, d) =>
           // streaming sessionization state at 10M events / 100x users:
           // file-stream catch-up replay through flatMapGroupsWithState

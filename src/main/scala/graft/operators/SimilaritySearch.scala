@@ -222,6 +222,109 @@ object SimilaritySearch {
       .select(col("query_id"), col("neighbor_id"), col("sim"))
   }
 
+  // -- int8 scalar quantization: the ANN memory/bandwidth scale path --------
+
+  /** Symmetric per-vector int8 scalar quantization.
+    *
+    * `scale` = max(|v|)/127 (floored at 1e-30 so the all-zero vector maps to
+    * all-zero codes instead of NaN); each component maps to
+    * floor(v/scale + 0.5) ∈ [-127, 127]. floor(x+0.5) rather than
+    * rint/round because floor is the rounding primitive with identical
+    * semantics in every engine — together with the fact that integer dot
+    * products up to 127²·dim are exactly representable in doubles, the
+    * whole quantized scoring pipeline is bit-reproducible cross-engine
+    * (the property the s07 DuckDB oracle checks end-to-end).
+    *
+    * Why it matters at 100 TB: the corpus-side vector payload drops 4x
+    * (1 byte/component instead of 4), which shrinks the scan, the shuffle,
+    * and the executor cache working set by the same factor, and the inner
+    * scoring loop becomes integer multiply-adds. The int8 column is also
+    * the natural thing to persist next to the float column so rescoring
+    * candidates at full precision stays possible.
+    */
+  def int8Quantize(df: DataFrame, vecCol: String, qCol: String = "qvec",
+      scaleCol: String = "qscale"): DataFrame = {
+    val scale = greatest(
+      array_max(transform(col(vecCol), x => abs(x.cast("double")))),
+      lit(1e-30)) / 127d
+    df.withColumn(scaleCol, scale)
+      .withColumn(qCol, transform(col(vecCol),
+        x => floor(x.cast("double") / col(scaleCol) + 0.5).cast("int")))
+  }
+
+  /** Exact integer dot product of two int8-code arrays, as a double.
+    * Every intermediate (|x·y| ≤ 127² per term, ≤ 127²·dim summed) is an
+    * integer exactly representable in both long and double, so the result
+    * is order-independent and engine-exact.
+    */
+  def int8Dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")),
+      lit(0L), (acc, v) => acc + v).cast("double")
+
+  /** Exact top-k per query in the QUANTIZED domain: both sides pass through
+    * [[int8Quantize]], scoring is integer dot / integer norms. Same shape
+    * as [[bruteForceTopK]] (broadcast query side, map-only corpus scan,
+    * per-query window top-k) but the corpus-side arithmetic is the int8
+    * scale path. Quantized cosine differs from float cosine by O(1/127)
+    * per component pair — rank agreement vs the float top-k is
+    * property-tested in LlmOpsSpec; the arithmetic itself is oracled
+    * end-to-end (s07).
+    */
+  def int8TopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, rankPrecision: Option[Int] = None): DataFrame = {
+    def codes(df: DataFrame, asId: String) =
+      int8Quantize(df.select(col(idCol).as(asId), col(vecCol).as("_v")), "_v")
+        .select(col(asId), col("qvec"),
+          sqrt(int8Dot(col("qvec"), col("qvec"))).as("qn"))
+    val q = codes(queries, "query_id")
+      .select(col("query_id"), col("qvec").as("q_q"), col("qn").as("qn_q"))
+    val c = codes(corpus, "neighbor_id")
+      .select(col("neighbor_id"), col("qvec").as("q_c"), col("qn").as("qn_c"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("qsim", when(col("qn_q") > 0 && col("qn_c") > 0,
+        int8Dot(col("q_q"), col("q_c")) / (col("qn_q") * col("qn_c")))
+        .otherwise(lit(0.0)))
+    val rankKey = rankPrecision.map(p => round(col("qsim"), p)).getOrElse(col("qsim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(rankKey.desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("qsim"), col("rn"))
+  }
+
+  /** [[int8TopK]]'s storage-format twin: vectors pass through the NATIVE
+    * `int8_pack` expression into a self-contained binary blob
+    * ([8-byte scale header][dim code bytes] — dim+8 bytes vs 4·dim for the
+    * float array, 3.6x smaller at dim 64), and scoring is the native
+    * codegen'd `int8_cosine` (one fused integer loop over the code bytes,
+    * no per-element HOF lambda dispatch). Identical arithmetic to the
+    * array<int> path at every step (same floor rounding, same
+    * sqrt(na2)·sqrt(nb2) evaluation order), so results are bit-equal to
+    * the s07 DuckDB-oracled pipeline — spec-pinned in LlmOpsSpec. This is
+    * the form a 100 TB corpus would PERSIST: pack once at ingest, scan and
+    * shuffle 1 byte/component forever after, rescore survivors at full
+    * float precision only on the candidate set.
+    */
+  def int8TopKPacked(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, rankPrecision: Option[Int] = None): DataFrame = {
+    graft.plans.GraftExtensions.register(queries.sparkSession)
+    val q = queries.select(col(idCol).as("query_id"),
+      graft.plans.GraftExtensions.int8Pack(col(vecCol)).as("q_blob"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      graft.plans.GraftExtensions.int8Pack(col(vecCol)).as("c_blob"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("qsim",
+        graft.plans.GraftExtensions.int8Cosine(col("q_blob"), col("c_blob")))
+    val rankKey = rankPrecision.map(p => round(col("qsim"), p)).getOrElse(col("qsim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(rankKey.desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("qsim"), col("rn"))
+  }
+
   /** Embedding-cosine near-dup pairs (L2's vector variant): exact over a
     * blocked candidate set. The blocking key is either a caller-supplied
     * column (`blockCol` — e.g. a cluster/label/shard id; recall within a

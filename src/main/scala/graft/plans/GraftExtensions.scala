@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.functions.call_function
-import graft.functions.{CosineSimilarity, VectorDot}
+import graft.functions.{CosineSimilarity, Int8Cosine, Int8Pack, VectorDot}
 
 /** Engine extensions, injected via the public `SparkSessionExtensions` hook
   * (SURVEY.md §2.10 X4, §4): native functions beyond Spark's built-ins.
@@ -21,6 +21,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSimDescriptor)
     ext.injectFunction(GraftExtensions.vectorDotDescriptor)
+    ext.injectFunction(GraftExtensions.int8PackDescriptor)
+    ext.injectFunction(GraftExtensions.int8CosineDescriptor)
   }
 }
 
@@ -42,6 +44,22 @@ object GraftExtensions {
       VectorDot(children.head, children(1))
     })
 
+  private val int8PackDescriptor = (
+    FunctionIdentifier("int8_pack"),
+    new ExpressionInfo(classOf[Int8Pack].getName, "int8_pack"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.size == 1, "int8_pack takes exactly 1 argument")
+      Int8Pack(children.head)
+    })
+
+  private val int8CosineDescriptor = (
+    FunctionIdentifier("int8_cosine"),
+    new ExpressionInfo(classOf[Int8Cosine].getName, "int8_cosine"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.size == 2, "int8_cosine takes exactly 2 arguments")
+      Int8Cosine(children.head, children(1))
+    })
+
   /** Idempotent registration on a live session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -52,10 +70,22 @@ object GraftExtensions {
       "vector_dot",
       children => vectorDotDescriptor._3(children),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "int8_pack",
+      children => int8PackDescriptor._3(children),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "int8_cosine",
+      children => int8CosineDescriptor._3(children),
+      "built-in")
   }
 
   /** Column-API access to the native expressions (requires `register`). */
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
 
   def vectorDot(a: Column, b: Column): Column = call_function("vector_dot", a, b)
+
+  def int8Pack(v: Column): Column = call_function("int8_pack", v)
+
+  def int8Cosine(a: Column, b: Column): Column = call_function("int8_cosine", a, b)
 }

@@ -133,6 +133,24 @@ object SimilarityQueries extends QueryPack {
     //    247/250, 248/250 at sf0.001/0.01/0.1 — RecallProbe; analytic
     //    expectation 1-(1-0.9487^12)^6 ≈ 0.989 at twin cosine 0.987 —
     //    bound 0.9 has headroom).
+    // -- L3 scale path, int8-quantized scoring: brute-force top-5 with BOTH
+    //    sides symmetric-int8 quantized (scale = maxabs/127, codes =
+    //    floor(v/scale + 0.5), integer dot / integer norms). Unlike s02/s05
+    //    this is NOT a bounded-property gate — the whole quantized pipeline
+    //    is deterministic integer arithmetic both engines reproduce exactly
+    //    (floor is the one cross-engine rounding primitive; int dots ≤
+    //    127²·64 are exact in doubles), so the oracle is a full
+    //    rows+schema+hash match on the quantized scores themselves.
+    "s07_int8_topk" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val emb = t.embeddings
+      SimilaritySearch.int8TopK(
+        emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", k = 5,
+        rankPrecision = Some(6))
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("qsim"), 6).as("qsim"), col("rn"))
+    },
+
     "s06_embedding_neardups_lsh" -> { (spark, dir) =>
       val t = Tables(spark, dir)
       val base = t.embeddings.filter(col("vec_id") < 250)
@@ -226,6 +244,32 @@ object SimilarityQueries extends QueryPack {
         |  TRUE AS found_subset_of_exact, TRUE AS recall_ok
         |FROM aug a JOIN aug b ON a.id < b.id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.95""".stripMargin,
+    // s07: DuckDB rebuilds the ENTIRE int8 pipeline from the float column —
+    // per-vector scale, floor-rounded codes, integer dot, integer norms —
+    // and must land on hash-identical quantized scores (exact integer
+    // arithmetic end-to-end; see SimilaritySearch.int8Quantize scaladoc).
+    "s07_int8_topk" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |    greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) / 127 AS scale
+        |  FROM e),
+        |q8 AS (SELECT vec_id,
+        |    list_transform(v, x -> floor(x / scale + 0.5)) AS qv
+        |  FROM s),
+        |n AS (SELECT vec_id, qv, sqrt(list_dot_product(qv, qv)) AS qn FROM q8),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CASE WHEN q.qn > 0 AND c.qn > 0
+        |      THEN list_dot_product(q.qv, c.qv) / (q.qn * c.qn) ELSE 0 END AS qsim
+        |  FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, qsim_r AS qsim,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY qsim_r DESC, neighbor_id ASC) AS INT) AS rn
+        |  FROM (SELECT query_id, neighbor_id, round(qsim, 6) AS qsim_r FROM scored))
+        |SELECT query_id, neighbor_id, qsim, rn FROM ranked WHERE rn <= 5""".stripMargin,
     "s03_label_centroids" ->
       """WITH comps AS (
         |  SELECT label, generate_subscripts(embedding, 1) AS pos,

@@ -207,6 +207,37 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall too low")
   }
 
+  test("int8 quantization: codes bounded, peak maps to ±127, qsim tracks float cosine") {
+    val emb = graft.sources.Tables(spark, sf).embeddings
+    val q = SimilaritySearch.int8Quantize(
+      emb.select(col("vec_id"), col("embedding")), "embedding")
+    // every code in [-127, 127] and the max-|component| hits exactly ±127
+    val bounds = q.select(
+      max(array_max(org.apache.spark.sql.functions.transform(
+        col("qvec"), x => abs(x)))).as("maxabs"),
+      min(array_max(org.apache.spark.sql.functions.transform(
+        col("qvec"), x => abs(x)))).as("minpeak")).collect()(0)
+    assert(bounds.getInt(0) === 127, "largest |code| must be exactly 127")
+    assert(bounds.getInt(1) === 127,
+      "every non-zero vector's peak component must quantize to ±127")
+    // quantized cosine vs float cosine on the exact top-5 pairs: symmetric
+    // int8 at dim 64 stays within ~2/127 of the float score
+    val queries = emb.filter(col("vec_id") < 10)
+    val floatTop = SimilaritySearch.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+    val int8Top = SimilaritySearch.int8TopK(queries, emb, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id"), col("qsim"))
+    val joined = floatTop.join(int8Top, Seq("query_id", "neighbor_id"))
+      .select(abs(col("sim") - col("qsim")).as("err")).collect().map(_.getDouble(0))
+    assert(joined.nonEmpty, "float and int8 top-5 must overlap")
+    assert(joined.max < 0.02, s"quantized cosine drifted ${joined.max} from float")
+    // rank agreement: int8 top-5 recalls >= 4/5 of the float top-5 per query
+    val ft = floatTop.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val it = int8Top.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ft.intersect(it).size.toDouble / ft.size
+    assert(recall >= 0.8, s"int8 recall $recall vs float top-5 too low")
+  }
+
   test("languageId marker heuristic on hand-authored samples") {
     import spark.implicits._
     val out = Seq(

@@ -51,4 +51,65 @@ class NativeExprSpec extends SparkSpec {
     // "*(n)" prefixes mark operators inside a WholeStageCodegen span
     assert(plan.contains("*(1) Project"), plan)
   }
+
+  test("int8_pack blob layout: scale header + bounded codes, 3.6x smaller than float") {
+    GraftExtensions.register(spark)
+    val emb = graft.sources.Tables(spark, sf).embeddings
+    val rows = emb.select(col("embedding"),
+      GraftExtensions.int8Pack(col("embedding")).as("blob")).limit(50).collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](0)
+      val blob = r.getAs[Array[Byte]](1)
+      assert(blob.length === v.length + 8) // 72 bytes vs 256 at dim 64
+      val scale = java.lang.Double.longBitsToDouble(
+        java.nio.ByteBuffer.wrap(blob, 0, 8).getLong)
+      val maxAbs = v.map(x => math.abs(x.toDouble)).max
+      assert(scale === math.max(maxAbs, 1e-30) / 127.0)
+      val codes = blob.drop(8)
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      // codes reproduce int8Quantize's arithmetic exactly
+      v.zip(codes).foreach { case (x, c) =>
+        assert(c.toInt === math.floor(x.toDouble / scale + 0.5).toInt)
+      }
+    }
+  }
+
+  test("packed int8 top-k is bit-equal to the array<int> (oracled) path") {
+    val emb = graft.sources.Tables(spark, sf).embeddings
+    val q = emb.filter(col("vec_id") < 10)
+    val unpacked = SimilaritySearch.int8TopK(q, emb, "vec_id", "embedding", 5,
+      rankPrecision = Some(6)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val packed = SimilaritySearch.int8TopKPacked(q, emb, "vec_id", "embedding", 5,
+      rankPrecision = Some(6)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(packed === unpacked) // exact doubles, not approx — same arithmetic
+  }
+
+  test("int8_cosine edge cases: zero vector scores 0, null propagates, codegen") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(0.0f, 0.0f), Array(1.0f, 2.0f)),
+      (2L, Array(3.0f, 4.0f), Array(3.0f, 4.0f))
+    ).toDF("id", "a", "b")
+      .select(col("id"),
+        GraftExtensions.int8Pack(col("a")).as("pa"),
+        GraftExtensions.int8Pack(col("b")).as("pb"))
+    val got = df.select(col("id"),
+      GraftExtensions.int8Cosine(col("pa"), col("pb")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) === 0.0) // all-zero codes → guarded 0.0
+    assert(math.abs(got(2L) - 1.0) < 1e-9) // identical codes → 1.0
+    val withNull = df.select(
+      GraftExtensions.int8Cosine(lit(null).cast("binary"), col("pb")).as("s")).collect()
+    assert(withNull.forall(_.isNullAt(0)))
+    // codegen assertion needs a real scan (a literal frame constant-folds
+    // to LocalTableScan before any WholeStageCodegen span exists)
+    val emb = graft.sources.Tables(spark, sf).embeddings
+      .select(GraftExtensions.int8Pack(col("embedding")).as("blob"))
+    val plan = emb.select(GraftExtensions.int8Cosine(col("blob"), col("blob")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+  }
 }
