@@ -176,14 +176,22 @@ object Corpus {
     * For an eval set too large to broadcast, drop the `broadcast` hint
     * and the same plan runs as a shuffle join on the gram key.
     */
+  /** Token n-grams per doc: the shared front end of the decontamination
+    * variants (one normalization + explode per row; repartitioned off the
+    * single-file scan first so gram work uses every core).
+    */
+  private def ngramFrame(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    import graft.functions.TextFunctions.{normalizeText, tokens, shingles}
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol), tokens(normalizeText(col(textCol))).as("_toks"))
+      .select(col(idCol), explode(shingles(col("_toks"), n)).as("gram"))
+  }
+
   def contaminationFlags(train: DataFrame, evalSet: DataFrame,
       idCol: String, textCol: String, n: Int = 13): DataFrame = {
     require(n > 0, "n must be positive")
-    import graft.functions.TextFunctions.{normalizeText, tokens, shingles}
-    def grams(df: DataFrame) = df
-      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
-      .select(col(idCol), tokens(normalizeText(col(textCol))).as("_toks"))
-      .select(col(idCol), explode(shingles(col("_toks"), n)).as("gram"))
+    def grams(df: DataFrame) = ngramFrame(df, idCol, textCol, n)
     val evalGrams = grams(evalSet).select(col("gram")).distinct()
     val hits = grams(train)
       .join(broadcast(evalGrams), Seq("gram"))
@@ -201,6 +209,89 @@ object Corpus {
       contaminationFlags(train, evalSet, idCol, textCol, n)
         .filter(col("contaminated")).select(col(idCol)),
       Seq(idCol), "left_anti")
+
+  /** Bloom-filter decontamination — [[contaminationFlags]]' CONSTANT-
+    * broadcast scale variant. The exact path broadcasts the eval set's
+    * DISTINCT grams — fine while that set is small, but its size scales
+    * with the eval suite. Here the broadcast payload is a fixed
+    * `numBits/8`-byte filter regardless of gram count, and the train side
+    * stays the same map-only probe (via `BloomFilterMightContain`, Spark's
+    * own runtime-row-filter probe expression, injected through our
+    * extension registry as `bloom_might_contain`).
+    *
+    * Bloom guarantees: NO false negatives (every exact hit is flagged);
+    * false positives flag a clean doc. The per-DOC false-positive rate
+    * compounds over a doc's grams — P[doc FP] ≈ 1-(1-fpp)^grams — so the
+    * gram-level rate must sit orders below the acceptable doc-level rate
+    * (a naive 1% would false-flag ~86% of 200-gram docs).
+    *
+    * MEASURED LIBRARY FLOOR, and the construction that beats it: Spark's
+    * sketch BloomFilter realizes ~1e-5 fpp on long items REGARDLESS of the
+    * requested rate (2M-random-probe measurement on this box: nominal 1e-6
+    * → realized 1.75e-5; nominal 1e-8 → 8.5e-6 — the 32-bit
+    * double-hashing scheme is the floor, not the bit budget; the sf0.001
+    * fixture deterministically surfaced it as a false-positive doc). So
+    * this operator AND-composes TWO filters over independent 64-bit keys —
+    * xxhash64(gram) and xxhash64(salt, gram) — and flags only grams
+    * present in BOTH: realized rate is the floor SQUARED (~1e-10 per
+    * gram, ~2e-8 per 200-gram doc), for 2x the (small) filter bytes and a
+    * second cheap probe. c07 gates the contract (no_false_negatives, plus
+    * doc-level FP rate <= 1%).
+    *
+    * Sizing is EXACT by default: one distinct-count on the (small) eval
+    * side, then bits from the standard optimum -ln(fpp)/ln(2)^2. The first
+    * cut used a static 2^20-item estimate and the 100x probe caught the
+    * failure mode immediately: 9.5M actual grams overloaded the filter 9x,
+    * fpp collapsed, and the gate's fp_rate_ok went false — an undersized
+    * bloom fails SILENTLY toward false positives, so sizing from a guess
+    * is not a scale-safe default. The count costs one pass over the eval
+    * side only.
+    *
+    * Build is `df.stat.bloomFilter` (public sketch API, per-partition
+    * filters merged driver-side — the eval side is small by definition);
+    * probe is `BloomFilterMightContain`, Spark's own runtime-row-filter
+    * probe expression, injected as `bloom_might_contain`. The injected
+    * `bloom_agg` SQL function is the fully-distributed build alternative
+    * when the driver merge is the constraint, but its numBits silently
+    * clamp to `spark.sql.optimizer.runtime.bloomFilter.maxNumBits`
+    * (default 8 MB) — raise that conf before preferring it for a bigger
+    * eval suite.
+    *
+    * @param expectedGrams override the sizing count (e.g. a known bound
+    *        when even one eval-side pass is unwelcome); overestimating only
+    *        lowers the realized fpp.
+    * @param fpp nominal per-filter rate; the realized per-gram rate is
+    *        max(fpp, ~1e-5)^2 thanks to the AND-composition.
+    */
+  def bloomContaminationFlags(train: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, n: Int = 13,
+      expectedGrams: Option[Long] = None, fpp: Double = 1e-6): DataFrame = {
+    require(n > 0, "n must be positive")
+    require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
+    graft.plans.GraftExtensions.register(train.sparkSession)
+    val salt = lit("graft-bloom-2nd-key")
+    val evalHashes = ngramFrame(evalSet, idCol, textCol, n)
+      .select(xxhash64(col("gram")).as("h1"),
+        xxhash64(salt, col("gram")).as("h2")).distinct()
+    val nGrams = expectedGrams.getOrElse(evalHashes.count())
+    val base = train.select(col(idCol))
+    if (nGrams == 0L) // empty eval set: nothing can be contaminated
+      return base.withColumn("contaminated", lit(false))
+    def filterBytes(colName: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      evalHashes.stat.bloomFilter(colName, nGrams, fpp).writeTo(bos)
+      bos.toByteArray
+    }
+    val (bf1, bf2) = (filterBytes("h1"), filterBytes("h2"))
+    val flagged = ngramFrame(train, idCol, textCol, n)
+      .filter(
+        call_function("bloom_might_contain", lit(bf1), xxhash64(col("gram"))) &&
+        call_function("bloom_might_contain", lit(bf2), xxhash64(salt, col("gram"))))
+      .select(col(idCol)).distinct()
+      .withColumn("contaminated", lit(true))
+    base.join(flagged, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("contaminated"), lit(false)).as("contaminated"))
+  }
 
   /** Cross-document duplicate-passage index (Lee et al., "Deduplicating
     * Training Data Makes Language Models Better", ACL 2022, the n-gram

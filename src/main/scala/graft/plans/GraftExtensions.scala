@@ -23,6 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.vectorDotDescriptor)
     ext.injectFunction(GraftExtensions.int8PackDescriptor)
     ext.injectFunction(GraftExtensions.int8CosineDescriptor)
+    ext.injectFunction(GraftExtensions.bloomAggDescriptor)
+    ext.injectFunction(GraftExtensions.bloomMightContainDescriptor)
   }
 }
 
@@ -52,6 +54,34 @@ object GraftExtensions {
       Int8Pack(children.head)
     })
 
+  // Spark's own runtime-row-level-filtering machinery (SPARK-32268), not
+  // exposed in the public function registry — injecting it here gives the
+  // decontamination operators the constant-size-broadcast probe shape with
+  // zero custom code and full codegen (see Corpus.bloomContaminationFlags).
+  private val bloomAggDescriptor = (
+    FunctionIdentifier("bloom_agg"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+      "bloom_agg"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.size == 3,
+        "bloom_agg(value, estimatedItems, numBits) takes exactly 3 arguments")
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        children.head, children(1), children(2))
+    })
+
+  private val bloomMightContainDescriptor = (
+    FunctionIdentifier("bloom_might_contain"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+      "bloom_might_contain"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.size == 2,
+        "bloom_might_contain takes exactly 2 arguments")
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        children.head, children(1))
+    })
+
   private val int8CosineDescriptor = (
     FunctionIdentifier("int8_cosine"),
     new ExpressionInfo(classOf[Int8Cosine].getName, "int8_cosine"),
@@ -77,6 +107,14 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "int8_cosine",
       children => int8CosineDescriptor._3(children),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_agg",
+      children => bloomAggDescriptor._3(children),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_might_contain",
+      children => bloomMightContainDescriptor._3(children),
       "built-in")
   }
 

@@ -47,6 +47,35 @@ object CorpusQueries extends QueryPack {
       Corpus.contaminationFlags(train, evalSet, "doc_id", "text", n = 13)
     },
 
+    // -- Bloom-filter decontamination, accuracy-gated (the d07 pattern):
+    //    the constant-broadcast scale variant of c05 — eval grams collapse
+    //    to fixed-size Bloom filters (probed via Spark's own
+    //    BloomFilterMightContain, injected through GraftExtensions) instead
+    //    of a gram-set broadcast that grows with the eval suite. Bloom
+    //    guarantees no false NEGATIVES (gated: every exact hit flagged);
+    //    false positives are bounded by AND-composing two filters over
+    //    independent hash keys (the sketch library's measured ~1e-5 floor,
+    //    squared → ~1e-10/gram), keeping the per-doc rate (compounding
+    //    over ~200 grams/doc) far under the gated 1%. DuckDB recomputes
+    //    the exact contamination counts from scratch.
+    "c07_bloom_decontaminate" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val evalSet = t.documents.filter(pmod(col("doc_id"), lit(10)) === 0)
+      val train = t.documents.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      val exact = Corpus.contaminationFlags(train, evalSet, "doc_id", "text")
+        .withColumnRenamed("contaminated", "exact_flag")
+      val bloom = Corpus.bloomContaminationFlags(train, evalSet, "doc_id", "text")
+        .withColumnRenamed("contaminated", "bloom_flag")
+      exact.join(bloom, Seq("doc_id"))
+        .agg(
+          count(lit(1)).as("n_train_docs"),
+          count(when(col("exact_flag"), 1)).as("n_exact_contaminated"),
+          (count(when(col("exact_flag") && !col("bloom_flag"), 1)) === 0L)
+            .as("no_false_negatives"),
+          (count(when(col("bloom_flag") && !col("exact_flag"), 1)) * 100L <=
+            count(when(!col("exact_flag"), 1))).as("fp_rate_ok"))
+    },
+
     // -- Duplicate-passage index: 13-token grams shared by >= 2 distinct
     //    docs (sub-document dedup signal; md5 gram keys make the index
     //    cross-engine-reproducible, so counts AND keys are oracled).
@@ -122,6 +151,22 @@ object CorpusQueries extends QueryPack {
            |SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
            |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
            |LEFT JOIN hits h ON d.doc_id = h.doc_id""".stripMargin,
+      // c07: exact counts recomputed from scratch (same gram pipeline as
+      // c05); the Bloom-contract booleans are literal TRUE — the Spark side
+      // computes them for real and must agree (bounded-property pattern).
+      "c07_bloom_decontaminate" ->
+        s"""WITH t AS (SELECT doc_id, $tk AS tk FROM documents),
+           |g AS (SELECT doc_id,
+           |    unnest(list_transform(generate_series(1, greatest(len(tk) - 12, 0)),
+           |      i -> array_to_string(tk[i : i + 12], ' '))) AS gram
+           |  FROM t),
+           |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+           |hits AS (SELECT DISTINCT doc_id FROM g
+           |  WHERE doc_id % 10 <> 0 AND gram IN (SELECT gram FROM ev))
+           |SELECT
+           |  (SELECT count(*) FROM documents WHERE doc_id % 10 <> 0) AS n_train_docs,
+           |  (SELECT count(*) FROM hits) AS n_exact_contaminated,
+           |  TRUE AS no_false_negatives, TRUE AS fp_rate_ok""".stripMargin,
       "c04_domain_mixture" ->
         """SELECT source, doc_id, lang FROM (
           |  SELECT source, doc_id, lang,

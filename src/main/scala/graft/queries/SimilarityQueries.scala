@@ -151,6 +151,21 @@ object SimilarityQueries extends QueryPack {
           round(col("qsim"), 6).as("qsim"), col("rn"))
     },
 
+    // -- s07's packed-storage twin through the NATIVE expressions
+    //    (int8_pack blob + int8_cosine fused integer loop). Same oracle SQL
+    //    as s07: the two forms are bit-equal by construction (NativeExprSpec
+    //    pins it), so DuckDB's recomputation gates the native codegen path
+    //    directly.
+    "s08_int8_topk_packed" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val emb = t.embeddings
+      SimilaritySearch.int8TopKPacked(
+        emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", k = 5,
+        rankPrecision = Some(6))
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("qsim"), 6).as("qsim"), col("rn"))
+    },
+
     "s06_embedding_neardups_lsh" -> { (spark, dir) =>
       val t = Tables(spark, dir)
       val base = t.embeddings.filter(col("vec_id") < 250)
@@ -198,6 +213,29 @@ object SimilarityQueries extends QueryPack {
       |FROM ranked WHERE rn <= 5
       |GROUP BY query_id""".stripMargin
 
+  private val int8TopKOracleSql: String =
+    """WITH e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |s AS (SELECT vec_id, v,
+      |    greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) / 127 AS scale
+      |  FROM e),
+      |q8 AS (SELECT vec_id,
+      |    list_transform(v, x -> floor(x / scale + 0.5)) AS qv
+      |  FROM s),
+      |n AS (SELECT vec_id, qv, sqrt(list_dot_product(qv, qv)) AS qn FROM q8),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    CASE WHEN q.qn > 0 AND c.qn > 0
+      |      THEN list_dot_product(q.qv, c.qv) / (q.qn * c.qn) ELSE 0 END AS qsim
+      |  FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, qsim_r AS qsim,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY qsim_r DESC, neighbor_id ASC) AS INT) AS rn
+      |  FROM (SELECT query_id, neighbor_id, round(qsim, 6) AS qsim_r FROM scored))
+      |SELECT query_id, neighbor_id, qsim, rn FROM ranked WHERE rn <= 5""".stripMargin
+
   override def oracles: Map[String, String] = Map(
     "s01_brute_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
@@ -244,32 +282,14 @@ object SimilarityQueries extends QueryPack {
         |  TRUE AS found_subset_of_exact, TRUE AS recall_ok
         |FROM aug a JOIN aug b ON a.id < b.id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.95""".stripMargin,
-    // s07: DuckDB rebuilds the ENTIRE int8 pipeline from the float column —
-    // per-vector scale, floor-rounded codes, integer dot, integer norms —
-    // and must land on hash-identical quantized scores (exact integer
-    // arithmetic end-to-end; see SimilaritySearch.int8Quantize scaladoc).
-    "s07_int8_topk" ->
-      """WITH e AS (SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
-        |s AS (SELECT vec_id, v,
-        |    greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) / 127 AS scale
-        |  FROM e),
-        |q8 AS (SELECT vec_id,
-        |    list_transform(v, x -> floor(x / scale + 0.5)) AS qv
-        |  FROM s),
-        |n AS (SELECT vec_id, qv, sqrt(list_dot_product(qv, qv)) AS qn FROM q8),
-        |scored AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    CASE WHEN q.qn > 0 AND c.qn > 0
-        |      THEN list_dot_product(q.qv, c.qv) / (q.qn * c.qn) ELSE 0 END AS qsim
-        |  FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
-        |ranked AS (
-        |  SELECT query_id, neighbor_id, qsim_r AS qsim,
-        |    CAST(row_number() OVER (PARTITION BY query_id
-        |      ORDER BY qsim_r DESC, neighbor_id ASC) AS INT) AS rn
-        |  FROM (SELECT query_id, neighbor_id, round(qsim, 6) AS qsim_r FROM scored))
-        |SELECT query_id, neighbor_id, qsim, rn FROM ranked WHERE rn <= 5""".stripMargin,
+    // s07/s08: DuckDB rebuilds the ENTIRE int8 pipeline from the float
+    // column — per-vector scale, floor-rounded codes, integer dot, integer
+    // norms — and must land on hash-identical quantized scores (exact
+    // integer arithmetic end-to-end; see SimilaritySearch.int8Quantize
+    // scaladoc). s08 runs the same arithmetic through the packed-blob
+    // native expressions, so one oracle gates both forms.
+    "s07_int8_topk" -> int8TopKOracleSql,
+    "s08_int8_topk_packed" -> int8TopKOracleSql,
     "s03_label_centroids" ->
       """WITH comps AS (
         |  SELECT label, generate_subscripts(embedding, 1) AS pos,

@@ -128,6 +128,41 @@ class CorpusHygieneSpec extends SparkSpec {
     assert(clean === Set(2L, 3L))
   }
 
+  test("bloomContaminationFlags: agrees with exact flags; empty eval set flags nothing") {
+    val evalSet = docsDF(Seq(100L -> "alpha beta gamma delta epsilon"))
+    val train = docsDF(Seq(
+      1L -> "x alpha beta gamma y",      // shares the 3-gram "alpha beta gamma"
+      2L -> "alpha beta x gamma delta",  // only 2-gram overlaps
+      3L -> "totally different words"
+    ))
+    val flags = graft.operators.Corpus
+      .bloomContaminationFlags(train, evalSet, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // AND-composed filters (~1e-10 realized per gram): false positives are
+    // effectively impossible, so bloom must EQUAL exact, not just superset
+    assert(flags === Map(1L -> true, 2L -> false, 3L -> false))
+    // fixture-scale agreement: no false negatives by construction, and the
+    // composed ~1e-10 gram FP rate means bloom == exact on sf0.001 (the
+    // SINGLE-filter library floor ~1e-5 deterministically false-flagged a
+    // doc here — this equality is the regression pin for the composition)
+    val docs = graft.sources.Tables(spark, sf).documents
+    val ev = docs.filter(col("doc_id") % 10 === 0)
+    val tr = docs.filter(col("doc_id") % 10 =!= 0)
+    val exact = graft.operators.Corpus
+      .contaminationFlags(tr, ev, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val bloom = graft.operators.Corpus
+      .bloomContaminationFlags(tr, ev, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(bloom === exact)
+    // empty eval set: all-false flags, no crash on the null bloom
+    val none = graft.operators.Corpus
+      .bloomContaminationFlags(train, evalSet.filter(lit(false)),
+        "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(none === Map(1L -> false, 2L -> false, 3L -> false))
+  }
+
   test("incrementalExact: history kills seen texts, batch dedup keeps min id") {
     val history = graft.operators.Dedup.fingerprints(
       docsDF(Seq(1L -> "seen text", 2L -> "other seen")), "text")
