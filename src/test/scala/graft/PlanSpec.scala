@@ -203,6 +203,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("s08 packed int8 top-k: broadcast query side, native probe, no extra shuffle") {
+    val p = plan("s08_int8_topk_packed")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side must broadcast — the corpus scan stays map-only:\n${p.take(2000)}")
+    assert(p.contains("int8_cosine"),
+      s"scoring must be the native fused expression:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // exactly the window's exchange: corpus -> score -> partitionBy(query_id)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"only the top-k window may shuffle:\n${p.take(2000)}")
+  }
+
+  test("c07 bloom probe: train side filters via bloom_might_contain, no eval join") {
+    val p = plan("c07_bloom_decontaminate")
+    // the expression renders by its own prettyName, not the registry alias
+    assert(p.contains("might_contain"),
+      s"the probe must be the constant-broadcast filter expression:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the gate query joins exact vs bloom FLAGS (one doc_id join) — but the
+    // bloom leg itself must not join grams against an eval-gram set
+    assert("SortMergeJoin".r.findAllIn(p).size <= 3, p.take(3000))
+  }
+
   test("whole-stage codegen covers the relational core queries") {
     Seq("q01_pricing_summary", "q06_forecast_revenue", "w03_running_revenue").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sf)
