@@ -287,6 +287,30 @@ object ScaleProbe {
           println(f"[probe]   s07 storage: float=${fb / 1024 / 1024}%d MB " +
             f"int8=${ib / 1024 / 1024}%d MB ratio=${fb.toDouble / ib}%.2f")
           s.read.parquet(s"$tmp/int8")
+        } else if (name == "c08_store_100x") { (s, d) =>
+          // the incremental store at 100x eval scale: ~2.1M union grams
+          // under a 2^22 capacity budget (the registered query's 2^18
+          // budget REFUSES here by design — loud, not silently degraded;
+          // a 2^22 budget needs ~121 Mbit filters, past the 2^26-bit conf
+          // clamp sizedBloomFilter guards against). Two per-release stores
+          // built, merged, parquet round-tripped, then the 450k-doc train
+          // side probed from the merged store.
+          val t = graft.sources.Tables(s, d)
+          val evalA = t.documents.filter(pmod(col("doc_id"), lit(20)) === 0)
+          val evalB = t.documents.filter(pmod(col("doc_id"), lit(20)) === 10)
+          val train = t.documents.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+          val cap = 1L << 22
+          val merged = graft.operators.Corpus.mergeContaminationStores(
+            graft.operators.Corpus.contaminationStore(evalA, "doc_id", "text", capacity = cap),
+            graft.operators.Corpus.contaminationStore(evalB, "doc_id", "text", capacity = cap))
+          val tmp = java.nio.file.Files.createTempDirectory("graft_c08probe_").toString
+          merged.write.parquet(s"$tmp/store")
+          val stored = s.read.parquet(s"$tmp/store")
+          println(s"[probe]   c08 store: n_grams=${stored.head.getAs[Long]("n_grams")} " +
+            s"bytes/filter=${stored.head.getAs[Array[Byte]]("bf1").length}")
+          graft.operators.Corpus.bloomFlagsFromStore(train, stored, "doc_id", "text")
+            .agg(count(when(col("contaminated"), 1)).as("n_flagged"),
+              count(lit(1)).as("n_train"))
         } else if (name == "e02_stateful_10m") { (s, d) =>
           // streaming sessionization state at 10M events / 100x users:
           // file-stream catch-up replay through flatMapGroupsWithState

@@ -188,6 +188,36 @@ object Corpus {
       .select(col(idCol), explode(shingles(col("_toks"), n)).as("gram"))
   }
 
+  /** Build a bloom over a long column at the REQUESTED size. Spark 4's
+    * `stat.bloomFilter` routes through `BloomFilterAggregate`, whose
+    * numBits silently clamp to
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` (default 2^26 =
+    * 8 MB ≈ 2.3M items at 1e-6) — the 100x probe caught the clamp as a
+    * filter coming back at exactly 2^26 bits for a 2^24-item budget. An
+    * undersized bloom degrades silently toward false positives, so the
+    * conf is raised around the build (saved/restored) and the result is
+    * asserted, never assumed.
+    */
+  private def sizedBloomFilter(df: DataFrame, colName: String,
+      numItems: Long, fpp: Double): org.apache.spark.util.sketch.BloomFilter = {
+    val spark = df.sparkSession
+    val neededBits =
+      math.ceil(-numItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val confKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val saved = spark.conf.getOption(confKey)
+    try {
+      if (saved.forall(_.toLong < neededBits))
+        spark.conf.set(confKey, neededBits.toString)
+      val bf = df.stat.bloomFilter(colName, numItems, fpp)
+      require(bf.bitSize() >= neededBits,
+        s"bloom build clamped to ${bf.bitSize()} bits (< $neededBits needed)")
+      bf
+    } finally saved match {
+      case Some(v) => spark.conf.set(confKey, v)
+      case None => spark.conf.unset(confKey)
+    }
+  }
+
   def contaminationFlags(train: DataFrame, evalSet: DataFrame,
       idCol: String, textCol: String, n: Int = 13): DataFrame = {
     require(n > 0, "n must be positive")
@@ -279,7 +309,7 @@ object Corpus {
       return base.withColumn("contaminated", lit(false))
     def filterBytes(colName: String): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
-      evalHashes.stat.bloomFilter(colName, nGrams, fpp).writeTo(bos)
+      sizedBloomFilter(evalHashes, colName, nGrams, fpp).writeTo(bos)
       bos.toByteArray
     }
     val (bf1, bf2) = (filterBytes("h1"), filterBytes("h2"))
@@ -290,6 +320,92 @@ object Corpus {
       .select(col(idCol)).distinct()
       .withColumn("contaminated", lit(true))
     base.join(flagged, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("contaminated"), lit(false)).as("contaminated"))
+  }
+
+  /** Persistable decontamination store — [[bloomContaminationFlags]]'
+    * INCREMENTAL shape (the c08 triangle-completer next to d06's exact and
+    * d09's near-dup stores): one row
+    * (bf1 binary, bf2 binary, capacity long, n_grams long) small enough to
+    * write as parquet next to the corpus and OR-merge on every eval-suite
+    * release, so the training pipeline re-probes new batches without ever
+    * rebuilding from the full eval history.
+    *
+    * Incremental stores CANNOT size from the data (batches arrive over
+    * time), so this is the documented exception to the exact-sizing rule:
+    * `capacity` is a fixed upfront budget, all stores sharing it are
+    * mergeable (Bloom insert is idempotent bit-setting, so OR-merge over
+    * same-sized filters is EXACTLY build-on-union — c08 pins
+    * merged==one-shot equality), and `n_grams` accumulates the per-batch
+    * distinct counts — an upper bound on occupancy the caller must alarm
+    * on as it approaches capacity, because an overfilled bloom degrades
+    * silently toward false positives (the failure mode the 100x probe
+    * demonstrated on the one-shot path).
+    */
+  def contaminationStore(evalSet: DataFrame, idCol: String, textCol: String,
+      n: Int = 13, capacity: Long = 1L << 22, fpp: Double = 1e-6): DataFrame = {
+    require(n > 0 && capacity > 0, "need positive n and capacity")
+    val spark = evalSet.sparkSession
+    val salt = lit("graft-bloom-2nd-key")
+    val evalHashes = ngramFrame(evalSet, idCol, textCol, n)
+      .select(xxhash64(col("gram")).as("h1"),
+        xxhash64(salt, col("gram")).as("h2")).distinct()
+    val nGrams = evalHashes.count()
+    require(nGrams <= capacity,
+      s"eval batch has $nGrams distinct grams > capacity $capacity — " +
+        "an overfilled bloom degrades silently; raise the budget")
+    def bytesOf(c: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      sizedBloomFilter(evalHashes, c, capacity, fpp).writeTo(bos)
+      bos.toByteArray
+    }
+    import spark.implicits._
+    Seq((bytesOf("h1"), bytesOf("h2"), capacity, nGrams))
+      .toDF("bf1", "bf2", "capacity", "n_grams")
+  }
+
+  /** OR-merge two same-capacity stores (A-then-B == one build over A∪B;
+    * different capacities throw — they are not bit-compatible).
+    * `n_grams` adds (an upper bound on the union's occupancy).
+    */
+  def mergeContaminationStores(a: DataFrame, b: DataFrame): DataFrame = {
+    val spark = a.sparkSession
+    val (ra, rb) = (a.head, b.head)
+    require(ra.getAs[Long]("capacity") == rb.getAs[Long]("capacity"),
+      "stores built with different capacities are not mergeable")
+    def merged(col: String): Array[Byte] = {
+      val f1 = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(ra.getAs[Array[Byte]](col)))
+      val f2 = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(rb.getAs[Array[Byte]](col)))
+      f1.mergeInPlace(f2)
+      val bos = new java.io.ByteArrayOutputStream()
+      f1.writeTo(bos)
+      bos.toByteArray
+    }
+    import spark.implicits._
+    Seq((merged("bf1"), merged("bf2"), ra.getAs[Long]("capacity"),
+      ra.getAs[Long]("n_grams") + rb.getAs[Long]("n_grams")))
+      .toDF("bf1", "bf2", "capacity", "n_grams")
+  }
+
+  /** Probe a training frame against a persisted store: identical plan
+    * shape to [[bloomContaminationFlags]]' probe leg (two constant
+    * broadcasts, map-only gram filter, one distinct).
+    */
+  def bloomFlagsFromStore(train: DataFrame, store: DataFrame,
+      idCol: String, textCol: String, n: Int = 13): DataFrame = {
+    graft.plans.GraftExtensions.register(train.sparkSession)
+    val row = store.head // one bounded row: the filter bytes
+    val (bf1, bf2) = (row.getAs[Array[Byte]]("bf1"), row.getAs[Array[Byte]]("bf2"))
+    val salt = lit("graft-bloom-2nd-key")
+    val flagged = ngramFrame(train, idCol, textCol, n)
+      .filter(
+        call_function("bloom_might_contain", lit(bf1), xxhash64(col("gram"))) &&
+        call_function("bloom_might_contain", lit(bf2), xxhash64(salt, col("gram"))))
+      .select(col(idCol)).distinct()
+      .withColumn("contaminated", lit(true))
+    train.select(col(idCol)).join(flagged, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("contaminated"), lit(false)).as("contaminated"))
   }
 

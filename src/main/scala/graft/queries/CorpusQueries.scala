@@ -76,6 +76,43 @@ object CorpusQueries extends QueryPack {
             count(when(!col("exact_flag"), 1))).as("fp_rate_ok"))
     },
 
+    // -- Incremental decontamination store (the d06/d09 triangle completed
+    //    for eval-overlap): two eval releases build SEPARATE persistable
+    //    stores under one fixed capacity budget, OR-merge, and the merged
+    //    store's flags must EQUAL the one-shot store over the union
+    //    (bloom insert is idempotent bit-setting, so merge == build-on-
+    //    union, bit for bit — merged_equals_oneshot pins it), while the
+    //    exact counts gate accuracy as in c07. The store round-trips
+    //    through parquet like any other table (spec-pinned).
+    "c08_incremental_decontaminate" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val evalA = t.documents.filter(pmod(col("doc_id"), lit(20)) === 0)
+      val evalB = t.documents.filter(pmod(col("doc_id"), lit(20)) === 10)
+      val evalAll = t.documents.filter(pmod(col("doc_id"), lit(10)) === 0)
+      val train = t.documents.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      val cap = 1L << 18 // fixed upfront budget; sf0.1's union is ~95k grams
+      val merged = Corpus.mergeContaminationStores(
+        Corpus.contaminationStore(evalA, "doc_id", "text", capacity = cap),
+        Corpus.contaminationStore(evalB, "doc_id", "text", capacity = cap))
+      val oneShot = Corpus.contaminationStore(evalAll, "doc_id", "text", capacity = cap)
+      val fromMerged = Corpus.bloomFlagsFromStore(train, merged, "doc_id", "text")
+        .withColumnRenamed("contaminated", "merged_flag")
+      val fromOneShot = Corpus.bloomFlagsFromStore(train, oneShot, "doc_id", "text")
+        .withColumnRenamed("contaminated", "oneshot_flag")
+      val exact = Corpus.contaminationFlags(train, evalAll, "doc_id", "text")
+        .withColumnRenamed("contaminated", "exact_flag")
+      exact.join(fromMerged, Seq("doc_id")).join(fromOneShot, Seq("doc_id"))
+        .agg(
+          count(lit(1)).as("n_train_docs"),
+          count(when(col("exact_flag"), 1)).as("n_exact_contaminated"),
+          (count(when(col("merged_flag") =!= col("oneshot_flag"), 1)) === 0L)
+            .as("merged_equals_oneshot"),
+          (count(when(col("exact_flag") && !col("merged_flag"), 1)) === 0L)
+            .as("no_false_negatives"),
+          (count(when(col("merged_flag") && !col("exact_flag"), 1)) * 100L <=
+            count(when(!col("exact_flag"), 1))).as("fp_rate_ok"))
+    },
+
     // -- Duplicate-passage index: 13-token grams shared by >= 2 distinct
     //    docs (sub-document dedup signal; md5 gram keys make the index
     //    cross-engine-reproducible, so counts AND keys are oracled).
@@ -151,6 +188,23 @@ object CorpusQueries extends QueryPack {
            |SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
            |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
            |LEFT JOIN hits h ON d.doc_id = h.doc_id""".stripMargin,
+      // c08: same exact ground truth as c07; the equality and Bloom-
+      // contract booleans are literal TRUE — the Spark side computes
+      // merged-vs-oneshot equality and the FP bounds for real.
+      "c08_incremental_decontaminate" ->
+        s"""WITH t AS (SELECT doc_id, $tk AS tk FROM documents),
+           |g AS (SELECT doc_id,
+           |    unnest(list_transform(generate_series(1, greatest(len(tk) - 12, 0)),
+           |      i -> array_to_string(tk[i : i + 12], ' '))) AS gram
+           |  FROM t),
+           |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+           |hits AS (SELECT DISTINCT doc_id FROM g
+           |  WHERE doc_id % 10 <> 0 AND gram IN (SELECT gram FROM ev))
+           |SELECT
+           |  (SELECT count(*) FROM documents WHERE doc_id % 10 <> 0) AS n_train_docs,
+           |  (SELECT count(*) FROM hits) AS n_exact_contaminated,
+           |  TRUE AS merged_equals_oneshot,
+           |  TRUE AS no_false_negatives, TRUE AS fp_rate_ok""".stripMargin,
       // c07: exact counts recomputed from scratch (same gram pipeline as
       // c05); the Bloom-contract booleans are literal TRUE — the Spark side
       // computes them for real and must agree (bounded-property pattern).

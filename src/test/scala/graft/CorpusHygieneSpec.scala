@@ -163,6 +163,42 @@ class CorpusHygieneSpec extends SparkSpec {
     assert(none === Map(1L -> false, 2L -> false, 3L -> false))
   }
 
+  test("contaminationStore: parquet round-trip, merge==union, capacity guards") {
+    val evalA = docsDF(Seq(100L -> "alpha beta gamma delta epsilon"))
+    val evalB = docsDF(Seq(101L -> "one two three four five six"))
+    val train = docsDF(Seq(
+      1L -> "x alpha beta gamma y",  // hits batch A's 3-gram
+      2L -> "zz one two three qq",   // hits batch B's 3-gram
+      3L -> "totally different words"
+    ))
+    def store(ev: org.apache.spark.sql.DataFrame) =
+      Corpus.contaminationStore(ev, "doc_id", "text", n = 3, capacity = 1024)
+    // the store survives a parquet round trip (it IS a table)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_c08_").toString
+    store(evalA).write.parquet(s"$tmp/storeA")
+    val storeA = spark.read.parquet(s"$tmp/storeA")
+    val merged = Corpus.mergeContaminationStores(storeA, store(evalB))
+    assert(merged.head.getAs[Long]("n_grams") === 7L, "3 + 4 distinct 3-grams")
+    val flags = Corpus.bloomFlagsFromStore(train, merged, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(flags === Map(1L -> true, 2L -> true, 3L -> false))
+    // merge == one-shot build over the union, bit for bit
+    val oneShot = store(evalA.unionByName(evalB))
+    assert(java.util.Arrays.equals(
+      merged.head.getAs[Array[Byte]]("bf1"), oneShot.head.getAs[Array[Byte]]("bf1")))
+    assert(java.util.Arrays.equals(
+      merged.head.getAs[Array[Byte]]("bf2"), oneShot.head.getAs[Array[Byte]]("bf2")))
+    // different capacities are not bit-compatible -> refuse
+    intercept[IllegalArgumentException] {
+      Corpus.mergeContaminationStores(storeA,
+        Corpus.contaminationStore(evalB, "doc_id", "text", n = 3, capacity = 2048))
+    }
+    // a batch overflowing the budget is refused, not silently degraded
+    intercept[IllegalArgumentException] {
+      Corpus.contaminationStore(evalA, "doc_id", "text", n = 3, capacity = 2)
+    }
+  }
+
   test("incrementalExact: history kills seen texts, batch dedup keeps min id") {
     val history = graft.operators.Dedup.fingerprints(
       docsDF(Seq(1L -> "seen text", 2L -> "other seen")), "text")
