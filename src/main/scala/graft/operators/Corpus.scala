@@ -509,4 +509,103 @@ object Corpus {
     ranged.unpersist()
     result
   }
+
+  /** Global token-budget selection: rank the corpus by (`orderCol` DESC,
+    * `idCol` ASC) and keep exactly the prefix of documents whose running
+    * token count starts inside `budgetTokens` — "fill a 10B-token training
+    * budget best-first". Output: input columns + (n_tokens, start_tokens)
+    * where start_tokens is the EXCLUSIVE prefix sum, so the boundary doc
+    * that straddles the budget is kept (same overflow-by-at-most-one-doc
+    * contract as [[packSequences]]).
+    *
+    * Scale shape: the naive form is `sum(tokens) OVER (ORDER BY ...)` — a
+    * GLOBAL window, which Spark executes in ONE task. This is the same
+    * two-pass distributed scan as [[packSequencesScalable]] (range
+    * partition + cache to freeze boundaries, per-partition totals →
+    * driver offsets, order-preserving mapPartitions) with two extra
+    * budget-specific wins: a partition whose starting offset is already
+    * past the budget returns an EMPTY iterator without decoding a row, and
+    * within the straddling partition the iterator stops at the first
+    * over-budget doc — so the pass after the totals aggregate touches only
+    * the selected prefix, not the corpus.
+    */
+  def tokenBudgetSelect(docs: DataFrame, idCol: String, textCol: String,
+      orderCol: String, budgetTokens: Long, numPartitions: Int = 0): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val spark = docs.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+      else spark.sparkContext.defaultParallelism
+    val withTokens = docs
+      .withColumn("n_tokens", coalesce(tokenCount(col(textCol)), lit(0L)))
+    val ranged = withTokens
+      .repartitionByRange(n, col(orderCol).desc, col(idCol).asc)
+      .sortWithinPartitions(col(orderCol).desc, col(idCol).asc)
+      .cache()
+    val totals: Array[(Int, Long)] = ranged
+      .select(spark_partition_id().as("_pid"), col("n_tokens"))
+      .groupBy(col("_pid")).agg(sum(col("n_tokens")).as("_t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val offsets: Map[Int, Long] = totals.map { case (pid, _) =>
+      pid -> totals.collect { case (p2, t) if p2 < pid => t }.sum
+    }.toMap
+    val schema = org.apache.spark.sql.types.StructType(
+      ranged.schema :+ org.apache.spark.sql.types.StructField(
+        "start_tokens", org.apache.spark.sql.types.LongType))
+    val tokensIdx = ranged.schema.fieldIndex("n_tokens")
+    implicit val enc: org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+        org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema))
+    val selected = ranged.mapPartitions { rows =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var run = offsets.getOrElse(pid, 0L)
+      if (run >= budgetTokens) Iterator.empty
+      else new Iterator[org.apache.spark.sql.Row] {
+        private var nextRow: org.apache.spark.sql.Row = null
+        private def advance(): Unit = {
+          nextRow = null
+          if (run < budgetTokens && rows.hasNext) {
+            val r = rows.next()
+            val start = run
+            run += r.getLong(tokensIdx)
+            nextRow = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ start)
+          }
+        }
+        advance()
+        override def hasNext: Boolean = nextRow != null
+        override def next(): org.apache.spark.sql.Row = {
+          val r = nextRow; advance(); r
+        }
+      }
+    }
+    val result = selected.localCheckpoint(true)
+    ranged.unpersist()
+    result
+  }
+
+  /** Deterministic weighted Bernoulli (Poisson) sampling: keep each row
+    * independently with probability `min(weight, fullWeight) / fullWeight`,
+    * decided by a seeded multiplicative hash of the id (Knuth's
+    * multiplicative method, TAOCP vol. 3 §6.4: u = ((id+seed)·2654435761)
+    * mod 2^31 is a permutation of the id space, so u/2^31 behaves as a
+    * reproducible uniform). The keep test `u·fullWeight < w·2^31` is pure
+    * 64-bit integer arithmetic — no float rounding anywhere, so the sample
+    * is bit-identical on any engine, any partitioning, any run.
+    *
+    * This is the corpus-mixing primitive: upweight long/high-quality docs
+    * by feeding the quality signal as `weightCol`, and the same seed always
+    * reproduces the same subcorpus — a property a 100 TB pipeline needs for
+    * restartable, auditable runs. Map-only: a filter over the scan, no
+    * shuffle, streaming-composable.
+    */
+  def weightedBernoulliSample(df: DataFrame, idCol: String, weightCol: String,
+      fullWeight: Long, seed: Long = 0L): DataFrame = {
+    require(fullWeight > 0, "fullWeight must be positive")
+    require(fullWeight <= (1L << 31), "fullWeight must fit the integer-exact bound")
+    val m = 2147483648L // 2^31
+    val a = 2654435761L // floor(2^32 / golden ratio), odd → permutation mod 2^31
+    val u = pmod(pmod(col(idCol).cast("long") + lit(seed), lit(m)) * lit(a), lit(m))
+    val w = least(greatest(col(weightCol).cast("long"), lit(0L)), lit(fullWeight))
+    // u < 2^31 and w <= fullWeight <= 2^31, so both products stay < 2^62
+    df.filter(u * lit(fullWeight) < w * lit(m))
+  }
 }

@@ -384,4 +384,92 @@ object SimilaritySearch {
       .filter(col("cosine") >= minCosine)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** Per-label mean vectors in FIXED-POINT arithmetic: each component is
+    * snapped to an integer number of 1e-7 steps (floor(x·1e7 + 0.5) — floor
+    * is the cross-engine rounding primitive, see [[int8Quantize]]), summed
+    * as longs (exact, ORDER-INDEPENDENT — no float partial-merge drift, the
+    * problem [[graft.functions.VectorCentroid]]'s doc describes), and
+    * divided back once. The resulting centroid doubles are bit-identical on
+    * any engine and any partitioning — what makes [[nearestCentroid]]
+    * oracle-comparable end-to-end rather than property-gated.
+    *
+    * Scale shape: posexplode to (label, pos, component) then a two-level
+    * aggregate — the shuffle carries labels × dim rows of aggregated longs
+    * (map-side combined), never vectors.
+    *
+    * @return one row per label: (labelCol, n_vectors, centroid array<double>,
+    *         cnorm)
+    */
+  def fixedPointCentroids(vectors: DataFrame, labelCol: String,
+      vecCol: String, scale: Double = 1e7): DataFrame = {
+    val comps = vectors
+      .select(col(labelCol), posexplode(col(vecCol)).as(Seq("pos", "comp")))
+      .withColumn("fixed",
+        floor(col("comp").cast("double") * lit(scale) + lit(0.5)).cast("long"))
+    comps
+      .groupBy(col(labelCol), col("pos"))
+      .agg(sum(col("fixed")).as("sf"), count(lit(1)).as("n"))
+      .withColumn("m",
+        col("sf").cast("double") / (col("n").cast("double") * lit(scale)))
+      .groupBy(col(labelCol))
+      .agg(
+        max(col("n")).as("n_vectors"), // n identical across pos (fixed dim)
+        transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("centroid"))
+      .withColumn("cnorm",
+        sqrt(aggregate(transform(col("centroid"), x => x * x),
+          lit(0.0), (acc, x) => acc + x)))
+  }
+
+  /** Nearest-centroid assignment — the domain/topic tagging primitive of a
+    * training pipeline: every vector gets the label of its most-cosine-
+    * similar class centroid (centroids from [[fixedPointCentroids]], so the
+    * whole pipeline is deterministic). Ties on the round-6 similarity key
+    * break toward the smallest label.
+    *
+    * Scale shape: the centroid table (labels × dim — KBs) collapses to ONE
+    * broadcast row carrying an array of (label, centroid, cnorm) structs;
+    * assignment is then a pure map over the corpus — argmax via an
+    * `aggregate` HOF over the broadcast array, ZERO shuffle on the vector
+    * side. The only shuffle in the whole operator is the labels × dim
+    * aggregate inside centroid training.
+    */
+  def nearestCentroid(vectors: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, simPrecision: Int = 6): DataFrame = {
+    val cents = fixedPointCentroids(vectors, labelCol, vecCol)
+      .agg(collect_list(struct(
+        col(labelCol).as("label"), col("centroid"), col("cnorm"))).as("_cents"))
+    val vd = transform(col(vecCol), x => x.cast("double"))
+    val scored = vectors
+      .select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(cents)) // one row: the centroid array
+      .withColumn("_vd", vd)
+      .withColumn("_vn",
+        sqrt(aggregate(transform(col("_vd"), x => x * x),
+          lit(0.0), (acc, x) => acc + x)))
+      .withColumn("_sims", transform(col("_cents"), c => struct(
+        round(
+          when(col("_vn") > 0 && c.getField("cnorm") > 0,
+            aggregate(zip_with(col("_vd"), c.getField("centroid"), (x, y) => x * y),
+              lit(0.0), (acc, v) => acc + v) / (col("_vn") * c.getField("cnorm")))
+            .otherwise(lit(0.0)),
+          simPrecision).as("sim"),
+        c.getField("label").as("label"))))
+    // fold to the argmax: strictly-better sim wins; equal sim → smaller label.
+    // The -2.0 init loses to every real cosine (≥ -1), so the first element
+    // always replaces it and the init label is never emitted.
+    val best = aggregate(col("_sims"),
+      struct(lit(-2.0).as("sim"), lit(Int.MaxValue).as("label")),
+      (acc, x) => when(
+        x.getField("sim") > acc.getField("sim") ||
+          (x.getField("sim") === acc.getField("sim") &&
+            x.getField("label") < acc.getField("label")), x).otherwise(acc))
+    scored
+      .withColumn("_best", best)
+      .select(col(idCol),
+        col("_best.label").as("label"),
+        col("_best.sim").as("sim"))
+  }
 }

@@ -122,6 +122,30 @@ object CorpusQueries extends QueryPack {
         n = 13, minDocs = 2)
     },
 
+    // -- Global token-budget selection: longest-first (n_chars DESC,
+    //    doc_id ASC), keep the prefix of docs whose exclusive running token
+    //    sum starts inside a 10k-token budget. The operator computes the
+    //    global prefix sum with the distributed two-pass scan (NO global
+    //    single-task window — plan-pinned), and the oracle recomputes it as
+    //    the literal SQL window, so the prefix sum itself is value-checked.
+    "c09_token_budget" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      Corpus.tokenBudgetSelect(t.documents, "doc_id", "text",
+        orderCol = "n_chars", budgetTokens = 10000L)
+        .select(col("doc_id"), col("n_chars"), col("n_tokens"), col("start_tokens"))
+    },
+
+    // -- Deterministic weighted Bernoulli sampling: keep-probability
+    //    n_chars/1000 (clamped), decided by integer-exact multiplicative
+    //    hashing — membership is bit-reproducible, so the oracle checks the
+    //    exact sampled doc set, not just its size.
+    "c10_weighted_sample" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      Corpus.weightedBernoulliSample(t.documents, "doc_id", "n_chars",
+        fullWeight = 1000L, seed = 7L)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    },
+
     // -- Domain-mixture sampling: a 40/30/20/10 target mixture over four
     //    sources, quotas filled in reproducible md5 order. src0/src1's
     //    quotas (40/30) exceed the stratum size, so the query also
@@ -229,6 +253,27 @@ object CorpusQueries extends QueryPack {
           |  FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3'))
           |WHERE rn <= CASE source WHEN 'src0' THEN 40 WHEN 'src1' THEN 30
           |  WHEN 'src2' THEN 20 ELSE 10 END""".stripMargin,
+      // c09: the global prefix sum the operator computes distributed is
+      // recomputed here as the naive SQL window — value-equal by contract.
+      // n_tokens = tokenCount(text): RAW whitespace tokens (c03's formula).
+      "c09_token_budget" ->
+        """WITH t AS (SELECT doc_id, n_chars,
+          |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+          |      x -> x <> '')) AS BIGINT) AS n_tokens
+          |  FROM documents),
+          |c AS (SELECT doc_id, n_chars, n_tokens,
+          |    CAST(sum(n_tokens) OVER (ORDER BY n_chars DESC, doc_id ASC
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+          |      AS BIGINT) AS start_tokens
+          |  FROM t)
+          |SELECT doc_id, n_chars, n_tokens, start_tokens
+          |FROM c WHERE start_tokens < 10000""".stripMargin,
+      // c10: the identical integer arithmetic — ((doc_id+7)·2654435761 mod
+      // 2^31)·1000 < clamp(n_chars)·2^31 — reproduces the exact member set.
+      "c10_weighted_sample" ->
+        """SELECT doc_id, source, n_chars FROM documents
+          |WHERE ((((doc_id + 7) % 2147483648) * 2654435761) % 2147483648) * 1000
+          |      < least(greatest(n_chars, 0), 1000) * 2147483648""".stripMargin,
       // n_tokens = tokenCount(text): RAW whitespace tokens (t01's formula),
       // not the normalized tokens c01 chunks on
       "c03_sequence_packing" ->

@@ -166,6 +166,20 @@ object SimilarityQueries extends QueryPack {
           round(col("qsim"), 6).as("qsim"), col("rn"))
     },
 
+    // -- Nearest-centroid assignment (domain/topic tagging): per-label
+    //    FIXED-POINT centroids (exact long sums — order-independent, so the
+    //    centroids are bit-identical cross-engine; see
+    //    fixedPointCentroids), then every vector takes the label of its
+    //    most-similar centroid. Fully oracled: DuckDB rebuilds centroids
+    //    with the same fixed-point arithmetic and re-derives every
+    //    assignment — rows+schema+hash, not a bounded property. Assignment
+    //    is map-only (argmax over ONE broadcast centroid-array row).
+    "s09_nearest_centroid" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      SimilaritySearch.nearestCentroid(
+        t.embeddings, "vec_id", "embedding", "label")
+    },
+
     "s06_embedding_neardups_lsh" -> { (spark, dir) =>
       val t = Tables(spark, dir)
       val base = t.embeddings.filter(col("vec_id") < 250)
@@ -290,6 +304,33 @@ object SimilarityQueries extends QueryPack {
     // native expressions, so one oracle gates both forms.
     "s07_int8_topk" -> int8TopKOracleSql,
     "s08_int8_topk_packed" -> int8TopKOracleSql,
+    // s09: centroids re-derived with the SAME fixed-point arithmetic
+    // (floor(x·1e7+0.5) long sums — exact, order-independent → bit-equal
+    // centroids), then every assignment recomputed; sims round-6 like s01.
+    "s09_nearest_centroid" ->
+      """WITH comps AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS comp FROM embeddings),
+        |fx AS (SELECT label, pos,
+        |    CAST(floor(comp * 10000000 + 0.5) AS BIGINT) AS f FROM comps),
+        |m AS (SELECT label, pos,
+        |    CAST(sum(f) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 10000000) AS m
+        |  FROM fx GROUP BY label, pos),
+        |cent AS (SELECT label, list(m ORDER BY pos) AS c FROM m GROUP BY label),
+        |cn AS (SELECT label, c, sqrt(list_dot_product(c, c)) AS cnorm FROM cent),
+        |e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS vn FROM e),
+        |scored AS (SELECT en.vec_id, cn.label,
+        |    round(CASE WHEN en.vn > 0 AND cn.cnorm > 0
+        |      THEN list_dot_product(en.v, cn.c) / (en.vn * cn.cnorm)
+        |      ELSE 0 END, 6) AS sim
+        |  FROM en CROSS JOIN cn),
+        |ranked AS (SELECT vec_id, label, sim,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY sim DESC, label ASC) AS rn
+        |  FROM scored)
+        |SELECT vec_id, label, sim FROM ranked WHERE rn = 1""".stripMargin,
     "s03_label_centroids" ->
       """WITH comps AS (
         |  SELECT label, generate_subscripts(embedding, 1) AS pos,

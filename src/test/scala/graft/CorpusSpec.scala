@@ -80,6 +80,62 @@ class CorpusSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan.take(1500))
   }
 
+  test("tokenBudgetSelect matches the naive windowed prefix sum at any partitioning") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.sources.Tables(spark, sf).documents
+    val w = Window.orderBy(col("n_chars").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = docs
+      .withColumn("n_tokens", graft.functions.TextFunctions.tokenCount(col("text")))
+      .withColumn("start_tokens", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .filter(col("start_tokens") < 5000)
+      .select("doc_id", "n_tokens", "start_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(naive.nonEmpty && naive.size < docs.count(),
+      "fixture must make the budget a proper subset")
+    for (n <- Seq(1, 3, 16)) {
+      val got = Corpus.tokenBudgetSelect(docs, "doc_id", "text", "n_chars",
+        budgetTokens = 5000L, numPartitions = n)
+        .select("doc_id", "n_tokens", "start_tokens").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === naive, s"numPartitions=$n")
+    }
+  }
+
+  test("tokenBudgetSelect keeps the straddling doc and stops after it") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, 30, "a b c"), // 3 tokens, start 0 → kept
+      (2L, 20, "d e f"), // 3 tokens, start 3 → kept (straddles budget 4)
+      (3L, 10, "g h")    // start 6 ≥ 4 → dropped
+    ).toDF("doc_id", "n_chars", "text")
+    val kept = Corpus.tokenBudgetSelect(docs, "doc_id", "text", "n_chars", 4L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L))
+  }
+
+  test("weightedBernoulliSample: deterministic, partitioning-invariant, monotone in weight") {
+    val docs = graft.sources.Tables(spark, sf).documents
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = ids(Corpus.weightedBernoulliSample(docs, "doc_id", "n_chars", 1000L, seed = 7L))
+    val b = ids(Corpus.weightedBernoulliSample(docs.repartition(13), "doc_id", "n_chars", 1000L, seed = 7L))
+    assert(a === b, "membership must not depend on partitioning")
+    val total = docs.count()
+    assert(a.nonEmpty && a.size < total, "sample must be a proper subset")
+    // doubling every weight (same clamp) can only ADD members
+    val doubled = ids(Corpus.weightedBernoulliSample(
+      docs.withColumn("w2", col("n_chars") * 2), "doc_id", "w2", 1000L, seed = 7L))
+    assert(a.subsetOf(doubled))
+    // weight >= fullWeight → probability 1
+    val all = ids(Corpus.weightedBernoulliSample(
+      docs.withColumn("wmax", lit(1000)), "doc_id", "wmax", 1000L, seed = 7L))
+    assert(all.size === total)
+    // a different seed draws a different (overlapping) sample
+    val other = ids(Corpus.weightedBernoulliSample(docs, "doc_id", "n_chars", 1000L, seed = 8L))
+    assert(other !== a)
+  }
+
   test("packSummary token totals equal the corpus total") {
     val docs = graft.sources.Tables(spark, sf).documents
     val packed = Corpus.packSequences(docs, "source", "doc_id", "text", 1024L)

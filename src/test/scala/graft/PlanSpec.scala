@@ -226,6 +226,26 @@ class PlanSpec extends SparkSpec {
     assert("SortMergeJoin".r.findAllIn(p).size <= 3, p.take(3000))
   }
 
+  test("c09 token-budget selection plans with no global window") {
+    val p = plan("c09_token_budget")
+    assert(!p.contains("Window"),
+      s"the global prefix sum must be the distributed two-pass scan, not a one-task window:\n${p.take(2000)}")
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+      s"selection materializes via the checkpointed two-pass result:\n${p.take(2000)}")
+  }
+
+  test("s09 nearest-centroid assignment is map-only after one broadcast") {
+    val p = plan("s09_nearest_centroid")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the one-row centroid array must broadcast:\n${p.take(2000)}")
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"),
+      s"assignment must be the argmax HOF, never a per-vector shuffle:\n${p.take(2000)}")
+    // the only exchanges are inside centroid training (labels x dim rows):
+    // (label,pos) partial+final, the label roll-up, and the one-row collect
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3,
+      s"the corpus branch must not shuffle:\n${p.take(3000)}")
+  }
+
   test("whole-stage codegen covers the relational core queries") {
     Seq("q01_pricing_summary", "q06_forecast_revenue", "w03_running_revenue").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sf)
