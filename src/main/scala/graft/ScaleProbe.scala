@@ -311,6 +311,29 @@ object ScaleProbe {
           graft.operators.Corpus.bloomFlagsFromStore(train, stored, "doc_id", "text")
             .agg(count(when(col("contaminated"), 1)).as("n_flagged"),
               count(lit(1)).as("n_train"))
+        } else if (name == "c09_budget_100x") { (s, d) =>
+          // token-budget selection at 500k docs: pass 1 (tokenize + per-
+          // partition totals) scans the corpus once; pass 2 touches ONLY
+          // partitions that intersect the budget prefix (empty iterators
+          // elsewhere). A 1M-token budget selects ~2% of the corpus, so
+          // the second pass is budget-bound, not corpus-bound.
+          graft.operators.Corpus.tokenBudgetSelect(
+            graft.sources.Tables(s, d).documents, "doc_id", "text",
+            orderCol = "n_chars", budgetTokens = 1000000L)
+            .agg(count(lit(1)).as("n_docs"), max(col("start_tokens")).as("last_start"))
+        } else if (name == "c10_sample_100x") { (s, d) =>
+          // integer-exact weighted sampling is a map-only filter: the probe
+          // pins that its cost is one corpus scan
+          graft.operators.Corpus.weightedBernoulliSample(
+            graft.sources.Tables(s, d).documents, "doc_id", "n_chars",
+            fullWeight = 1000L, seed = 7L)
+            .agg(count(lit(1)).as("n_sampled"))
+        } else if (name == "s09_centroid_100x") { (s, d) =>
+          // nearest-centroid at 200k vectors: training shuffles labels x dim
+          // aggregated longs; assignment is map-only over the corpus
+          graft.operators.SimilaritySearch.nearestCentroid(
+            graft.sources.Tables(s, d).embeddings, "vec_id", "embedding", "label")
+            .groupBy(col("label")).agg(count(lit(1)).as("n_assigned"))
         } else if (name == "e02_stateful_10m") { (s, d) =>
           // streaming sessionization state at 10M events / 100x users:
           // file-stream catch-up replay through flatMapGroupsWithState
