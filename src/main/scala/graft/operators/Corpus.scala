@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
@@ -601,11 +601,55 @@ object Corpus {
       fullWeight: Long, seed: Long = 0L): DataFrame = {
     require(fullWeight > 0, "fullWeight must be positive")
     require(fullWeight <= (1L << 31), "fullWeight must fit the integer-exact bound")
-    val m = 2147483648L // 2^31
-    val a = 2654435761L // floor(2^32 / golden ratio), odd → permutation mod 2^31
-    val u = pmod(pmod(col(idCol).cast("long") + lit(seed), lit(m)) * lit(a), lit(m))
+    val u = mulHash(col(idCol), seed)
     val w = least(greatest(col(weightCol).cast("long"), lit(0L)), lit(fullWeight))
     // u < 2^31 and w <= fullWeight <= 2^31, so both products stay < 2^62
-    df.filter(u * lit(fullWeight) < w * lit(m))
+    df.filter(u * lit(fullWeight) < w * lit(HashMod))
   }
+
+  private val HashMod = 2147483648L // 2^31
+  /** Knuth multiplicative hash (TAOCP vol. 3 §6.4): ((id+seed)·2654435761)
+    * mod 2^31 — an odd multiplier makes it a PERMUTATION of the id space,
+    * so the value behaves as a reproducible uniform in [0, 2^31). Pure
+    * 64-bit integer arithmetic any engine reproduces bit-for-bit; shared
+    * by [[weightedBernoulliSample]] and [[shardAssign]].
+    */
+  private def mulHash(id: Column, seed: Long): Column =
+    pmod(pmod(id.cast("long") + lit(seed), lit(HashMod)) * lit(2654435761L), lit(HashMod))
+
+  /** Deterministic shard assignment: `shard_id = floor(u·S / 2^31)` — the
+    * multiply-shift range reduction over [[mulHash]]'s uniform (uses the
+    * HIGH bits, which carry the multiplicative hash's quality; `u mod S`
+    * would use the weak low bits). u·S < 2^36 is exact in a double and the
+    * divisor is a power of two, so the float path is still bit-exact on
+    * every engine.
+    *
+    * This is the "write the training corpus as N reproducible shards"
+    * primitive: assignment is map-only and partitioning-independent, so a
+    * re-run (or a different cluster) produces byte-identical shard
+    * membership — what makes a 100 TB dataset build auditable.
+    */
+  def shardAssign(df: DataFrame, idCol: String, numShards: Int,
+      seed: Long = 0L): DataFrame = {
+    require(numShards > 0 && numShards <= 65536, "numShards in [1, 65536]")
+    df.withColumn("shard_id",
+      floor(mulHash(col(idCol), seed) * lit(numShards.toLong) /
+        lit(HashMod.toDouble)).cast("int"))
+  }
+
+  /** Per-shard manifest of [[shardAssign]]: doc counts, token totals, id
+    * ranges — the sidecar a sharded dataset write publishes so a training
+    * job can plan reads without scanning data. One aggregate (map-side
+    * combined); hash-balanced shard sizes are spec-checked.
+    */
+  def shardManifest(docs: DataFrame, idCol: String, textCol: String,
+      numShards: Int, seed: Long = 0L): DataFrame =
+    shardAssign(docs, idCol, numShards, seed)
+      .withColumn("_nt", coalesce(tokenCount(col(textCol)), lit(0L)))
+      .groupBy(col("shard_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("_nt")).as("sum_tokens"),
+        min(col(idCol)).as("min_id"),
+        max(col(idCol)).as("max_id"))
 }

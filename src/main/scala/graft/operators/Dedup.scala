@@ -54,6 +54,31 @@ object Dedup {
   def fingerprints(docs: DataFrame, textCol: String): DataFrame =
     docs.select(fingerprint64(col(textCol)).as("fp")).distinct()
 
+  /** L1 canonical selection by POLICY: one survivor per exact-dup family,
+    * chosen by minimum (`priority`, `idCol`) — the "prefer the curated
+    * source over the crawl copy" rule every multi-source corpus needs,
+    * where plain min-id dedup ([[exactByText]]) would keep whichever copy
+    * happened to be ingested first. Output: the full surviving row plus
+    * `n_copies` (family size — the dedup audit signal).
+    *
+    * Scale shape: ONE hash aggregate on the text fingerprint with
+    * map-side combine (`min_by` over the (priority, id) struct partial-
+    * aggregates), versus the window variant's full sort of every family.
+    * Deterministic: (priority, id) is unique per row because ids are.
+    */
+  def canonicalByPolicy(docs: DataFrame, textCol: String, idCol: String,
+      priority: org.apache.spark.sql.Column): DataFrame = {
+    val cols = docs.columns
+    docs
+      .withColumn("_fp", fingerprint64(col(textCol)))
+      .withColumn("_prio", priority)
+      .groupBy(col("_fp"))
+      .agg(
+        min_by(struct(cols.map(col): _*), struct(col("_prio"), col(idCol))).as("_doc"),
+        count(lit(1)).as("n_copies"))
+      .select(cols.map(c => col(s"_doc.$c")) :+ col("n_copies"): _*)
+  }
+
   /** Map-only MinHash signature frame (id, sig: array of numHashes longs)
     * — the per-batch artifact an incremental near-dup pipeline PERSISTS:
     * numHashes longs per document, tiny relative to the corpus, and the

@@ -146,6 +146,17 @@ object CorpusQueries extends QueryPack {
         .select(col("doc_id"), col("source"), col("n_chars"))
     },
 
+    // -- Deterministic shard manifest: 16 hash-assigned shards (multiply-
+    //    shift over the Knuth uniform — high bits, integer/power-of-two
+    //    exact) with per-shard doc counts, token totals, and id ranges.
+    //    Membership is partitioning-independent, so the manifest is
+    //    byte-reproducible; DuckDB re-derives every shard stat.
+    "c11_shard_manifest" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      Corpus.shardManifest(t.documents, "doc_id", "text",
+        numShards = 16, seed = 3L)
+    },
+
     // -- Domain-mixture sampling: a 40/30/20/10 target mixture over four
     //    sources, quotas filled in reproducible md5 order. src0/src1's
     //    quotas (40/30) exceed the stratum size, so the query also
@@ -274,6 +285,20 @@ object CorpusQueries extends QueryPack {
         """SELECT doc_id, source, n_chars FROM documents
           |WHERE ((((doc_id + 7) % 2147483648) * 2654435761) % 2147483648) * 1000
           |      < least(greatest(n_chars, 0), 1000) * 2147483648""".stripMargin,
+      // c11: identical integer arithmetic — u = ((doc_id+3)·2654435761 mod
+      // 2^31), shard = floor(u·16 / 2^31) (u·16 < 2^36 exact in a double,
+      // power-of-two divisor → bit-exact float path on any engine).
+      "c11_shard_manifest" ->
+        """WITH t AS (SELECT doc_id,
+          |    CAST(floor((((doc_id + 3) % 2147483648) * 2654435761)
+          |      % 2147483648 * 16 / 2147483648.0) AS INT) AS shard_id,
+          |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+          |      x -> x <> '')) AS BIGINT) AS n_tokens
+          |  FROM documents)
+          |SELECT shard_id, count(*) AS n_docs,
+          |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+          |  min(doc_id) AS min_id, max(doc_id) AS max_id
+          |FROM t GROUP BY shard_id""".stripMargin,
       // n_tokens = tokenCount(text): RAW whitespace tokens (t01's formula),
       // not the normalized tokens c01 chunks on
       "c03_sequence_packing" ->

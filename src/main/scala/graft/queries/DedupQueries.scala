@@ -142,6 +142,24 @@ object DedupQueries extends QueryPack {
       recallAgg.crossJoin(precisionAgg)
     },
 
+    // -- L1 policy-based canonical selection, planted-family ground truth
+    //    (the s06 pattern): every doc_id % 3 == 0 doc gains a byte-identical
+    //    'mirror' copy, and the policy PREFERS the mirror (priority 0 beats
+    //    1) — so survivors provably follow the policy, not ingestion order
+    //    (min-id would keep the base copy; the mirror has id+100000). Fully
+    //    oracled: DuckDB rebuilds the family grouping from the normalized
+    //    text and re-derives every survivor and family size.
+    "d10_canonical_policy" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val base = t.documents.select(col("doc_id"), col("source"), col("text"))
+      val mirrors = base.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select((col("doc_id") + lit(100000L)).as("doc_id"),
+          lit("mirror").as("source"), col("text"))
+      Dedup.canonicalByPolicy(base.unionByName(mirrors), "text", "doc_id",
+        priority = when(col("source") === "mirror", 0).otherwise(1))
+        .select(col("doc_id"), col("source"), col("n_copies"))
+    },
+
     // -- L2 exact unigram-Jaccard near-dup pairs over a blocked subset
     //    (doc_id < 200): the verification primitive, oracle-checked.
     "d04_jaccard_pairs" -> { (spark, dir) =>
@@ -168,6 +186,28 @@ object DedupQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // d10: families re-derived from the normalized text (the fingerprint is
+    // just a grouping key — md5 here, xxhash64 in-engine, same partition of
+    // the corpus); survivor = min (priority, doc_id) per family.
+    "d10_canonical_policy" ->
+      """WITH aug AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, 'mirror', text FROM documents
+        |  WHERE doc_id % 3 = 0),
+        |fam AS (
+        |  SELECT doc_id, source,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp,
+        |    CASE WHEN source = 'mirror' THEN 0 ELSE 1 END AS prio
+        |  FROM aug),
+        |ranked AS (
+        |  SELECT doc_id, source, fp,
+        |    row_number() OVER (PARTITION BY fp ORDER BY prio, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY fp) AS n_copies
+        |  FROM fam)
+        |SELECT doc_id, source, CAST(n_copies AS BIGINT) AS n_copies
+        |FROM ranked WHERE rn = 1""".stripMargin,
     "d01_exact_dedup" ->
       """SELECT doc_id, lang, source FROM (
         |  SELECT doc_id, lang, source,

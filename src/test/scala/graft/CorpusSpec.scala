@@ -136,6 +136,28 @@ class CorpusSpec extends SparkSpec {
     assert(other !== a)
   }
 
+  test("shardAssign: partitioning-invariant, in-range, hash-balanced; manifest totals add up") {
+    val docs = graft.sources.Tables(spark, sf).documents
+    def assign(df: org.apache.spark.sql.DataFrame) =
+      Corpus.shardAssign(df, "doc_id", 16, seed = 3L)
+        .select("doc_id", "shard_id").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val a = assign(docs)
+    assert(a === assign(docs.repartition(11)), "assignment must not depend on partitioning")
+    assert(a.values.forall(s => s >= 0 && s < 16))
+    // multiplicative-hash balance: no shard further than 3x from uniform
+    val sizes = a.values.groupBy(identity).map(_._2.size)
+    val uniform = a.size / 16.0
+    assert(sizes.size === 16 && sizes.forall(s => s < uniform * 3 && s > uniform / 3),
+      s"shard sizes $sizes vs uniform $uniform")
+    // manifest totals reconcile with the corpus
+    val m = Corpus.shardManifest(docs, "doc_id", "text", 16, seed = 3L)
+    assert(m.agg(sum("n_docs")).head.getLong(0) === docs.count())
+    val totalTokens = docs.agg(sum(coalesce(
+      graft.functions.TextFunctions.tokenCount(col("text")), lit(0L)))).head.getLong(0)
+    assert(m.agg(sum("sum_tokens")).head.getLong(0) === totalTokens)
+  }
+
   test("packSummary token totals equal the corpus total") {
     val docs = graft.sources.Tables(spark, sf).documents
     val packed = Corpus.packSequences(docs, "source", "doc_id", "text", 1024L)

@@ -500,6 +500,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(c(1) === Seq(2.0, 0.0, 0.0))
   }
 
+  test("canonicalByPolicy: survivor follows (priority, id), not ingestion order") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "crawl", "same text"),
+      (2L, "curated", "same text"),  // priority 0 → survives despite larger id
+      (3L, "crawl", "same text"),
+      (4L, "crawl", "other text"),   // singleton family
+      (5L, "curated", "third text"),
+      (6L, "curated", "third text")  // tie on priority → min id 5 survives
+    ).toDF("doc_id", "source", "text")
+    val out = Dedup.canonicalByPolicy(df, "text", "doc_id",
+      priority = when(col("source") === "curated", 0).otherwise(1))
+      .select("doc_id", "n_copies").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(2L -> 3L, 4L -> 1L, 5L -> 2L))
+    // partitioning-invariant (min_by over unique (prio, id) keys)
+    val out13 = Dedup.canonicalByPolicy(df.repartition(13), "text", "doc_id",
+      priority = when(col("source") === "curated", 0).otherwise(1))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out13 === out.keySet)
+  }
+
   test("fixedPointCentroids: exact order-independent means at 1e-7 steps") {
     import spark.implicits._
     val df = Seq(
