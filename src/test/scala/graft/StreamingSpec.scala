@@ -57,6 +57,40 @@ class StreamingSpec extends SparkSpec {
     assert(got((3L, 1)) === "s t u v")
   }
 
+  test("weightedBernoulliSample + shardAssign are stateless and run unchanged under readStream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (0L until 200L).map(i => (i, (i * 37 % 900 + 100).toInt))
+    val batchDf = rows.toDF("doc_id", "n_chars")
+    val expectSample = graft.operators.Corpus.weightedBernoulliSample(
+      batchDf, "doc_id", "n_chars", fullWeight = 1000L, seed = 7L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expectShards = graft.operators.Corpus.shardAssign(
+      batchDf, "doc_id", numShards = 8, seed = 3L)
+      .select("doc_id", "shard_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val stream = MemoryStream[(Long, Int)]
+    val sampled = graft.operators.Corpus.shardAssign(
+      graft.operators.Corpus.weightedBernoulliSample(
+        stream.toDF().toDF("doc_id", "n_chars"),
+        "doc_id", "n_chars", fullWeight = 1000L, seed = 7L),
+      "doc_id", numShards = 8, seed = 3L)
+    val q = sampled.writeStream.format("memory").queryName("wsample")
+      .outputMode(OutputMode.Append).start()
+    stream.addData(rows.take(120): _*)
+    q.processAllAvailable()
+    stream.addData(rows.drop(120): _*) // second micro-batch: same membership rule
+    q.processAllAvailable()
+    val got = spark.table("wsample").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("shard_id")).toMap
+    q.stop()
+    assert(got.keySet === expectSample,
+      "streaming membership must equal the batch sample exactly")
+    assert(got.forall { case (id, s) => expectShards(id) === s },
+      "streaming shard ids must equal the batch assignment")
+    assert(expectSample.nonEmpty && expectSample.size < rows.size)
+  }
+
   test("quality rules + PII scrub are stateless and run unchanged under readStream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
