@@ -334,6 +334,26 @@ object ScaleProbe {
           graft.operators.SimilaritySearch.nearestCentroid(
             graft.sources.Tables(s, d).embeddings, "vec_id", "embedding", "label")
             .groupBy(col("label")).agg(count(lit(1)).as("n_assigned"))
+        } else if (name == "d10_policy_100x") { (s, d) =>
+          // policy dedup at 667k rows (500k docs + 167k planted mirrors):
+          // one fingerprint hash-agg with map-side min_by combine
+          val base = graft.sources.Tables(s, d).documents
+            .select(col("doc_id"), col("source"), col("text"))
+          val mirrors = base.filter(pmod(col("doc_id"), lit(3)) === 0)
+            .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+              lit("mirror").as("source"), col("text"))
+          graft.operators.Dedup.canonicalByPolicy(
+            base.unionByName(mirrors), "text", "doc_id",
+            priority = when(col("source") === "mirror", 0).otherwise(1))
+            .agg(count(lit(1)).as("n_survivors"),
+              sum(when(col("source") === "mirror", 1).otherwise(0)).as("n_mirror_wins"))
+        } else if (name == "c11_manifest_100x") { (s, d) =>
+          // shard manifest at 500k docs: tokenize + one aggregate
+          graft.operators.Corpus.shardManifest(
+            graft.sources.Tables(s, d).documents, "doc_id", "text",
+            numShards = 256, seed = 3L)
+            .agg(count(lit(1)).as("n_shards"),
+              (max(col("n_docs")) * 100L / min(col("n_docs"))).as("maxmin_pct"))
         } else if (name == "e02_stateful_10m") { (s, d) =>
           // streaming sessionization state at 10M events / 100x users:
           // file-stream catch-up replay through flatMapGroupsWithState
