@@ -206,6 +206,54 @@ object EventQueries extends QueryPack {
         col("bucket").cast("int").as("bucket"))
     },
 
+    // -- Streaming near-dup detection (L2 × T6, the d09 shape under
+    //    Structured Streaming): two micro-batches — one seeds the persisted
+    //    signature store, the other probes it on LSH band keys. The
+    //    registered contract is the VERIFIED-EXACT subset: hash-exact
+    //    candidates (est_jaccard == 1.0) re-checked for normalized-text
+    //    equality — the standard LSH candidate→verify step, because at the
+    //    fixture's planted J≈0.988 neighbors ("… dup" suffix) all 128
+    //    MinHashes collide with P≈0.988^128≈0.2, so hash-exactness alone
+    //    is not a deterministic text-identity predicate (measured: 2 such
+    //    collisions at sf0.01). DuckDB recomputes text equality from
+    //    scratch; 50 planted byte-identical mirrors keep the detection set
+    //    non-trivial. least/greatest normalization makes the output
+    //    invariant to file→batch ordering. The approximate (est < 1)
+    //    detections stay accuracy-gated via d09; the streaming replay
+    //    mechanics (store growth, replay idempotence, restart no-op) are
+    //    spec-pinned in StreamingSpec.
+    "e12_streaming_neardup" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e12_").toString
+      val inDir = s"$tmp/in"; val store = s"$tmp/store"
+      val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+      val history = t.documents.filter(col("doc_id") < 250)
+        .select(col("doc_id"), col("text"))
+      val batch = t.documents
+        .filter(col("doc_id") < 250 && pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + lit(100000L)).as("doc_id"), col("text"))
+        .unionByName(
+          t.documents.filter(col("doc_id") >= 250 && col("doc_id") < 500)
+            .select(col("doc_id"), col("text")))
+      history.coalesce(1).write.parquet(inDir)
+      batch.coalesce(1).write.mode("append").parquet(inDir)
+      graft.streaming.DedupStreams.nearDupDetectAvailableNow(
+        spark.readStream.schema(history.schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir),
+        "text", "doc_id", store, out, ckpt, minEstJaccard = 0.7)
+      val nt = history.unionByName(batch).select(col("doc_id").as("nid"),
+        graft.functions.TextFunctions.normalizeText(col("text")).as("nt"))
+      spark.read.parquet(out)
+        .filter(col("est_jaccard") === 1.0)
+        .join(nt.select(col("nid").as("new_id"), col("nt").as("nt_new")), Seq("new_id"))
+        .join(nt.select(col("nid").as("seen_id"), col("nt").as("nt_seen")), Seq("seen_id"))
+        .filter(col("nt_new") === col("nt_seen"))
+        .select(
+          least(col("new_id"), col("seen_id")).as("id_a"),
+          greatest(col("new_id"), col("seen_id")).as("id_b"),
+          col("est_jaccard"))
+    },
+
     // -- Cohort retention: users grouped by first-seen day, activity
     //    counted per day offset — the (cohort, offset) → distinct-users
     //    matrix. Two shuffles (first-seen aggregate, matrix aggregate),
@@ -364,6 +412,25 @@ object EventQueries extends QueryPack {
         |      PARTITION BY user_id
         |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
         |  FROM events WHERE user_id % 7 = 0)
-        |WHERE rn = 1""".stripMargin
+        |WHERE rn = 1""".stripMargin,
+    // e12: hash-exact candidates verified by normalized-text equality on
+    // the engine side — DuckDB re-derives the exact pair set from text
+    // equality across the history/batch split (the verify step makes both
+    // sides compute the same deterministic predicate; see the query doc
+    // for why signature identity alone is probabilistic at J≈0.99).
+    "e12_streaming_neardup" ->
+      """WITH n AS (SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS nt
+        |  FROM documents),
+        |h AS (SELECT doc_id, nt FROM n WHERE doc_id < 250),
+        |b AS (SELECT doc_id + 100000 AS doc_id, nt FROM n
+        |    WHERE doc_id < 250 AND doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id, nt FROM n WHERE doc_id >= 250 AND doc_id < 500)
+        |SELECT least(h.doc_id, b.doc_id) AS id_a,
+        |  greatest(h.doc_id, b.doc_id) AS id_b,
+        |  1.0 AS est_jaccard
+        |FROM h JOIN b ON h.nt = b.nt""".stripMargin
   )
 }

@@ -257,6 +257,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup detection probes and grows the persisted signature store") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_e12_").toString
+    val inDir = s"$tmp/in"; val store = s"$tmp/store"
+    val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    val base = "the quick brown fox jumps over the lazy dog again and again " +
+      "while the spark engine shuffles partitions across the cluster today"
+    val far = "completely unrelated content about catalyst optimizer rules " +
+      "and tungsten code generation with adaptive query execution enabled"
+    val b1 = Seq((1L, base), (2L, far)).toDF("doc_id", "text")
+    b1.coalesce(1).write.mode("append").parquet(inDir)
+    def run(): Unit = graft.streaming.DedupStreams.nearDupDetectAvailableNow(
+      spark.readStream.schema(b1.schema).option("maxFilesPerTrigger", "1").parquet(inDir),
+      "text", "doc_id", store, out, ckpt, minEstJaccard = 0.5)
+    run() // batch 0: nothing to probe, store seeded with 2 signatures
+    assert(spark.read.parquet(store).count() === 2)
+    // batch 1: doc 3 duplicates doc 1 (guaranteed signature match), doc 4 is new
+    Seq((3L, base), (4L, "fresh novel text with nothing shared at all whatsoever"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(inDir)
+    run()
+    assert(spark.read.parquet(store).count() === 4, "store grows by the new batch")
+    val det = spark.read.parquet(out)
+      .select("new_id", "seen_id", "est_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(det.keySet === Set(3L -> 1L), s"only the duplicate is detected: $det")
+    assert(det(3L -> 1L) === 1.0, "identical text → identical signatures")
+    // restart with the processed checkpoint: a no-op, nothing re-appends
+    run()
+    assert(spark.read.parquet(store).count() === 4)
+    assert(spark.read.parquet(out).count() === 1)
+  }
+
   test("foreachBatch upsert keeps the latest row per key across micro-batches") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_upsert").toString
