@@ -177,6 +177,26 @@ object TextQueries extends QueryPack {
         subwordCount(col("text")).as("n_subwords"),
         stopwordRatio(col("text")).as("stopword_ratio")
       )
+    },
+
+    // -- CCNet-style LM perplexity scoring (L4): a unigram LM trained on
+    //    the corpus itself scores every document's NLL; fixed thresholds
+    //    split head/middle/tail. Scores are exact BIGINT micro-nat sums
+    //    (quantized log-probs — see LanguageModel scaladoc), so the gate
+    //    compares integers and bucket tests are integer cross-multiplies;
+    //    the only double step (ln of a count ratio, quantized per DISTINCT
+    //    token, 32 values on this fixture) is shared by both engines.
+    //    Thresholds 3.3998/3.4041 nats are this fixture's p33/p67 —
+    //    word-soup docs over a 31-token vocab cluster tightly around
+    //    ln(vocab) ≈ 3.4, so the split is real but narrow.
+    "t11_lm_perplexity" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val (lm, oov) = graft.operators.LanguageModel.unigramLm(t.documents, "text")
+      graft.operators.LanguageModel.scoreNll(t.documents, "text", "doc_id", lm, oov)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("nll_micro"),
+          when(col("nll_micro") <= lit(3399800L) * col("n_tokens"), "head")
+            .when(col("nll_micro") <= lit(3404100L) * col("n_tokens"), "middle")
+            .otherwise("tail").as("ppl_bucket"))
     }
   )
 
@@ -390,6 +410,37 @@ object TextQueries extends QueryPack {
         |WHERE token <> ''
         |GROUP BY token
         |ORDER BY n DESC, token ASC
-        |LIMIT 25""".stripMargin
+        |LIMIT 25""".stripMargin,
+    // t11: DuckDB retrains the identical quantized unigram LM from
+    // scratch — same normalization, same add-one smoothing, same
+    // floor(ln*1e6+0.5) micro-nat quantization — then compares exact
+    // BIGINT sums and integer-space bucket tests.
+    "t11_lm_perplexity" ->
+      """WITH n AS (SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS nt
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS tok
+        |  FROM n WHERE nt <> ''),
+        |cnt AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+        |tot AS (SELECT sum(c) AS total,
+        |    count(*) FILTER (WHERE c >= 2) AS vsize FROM cnt),
+        |lm AS (SELECT tok,
+        |    CAST(floor(ln((c + 1.0) / (total + vsize + 1)) * 1e6 + 0.5)
+        |      AS BIGINT) AS lp
+        |  FROM cnt, tot WHERE c >= 2),
+        |oov AS (SELECT CAST(floor(ln(1.0 / (total + vsize + 1)) * 1e6 + 0.5)
+        |      AS BIGINT) AS lp FROM tot),
+        |scored AS (SELECT t.doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(-sum(coalesce(lm.lp, (SELECT lp FROM oov))) AS BIGINT)
+        |      AS nll_micro
+        |  FROM tok t LEFT JOIN lm ON t.tok = lm.tok
+        |  GROUP BY t.doc_id)
+        |SELECT doc_id, n_tokens, nll_micro,
+        |  CASE WHEN nll_micro <= 3399800 * n_tokens THEN 'head'
+        |       WHEN nll_micro <= 3404100 * n_tokens THEN 'middle'
+        |       ELSE 'tail' END AS ppl_bucket
+        |FROM scored""".stripMargin
   )
 }

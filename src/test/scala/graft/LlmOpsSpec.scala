@@ -560,4 +560,27 @@ class LlmOpsSpec extends SparkSpec {
     // every sim is a valid rounded cosine
     assert(out.values.forall { case (_, s) => s >= -1.0 && s <= 1.0 })
   }
+
+  test("unigram LM: quantized log-probs, OOV floor, exact bigint NLL sums") {
+    import spark.implicits._
+    import graft.operators.LanguageModel
+    // counts: a=3, b=2, c=1 → total=6; minCount=2 → vocab={a,b}, vsize=2
+    val docs = Seq((1L, "a a b"), (2L, "a b c"), (3L, ""))
+      .toDF("doc_id", "text")
+    val (lm, oov) = LanguageModel.unigramLm(docs, "text", minCount = 2)
+    val denom = 9.0 // total(6) + vsize(2) + 1
+    def q(p: Double): Long = math.floor(math.log(p) * 1e6 + 0.5).toLong
+    val lps = lm.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(lps === Map("a" -> q(4 / denom), "b" -> q(3 / denom)))
+    assert(oov === q(1 / denom))
+    val scored = LanguageModel.scoreNll(docs, "text", "doc_id", lm, oov)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 1 = 2a+b in-vocab; doc 2's "c" is below minCount → OOV floor
+    assert(scored(1L) === ((3L, -(2 * q(4 / denom) + q(3 / denom)))))
+    assert(scored(2L) === ((3L, -(q(4 / denom) + q(3 / denom) + oov))))
+    // zero-token docs produce no row rather than a 0/0 score
+    assert(!scored.contains(3L))
+    // rarer docs score strictly worse (higher NLL per token)
+    assert(scored(2L)._2 > scored(1L)._2)
+  }
 }
