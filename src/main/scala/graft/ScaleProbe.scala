@@ -380,6 +380,36 @@ object ScaleProbe {
               f"maxRows=${state.map(_.numRowsTotal).max}%,d " +
               f"maxMemMB=${state.map(_.memoryUsedBytes).max / 1024 / 1024}%d")
           s.read.parquet(out)
+        } else if (name == "t11_lm_500k") { (s, d) =>
+          // unigram LM quality scoring at 500k docs / ~27M tokens: train
+          // (one token shuffle + bounded scalar stats) then score every
+          // doc (token join + doc-keyed agg). The permutation cipher
+          // multiplies vocab by ~factor (each replica's tokens are
+          // disjoint), so this also exercises a vocab 100x the sf0.1 one
+          val docs = graft.sources.Tables(s, d).documents
+          val (lm, oov) = graft.operators.LanguageModel.unigramLm(docs, "text")
+          println(s"[probe]   t11 vocab=${lm.count()} oov_micro=$oov")
+          graft.operators.LanguageModel.scoreNll(docs, "text", "doc_id", lm, oov)
+            .agg(count(lit(1)).as("n_docs"),
+              (sum(col("nll_micro")) / sum(col("n_tokens")) / 1e6).as("avg_nll"))
+        } else if (name == "e12_stream_500k") { (s, d) =>
+          // streaming near-dup at 500k docs in 5 catch-up micro-batches of
+          // ~100k: each batch's signatures probe the store built by the
+          // previous batches, so the verbose [neardup] lines trace the
+          // per-batch cost curve as history grows 0 -> 400k signatures —
+          // the growth shape that decides whether continuous ingestion
+          // holds up at 100 TB
+          val docs = graft.sources.Tables(s, d).documents
+            .select(col("doc_id"), col("text"))
+          val tmp = java.nio.file.Files.createTempDirectory("graft_e12probe_").toString
+          val inDir = s"$tmp/in"
+          docs.repartitionByRange(5, col("doc_id")).write.parquet(inDir)
+          graft.streaming.DedupStreams.nearDupDetectAvailableNow(
+            s.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", "1").parquet(inDir),
+            "text", "doc_id", s"$tmp/store", s"$tmp/out", s"$tmp/ckpt",
+            verbose = true)
+          s.read.parquet(s"$tmp/out")
         } else if (name == "e11_upsert_10m") { (s, d) =>
           // keyed-upsert sink at 10M events: 3 time-ordered catch-up
           // batches build the table (64 bucket partitions), then a 1,000-
