@@ -72,4 +72,96 @@ object LanguageModel {
       .groupBy("id")
       .agg(count(lit(1)).as("n_tokens"),
         (-sum(coalesce(col("lp_micro"), lit(oovMicro)))).as("nll_micro"))
+
+  /** Interpolated bigram LM, all quantization points exact-reproducible.
+    *
+    * `pairLp(prev, cur)`  = q(λ·c(prev,cur)/c(prev) + (1−λ)·p1(cur))
+    * `uniInterpLp(tok)`   = q((1−λ)·p1(tok))      — unseen-bigram fallback
+    * `uniLp(tok)`         = q(p1(tok))            — document-initial token
+    * where q(p) = floor(ln(p)·1e6 + 0.5), p1 is the add-one unigram of
+    * [[unigramLm]], and the two OOV constants cover tokens below
+    * `minCount`. Every quantization point is a ratio of integer counts —
+    * any engine recomputes the identical bigint from the identical
+    * double. Bigram denominators use FULL unigram counts (a conditional
+    * probability needs the true context mass), while p1 keeps the
+    * `minCount`-thresholded vocab of the unigram model.
+    */
+  case class BigramModel(pairLp: DataFrame, uniInterpLp: DataFrame,
+    uniLp: DataFrame, oovInterpMicro: Long, oovMicro: Long)
+
+  /** Trains the interpolated bigram model. Bigram extraction is MAP-ONLY
+    * (adjacent-pair zip of the token array — no per-doc window sort);
+    * the only shuffles are the two count aggregations. `minCount` bounds
+    * both tables, which is what keeps them joinable-by-broadcast at
+    * scale.
+    */
+  def bigramLm(docs: DataFrame, textCol: String, minCount: Long = 2,
+      lambda: Double = 0.7): BigramModel = {
+    val toksDf = docs
+      .select(tokens(normalizeText(col(textCol))).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .localCheckpoint(true) // read twice: unigram + bigram counts
+    val uniCnt = toksDf.select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // vocab-sized; stats + three lookup tables
+    val stats = uniCnt.agg(
+      sum(col("c")).as("total"),
+      sum(when(col("c") >= minCount, 1L).otherwise(0L)).as("vsize")).head()
+    val denom = (stats.getLong(0) + stats.getLong(1) + 1).toDouble
+    // add-one unigram prob as a Column over a count column
+    def p1(c: org.apache.spark.sql.Column) = (c + 1).cast("double") / denom
+    def q(p: org.apache.spark.sql.Column) =
+      floor(log(p) * 1e6 + 0.5).cast("long")
+    val inVocab = uniCnt.filter(col("c") >= minCount)
+    val pairCnt = toksDf
+      .select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("prev"), b.as("cur")))).as("pr"))
+      .select(col("pr.prev").as("prev"), col("pr.cur").as("cur"))
+      .groupBy("prev", "cur").agg(count(lit(1)).as("cp"))
+      .filter(col("cp") >= minCount)
+    val pOov = 1.0 / denom
+    val pairLp = pairCnt
+      .join(uniCnt.select(col("tok").as("prev"), col("c").as("cprev")), Seq("prev"))
+      .join(inVocab.select(col("tok").as("cur"), col("c").as("ccur")), Seq("cur"), "left")
+      .select(col("prev"), col("cur"),
+        q(lit(lambda) * col("cp").cast("double") / col("cprev").cast("double")
+          + lit(1 - lambda) * coalesce(p1(col("ccur")), lit(pOov))).as("lp_micro"))
+    BigramModel(
+      pairLp,
+      inVocab.select(col("tok"), q(lit(1 - lambda) * p1(col("c"))).as("lpu_micro")),
+      inVocab.select(col("tok"), q(p1(col("c"))).as("lp0_micro")),
+      math.floor(math.log((1 - lambda) * pOov) * 1e6 + 0.5).toLong,
+      math.floor(math.log(pOov) * 1e6 + 0.5).toLong)
+  }
+
+  /** Scores documents under the bigram model: the document-initial token
+    * uses the pure unigram lp; every later token uses the seen-bigram lp
+    * when (prev, cur) is in the table, else the (1−λ)-scaled unigram
+    * fallback. Same exact-BIGINT-sum contract as [[scoreNll]].
+    */
+  def scoreBigramNll(docs: DataFrame, textCol: String, idCol: String,
+      m: BigramModel): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("id"), tokens(normalizeText(col(textCol))).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val first = toks
+      .select(col("id"), element_at(col("toks"), 1).as("tok"))
+      .join(m.uniLp, Seq("tok"), "left")
+      .select(col("id"), coalesce(col("lp0_micro"), lit(m.oovMicro)).as("lp"))
+    val rest = toks
+      .select(col("id"), explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("prev"), b.as("cur")))).as("pr"))
+      .select(col("id"), col("pr.prev").as("prev"), col("pr.cur").as("cur"))
+      .join(m.pairLp, Seq("prev", "cur"), "left")
+      .join(m.uniInterpLp.withColumnRenamed("tok", "cur"), Seq("cur"), "left")
+      .select(col("id"),
+        coalesce(col("lp_micro"), col("lpu_micro"), lit(m.oovInterpMicro)).as("lp"))
+    first.unionByName(rest)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"), (-sum(col("lp"))).as("nll_micro"))
+  }
 }

@@ -197,6 +197,28 @@ object TextQueries extends QueryPack {
           when(col("nll_micro") <= lit(3399800L) * col("n_tokens"), "head")
             .when(col("nll_micro") <= lit(3404100L) * col("n_tokens"), "middle")
             .otherwise("tail").as("ppl_bucket"))
+    },
+
+    // -- Interpolated bigram LM scoring (L4): one trained BigramModel
+    //    yields both the unigram and the λ-interpolated bigram NLL per
+    //    doc, plus the exact interpolation gain — all BIGINT micro-nat
+    //    arithmetic (the oracle retrains both models from scratch). The
+    //    oracle SQL mirrors the JVM's IEEE evaluation SHAPE, not just its
+    //    formulas: (0.7*cp)/cprev, and (1 - 0.7) — which is
+    //    0.30000000000000004, NOT the literal 0.3 — so every quantization
+    //    point lands on the identical double before floor(·1e6+0.5).
+    "t12_bigram_perplexity" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val m = graft.operators.LanguageModel.bigramLm(t.documents, "text")
+      val uni = graft.operators.LanguageModel.scoreNll(
+        t.documents, "text", "doc_id",
+        m.uniLp.withColumnRenamed("lp0_micro", "lp_micro"), m.oovMicro)
+      val bi = graft.operators.LanguageModel.scoreBigramNll(
+        t.documents, "text", "doc_id", m)
+      uni.join(bi.select(col("id"), col("nll_micro").as("nll_bi_micro")), Seq("id"))
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          col("nll_micro").as("nll_uni_micro"), col("nll_bi_micro"),
+          (col("nll_micro") - col("nll_bi_micro")).as("gain_micro"))
     }
   )
 
@@ -441,6 +463,64 @@ object TextQueries extends QueryPack {
         |  CASE WHEN nll_micro <= 3399800 * n_tokens THEN 'head'
         |       WHEN nll_micro <= 3404100 * n_tokens THEN 'middle'
         |       ELSE 'tail' END AS ppl_bucket
+        |FROM scored""".stripMargin,
+    // t12: DuckDB retrains BOTH models. Positions come from a zipping
+    // parallel unnest; prev via lag over (doc_id, pos). Arithmetic shape
+    // mirrors the JVM exactly — (0.7*cp)/cprev, (1 - 0.7) not 0.3.
+    "t12_bigram_perplexity" ->
+      """WITH n AS (SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS nt
+        |  FROM documents),
+        |tp AS (SELECT doc_id,
+        |    unnest(string_split(nt, ' ')) AS tok,
+        |    unnest(range(1, len(string_split(nt, ' ')) + 1)) AS pos
+        |  FROM n WHERE nt <> ''),
+        |tok AS (SELECT doc_id, pos, tok,
+        |    lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM tp),
+        |cnt AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+        |tot AS (SELECT sum(c) AS total,
+        |    count(*) FILTER (WHERE c >= 2) AS vsize FROM cnt),
+        |lm0 AS (SELECT tok,
+        |    CAST(floor(ln((c + 1.0) / (total + vsize + 1)) * 1e6 + 0.5)
+        |      AS BIGINT) AS lp0,
+        |    CAST(floor(ln((1 - 0.7) * ((c + 1.0) / (total + vsize + 1)))
+        |      * 1e6 + 0.5) AS BIGINT) AS lpu
+        |  FROM cnt, tot WHERE c >= 2),
+        |oo AS (SELECT
+        |    CAST(floor(ln(1.0 / (total + vsize + 1)) * 1e6 + 0.5)
+        |      AS BIGINT) AS oov0,
+        |    CAST(floor(ln((1 - 0.7) * (1.0 / (total + vsize + 1)))
+        |      * 1e6 + 0.5) AS BIGINT) AS oovi
+        |  FROM tot),
+        |pc AS (SELECT prev, tok AS cur, count(*) AS cp FROM tok
+        |  WHERE prev IS NOT NULL GROUP BY prev, tok HAVING count(*) >= 2),
+        |plm AS (SELECT pc.prev, pc.cur,
+        |    CAST(floor(ln((0.7 * pc.cp) / cprev.c
+        |        + (1 - 0.7) * (CASE WHEN ccur.c IS NOT NULL
+        |            THEN (ccur.c + 1.0) / (total + vsize + 1)
+        |            ELSE 1.0 / (total + vsize + 1) END))
+        |      * 1e6 + 0.5) AS BIGINT) AS lp
+        |  FROM pc
+        |  JOIN cnt cprev ON pc.prev = cprev.tok
+        |  LEFT JOIN (SELECT tok, c FROM cnt WHERE c >= 2) ccur
+        |    ON pc.cur = ccur.tok
+        |  CROSS JOIN tot),
+        |scored AS (SELECT t.doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(-sum(coalesce(lm0.lp0, (SELECT oov0 FROM oo)))
+        |      AS BIGINT) AS nll_uni_micro,
+        |    CAST(-sum(CASE WHEN t.prev IS NULL
+        |        THEN coalesce(lm0.lp0, (SELECT oov0 FROM oo))
+        |        ELSE coalesce(plm.lp, lm0.lpu, (SELECT oovi FROM oo))
+        |      END) AS BIGINT) AS nll_bi_micro
+        |  FROM tok t
+        |  LEFT JOIN lm0 ON t.tok = lm0.tok
+        |  LEFT JOIN plm ON t.prev = plm.prev AND t.tok = plm.cur
+        |  GROUP BY t.doc_id)
+        |SELECT doc_id, n_tokens, nll_uni_micro, nll_bi_micro,
+        |  nll_uni_micro - nll_bi_micro AS gain_micro
         |FROM scored""".stripMargin
   )
 }

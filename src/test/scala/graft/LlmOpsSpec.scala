@@ -583,4 +583,30 @@ class LlmOpsSpec extends SparkSpec {
     // rarer docs score strictly worse (higher NLL per token)
     assert(scored(2L)._2 > scored(1L)._2)
   }
+
+  test("bigram LM: interpolated pairs, unigram fallback chain, exact sums") {
+    import spark.implicits._
+    import graft.operators.LanguageModel
+    // uni: a=3 b=3 c=1, total=7, vocab={a,b}, denom=10
+    // pairs: (a,b)=2 (b,a)=2 (a,c)=1 → table keeps the two count-2 pairs
+    val docs = Seq((1L, "a b a b"), (2L, "b a c")).toDF("doc_id", "text")
+    val m = LanguageModel.bigramLm(docs, "text", minCount = 2)
+    def q(p: Double): Long = math.floor(math.log(p) * 1e6 + 0.5).toLong
+    val lam = 0.7
+    // mirror the implementation's IEEE shape: (λ*cp)/cprev + (1-λ)*p1
+    val pairAB = q(lam * 2 / 3 + (1 - lam) * (4 / 10.0))
+    val lp0 = q(4 / 10.0) // p1(a) == p1(b)
+    val oovi = q((1 - lam) * (1 / 10.0))
+    val pairs = m.pairLp.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(pairs === Map(("a", "b") -> pairAB, ("b", "a") -> pairAB))
+    assert(m.oovMicro === q(1 / 10.0) && m.oovInterpMicro === oovi)
+    val scored = LanguageModel.scoreBigramNll(docs, "text", "doc_id", m)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 1 = first(a) + 3 seen pairs; doc 2 = first(b) + (b,a) + OOV cur
+    assert(scored(1L) === ((4L, -(lp0 + 3 * pairAB))))
+    assert(scored(2L) === ((3L, -(lp0 + pairAB + oovi))))
+    // seen-bigram probability beats the unigram-only path on this corpus
+    assert(pairAB > q((1 - lam) * (4 / 10.0)))
+  }
 }
