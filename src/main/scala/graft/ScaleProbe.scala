@@ -392,6 +392,18 @@ object ScaleProbe {
           graft.operators.LanguageModel.scoreNll(docs, "text", "doc_id", lm, oov)
             .agg(count(lit(1)).as("n_docs"),
               (sum(col("nll_micro")) / sum(col("n_tokens")) / 1e6).as("avg_nll"))
+        } else if (name == "t12_bigram_500k") { (s, d) =>
+          // bigram LM at 500k docs: pair-type space is ~vocab^2/replica x
+          // 100 replicas (disjoint cipher alphabets) — the probe pins that
+          // training stays two count shuffles and scoring two lookup
+          // joins + one doc agg as the pair table grows
+          val docs = graft.sources.Tables(s, d).documents
+          val m = graft.operators.LanguageModel.bigramLm(docs, "text")
+          println(s"[probe]   t12 pair_types=${m.pairLp.count()} " +
+            s"vocab=${m.uniLp.count()}")
+          graft.operators.LanguageModel.scoreBigramNll(docs, "text", "doc_id", m)
+            .agg(count(lit(1)).as("n_docs"),
+              (sum(col("nll_micro")) / sum(col("n_tokens")) / 1e6).as("avg_nll"))
         } else if (name == "e12_stream_500k") { (s, d) =>
           // streaming near-dup at 500k docs in 5 catch-up micro-batches of
           // ~100k: each batch's signatures probe the store built by the
