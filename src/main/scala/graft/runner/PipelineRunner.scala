@@ -144,16 +144,31 @@ object PipelineRunner {
           .filter(col("quality") >= minQuality &&
             col("dup_trigram_frac") <= 0.5)
       },
+      // CCNet-style LM gate: train the unigram LM on the rule-gated
+      // survivors themselves, score every doc, drop the high-perplexity
+      // tail (integer threshold test — avg NLL <= 3.45 nats). Training on
+      // the post-gate corpus, not the raw crawl, is the CCNet trick: the
+      // model represents what survived the cheap rules, so the tail is
+      // "unlike the acceptable corpus", not "unlike the web"
+      "lm_gate" -> { (spark, cfg) =>
+        val gated = spark.read.parquet(s"${cfg.outputDir}/quality_gate")
+        val (lm, oov) = graft.operators.LanguageModel.unigramLm(gated, "text")
+        gated.join(
+          graft.operators.LanguageModel.scoreNll(gated, "text", "doc_id", lm, oov)
+            .filter(col("nll_micro") <= lit(3450000L) * col("n_tokens"))
+            .select(col("id").as("doc_id")),
+          Seq("doc_id"))
+      },
       // training-ready outputs: overlapping token chunks of the gated
       // corpus, and fixed-token-budget shard assignments per language
       "chunk_documents" -> { (spark, cfg) =>
         graft.operators.Corpus.chunkDocuments(
-          spark.read.parquet(s"${cfg.outputDir}/quality_gate"),
+          spark.read.parquet(s"${cfg.outputDir}/lm_gate"),
           "doc_id", "text", chunkTokens = 512, overlapTokens = 64)
       },
       "pack_shards" -> { (spark, cfg) =>
         graft.operators.Corpus.packSequences(
-          spark.read.parquet(s"${cfg.outputDir}/quality_gate")
+          spark.read.parquet(s"${cfg.outputDir}/lm_gate")
             .select(col("doc_id"), col("lang_guess"), col("text")),
           "lang_guess", "doc_id", "text", budgetTokens = 65536L)
       },
@@ -161,14 +176,14 @@ object PipelineRunner {
       // sets stay comparable across pipeline re-runs
       "holdout_sample" -> { (spark, cfg) =>
         graft.operators.Corpus.stratifiedSample(
-          spark.read.parquet(s"${cfg.outputDir}/quality_gate"),
+          spark.read.parquet(s"${cfg.outputDir}/lm_gate"),
           "lang_guess", "doc_id", perStratum = 25)
       },
       // decontaminate the TRAINING corpus against the held-out sample:
       // any doc sharing a 13-gram with the eval slice leaves training
       // (the eval docs themselves leave too, via the id anti-join)
       "train_decontaminated" -> { (spark, cfg) =>
-        val gated = spark.read.parquet(s"${cfg.outputDir}/quality_gate")
+        val gated = spark.read.parquet(s"${cfg.outputDir}/lm_gate")
         val holdout = spark.read.parquet(s"${cfg.outputDir}/holdout_sample")
         graft.operators.Corpus.decontaminate(
           gated.join(holdout.select(col("doc_id")), Seq("doc_id"), "left_anti"),
@@ -178,16 +193,16 @@ object PipelineRunner {
       // repeated queries then probe them instead of rescanning text)
       "term_index" -> { (spark, cfg) =>
         graft.operators.TextIndex.postings(
-          spark.read.parquet(s"${cfg.outputDir}/quality_gate"), "doc_id", "text")
+          spark.read.parquet(s"${cfg.outputDir}/lm_gate"), "doc_id", "text")
       },
       // fingerprint store for the NEXT run's incremental dedup
       // (Dedup.incrementalExact probes this instead of rescanning history)
       "fingerprint_store" -> { (spark, cfg) =>
         graft.operators.Dedup.fingerprints(
-          spark.read.parquet(s"${cfg.outputDir}/quality_gate"), "text")
+          spark.read.parquet(s"${cfg.outputDir}/lm_gate"), "text")
       },
       "corpus_stats" -> { (spark, cfg) =>
-        spark.read.parquet(s"${cfg.outputDir}/quality_gate")
+        spark.read.parquet(s"${cfg.outputDir}/lm_gate")
           .groupBy(col("lang_guess"))
           .agg(
             count(lit(1)).as("n_docs"),

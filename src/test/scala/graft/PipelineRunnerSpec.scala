@@ -32,9 +32,12 @@ class PipelineRunnerSpec extends SparkSpec {
     assert(byStage("near_dedup") <= byStage("exact_dedup"))
     assert(byStage("quality_gate") <= byStage("near_dedup"))
     assert(byStage("quality_gate") > 0)
+    // the LM gate drops the high-perplexity tail of the rule-gated corpus
+    assert(byStage("lm_gate") <= byStage("quality_gate"))
+    assert(byStage("lm_gate") > 0)
     // chunking can only multiply surviving docs; packing keeps one row per doc
-    assert(byStage("chunk_documents") >= byStage("quality_gate"))
-    assert(byStage("pack_shards") === byStage("quality_gate"))
+    assert(byStage("chunk_documents") >= byStage("lm_gate"))
+    assert(byStage("pack_shards") === byStage("lm_gate"))
     // every pack respects the budget up to one straddling document
     val overBudget = spark.read.parquet(s"$out/pack_shards")
       .groupBy(col("lang_guess"), col("pack_id"))
@@ -46,7 +49,7 @@ class PipelineRunnerSpec extends SparkSpec {
     val holdout = spark.read.parquet(s"$out/holdout_sample")
     assert(holdout.groupBy("lang_guess").count()
       .collect().forall(_.getLong(1) <= 25))
-    assert(holdout.join(spark.read.parquet(s"$out/quality_gate"), "doc_id").count()
+    assert(holdout.join(spark.read.parquet(s"$out/lm_gate"), "doc_id").count()
       === holdout.count())
     // stats cover every language present in the gated corpus
     val langs = spark.read.parquet(s"$out/corpus_stats").count()
