@@ -46,11 +46,14 @@ object LanguageModel {
       .select(explode(tokens(normalizeText(col(textCol)))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
       .localCheckpoint(true) // vocab-sized; read twice (stats + LM)
-    // one row: total token mass + vocab size — bounded driver state
+    // one row: total token mass + vocab size — bounded driver state.
+    // An empty/all-blank corpus sums to null → denom 1 (OOV prob 1, lp 0)
+    // rather than an NPE
     val stats = cnt.agg(
       sum(col("c")).as("total"),
       sum(when(col("c") >= minCount, 1L).otherwise(0L)).as("vsize")).head()
-    val denom = (stats.getLong(0) + stats.getLong(1) + 1).toDouble
+    val denom =
+      (if (stats.isNullAt(0)) 1L else stats.getLong(0) + stats.getLong(1) + 1).toDouble
     val lm = cnt.filter(col("c") >= minCount)
       .select(col("tok"),
         floor(log((col("c") + 1).cast("double") / denom) * 1e6 + 0.5)
@@ -107,7 +110,8 @@ object LanguageModel {
     val stats = uniCnt.agg(
       sum(col("c")).as("total"),
       sum(when(col("c") >= minCount, 1L).otherwise(0L)).as("vsize")).head()
-    val denom = (stats.getLong(0) + stats.getLong(1) + 1).toDouble
+    val denom = // empty corpus → denom 1, same guard as unigramLm
+      (if (stats.isNullAt(0)) 1L else stats.getLong(0) + stats.getLong(1) + 1).toDouble
     // add-one unigram prob as a Column over a count column
     def p1(c: org.apache.spark.sql.Column) = (c + 1).cast("double") / denom
     def q(p: org.apache.spark.sql.Column) =

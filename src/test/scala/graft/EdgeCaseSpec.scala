@@ -151,6 +151,21 @@ class EdgeCaseSpec extends SparkSpec {
     assert(post.filter(col("doc_id") =!= 3L).count() === 0)
   }
 
+  test("LM training survives an empty and an all-blank corpus") {
+    import spark.implicits._
+    import graft.operators.LanguageModel
+    for (docs <- Seq(
+        Seq.empty[(Long, String)].toDF("doc_id", "text"),
+        Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text"))) {
+      val (lm, oov) = LanguageModel.unigramLm(docs, "text")
+      assert(lm.count() === 0 && oov === 0L) // denom 1 → ln(1)·1e6 = 0
+      assert(LanguageModel.scoreNll(docs, "text", "doc_id", lm, oov).count() === 0)
+      val m = LanguageModel.bigramLm(docs, "text")
+      assert(m.pairLp.count() === 0)
+      assert(LanguageModel.scoreBigramNll(docs, "text", "doc_id", m).count() === 0)
+    }
+  }
+
   test("mixtureSample with quota zero-weight edge and empty input") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "source")

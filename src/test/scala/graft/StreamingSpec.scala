@@ -289,6 +289,39 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === 1)
   }
 
+  test("LM scoring composes with streaming: per-batch scores equal batch") {
+    import spark.implicits._
+    import graft.operators.LanguageModel
+    // train once on a static reference corpus, persist the LM as a table;
+    // each micro-batch then scores against the SAME frozen model — the
+    // stateless score-at-ingest shape (exact bigint sums make this a
+    // strict equality with the batch run, not a property bound)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lmstream").toString
+    val corpus = Seq((1L, "a a b c"), (2L, "b a a"), (3L, "c c a b a"))
+      .toDF("doc_id", "text")
+    val (lm, oov) = LanguageModel.unigramLm(corpus, "text")
+    lm.write.parquet(s"$tmp/lm")
+    val frozen = spark.read.parquet(s"$tmp/lm")
+    corpus.filter($"doc_id" <= 2).coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    corpus.filter($"doc_id" === 3).coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    val q = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
+      .writeStream
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        LanguageModel.scoreNll(batch, "text", "doc_id", frozen, oov)
+          .write.mode("append").parquet(s"$tmp/out")
+      }
+      .start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(s"$tmp/out")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batch = LanguageModel.scoreNll(corpus, "text", "doc_id", lm, oov)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed === batch, "frozen-LM streaming scores == batch scores")
+  }
+
   test("foreachBatch upsert keeps the latest row per key across micro-batches") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_upsert").toString
