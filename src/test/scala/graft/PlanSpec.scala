@@ -246,6 +246,19 @@ class PlanSpec extends SparkSpec {
       s"the corpus branch must not shuffle:\n${p.take(3000)}")
   }
 
+  test("t11 LM scoring: broadcast token lookup, two-phase doc aggregate") {
+    val docs = graft.sources.Tables(spark, sf).documents
+    val (lm, oov) = graft.operators.LanguageModel.unigramLm(docs, "text")
+    val scored = graft.operators.LanguageModel.scoreNll(docs, "text", "doc_id", lm, oov)
+    scored.collect() // finalize under AQE
+    val p = scored.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"the vocab-sized LM must broadcast, never shuffle the token stream:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"), s"no token-keyed shuffle join:\n${p.take(2000)}")
+    assert(p.contains("partial_sum"),
+      s"doc aggregate must map-side combine before the one exchange:\n${p.take(2000)}")
+  }
+
   test("whole-stage codegen covers the relational core queries") {
     Seq("q01_pricing_summary", "q06_forecast_revenue", "w03_running_revenue").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sf)
