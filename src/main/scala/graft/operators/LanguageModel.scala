@@ -41,11 +41,33 @@ object LanguageModel {
     * @return (LM frame `(tok, lp_micro)`, OOV lp_micro)
     */
   def unigramLm(docs: DataFrame, textCol: String,
-      minCount: Long = 2): (DataFrame, Long) = {
-    val cnt = docs
+      minCount: Long = 2): (DataFrame, Long) =
+    unigramLmFromCounts(tokenCounts(docs, textCol), minCount)
+
+  /** Corpus token counts `(tok, c)` — the persistable TRAINING STATE of
+    * the LM family. Counts are exact integers, so stores merge losslessly
+    * ([[mergeTokenCounts]]): at 100 TB the LM retrains from the count
+    * store in vocab-sized work instead of rescanning the corpus, the same
+    * incremental shape as the d06/d09/c08 stores.
+    */
+  def tokenCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs
       .select(explode(tokens(normalizeText(col(textCol)))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
-      .localCheckpoint(true) // vocab-sized; read twice (stats + LM)
+
+  /** Merges count stores by exact integer addition. Training on the merge
+    * IS training on the concatenated corpora — a strict equality, not an
+    * approximation (spec-pinned).
+    */
+  def mergeTokenCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("tok").agg(sum(col("c")).as("c"))
+
+  /** Quantizes a count store into the add-one unigram LM (see
+    * [[unigramLm]] for the model contract).
+    */
+  def unigramLmFromCounts(counts: DataFrame,
+      minCount: Long = 2): (DataFrame, Long) = {
+    val cnt = counts.localCheckpoint(true) // vocab-sized; stats + LM
     // one row: total token mass + vocab size — bounded driver state.
     // An empty/all-blank corpus sums to null → denom 1 (OOV prob 1, lp 0)
     // rather than an NPE

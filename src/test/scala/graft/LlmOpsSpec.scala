@@ -609,4 +609,25 @@ class LlmOpsSpec extends SparkSpec {
     // seen-bigram probability beats the unigram-only path on this corpus
     assert(pairAB > q((1 - lam) * (4 / 10.0)))
   }
+
+  test("LM count stores merge losslessly: incremental == full retrain") {
+    import spark.implicits._
+    import graft.operators.LanguageModel._
+    val a = Seq((1L, "a a b"), (2L, "c b a")).toDF("doc_id", "text")
+    val b = Seq((3L, "b c c d"), (4L, "a d")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lmstore").toString
+    // batch 1 trains and persists its store; batch 2 merges into it
+    tokenCounts(a, "text").write.parquet(s"$tmp/store")
+    val merged = mergeTokenCounts(
+      spark.read.parquet(s"$tmp/store"), tokenCounts(b, "text"))
+    val (lmInc, oovInc) = unigramLmFromCounts(merged)
+    val (lmFull, oovFull) = unigramLm(a.unionByName(b), "text")
+    val inc = lmInc.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = lmFull.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(inc === full && oovInc === oovFull,
+      "merge-then-quantize must equal full-corpus training exactly")
+    // sanity: the merge really combined mass (a=4 b=3 c=3 d=2 across both)
+    val cnts = merged.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cnts === Map("a" -> 4L, "b" -> 3L, "c" -> 3L, "d" -> 2L))
+  }
 }
