@@ -106,4 +106,28 @@ class PropertySpec extends SparkSpec {
       assert(sigs(1L) === sigs(2L))
     }
   }
+
+  test("LM count-store merge is commutative and split-invariant") {
+    import spark.implicits._
+    import graft.operators.LanguageModel._
+    val genDocs = Gen.listOfN(6,
+      Gen.listOfN(5, Gen.oneOf("a", "b", "c", "dd", "ee")).map(_.mkString(" ")))
+    forAll(Gen.zip(genDocs, Gen.choose(1, 5)), n = 4) { case (texts, cut) =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      def cnts(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+        df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val a = tokenCounts(docs.filter($"doc_id" < cut), "text")
+      val b = tokenCounts(docs.filter($"doc_id" >= cut), "text")
+      val full = cnts(tokenCounts(docs, "text"))
+      // any split point merges back to the full counts, in either order
+      assert(cnts(mergeTokenCounts(a, b)) === full)
+      assert(cnts(mergeTokenCounts(b, a)) === full)
+      // and the quantized model from the merge equals the full retrain
+      val (lmM, oovM) = unigramLmFromCounts(mergeTokenCounts(a, b))
+      val (lmF, oovF) = unigramLm(docs, "text")
+      assert(cnts(lmM.withColumnRenamed("lp_micro", "c")) ===
+        cnts(lmF.withColumnRenamed("lp_micro", "c")) && oovM === oovF)
+    }
+  }
 }
