@@ -392,6 +392,28 @@ object ScaleProbe {
           graft.operators.LanguageModel.scoreNll(docs, "text", "doc_id", lm, oov)
             .agg(count(lit(1)).as("n_docs"),
               (sum(col("nll_micro")) / sum(col("n_tokens")) / 1e6).as("avg_nll"))
+        } else if (name == "t11_incremental_500k") { (s, d) =>
+          // incremental LM retrain at 500k docs: even docs' counts are the
+          // persisted store (parquet round-trip included), the odd half is
+          // the new batch — merge + quantize must cost vocab-sized work on
+          // the store side (the batch's own count shuffle is the only
+          // corpus-scale step), vs the 500k-doc full retrain at ~3 s
+          val docs = graft.sources.Tables(s, d).documents
+          val tmp = java.nio.file.Files.createTempDirectory("graft_lmprobe_").toString
+          graft.operators.LanguageModel.tokenCounts(
+            docs.filter(col("doc_id") % 2 === 0), "text")
+            .write.parquet(s"$tmp/store")
+          val t1 = System.nanoTime()
+          val merged = graft.operators.LanguageModel.mergeTokenCounts(
+            s.read.parquet(s"$tmp/store"),
+            graft.operators.LanguageModel.tokenCounts(
+              docs.filter(col("doc_id") % 2 === 1), "text"))
+          val (lm, oov) =
+            graft.operators.LanguageModel.unigramLmFromCounts(merged)
+          println(f"[probe]   t11inc merge+quantize=" +
+            f"${(System.nanoTime() - t1) / 1e9}%.2f s vocab=${lm.count()}%d " +
+            f"oov=$oov%d")
+          lm
         } else if (name == "t12_bigram_500k") { (s, d) =>
           // bigram LM at 500k docs: pair-type space is ~vocab^2/replica x
           // 100 replicas (disjoint cipher alphabets) — the probe pins that

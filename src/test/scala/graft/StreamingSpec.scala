@@ -322,6 +322,43 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch, "frozen-LM streaming scores == batch scores")
   }
 
+  test("streaming token-count accumulation: merged store equals batch counts") {
+    import spark.implicits._
+    import graft.operators.LanguageModel._
+    // the LM training-state twin of the dedup stores: each micro-batch
+    // merges its counts into the persisted store (vocab-sized rewrite —
+    // counts merge exactly, so the result is order-independent)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cntstream").toString
+    val corpus = Seq((1L, "a a b"), (2L, "c b a"), (3L, "b c c d"), (4L, "a d"))
+      .toDF("doc_id", "text")
+    corpus.filter($"doc_id" <= 2).coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    corpus.filter($"doc_id" > 2).coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    val q = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
+      .writeStream
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val bc = tokenCounts(batch, "text")
+        val merged =
+          try mergeTokenCounts(s.read.parquet(s"$tmp/store"), bc)
+            .localCheckpoint(true) // must materialize BEFORE the overwrite
+          catch {
+            case e: org.apache.spark.sql.AnalysisException
+                if e.getCondition == "PATH_NOT_FOUND" => bc
+          }
+        merged.write.mode("overwrite").parquet(s"$tmp/store")
+      }
+      .start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(s"$tmp/store")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = tokenCounts(corpus, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed === batch, "accumulated store == one-shot corpus counts")
+  }
+
   test("foreachBatch upsert keeps the latest row per key across micro-batches") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_upsert").toString
