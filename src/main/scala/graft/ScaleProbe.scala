@@ -392,6 +392,23 @@ object ScaleProbe {
           graft.operators.LanguageModel.scoreNll(docs, "text", "doc_id", lm, oov)
             .agg(count(lit(1)).as("n_docs"),
               (sum(col("nll_micro")) / sum(col("n_tokens")) / 1e6).as("avg_nll"))
+        } else if (name == "x05_cms_500k") { (s, d) =>
+          // CMS at 27M tokens / 3012 vocab: real collision pressure (mean
+          // row excess ~ N/w = 3.3k). Reports the actual est-exact gap
+          // distribution over the exact top-25 — observation, not a gate:
+          // the registered query's bound booleans stay the gate at sf<=0.1
+          import graft.functions.TextFunctions.{normalizeText, tokens}
+          val docs = graft.sources.Tables(s, d).documents
+          val toks = docs.select(explode(tokens(normalizeText(col("text")))).as("tok"))
+          val exact = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+            .orderBy(col("n").desc, col("tok").asc).limit(25)
+          val sketch = graft.operators.Sketches.countMinSketch(docs, "text")
+          graft.operators.Sketches.cmsEstimate(sketch, exact.select("tok"))
+            .join(exact, Seq("tok"))
+            .agg(count(lit(1)).as("n_tokens"),
+              max(col("est") - col("n")).as("max_overcount"),
+              avg(col("est") - col("n")).as("avg_overcount"),
+              sum(when(col("est") < col("n"), 1).otherwise(0)).as("n_undercount"))
         } else if (name == "t11_incremental_500k") { (s, d) =>
           // incremental LM retrain at 500k docs: even docs' counts are the
           // persisted store (parquet round-trip included), the odd half is

@@ -66,6 +66,33 @@ object TypeSurfaceQueries extends QueryPack {
         .limit(1000)
     },
 
+    // -- Count-Min heavy hitters (A4 scale path, Cormode & Muthukrishnan):
+    //    the sketch's map-side combine bounds the shuffle at d*w cells
+    //    regardless of vocabulary, vs the exact histogram's row-per-
+    //    distinct-token. Oracled in the a07 pattern: exact top-25 counts
+    //    hash-compared, sketch quality as in-query booleans (one-sided
+    //    overcount by construction; e/w*N additive bound) — the estimates
+    //    themselves are engine-native xxhash64 state with no cross-engine
+    //    twin, exactly like d02/d03's signature internals.
+    "x05_cms_heavy_hitters" -> { (spark, dir) =>
+      import graft.functions.TextFunctions.{normalizeText, tokens}
+      val t = Tables(spark, dir)
+      val toks = t.documents
+        .select(explode(tokens(normalizeText(col("text")))).as("tok"))
+      val exact = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok").asc).limit(25)
+      val total = toks.agg(count(lit(1)).as("total_n"))
+      val sketch = graft.operators.Sketches.countMinSketch(t.documents, "text")
+      graft.operators.Sketches.cmsEstimate(sketch, exact.select("tok"))
+        .join(exact, Seq("tok"))
+        .crossJoin(broadcast(total))
+        .select(col("tok").as("token"), col("n"),
+          (col("est") >= col("n")).as("overcount_ok"),
+          (col("est") <= col("n") +
+            ceil(lit(math.E / 8192.0) * col("total_n")).cast("long"))
+            .as("bound_ok"))
+    },
+
     // -- VARIANT (Spark 4): parse ONCE, extract four typed fields — the
     //    shape where VARIANT beats per-field get_json_object (one parse
     //    amortized over N extractions; whole-stage codegen's subexpression
@@ -117,6 +144,19 @@ object TypeSurfaceQueries extends QueryPack {
         |  FROM orders)
         |SELECT o_orderkey, o_custkey, z, z >> 58 AS zb
         |FROM z ORDER BY z ASC, o_orderkey ASC LIMIT 1000""".stripMargin,
+    // x05: exact top-25 token counts recomputed from scratch; the sketch
+    // bound booleans are TRUE literals (a07 pattern — quality asserted
+    // in-query on the Spark side, exact values hash-compared here)
+    "x05_cms_heavy_hitters" ->
+      """WITH n AS (SELECT trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS nt
+        |  FROM documents),
+        |tok AS (SELECT unnest(string_split(nt, ' ')) AS tok
+        |  FROM n WHERE nt <> '')
+        |SELECT tok AS token, count(*) AS n,
+        |  TRUE AS overcount_ok, TRUE AS bound_ok
+        |FROM tok GROUP BY tok
+        |ORDER BY n DESC, tok ASC LIMIT 25""".stripMargin,
     "x03_variant_props" ->
       """SELECT event_type AS etype,
         |  count(*) AS n,

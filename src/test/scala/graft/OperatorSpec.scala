@@ -155,4 +155,24 @@ class OperatorSpec extends SparkSpec {
       .filter(!(col("k") <=> col("k_json"))).count()
     assert(mismatches === 0L)
   }
+
+  test("count-min sketch: one-sided error, exact on sparse vocab, merges cellwise") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    val a = Seq((1L, "x x y"), (2L, "y z x")).toDF("doc_id", "text")
+    val b = Seq((3L, "z z q x")).toDF("doc_id", "text")
+    val full = a.unionByName(b)
+    def cells(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // 4 tokens in 8192 buckets: estimates are exact, absent token reads 0
+    val est = Sketches.cmsEstimate(
+      Sketches.countMinSketch(full, "text"),
+      Seq("x", "y", "z", "q", "absent").toDF("tok"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est === Map("x" -> 4L, "y" -> 2L, "z" -> 3L, "q" -> 1L, "absent" -> 0L))
+    // merge of per-batch sketches == sketch of the union, cell for cell
+    assert(cells(Sketches.mergeCountMin(
+        Sketches.countMinSketch(a, "text"), Sketches.countMinSketch(b, "text")))
+      === cells(Sketches.countMinSketch(full, "text")))
+  }
 }
