@@ -392,6 +392,13 @@ object ScaleProbe {
           graft.operators.LanguageModel.scoreNll(docs, "text", "doc_id", lm, oov)
             .agg(count(lit(1)).as("n_docs"),
               (sum(col("nll_micro")) / sum(col("n_tokens")) / 1e6).as("avg_nll"))
+        } else if (name == "x06_mg_500k") { (s, d) =>
+          // MG-gated exact top-25 at 27M tokens; on this quasi-uniform
+          // 3012-token vocab every token clears N/mgK so candidates =
+          // vocab (the gate's win appears when vocab >> mgK) — the probe
+          // pins the bounded-summary pass's cost, not the gate's win
+          graft.operators.Sketches.topKTokens(
+            graft.sources.Tables(s, d).documents, "text", topK = 25)
         } else if (name == "x05_cms_500k") { (s, d) =>
           // CMS at 27M tokens / 3012 vocab: real collision pressure (mean
           // row excess ~ N/w = 3.3k). Reports the actual est-exact gap

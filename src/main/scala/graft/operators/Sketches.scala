@@ -54,4 +54,54 @@ object Sketches {
       .join(sketch, Seq("r", "bucket"), "left")
       .groupBy("tok")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+
+  /** Misra-Gries heavy-hitter CANDIDATES in bounded per-partition memory
+    * (batched-decrement variant): each partition keeps at most `2*k`
+    * counters; on overflow the (k+1)-th largest count δ is subtracted
+    * from every counter and non-positive entries drop. Each prune
+    * discards ≥ k·δ mass, so the total decrement Σδ ≤ N_p/k and any
+    * token with partition count > N_p/k survives its partition; summing
+    * over partitions, any token with GLOBAL count > N/k survives
+    * somewhere. The union of survivors is therefore a guaranteed
+    * superset of every token with frequency above N/k — the candidate
+    * set for an exact recount whose shuffle is candidate-bounded, never
+    * vocabulary-bounded. The X5 mapPartitions escape is justified: the
+    * summary is imperative bounded state no relational rewrite expresses.
+    */
+  def mgCandidates(docs: DataFrame, textCol: String,
+      k: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val toks = docs
+      .select(explode(tokens(normalizeText(col(textCol)))).as("tok"))
+      .select(col("tok")).as(Encoders.STRING)
+    toks.mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { tok =>
+        m.update(tok, m.getOrElse(tok, 0L) + 1L)
+        if (m.size > 2 * k) {
+          // δ = (k+1)-th largest count; deterministic regardless of map order
+          val delta = m.values.toArray.sorted(Ordering.Long.reverse).apply(k)
+          m.filterInPlace((_, c) => c > delta)
+          m.mapValuesInPlace((_, c) => c - delta)
+        }
+      }
+      m.keysIterator
+    }(Encoders.STRING).toDF("tok").distinct()
+  }
+
+  /** Exact top-k heavy hitters WITHOUT a full-vocabulary shuffle: MG
+    * candidates (map-only bounded state) gate the token stream, then the
+    * exact recount aggregates only candidate occurrences. Correct
+    * whenever the k-th true frequency exceeds N/mgK (the MG survival
+    * bound) — size `mgK` accordingly; with the default 4096 that means
+    * any token above 0.024% of the stream.
+    */
+  def topKTokens(docs: DataFrame, textCol: String, topK: Int = 25,
+      mgK: Int = 4096): DataFrame =
+    docs
+      .select(explode(tokens(normalizeText(col(textCol)))).as("tok"))
+      .join(broadcast(mgCandidates(docs, textCol, mgK)), Seq("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc)
+      .limit(topK)
 }

@@ -93,6 +93,19 @@ object TypeSurfaceQueries extends QueryPack {
             .as("bound_ok"))
     },
 
+    // -- Misra-Gries exact top-k (X5 x A4): u06/u07-style algorithm
+    //    contrast with t04 — same answer, but the full-vocabulary shuffle
+    //    is replaced by bounded per-partition summaries gating an exact
+    //    recount (shuffle = candidate occurrences only). Fully
+    //    hash-oracled because the MG survival bound (k-th frequency >
+    //    N/mgK) holds with margin on this fixture, making the output
+    //    deterministically the true top-25.
+    "x06_mg_topk" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      graft.operators.Sketches.topKTokens(t.documents, "text", topK = 25)
+        .select(col("tok").as("token"), col("n"))
+    },
+
     // -- VARIANT (Spark 4): parse ONCE, extract four typed fields — the
     //    shape where VARIANT beats per-field get_json_object (one parse
     //    amortized over N extractions; whole-stage codegen's subexpression
@@ -155,6 +168,17 @@ object TypeSurfaceQueries extends QueryPack {
         |  FROM n WHERE nt <> '')
         |SELECT tok AS token, count(*) AS n,
         |  TRUE AS overcount_ok, TRUE AS bound_ok
+        |FROM tok GROUP BY tok
+        |ORDER BY n DESC, tok ASC LIMIT 25""".stripMargin,
+    // x06: the exact top-25 recomputed the straightforward way — the MG
+    // path must land on the identical rows
+    "x06_mg_topk" ->
+      """WITH n AS (SELECT trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS nt
+        |  FROM documents),
+        |tok AS (SELECT unnest(string_split(nt, ' ')) AS tok
+        |  FROM n WHERE nt <> '')
+        |SELECT tok AS token, count(*) AS n
         |FROM tok GROUP BY tok
         |ORDER BY n DESC, tok ASC LIMIT 25""".stripMargin,
     "x03_variant_props" ->

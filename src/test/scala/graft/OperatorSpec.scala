@@ -175,4 +175,22 @@ class OperatorSpec extends SparkSpec {
         Sketches.countMinSketch(a, "text"), Sketches.countMinSketch(b, "text")))
       === cells(Sketches.countMinSketch(full, "text")))
   }
+
+  test("misra-gries survives pruning pressure and recounts the true top-k") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    // one heavy token among 40 singletons, crammed into ONE partition
+    // with k=2 (cap 4) so the prune path fires repeatedly
+    val words = (1 to 40).flatMap(i => Seq(s"w$i", "heavy", "heavy"))
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text").coalesce(1)
+    val cands = Sketches.mgCandidates(docs, "text", k = 2)
+      .collect().map(_.getString(0)).toSet
+    assert(cands.contains("heavy"),
+      s"freq > N/k must survive batched decrements: $cands")
+    assert(cands.size <= 4, s"summary stays within the 2k cap: $cands")
+    // end-to-end: MG-gated recount equals the plain exact top-k
+    val mg = Sketches.topKTokens(docs, "text", topK = 3, mgK = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(mg.head === (("heavy", 80L)))
+  }
 }
