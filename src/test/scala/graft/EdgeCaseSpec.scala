@@ -166,6 +166,20 @@ class EdgeCaseSpec extends SparkSpec {
     }
   }
 
+  test("sketch operators survive empty corpora") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val sketch = Sketches.countMinSketch(empty, "text")
+    assert(sketch.count() === 0)
+    // estimates against an empty sketch read 0, never null/fail
+    val est = Sketches.cmsEstimate(sketch, Seq("x").toDF("tok"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est === Map("x" -> 0L))
+    assert(Sketches.mgCandidates(empty, "text").count() === 0)
+    assert(Sketches.topKTokens(empty, "text").count() === 0)
+  }
+
   test("mixtureSample with quota zero-weight edge and empty input") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "source")
