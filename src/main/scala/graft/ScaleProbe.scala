@@ -392,6 +392,22 @@ object ScaleProbe {
           graft.operators.LanguageModel.scoreNll(docs, "text", "doc_id", lm, oov)
             .agg(count(lit(1)).as("n_docs"),
               (sum(col("nll_micro")) / sum(col("n_tokens")) / 1e6).as("avg_nll"))
+        } else if (name == "bpe_500k") { (s, d) =>
+          // tokenizer induction at 500k docs: training = one word-count
+          // shuffle + a driver loop over the 3012-type histogram (the
+          // minWordFreq knob bounds that collect at real scale);
+          // application = map-only over the corpus with the merge table
+          // in the closure
+          val docs = graft.sources.Tables(s, d).documents
+          val t1 = System.nanoTime()
+          val merges = graft.operators.Bpe.learnMerges(docs, "text",
+            numMerges = 500, minWordFreq = 5)
+          println(f"[probe]   bpe learn=${(System.nanoTime() - t1) / 1e9}%.2f s " +
+            f"merges=${merges.size}%d")
+          graft.operators.Bpe.segment(docs, "text", "doc_id", merges)
+            .agg(count(lit(1)).as("n_docs"),
+              sum(col("n_tokens")).as("tokens"),
+              sum(col("n_subwords")).as("subwords"))
         } else if (name == "x06_mg_500k") { (s, d) =>
           // MG-gated exact top-25 at 27M tokens; on this quasi-uniform
           // 3012-token vocab every token clears N/mgK so candidates =
