@@ -159,6 +159,14 @@ object PipelineRunner {
             .select(col("id").as("doc_id")),
           Seq("doc_id"))
       },
+      // tokenizer induction on the final corpus: BPE merges learned from
+      // the gated survivors, every doc segmented map-only — the subword
+      // stream a trainer actually consumes
+      "bpe_tokenize" -> { (spark, cfg) =>
+        val gated = spark.read.parquet(s"${cfg.outputDir}/lm_gate")
+        val merges = graft.operators.Bpe.learnMerges(gated, "text", numMerges = 100)
+        graft.operators.Bpe.segment(gated, "text", "doc_id", merges)
+      },
       // training-ready outputs: overlapping token chunks of the gated
       // corpus, and fixed-token-budget shard assignments per language
       "chunk_documents" -> { (spark, cfg) =>

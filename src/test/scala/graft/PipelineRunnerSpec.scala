@@ -35,6 +35,11 @@ class PipelineRunnerSpec extends SparkSpec {
     // the LM gate drops the high-perplexity tail of the rule-gated corpus
     assert(byStage("lm_gate") <= byStage("quality_gate"))
     assert(byStage("lm_gate") > 0)
+    // tokenization is row-preserving over the final corpus, and BPE can
+    // only produce at least one subword per token
+    assert(byStage("bpe_tokenize") === byStage("lm_gate"))
+    val bpe = spark.read.parquet(s"$out/bpe_tokenize")
+    assert(bpe.filter(col("n_subwords") < col("n_tokens")).count() === 0)
     // chunking can only multiply surviving docs; packing keeps one row per doc
     assert(byStage("chunk_documents") >= byStage("lm_gate"))
     assert(byStage("pack_shards") === byStage("lm_gate"))
