@@ -24,7 +24,11 @@ import graft.operators.Dedup
   * `partitionBy(batch_id)` DYNAMIC overwrites, so a micro-batch replayed
   * after a failure rewrites exactly its own partition instead of
   * double-appending — the same touched-partition-bounded contract as the
-  * e11 upsert sink. Within-batch duplicates are the caller's concern
+  * e11 upsert sink. The history probe additionally excludes the batch's
+  * OWN store partition (`batch_id < batchId`): a replay that crashed
+  * between the store write and the checkpoint commit would otherwise find
+  * its own signatures in the store and report every replayed doc as a
+  * self-duplicate. Within-batch duplicates are the caller's concern
   * (run [[Dedup.minhashNearDupPairs]] on the batch, or exact-dedup it
   * first); this operator's contract is batch-vs-history, matching d09.
   */
@@ -62,8 +66,18 @@ object DedupStreams {
           val storeBefore =
             if (verbose) store.map(_.count()).getOrElse(0L) else 0L
           store.foreach { seen =>
-            Dedup.incrementalNearDup(sigs, seen.select("id", "sig"),
+            // foreachBatch is at-least-once: on a replay after a crash
+            // between the store write and the checkpoint commit, the store
+            // already holds THIS batch's own signatures. Probing them would
+            // make every replayed doc match itself (est_jaccard = 1.0) and
+            // its within-batch pairs, overwriting the partition with
+            // spurious detections — so restrict history to strictly earlier
+            // batches (batch_id is the partition column, present in the
+            // read schema), and belt-and-braces drop self-pairs.
+            Dedup.incrementalNearDup(sigs,
+              seen.filter(col("batch_id") < lit(batchId)).select("id", "sig"),
               numHashes, bands, minEstJaccard)
+              .filter(col("new_id") =!= col("seen_id"))
               .withColumn("batch_id", lit(batchId))
               .write.mode("overwrite")
               .option("partitionOverwriteMode", "dynamic")

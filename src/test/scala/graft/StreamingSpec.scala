@@ -287,6 +287,25 @@ class StreamingSpec extends SparkSpec {
     run()
     assert(spark.read.parquet(store).count() === 4)
     assert(spark.read.parquet(out).count() === 1)
+    // REPLAY: simulate a crash between the store write and the checkpoint
+    // commit of batch 1 by deleting its commit marker — the restart then
+    // re-executes batch 1 while the store ALREADY holds batch 1's own
+    // signatures. The probe must exclude the batch's own partition, or
+    // docs 3 and 4 would each match themselves (est_jaccard = 1.0) and
+    // overwrite the detections partition with self-pairs.
+    val commit1 = java.nio.file.Paths.get(ckpt, "commits", "1")
+    assert(java.nio.file.Files.deleteIfExists(commit1), "commit marker exists")
+    // the local ChecksumFileSystem keeps a sidecar .crc that breaks the
+    // re-written commit's rename if left behind
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(ckpt, "commits", ".1.crc"))
+    run()
+    assert(spark.read.parquet(store).count() === 4, "replay rewrites, not appends")
+    val replayed = spark.read.parquet(out)
+      .select("new_id", "seen_id", "est_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(replayed.keySet === Set(3L -> 1L),
+      s"replayed batch must not self-match against its own store rows: $replayed")
   }
 
   test("LM scoring composes with streaming: per-batch scores equal batch") {
