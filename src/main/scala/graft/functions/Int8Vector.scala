@@ -109,7 +109,13 @@ case class Int8Cosine(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[Array[Byte]]
     val y = b.asInstanceOf[Array[Byte]]
-    val n = math.min(x.length, y.length) - 8
+    // Mixed-dimension joins and truncated blobs are data corruption, not
+    // something to silently score over a prefix — fail loudly.
+    if (x.length != y.length || x.length < 8)
+      throw new IllegalArgumentException(
+        s"int8_cosine: malformed or mismatched packed blobs " +
+          s"(${x.length} vs ${y.length} bytes; need equal lengths >= 8)")
+    val n = x.length - 8
     var dot = 0L
     var na2 = 0L
     var nb2 = 0L
@@ -136,7 +142,12 @@ case class Int8Cosine(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-         |int $n = Math.min($a.length, $b.length) - 8;
+         |if ($a.length != $b.length || $a.length < 8) {
+         |  throw new IllegalArgumentException(
+         |    "int8_cosine: malformed or mismatched packed blobs (" +
+         |      $a.length + " vs " + $b.length + " bytes; need equal lengths >= 8)");
+         |}
+         |int $n = $a.length - 8;
          |long $dot = 0L; long $na2 = 0L; long $nb2 = 0L;
          |for (int $i = 0; $i < $n; $i++) {
          |  long $xi = (long) $a[8 + $i];

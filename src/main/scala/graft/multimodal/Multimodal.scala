@@ -406,7 +406,10 @@ object Multimodal {
                 try {
                   reader.setInput(in)
                   val n = reader.getNumImages(true)
-                  (0 until n by stride).map { f =>
+                  // a decodable container with zero frames still quarantines
+                  // (`0 until 0` would emit NO row, silently dropping the doc)
+                  if (n <= 0) Seq(sentinel)
+                  else (0 until n by stride).map { f =>
                     val img = reader.read(f)
                     val (w, h) = (img.getWidth, img.getHeight)
                     var (sr, sg, sb) = (0L, 0L, 0L)
@@ -421,12 +424,17 @@ object Multimodal {
                       y += 1
                     }
                     val np = w.toLong * h
-                    Seq[Any](f, sr.toDouble / np, sg.toDouble / np, sb.toDouble / np)
+                    if (np == 0L) Seq[Any](f, -1.0, -1.0, -1.0) // zero-area frame: NaN guard
+                    else Seq[Any](f, sr.toDouble / np, sg.toDouble / np, sb.toDouble / np)
                   }
                 } finally reader.dispose()
               }
             } catch {
-              case _: java.io.IOException => Seq(sentinel)
+              // ImageIO readers throw RuntimeExceptions (IllegalArgument,
+              // IndexOutOfBounds, ...) on malformed payloads, not just
+              // IOException — the quarantine contract is "never a task
+              // failure", so catch everything non-fatal.
+              case scala.util.control.NonFatal(_) => Seq(sentinel)
             } finally if (in != null) in.close()
           }
         out.map(tail => Row.fromSeq(kept ++ tail))

@@ -20,9 +20,14 @@ import graft.functions.TextFunctions.{normalizeText, tokens}
   * Application is MAP-ONLY: the merge ranks broadcast with the closure
   * and each word segments greedily by best-ranked pair (the paper's
   * apply algorithm), so segmenting 100 TB costs one scan and zero
-  * shuffle. No oracle query is registered — BPE training is an
-  * iterative driver loop DuckDB cannot mirror — so verification is
-  * spec-tier (hand-computed merges) like the streaming operators.
+  * shuffle. Verification is two-tier: BpeSpec pins hand-computed merge
+  * tables and the greedy apply, and the driver-gated `b01_bpe_segment`
+  * query oracle-checks what IS cross-engine checkable (exact per-doc
+  * token counts) while pinning the segmentation algebra with in-query
+  * invariants — every word segments to >= 1 subword, and concatenating
+  * the subwords reproduces the token stream exactly (the c07
+  * bounded-property pattern; the merge LOOP itself is a driver
+  * iteration DuckDB cannot mirror).
   */
 object Bpe {
 
@@ -33,16 +38,36 @@ object Bpe {
 
   /** Learns `numMerges` merge rules from the corpus, most frequent pair
     * first. Pair frequencies are weighted by word-type frequency;
-    * `minWordFreq` drops rare types before the driver collect.
+    * `minWordFreq` drops rare types, and `maxTypes` HARD-CAPS the driver
+    * histogram to the top-K word types by frequency (lexicographic
+    * tiebreak, so the kept set is deterministic). The cap — not the
+    * frequency floor — is what bounds the collect at 100 TB: a floor is
+    * data-dependent (web text has tens of millions of ≥5-count types:
+    * URLs, typos), while top-K via `TakeOrderedAndProject` is a fixed
+    * driver budget and standard BPE practice (tokenizers train on a
+    * bounded vocabulary histogram). Truncation is detected by fetching
+    * K+1 rows and logged loudly — the same explicit-threshold discipline
+    * as `Dedup.connectedComponents`' union-find cutoff.
     */
   def learnMerges(docs: DataFrame, textCol: String, numMerges: Int = 200,
-      minWordFreq: Long = 1L): Seq[(String, String)] = {
-    val hist: Array[(Array[String], Long)] = docs
+      minWordFreq: Long = 1L, maxTypes: Int = 1000000): Seq[(String, String)] = {
+    require(maxTypes > 0, "maxTypes must be positive")
+    val top: Array[(String, Long)] = docs
       .select(explode(tokens(normalizeText(col(textCol)))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
       .filter(col("c") >= minWordFreq)
+      // top-K+1 by (count desc, word asc): plans as TakeOrderedAndProject
+      // (bounded per-partition heaps + driver merge), never a full sort or
+      // an unbounded collect; the +1 row is the truncation sentinel.
+      .orderBy(col("c").desc, col("w").asc)
+      .limit(maxTypes + 1)
       .collect()
-      .map(r => (r.getString(0).map(_.toString).toArray :+ Eow, r.getLong(1)))
+      .map(r => (r.getString(0), r.getLong(1)))
+    if (top.length > maxTypes)
+      println(s"[bpe] word-type histogram truncated to top $maxTypes types " +
+        s"by frequency (corpus has more; merges are learned from the cap)")
+    val hist: Array[(Array[String], Long)] = top.take(maxTypes)
+      .map { case (w, c) => (w.map(_.toString).toArray :+ Eow, c) }
     val words = hist.map { case (syms, c) =>
       (scala.collection.mutable.ArrayBuffer.from(syms), c)
     }
@@ -121,8 +146,16 @@ object Bpe {
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
-          val toks = text.toLowerCase.replaceAll("[^a-z0-9]+", " ")
-            .trim.split("\\s+").filter(_.nonEmpty)
+          // Locale.ROOT: the default-locale overload is locale-sensitive
+          // (Turkish 'I' → dotless 'ı', which the [^a-z0-9] strip then
+          // eats), while Spark's lower() is locale-independent — the
+          // asserted equivalence with tokens(normalizeText(...)) must not
+          // depend on the executor JVM's default locale.
+          val toks =
+            if (text == null) Array.empty[String]
+            else text.toLowerCase(java.util.Locale.ROOT)
+              .replaceAll("[^a-z0-9]+", " ")
+              .trim.split("\\s+").filter(_.nonEmpty)
           val subs = toks.flatMap(w => segmentWord(w, rank))
           (id, toks.length.toLong, subs.length.toLong, subs.toSeq)
         }

@@ -198,23 +198,33 @@ object Corpus {
     * conf is raised around the build (saved/restored) and the result is
     * asserted, never assumed.
     */
+  /** Serializes [[sizedBloomFilter]]'s session-conf save/raise/restore
+    * bracket: the conf is session-global, so two concurrent builds on the
+    * same session could interleave and restore a stale value or build
+    * under a clamped limit (the `require` would then turn a benign race
+    * into a job failure).
+    */
+  private val bloomConfLock = new Object
+
   private def sizedBloomFilter(df: DataFrame, colName: String,
       numItems: Long, fpp: Double): org.apache.spark.util.sketch.BloomFilter = {
     val spark = df.sparkSession
     val neededBits =
       math.ceil(-numItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
     val confKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    val saved = spark.conf.getOption(confKey)
-    try {
-      if (saved.forall(_.toLong < neededBits))
-        spark.conf.set(confKey, neededBits.toString)
-      val bf = df.stat.bloomFilter(colName, numItems, fpp)
-      require(bf.bitSize() >= neededBits,
-        s"bloom build clamped to ${bf.bitSize()} bits (< $neededBits needed)")
-      bf
-    } finally saved match {
-      case Some(v) => spark.conf.set(confKey, v)
-      case None => spark.conf.unset(confKey)
+    bloomConfLock.synchronized {
+      val saved = spark.conf.getOption(confKey)
+      try {
+        if (saved.forall(_.toLong < neededBits))
+          spark.conf.set(confKey, neededBits.toString)
+        val bf = df.stat.bloomFilter(colName, numItems, fpp)
+        require(bf.bitSize() >= neededBits,
+          s"bloom build clamped to ${bf.bitSize()} bits (< $neededBits needed)")
+        bf
+      } finally saved match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
     }
   }
 
@@ -435,6 +445,71 @@ object Corpus {
       .groupBy(col("gram_md5"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc")).as("first_doc"))
       .filter(col("n_docs") >= minDocs)
+  }
+
+  /** C4-style global exact span dedup WITH REMOVAL (Raffel et al., "the
+    * C4 corpus", JMLR 2020: discard all but one occurrence of any
+    * repeated span; see also Lee et al., ACL 2022 on why removal beats
+    * flagging for LM training). Documents are cut into consecutive
+    * NON-overlapping `spanTokens`-token spans (the fixture has no
+    * newline structure; for real corpora pass the text pre-split on
+    * '\n' — the span definition is the only fixture-specific choice,
+    * the dedup algebra is span-agnostic). Each distinct span keeps
+    * exactly its globally-first occurrence — minimum (doc, span index)
+    * — and every other occurrence is REMOVED; each document is then
+    * reconstructed from its surviving spans in order.
+    *
+    * Output: (idCol, n_spans, n_kept, new_text) — one row per input doc
+    * (docs losing every span keep a row with n_kept = 0, new_text = "").
+    *
+    * Scale: two shuffles, both linear. (1) winner election groups by the
+    * span's md5 — `min(struct(doc, idx))` partial-aggregates map-side,
+    * so a span repeated millions of times collapses to one row per map
+    * task BEFORE the shuffle (skew-safe, unlike a row_number window that
+    * would sort every occurrence of a hot span in one task); the
+    * join-back is plain equi on the same key, AQE-skew-splittable.
+    * (2) document reconstruction groups by doc id — bounded by document
+    * size. No driver-side state at all.
+    */
+  def lineSpanDedup(docs: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 20): DataFrame = {
+    require(spanTokens > 0, "spanTokens must be positive")
+    val spark = docs.sparkSession
+    val w = spanTokens
+    // non-overlapping windows incl. the trailing partial one; integer-exact
+    // count floor((n + w-1)/w); empty/null token arrays → zero spans
+    val nSpans = floor((size(col("_toks")) + lit(w - 1)) / lit(w)).cast("int")
+    val spanArr = when(coalesce(size(col("_toks")), lit(0)) === 0,
+        array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), nSpans - 1),
+        i => array_join(slice(col("_toks"), i * w + 1, lit(w)), " ")))
+    val base = docs
+      .repartition(spark.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol).as("doc"), tokens(normalizeText(col(textCol))).as("_toks"))
+      .select(col("doc"), nSpans.cast("long").as("n_spans"), spanArr.as("_spans"))
+    val spans = base
+      .select(col("doc"), posexplode(col("_spans")).as(Seq("idx", "span")))
+      .withColumn("k", md5(col("span")))
+    val winners = spans
+      .groupBy(col("k"))
+      .agg(min(struct(col("doc"), col("idx"))).as("w"))
+      .select(col("k"), col("w.doc").as("w_doc"), col("w.idx").as("w_idx"))
+    val kept = spans
+      .join(winners, Seq("k"))
+      .filter(col("doc") === col("w_doc") && col("idx") === col("w_idx"))
+    val rebuilt = kept
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("idx"), col("span")))),
+            s => s.getField("span")),
+          " ").as("new_text"))
+    base.select(col("doc"), col("n_spans"))
+      .join(rebuilt, Seq("doc"), "left")
+      .select(col("doc").as(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"), // null text → 0 spans
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("new_text"), lit("")).as("new_text"))
   }
 
   /** Scale path of [[packSequences]] — identical output, no per-stratum

@@ -157,6 +157,47 @@ object CorpusQueries extends QueryPack {
         numShards = 16, seed = 3L)
     },
 
+    // -- C4-style global span dedup with REMOVAL (Raffel et al. JMLR
+    //    2020): every repeated 20-token span keeps only its globally-
+    //    first occurrence; documents are reconstructed from surviving
+    //    spans. The fixture's seeded near-dup families make real
+    //    cross-document span removals; the oracle re-derives winner
+    //    election AND the rebuilt text value-by-value.
+    "c12_line_span_dedup" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      Corpus.lineSpanDedup(t.documents, "doc_id", "text", spanTokens = 20)
+    },
+
+    // -- BPE tokenizer induction + map-only segmentation (Sennrich,
+    //    Haddow & Birch, ACL 2016), driver-gated: merge learning is an
+    //    iterative driver loop DuckDB cannot mirror, so the gate checks
+    //    what IS cross-engine checkable — the exact per-doc token count —
+    //    and pins the segmentation algebra with in-query invariants that
+    //    must be TRUE for every doc (the c07 bounded-property pattern):
+    //    each word yields >= 1 subword, and concatenating the subwords
+    //    reproduces the token stream exactly (word + end-of-word marker
+    //    per token — the round-trip identity that makes a segmentation a
+    //    tokenization). The concat check also re-proves the JVM tokenizer
+    //    == tokens(normalizeText(...)) equivalence under the driver gate.
+    "b01_bpe_segment" -> { (spark, dir) =>
+      import graft.operators.Bpe
+      import graft.functions.TextFunctions.{normalizeText, tokens}
+      val t = Tables(spark, dir)
+      val merges = Bpe.learnMerges(t.documents, "text",
+        numMerges = 120, minWordFreq = 2L)
+      val seg = Bpe.segment(t.documents, "text", "doc_id", merges)
+        .withColumnRenamed("id", "doc_id")
+      val expect = concat_ws("",
+        transform(tokens(normalizeText(col("text"))), w => concat(w, lit(Bpe.Eow))))
+      t.documents.select(col("doc_id"), expect.as("_expect"))
+        .join(seg, Seq("doc_id"))
+        .select(
+          col("doc_id"),
+          col("n_tokens"),
+          (col("n_subwords") >= col("n_tokens")).as("subwords_ge_tokens"),
+          (concat_ws("", col("subwords")) === col("_expect")).as("concat_identity"))
+    },
+
     // -- Domain-mixture sampling: a 40/30/20/10 target mixture over four
     //    sources, quotas filled in reproducible md5 order. src0/src1's
     //    quotas (40/30) exceed the stratum size, so the query also
@@ -256,6 +297,40 @@ object CorpusQueries extends QueryPack {
            |  (SELECT count(*) FROM documents WHERE doc_id % 10 <> 0) AS n_train_docs,
            |  (SELECT count(*) FROM hits) AS n_exact_contaminated,
            |  TRUE AS no_false_negatives, TRUE AS fp_rate_ok""".stripMargin,
+      // c12: winner election re-derived as the literal window (first
+      // occurrence by (doc_id, idx) per span), reconstruction as an
+      // ordered string_agg — spans, keeps, and the rebuilt text are all
+      // value-checked.
+      "c12_line_span_dedup" ->
+        s"""WITH t AS (SELECT doc_id, $tk AS tk FROM documents),
+           |w AS (SELECT doc_id, tk,
+           |        CAST(floor((len(tk) + 19) / 20) AS BIGINT) AS n_spans
+           |      FROM t),
+           |s AS (SELECT doc_id, tk,
+           |        unnest(generate_series(0, CAST(n_spans AS INT) - 1)) AS idx
+           |      FROM w),
+           |sp AS (SELECT doc_id, idx,
+           |         array_to_string(tk[idx * 20 + 1 : idx * 20 + 20], ' ') AS span
+           |       FROM s),
+           |win AS (SELECT doc_id, idx, span,
+           |          row_number() OVER (PARTITION BY span
+           |            ORDER BY doc_id, idx) AS rn
+           |        FROM sp),
+           |reb AS (SELECT doc_id, count(*) AS n_kept,
+           |          string_agg(span, ' ' ORDER BY idx) AS new_text
+           |        FROM win WHERE rn = 1 GROUP BY doc_id)
+           |SELECT w.doc_id, w.n_spans,
+           |  coalesce(r.n_kept, 0) AS n_kept,
+           |  coalesce(r.new_text, '') AS new_text
+           |FROM w LEFT JOIN reb r ON w.doc_id = r.doc_id""".stripMargin,
+      // b01: token counts recomputed exactly; the segmentation invariants
+      // are literal TRUE — the Spark side computes them for real and must
+      // agree for every doc (the c07 bounded-property pattern).
+      "b01_bpe_segment" ->
+        s"""WITH t AS (SELECT doc_id, $tk AS tk FROM documents)
+           |SELECT doc_id, len(tk) AS n_tokens,
+           |  TRUE AS subwords_ge_tokens, TRUE AS concat_identity
+           |FROM t""".stripMargin,
       "c04_domain_mixture" ->
         """SELECT source, doc_id, lang FROM (
           |  SELECT source, doc_id, lang,
