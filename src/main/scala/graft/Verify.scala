@@ -20,12 +20,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
-      .foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -44,6 +46,19 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Self-check (round-7 postmortem: two crashed queries silently vanished
+    // from the correctness artifact): every registered query must have
+    // produced a dump, and failures are materialized as evidence, never
+    // just a stderr line.
+    val errJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    val dumped = selected.keySet.count(n =>
+      Files.exists(Paths.get(s"$outDir/$n/_SUCCESS")))
+    System.err.println(
+      s"[verify] registered=${selected.size} dumped=$dumped failed=${failures.size}")
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] FAILED QUERIES: ${failures.keys.mkString(", ")}")
     spark.stop()
   }
 }

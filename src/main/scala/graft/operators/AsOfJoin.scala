@@ -150,12 +150,19 @@ object AsOfJoin {
     val carried = carriedVals.foldLeft(unioned) { case (df, (_, alias)) =>
       df.withColumn(alias, carry(col(s"_rv_$alias")))
     }
+    // fractional epoch seconds, exact to microsecond precision, robust to
+    // the timestamp flavor of the input: TIMESTAMP_NTZ has no direct
+    // numeric cast, so normalize through session-zone TimestampType first
+    // (a no-op for TimestampType; epoch-seconds round trip for numeric
+    // time columns)
+    def epochSec(c: org.apache.spark.sql.Column) =
+      c.cast("timestamp").cast("double")
     val withinTolerance = toleranceSeconds match {
       case None => lit(true)
       case Some(tol) =>
         val gap =
-          if (forwardDir) col("_rt_matched").cast("double") - col("_t").cast("double")
-          else col("_t").cast("double") - col("_rt_matched").cast("double")
+          if (forwardDir) epochSec(col("_rt_matched")) - epochSec(col("_t"))
+          else epochSec(col("_t")) - epochSec(col("_rt_matched"))
         col("_rt_matched").isNotNull && gap <= tol
     }
     carried

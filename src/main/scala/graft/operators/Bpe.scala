@@ -51,7 +51,8 @@ object Bpe {
     */
   def learnMerges(docs: DataFrame, textCol: String, numMerges: Int = 200,
       minWordFreq: Long = 1L, maxTypes: Int = 1000000): Seq[(String, String)] = {
-    require(maxTypes > 0, "maxTypes must be positive")
+    require(maxTypes > 0 && maxTypes < Int.MaxValue,
+      "maxTypes must be in [1, Int.MaxValue): the truncation sentinel fetches maxTypes + 1 rows")
     val top: Array[(String, Long)] = docs
       .select(explode(tokens(normalizeText(col(textCol)))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))

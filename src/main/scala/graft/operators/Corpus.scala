@@ -462,14 +462,23 @@ object Corpus {
     * Output: (idCol, n_spans, n_kept, new_text) — one row per input doc
     * (docs losing every span keep a row with n_kept = 0, new_text = "").
     *
-    * Scale: two shuffles, both linear. (1) winner election groups by the
-    * span's md5 — `min(struct(doc, idx))` partial-aggregates map-side,
-    * so a span repeated millions of times collapses to one row per map
-    * task BEFORE the shuffle (skew-safe, unlike a row_number window that
-    * would sort every occurrence of a hot span in one task); the
-    * join-back is plain equi on the same key, AQE-skew-splittable.
-    * (2) document reconstruction groups by doc id — bounded by document
-    * size. No driver-side state at all.
+    * Scale: three shuffles, all linear — the spreading repartition that
+    * materializes `base`, then (1) winner election grouping by the span's
+    * md5 — `min(struct(doc, idx))` partial-aggregates map-side, so a span
+    * repeated millions of times collapses to one row per map task BEFORE
+    * the shuffle (skew-safe, unlike a row_number window that would sort
+    * every occurrence of a hot span in one task); the join-back is plain
+    * equi on the same key, AQE-skew-splittable. (2) document
+    * reconstruction groups by doc id — bounded by document size. No
+    * driver-side state at all.
+    *
+    * `base` feeds two consumers (the span explode and the final left
+    * join-back that restores zero-span / fully-removed docs) and is
+    * PERSISTED (memory-and-disk) across them: column pruning gives the
+    * consumers different projections, so exchange reuse does not fire,
+    * and without the persist the dominant cost — the regex tokenize —
+    * would run twice (pinned in PlanSpec). Unpersist is left to Spark's
+    * ContextCleaner once the result's lineage is unreferenced.
     */
   def lineSpanDedup(docs: DataFrame, idCol: String, textCol: String,
       spanTokens: Int = 20): DataFrame = {
@@ -487,6 +496,7 @@ object Corpus {
       .repartition(spark.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol).as("doc"), tokens(normalizeText(col(textCol))).as("_toks"))
       .select(col("doc"), nSpans.cast("long").as("n_spans"), spanArr.as("_spans"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val spans = base
       .select(col("doc"), posexplode(col("_spans")).as(Seq("idx", "span")))
       .withColumn("k", md5(col("span")))

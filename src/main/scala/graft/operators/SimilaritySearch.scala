@@ -305,6 +305,13 @@ object SimilaritySearch {
     * the form a 100 TB corpus would PERSIST: pack once at ingest, scan and
     * shuffle 1 byte/component forever after, rescore survivors at full
     * float precision only on the candidate set.
+    *
+    * Contract: `int8_cosine` FAILS LOUD on mismatched or truncated blobs
+    * (one corrupted row kills the job after task retries) — the inverse of
+    * Multimodal's quarantine contract, and the right default here because
+    * blobs are produced in-pipeline by `int8_pack` from one homogeneous
+    * embedding column, never ingested from outside; silent prefix-scoring
+    * of mixed-dimension data would corrupt rankings invisibly.
     */
   def int8TopKPacked(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, rankPrecision: Option[Int] = None): DataFrame = {

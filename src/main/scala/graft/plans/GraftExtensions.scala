@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.functions.call_function
-import graft.functions.{CosineSimilarity, Int8Cosine, Int8Pack, VectorDot}
+import graft.functions.{CosineSimilarity, Int8Cosine, Int8Pack, UnicodeNormalize, VectorDot}
 
 /** Engine extensions, injected via the public `SparkSessionExtensions` hook
   * (SURVEY.md §2.10 X4, §4): native functions beyond Spark's built-ins.
@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.int8CosineDescriptor)
     ext.injectFunction(GraftExtensions.bloomAggDescriptor)
     ext.injectFunction(GraftExtensions.bloomMightContainDescriptor)
+    ext.injectFunction(GraftExtensions.unicodeNormalizeDescriptor)
   }
 }
 
@@ -82,6 +83,17 @@ object GraftExtensions {
         children.head, children(1))
     })
 
+  private val unicodeNormalizeDescriptor = (
+    FunctionIdentifier("unicode_normalize"),
+    new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.size == 2,
+        "unicode_normalize(str, form) takes exactly 2 arguments")
+      require(children(1).foldable,
+        "unicode_normalize form must be a constant (NFC/NFD/NFKC/NFKD)")
+      UnicodeNormalize(children.head, children(1))
+    })
+
   private val int8CosineDescriptor = (
     FunctionIdentifier("int8_cosine"),
     new ExpressionInfo(classOf[Int8Cosine].getName, "int8_cosine"),
@@ -116,6 +128,10 @@ object GraftExtensions {
       "bloom_might_contain",
       children => bloomMightContainDescriptor._3(children),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "unicode_normalize",
+      children => unicodeNormalizeDescriptor._3(children),
+      "built-in")
   }
 
   /** Column-API access to the native expressions (requires `register`). */
@@ -126,4 +142,8 @@ object GraftExtensions {
   def int8Pack(v: Column): Column = call_function("int8_pack", v)
 
   def int8Cosine(a: Column, b: Column): Column = call_function("int8_cosine", a, b)
+
+  /** Unicode canonical normalization; form one of NFC/NFD/NFKC/NFKD. */
+  def unicodeNormalize(c: Column, form: String = "NFC"): Column =
+    call_function("unicode_normalize", c, org.apache.spark.sql.functions.lit(form))
 }

@@ -319,7 +319,7 @@ object CorpusQueries extends QueryPack {
            |reb AS (SELECT doc_id, count(*) AS n_kept,
            |          string_agg(span, ' ' ORDER BY idx) AS new_text
            |        FROM win WHERE rn = 1 GROUP BY doc_id)
-           |SELECT w.doc_id, w.n_spans,
+           |SELECT w.doc_id, coalesce(w.n_spans, 0) AS n_spans,
            |  coalesce(r.n_kept, 0) AS n_kept,
            |  coalesce(r.new_text, '') AS new_text
            |FROM w LEFT JOIN reb r ON w.doc_id = r.doc_id""".stripMargin,

@@ -107,6 +107,28 @@ object EventQueries extends QueryPack {
       )
     },
 
+    // -- J7 as-of join, SKEW-RESILIENT salted path: identical semantics to
+    //    e05 (most recent click at or before each purchase) but routed
+    //    through AsOfJoin.backwardSalted — left side split into 8 salt
+    //    buckets, right side replicated into each. Driver-gated under the
+    //    SAME correlated-MAX oracle as e05, which proves the skew path
+    //    bit-matches the plain path cross-engine (not just spec-tier
+    //    self-equivalence). At 100 TB this is the arm a hot user_id hits.
+    "e13_asof_salted" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val purchases = t.events.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val clicks = t.events.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"))
+      AsOfJoin.backwardSalted(
+        purchases, clicks,
+        keys = Seq("user_id"),
+        leftTime = "ts", rightTime = "click_ts",
+        rightVals = Seq(("click_ts", "last_click_ts")),
+        salts = 8
+      )
+    },
+
     // -- F2 on the stream: daily activity with day-of-week (0=Sunday).
     "e06_daily_activity" -> { (spark, dir) =>
       val t = Tables(spark, dir)
@@ -133,11 +155,11 @@ object EventQueries extends QueryPack {
       val v = stage("view").groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
       val c = stage("click").join(v, "user_id")
         .filter(col("ts") >= col("t_view") &&
-          col("ts").cast("long") - col("t_view").cast("long") <= horizon)
+          unix_timestamp(col("ts")) - unix_timestamp(col("t_view")) <= horizon)
         .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
       val p = stage("purchase").join(c, "user_id")
         .filter(col("ts") >= col("t_click") &&
-          col("ts").cast("long") - col("t_click").cast("long") <= horizon)
+          unix_timestamp(col("ts")) - unix_timestamp(col("t_click")) <= horizon)
         .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
       v.agg(count(lit(1)).as("n_viewed"))
         .crossJoin(c.agg(count(lit(1)).as("n_clicked")))
@@ -330,6 +352,13 @@ object EventQueries extends QueryPack {
         |    AS props_canon
         |FROM ent""".stripMargin,
     "e05_asof_purchase_click" ->
+      """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts, p.value,
+        |  (SELECT max(CAST(c.ts AS TIMESTAMP)) FROM events c
+        |   WHERE c.user_id = p.user_id AND c.event_type = 'click'
+        |     AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)) AS last_click_ts
+        |FROM events p WHERE p.event_type = 'purchase'""".stripMargin,
+    // identical oracle to e05: the salted operator must be indistinguishable
+    "e13_asof_salted" ->
       """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts, p.value,
         |  (SELECT max(CAST(c.ts AS TIMESTAMP)) FROM events c
         |   WHERE c.user_id = p.user_id AND c.event_type = 'click'

@@ -219,6 +219,32 @@ object TextQueries extends QueryPack {
         .select(col("id").as("doc_id"), col("n_tokens"),
           col("nll_micro").as("nll_uni_micro"), col("nll_bi_micro"),
           (col("nll_micro") - col("nll_bi_micro")).as("gain_micro"))
+    },
+
+    // -- Unicode canonical normalization (L4, NFC): the standard first
+    //    stage of corpus prep — CCNet and Gopher both normalize before
+    //    tokenization, because composed vs decomposed accents split
+    //    visually identical words into distinct token streams and defeat
+    //    exact dedup. The fixture text is ASCII, so the query injects a
+    //    deterministic decomposed prefix (e + COMBINING ACUTE, A +
+    //    COMBINING RING) per document; the native unicode_normalize
+    //    expression (UTS #15 via java.text.Normalizer) must agree
+    //    byte-for-byte with DuckDB's nfc_normalize. Map-only scan at 100 TB;
+    //    the expression quick-checks isNormalized and skips the allocating
+    //    pass for already-NFC text (the common case in real corpora).
+    "t13_unicode_normalize" -> { (spark, dir) =>
+      graft.plans.GraftExtensions.register(spark)
+      val t = Tables(spark, dir)
+      // decomposed on purpose: "Cafe" + COMBINING ACUTE (U+0301), "A" +
+      // COMBINING RING (U+030A) — NFC composes them (n_raw = n_nfc + 2)
+      def raw = concat(lit("Cafe\u0301 A\u030A "), substring(col("text"), 1, 40))
+      def nfc = graft.plans.GraftExtensions.unicodeNormalize(raw, "NFC")
+      t.documents.select(
+        col("doc_id"),
+        nfc.as("nfc"),
+        length(raw).cast("long").as("n_raw"),
+        length(nfc).cast("long").as("n_nfc"),
+        (raw =!= nfc).as("changed"))
     }
   )
 
@@ -521,6 +547,23 @@ object TextQueries extends QueryPack {
         |  GROUP BY t.doc_id)
         |SELECT doc_id, n_tokens, nll_uni_micro, nll_bi_micro,
         |  nll_uni_micro - nll_bi_micro AS gain_micro
-        |FROM scored""".stripMargin
+        |FROM scored""".stripMargin,
+    // t13: DuckDB rebuilds the identical decomposed prefix from codepoints
+    // (chr(769) = COMBINING ACUTE, chr(778) = COMBINING RING) and its
+    // nfc_normalize implements the same UTS #15 algorithm as
+    // java.text.Normalizer — output strings, codepoint lengths, and the
+    // changed flag must all match bit-for-bit.
+    "t13_unicode_normalize" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    'Cafe' || chr(769) || ' A' || chr(778) || ' '
+        |      || substr(text, 1, 40) AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  nfc_normalize(raw) AS nfc,
+        |  length(raw) AS n_raw,
+        |  length(nfc_normalize(raw)) AS n_nfc,
+        |  raw <> nfc_normalize(raw) AS changed
+        |FROM r""".stripMargin
   )
 }

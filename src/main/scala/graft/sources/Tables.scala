@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Typed access to the fixture star schema (SURVEY.md §1.2, FIXTURES.md).
   *
@@ -29,17 +29,29 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = load("part")
   def orders: DataFrame     = load("orders")
   def lineitem: DataFrame   = load("lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark reads only as raw
-    * Long nanos (`spark.sql.legacy.parquet.nanosAsLong=true`, set in every
-    * session builder). Normalize to micro-precision TimestampType here —
-    * integer division truncates toward zero exactly like DuckDB's
-    * `CAST(ts AS TIMESTAMP)`, keeping the oracle hash-comparable.
+  /** `events.ts` has appeared under three parquet encodings across fixture
+    * generations, and the loader normalizes ALL of them to session-zone
+    * `TimestampType` so every downstream operator sees one type:
+    *
+    *  - TIMESTAMP(NANOS): Spark reads it only as raw Long nanos
+    *    (`spark.sql.legacy.parquet.nanosAsLong=true`, set in every session
+    *    builder); `ts div 1000` truncates toward zero exactly like DuckDB's
+    *    `CAST(ts AS TIMESTAMP)`, keeping the oracle hash-comparable.
+    *  - naive `timestamp[us]` (isAdjustedToUTC=false): Spark 4 infers
+    *    TIMESTAMP_NTZ, on which timestamp arithmetic (`cast("double")`,
+    *    `unix_timestamp` deltas) is a different type family. The session
+    *    time zone is pinned UTC, so `cast(TimestampType)` reinterprets the
+    *    wall-clock instant 1:1 — the same thing DuckDB does reading the
+    *    column as naive TIMESTAMP.
+    *  - UTC-adjusted `timestamp[us]`: already TimestampType; pass through.
     */
   def events: DataFrame = {
     val raw = load("events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
   }
   def documents: DataFrame  = load("documents")
   def embeddings: DataFrame = load("embeddings")

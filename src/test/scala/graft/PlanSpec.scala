@@ -259,6 +259,22 @@ class PlanSpec extends SparkSpec {
       s"doc aggregate must map-side combine before the one exchange:\n${p.take(2000)}")
   }
 
+  test("c12 line-span dedup reuses the tokenize exchange (base subtree computed once)") {
+    val docs = graft.sources.Tables(spark, sf).documents
+    val out = graft.operators.Corpus.lineSpanDedup(docs, "doc_id", "text")
+    out.collect() // finalize under AQE
+    val p = out.queryExecution.executedPlan.toString
+    // base (repartition -> normalize+tokenize projection) feeds both the
+    // span explode and the final left join-back; column pruning gives the
+    // two consumers different projections so ReusedExchange does NOT fire
+    // — the operator persists base instead, and the expensive regex
+    // tokenize must appear under exactly one non-cached subtree
+    assert(p.contains("InMemoryTableScan"),
+      s"base must be persisted across its two consumers:\n${p.take(3000)}")
+    assert("TableCacheQueryStage|InMemoryRelation".r.findAllIn(p).nonEmpty,
+      s"cache must materialize inside this plan:\n${p.take(3000)}")
+  }
+
   test("whole-stage codegen covers the relational core queries") {
     Seq("q01_pricing_summary", "q06_forecast_revenue", "w03_running_revenue").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sf)
