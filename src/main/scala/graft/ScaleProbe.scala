@@ -380,6 +380,43 @@ object ScaleProbe {
               f"maxRows=${state.map(_.numRowsTotal).max}%,d " +
               f"maxMemMB=${state.map(_.memoryUsedBytes).max / 1024 / 1024}%d")
           s.read.parquet(out)
+        } else if (name == "t6_tws_10m") { (s, d) =>
+          // transformWithState + RocksDB at 10M events / 100x users (the
+          // e02 probe's twin for the modern typed-state API): runningSpend
+          // keeps ONE double per user in a RocksDB ValueState, replayed as
+          // an AvailableNow file-stream catch-up. State rows == distinct
+          // users (no watermark eviction needed for a per-key scalar) and
+          // RocksDB keeps it off-heap — the number an executor is sized by
+          // is the reported memory, not rows x JVM-object overhead. The
+          // noop sink isolates state-update cost from sink I/O.
+          import s.implicits._
+          val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+          s.conf.set("spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+          try {
+            val tmp = java.nio.file.Files.createTempDirectory("graft_twsprobe_").toString
+            val stream = graft.streaming.EventStreams.readEventStream(
+              s, s"$d/events.parquet", maxFilesPerTrigger = 16)
+            val spend = graft.streaming.EventStreams.runningSpend(
+              stream.as[graft.streaming.EventStreams.Event], alertAt = 10000.0)
+            val q = spend.toDF("user_id", "total_spend", "alert").writeStream
+              .format("noop")
+              .option("checkpointLocation", s"$tmp/ckpt")
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .outputMode("update").start()
+            q.awaitTermination()
+            val progress = q.recentProgress.toSeq
+            val state = progress.flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+            if (state.nonEmpty) println(
+              f"[probe]   t6 tws state: batches=${progress.length}%d " +
+                f"maxRows=${state.map(_.numRowsTotal).max}%,d " +
+                f"maxMemMB=${state.map(_.memoryUsedBytes).max / 1024 / 1024}%d " +
+                f"medBatchMs=${progress.map(_.batchDuration).sorted.apply(progress.length / 2)}%d")
+            s.range(1).toDF() // probe result is the printed state line
+          } finally prev match {
+            case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+            case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+          }
         } else if (name == "t11_lm_500k") { (s, d) =>
           // unigram LM quality scoring at 500k docs / ~27M tokens: train
           // (one token shuffle + bounded scalar stats) then score every

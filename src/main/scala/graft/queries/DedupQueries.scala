@@ -6,12 +6,16 @@ import graft.operators.Dedup
 import graft.sources.Tables
 
 /** Deduplication surface (SURVEY.md §2.11 L1/L2) over `documents`.
-  * d01/d04 are oracle-checked end to end. The signature-based operators'
-  * pair lists (d02 MinHash, d03 SimHash) stay rows-only — their candidate
-  * hashes are engine-internal — but the MinHash pipeline's ACCURACY is
-  * driver-gated via d07 (exact-Jaccard ground truth DuckDB recomputes,
-  * subset + recall booleans), and both are property-tested in LlmOpsSpec
-  * (signature determinism, Jaccard agreement, synthetic dup families).
+  * EVERY query here is driver-gated — no rows-only entries. The
+  * signature-based operators' internal hashes are engine-internal
+  * (seeded xxhash64), so their gates are built on DuckDB-recomputable
+  * ground truth instead: d02's verified pair list equals the exact
+  * 3-shingle-Jaccard >= 0.8 set (subset by the verify step, equality by
+  * high-recall banding), d03 reports a per-ground-truth-pair SimHash
+  * containment boolean, and d07/d08/d09 gate recall/precision of the
+  * production-default configurations. Raw signature behavior stays
+  * property-tested in LlmOpsSpec (determinism, Jaccard agreement,
+  * synthetic dup families).
   */
 object DedupQueries extends QueryPack {
 
@@ -42,17 +46,44 @@ object DedupQueries extends QueryPack {
         .select(col("doc_id"), col("source"))
     },
 
-    // -- L2 MinHash-LSH verified near-dup pairs (rows-only).
+    // -- L2 MinHash-LSH verified near-dup pairs — FULLY oracled. The
+    //    output is the exact-Jaccard-verified pair list (subset of the
+    //    ground truth by construction of the verify step), and at
+    //    bands=32 (r=4) the banding miss probability for a J >= 0.8 pair
+    //    is (1 - 0.8^4)^32 ≈ 5e-8 — so the found set EQUALS the exact
+    //    3-shingle-Jaccard >= 0.8 pair set, which DuckDB recomputes from
+    //    scratch (ids + jaccard values hash-compared). The production
+    //    default (bands=16) trades that certainty for half the banding
+    //    fan-out; its recall stays gated by d07. Same jaccard arithmetic
+    //    shape on both engines (integer sizes → IEEE double division).
     "d02_minhash_pairs" -> { (spark, dir) =>
       val t = Tables(spark, dir)
-      Dedup.minhashNearDupPairs(t.documents, "text", "doc_id", threshold = 0.8)
+      Dedup.minhashNearDupPairs(t.documents, "text", "doc_id",
+        bands = 32, threshold = 0.8)
         .orderBy(col("id_a").asc, col("id_b").asc)
     },
 
-    // -- L2 SimHash near-dup pairs, hamming <= 3 (rows-only).
+    // -- L2 SimHash near-dup gate, per-pair — driver-gated (the d08
+    //    aggregate recall gate, sharpened to one row PER ground-truth
+    //    pair so a regression pinpoints WHICH pair the signature family
+    //    lost). Ground truth: exact 3-shingle Jaccard >= 0.8 on the
+    //    500-doc block (DuckDB recomputes ids + jaccard). The boolean:
+    //    SimHash places the pair within hamming 10 (blocks=11 —
+    //    pigeonhole makes the candidate step exhaustive at that radius;
+    //    fixture near-dups measure <= 5, so the bound has 2x headroom).
+    //    The raw hamming <= 3 pair-list surface stays property-tested in
+    //    LlmOpsSpec (its values are engine-internal xxhash64).
     "d03_simhash_pairs" -> { (spark, dir) =>
       val t = Tables(spark, dir)
-      Dedup.simhashNearDupPairs(t.documents, "text", "doc_id", maxHamming = 3)
+      val docs = t.documents.filter(col("doc_id") < 500)
+      val exact = Dedup.jaccardPairs(docs, "text", "doc_id",
+        k = 3, minJaccard = 0.8)
+      val found = Dedup.simhashNearDupPairs(docs, "text", "doc_id",
+        maxHamming = 10, blocks = 11)
+        .select(col("id_a"), col("id_b"), lit(1).as("_f"))
+      exact.join(found, Seq("id_a", "id_b"), "left")
+        .select(col("id_a"), col("id_b"), col("jaccard"),
+          col("_f").isNotNull.as("simhash_within_hamming10"))
         .orderBy(col("id_a").asc, col("id_b").asc)
     },
 
@@ -186,6 +217,67 @@ object DedupQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // d02: the verified pair list IS the exact-Jaccard pair set (subset by
+    // the verify step; equality because bands=32 makes a banding miss at
+    // J >= 0.8 a ~5e-8 event) — DuckDB rebuilds it from scratch. The
+    // len(tk) >= 3 guard mirrors the operator's size(shingles) > 0 filter.
+    "d02_minhash_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id,
+        |    list_filter(string_split_regex(trim(regexp_replace(lower(text),
+        |      '[^a-z0-9]+', ' ', 'g')), '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(tk) - 2, 0)),
+        |    i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS grams
+        |  FROM toks
+        |  WHERE len(tk) >= 3),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    CASE WHEN len(a.grams) + len(b.grams)
+        |           - len(list_intersect(a.grams, b.grams)) > 0
+        |      THEN len(list_intersect(a.grams, b.grams)) * 1.0
+        |        / (len(a.grams) + len(b.grams)
+        |           - len(list_intersect(a.grams, b.grams)))
+        |      ELSE 1.0 END AS jaccard
+        |  FROM sh a JOIN sh b ON a.id < b.id
+        |    -- size prefilter, IMPLIED by J >= 0.8 (|I| <= min and
+        |    -- |I| >= (0.8/1.8)(|A|+|B|) force max <= 1.25 * min), so it
+        |    -- drops no qualifying pair but skips the quadratic
+        |    -- list_intersect work for ~all non-dup pairs
+        |    AND least(len(a.grams), len(b.grams)) * 5
+        |      >= greatest(len(a.grams), len(b.grams)) * 4)
+        |SELECT id_a, id_b, jaccard
+        |FROM pairs WHERE jaccard >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+    // d03: ground-truth pairs (ids + jaccard) recomputed from scratch; the
+    // per-pair SimHash containment boolean is TRUE by the pigeonhole
+    // property at blocks=11/hamming<=10 — any FALSE row flips the hash.
+    // No len(tk) guard: jaccardPairs pairs empty-gram docs at j=1.0.
+    "d03_simhash_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id,
+        |    list_filter(string_split_regex(trim(regexp_replace(lower(text),
+        |      '[^a-z0-9]+', ' ', 'g')), '\s+'), x -> x <> '') AS tk
+        |  FROM documents WHERE doc_id < 500),
+        |sh AS (
+        |  SELECT id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(tk) - 2, 0)),
+        |    i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS grams
+        |  FROM toks),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    CASE WHEN len(a.grams) + len(b.grams)
+        |           - len(list_intersect(a.grams, b.grams)) > 0
+        |      THEN len(list_intersect(a.grams, b.grams)) * 1.0
+        |        / (len(a.grams) + len(b.grams)
+        |           - len(list_intersect(a.grams, b.grams)))
+        |      ELSE 1.0 END AS jaccard
+        |  FROM sh a JOIN sh b ON a.id < b.id)
+        |SELECT id_a, id_b, jaccard, TRUE AS simhash_within_hamming10
+        |FROM pairs WHERE jaccard >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
     // d10: families re-derived from the normalized text (the fingerprint is
     // just a grouping key — md5 here, xxhash64 in-engine, same partition of
     // the corpus); survivor = min (priority, doc_id) per family.
