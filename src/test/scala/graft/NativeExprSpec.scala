@@ -112,4 +112,34 @@ class NativeExprSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project"), plan)
   }
+
+  test("unicode_normalize: all four UTS #15 forms, SQL registration, nulls, codegen") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    // e-acute composed U+00E9 vs decomposed e + U+0301; fi ligature U+FB01
+    val composed = "caf\u00e9 \ufb01n"
+    val decomposed = "cafe\u0301 \ufb01n"
+    val df = Seq((composed, decomposed)).toDF("c", "d")
+    def norm(cname: String, form: String) =
+      df.select(GraftExtensions.unicodeNormalize(col(cname), form)).head.getString(0)
+    // NFC composes; the compatibility ligature survives canonical forms
+    assert(norm("d", "NFC") == composed)
+    assert(norm("c", "NFD") == decomposed)
+    // NFKC folds the ligature to plain "fi" AND composes the accent
+    assert(norm("d", "NFKC") == "caf\u00e9 fin")
+    assert(norm("c", "NFKD") == "cafe\u0301 fin")
+    // idempotence (the isNormalized fast path returns the input unchanged)
+    assert(norm("c", "NFC") == composed)
+    // SQL registration
+    assert(spark.sql("SELECT unicode_normalize('cafe\u0301', 'NFC') AS n")
+      .head.getString(0) == "caf\u00e9")
+    // null propagates
+    assert(df.select(GraftExtensions.unicodeNormalize(
+      lit(null).cast("string"), "NFC")).head.isNullAt(0))
+    // stays inside whole-stage codegen
+    val docs = graft.sources.Tables(spark, sf).documents
+    val plan = docs.select(GraftExtensions.unicodeNormalize(col("text"), "NFC"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+  }
 }
