@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType, TimestampNTZType, TimestampType}
 
 /** Typed access to the fixture star schema (SURVEY.md §1.2, FIXTURES.md).
   *
@@ -54,5 +54,20 @@ final case class Tables(spark: SparkSession, dir: String) {
     }
   }
   def documents: DataFrame  = load("documents")
-  def embeddings: DataFrame = load("embeddings")
+  /** The engine's vector type is `array<float>` (what the native
+    * `cosine_sim`/`int8_pack` expressions require and what a 100 TB
+    * embedding store would persist — half the bytes of float64 for
+    * ~no retrieval-quality loss). A regenerated fixture that widens the
+    * column to `array<double>` (the same drift class as events.ts's
+    * encoding change, which crashed two queries in round 7) is narrowed
+    * here so every downstream operator sees one type.
+    */
+  def embeddings: DataFrame = {
+    val raw = load("embeddings")
+    raw.schema("embedding").dataType match {
+      case ArrayType(DoubleType, _) =>
+        raw.withColumn("embedding", col("embedding").cast(ArrayType(FloatType)))
+      case _ => raw
+    }
+  }
 }

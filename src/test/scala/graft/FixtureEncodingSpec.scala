@@ -74,6 +74,25 @@ class FixtureEncodingSpec extends SparkSpec {
     }
   }
 
+  test("Tables.embeddings narrows a float64-drifted embedding column to array<float>") {
+    // the embeddings twin of the events.ts encoding drift: a regenerated
+    // fixture widening to double must not crash the similarity operators
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val base = Tables(spark, sf).embeddings
+    val dir = java.nio.file.Files.createTempDirectory("graft_enc_f64_").toString
+    base.withColumn("embedding", col("embedding").cast("array<double>"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val t = Tables(spark, dir)
+    assert(t.embeddings.schema("embedding").dataType == ArrayType(FloatType, true) ||
+      t.embeddings.schema("embedding").dataType == ArrayType(FloatType, false))
+    // the native expression path must analyze and execute on the narrowed column
+    graft.plans.GraftExtensions.register(spark)
+    val n = t.embeddings.limit(10)
+      .select(graft.plans.GraftExtensions.cosineSim(col("embedding"), col("embedding")).as("s"))
+      .filter(col("s") > 0.99).count()
+    assert(n == 10)
+  }
+
   test("AsOfJoin tolerance math is NTZ-robust without loader normalization") {
     // the operator itself (not just Tables) must accept TIMESTAMP_NTZ time
     // columns: a user handing it a raw NTZ frame skips the loader entirely
