@@ -479,4 +479,153 @@ object SimilaritySearch {
         col("_best.label").as("label"),
         col("_best.sim").as("sim"))
   }
+
+  // -- Product quantization: the ANN memory scale path beyond int8 ----------
+
+  /** Product-quantization codebooks (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011): the vector is split into
+    * `m` contiguous subspaces and each subspace gets `ksub` centroids
+    * minimizing L2 error, so a dim-float vector compresses to `m` small
+    * ints — 32x smaller than float32 at m=8 over dim=64.
+    *
+    * Training runs DRIVER-SIDE Lloyd iterations over a bounded
+    * deterministic sample (the first `sampleSize` vectors in id order) —
+    * the same bounded-driver-state pattern as BPE's capped histogram and
+    * IVF's nlist-row collect: production PQ trainers (FAISS) fit codebooks
+    * on a <=1M-vector sample regardless of corpus size, so the collect is
+    * capped by a parameter, never by data volume, and everything
+    * corpus-sized (encode, ADC scan) stays distributed and map-only.
+    * Determinism: id-ordered init, fixed iterations, first-index tie
+    * breaks; empty clusters keep their previous centroid.
+    *
+    * Returns codebooks(m)(j) = the j-th centroid of subspace m.
+    */
+  def trainPqCodebooks(vectors: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, iters: Int = 10,
+      sampleSize: Int = 4096): Array[Array[Array[Float]]] = {
+    val sample = vectors.orderBy(col(idCol)).limit(sampleSize)
+      .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "PQ training needs a non-empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val subDim = dim / m
+    (0 until m).toArray.map { s =>
+      val slices = sample.map(v => v.slice(s * subDim, (s + 1) * subDim))
+      var centroids = slices.take(ksub).map(_.clone)
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(centroids.length, subDim)(0.0)
+        val counts = Array.fill(centroids.length)(0L)
+        slices.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue
+          for (j <- centroids.indices) {
+            var d = 0.0
+            var i = 0
+            while (i < subDim) {
+              val diff = v(i).toDouble - centroids(j)(i); d += diff * diff; i += 1
+            }
+            if (d < bestD) { bestD = d; best = j }
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < subDim) { sums(best)(i) += v(i); i += 1 }
+        }
+        centroids = centroids.indices.toArray.map { j =>
+          if (counts(j) == 0) centroids(j)
+          else Array.tabulate(subDim)(i => (sums(j)(i) / counts(j)).toFloat)
+        }
+      }
+      centroids
+    }
+  }
+
+  /** Adds `_codes` (array<int>, length m): per subspace, the index of the
+    * L2-nearest codebook centroid. Map-only — the argmin is
+    * `-2*dot(v_m,c) + |c|^2` (the `|v_m|^2` term is constant per row) over
+    * the native codegen'd dot against centroid literals; first-index wins
+    * ties via array_position.
+    */
+  def pqEncode(df: DataFrame, vecCol: String,
+      codebooks: Array[Array[Array[Float]]]): DataFrame = {
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    val subDim = codebooks(0)(0).length
+    val codeCols = codebooks.indices.map { s =>
+      val sub = slice(col(vecCol), s * subDim + 1, subDim)
+      val dists = array(codebooks(s).map { c =>
+        val cnsq = c.map(x => x.toDouble * x).sum
+        graft.plans.GraftExtensions.vectorDot(sub, lit(c)) * lit(-2.0) + lit(cnsq)
+      }: _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    df.withColumn("_codes", array(codeCols: _*))
+  }
+
+  /** Approximate top-k via PQ asymmetric-distance computation with exact
+    * re-rank — the memory-bound 100 TB shape: the corpus-sized scan reads
+    * ONLY the m-int code column (32x fewer bytes than the float vectors);
+    * each query precomputes its m x ksub table of subspace dots ONCE, so
+    * per-candidate scoring is m array lookups + adds (codegen'd, no
+    * per-row dot). The `shortlist` best ADC candidates per query are then
+    * exactly re-scored against their float vectors via a broadcast semi
+    * join (|Q| x shortlist rows — driver-bounded, never corpus-sized).
+    *
+    * approx cosine = adc_dot / (|q| * sqrt(sum_m |c_{m,code_m}|^2)) — the
+    * standard symmetric-norm PQ estimate; re-rank replaces it with the
+    * exact value, so estimate error only costs recall, never precision.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int = 8, ksub: Int = 16,
+      shortlist: Int = 50,
+      codebooksOpt: Option[Array[Array[Array[Float]]]] = None): DataFrame = {
+    graft.plans.GraftExtensions.register(queries.sparkSession)
+    val codebooks = codebooksOpt.getOrElse(
+      trainPqCodebooks(corpus, idCol, vecCol, m, ksub))
+    val subDim = codebooks(0)(0).length
+    // the PQ index: at scale this is the persisted form (codes only)
+    val codes = pqEncode(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
+      "c_vec", codebooks)
+      .select(col("neighbor_id"), col("_codes"))
+    // flat |c|^2 literal, indexed [s*ksub + code]
+    val normsq = lit(codebooks.flatMap(_.map(_.map(x => x.toDouble * x).sum)))
+    // per-query ADC table: dot(q_s, c_{s,j}) for every (s, j), plus |q|
+    val tableEntries = codebooks.indices.flatMap { s =>
+      val sub = slice(col("q_vec"), s * subDim + 1, subDim)
+      codebooks(s).map(c => graft.plans.GraftExtensions.vectorDot(sub, lit(c)))
+    }
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("_tbl", array(tableEntries: _*))
+      .withColumn("_qnorm",
+        sqrt(graft.plans.GraftExtensions.vectorDot(col("q_vec"), col("q_vec"))))
+    val adcDot = (0 until m)
+      .map(s => element_at(col("_tbl"),
+        lit(s * ksub + 1) + element_at(col("_codes"), s + 1)))
+      .reduce(_ + _)
+    val adcNormsq = (0 until m)
+      .map(s => element_at(normsq,
+        lit(s * ksub + 1) + element_at(col("_codes"), s + 1)))
+      .reduce(_ + _)
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("_approx_r").desc, col("neighbor_id").asc)
+    val short = codes.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("_approx",
+        adcDot / (col("_qnorm") * sqrt(greatest(adcNormsq, lit(1e-30)))))
+      .withColumn("_approx_r", round(col("_approx"), 6))
+      .withColumn("_srn", row_number().over(wApprox))
+      .filter(col("_srn") <= shortlist)
+      .select(col("query_id"), col("q_vec"), col("neighbor_id"))
+    // exact re-rank of the driver-bounded shortlist
+    val reranked = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .join(broadcast(short), Seq("neighbor_id"))
+      .withColumn("sim",
+        graft.plans.GraftExtensions.cosineSim(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("sim"), 6).desc, col("neighbor_id").asc)
+    reranked
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rn"))
+  }
 }

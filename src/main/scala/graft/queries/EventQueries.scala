@@ -192,6 +192,33 @@ object EventQueries extends QueryPack {
           last(col("day_value"), ignoreNulls = true).over(w).as("filled_value"))
     },
 
+    // -- SCD2 dimension-history derivation: per user, collapse the event
+    //    stream to its event_type CHANGE POINTS and emit validity
+    //    intervals [valid_from, valid_to) with an is_current marker — the
+    //    classic type-2 slowly-changing-dimension build from a change
+    //    log. Both windows partition by user_id (high-cardinality,
+    //    bounded rows per key — embarrassingly parallel at 100 TB); the
+    //    second window runs over the already-collapsed change rows, so
+    //    its input is a fraction of the event volume. (ts, event_id) is
+    //    a total order per user → fully deterministic, hash-oracled.
+    "e14_scd2_history" -> { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(spark, dir)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val changes = t.events
+        .withColumn("_prev", lag(col("event_type"), 1).over(w))
+        .filter(col("_prev").isNull || col("_prev") =!= col("event_type"))
+        .select(col("user_id"), col("event_type"),
+          col("ts").as("valid_from"), col("event_id"))
+      val w2 = Window.partitionBy(col("user_id"))
+        .orderBy(col("valid_from").asc, col("event_id").asc)
+      changes
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
+        .select(col("user_id"), col("event_type"), col("valid_from"),
+          col("valid_to"), col("valid_to").isNull.as("is_current"))
+    },
+
     // -- S9/T9 streaming upsert, pinned END-TO-END: replays a
     //    deterministic slice of the events fixture as date-ranged
     //    AvailableNow micro-batches through the real foreachBatch merge
@@ -395,6 +422,22 @@ object EventQueries extends QueryPack {
         |SELECT (SELECT count(*) FROM v) AS n_viewed,
         |  (SELECT count(*) FROM c) AS n_clicked,
         |  (SELECT count(*) FROM p) AS n_purchased""".stripMargin,
+    "e14_scd2_history" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |chg AS (
+        |  SELECT user_id, event_type, ts AS valid_from, event_id
+        |  FROM e WHERE prev IS NULL OR prev <> event_type),
+        |scd AS (
+        |  SELECT user_id, event_type, valid_from,
+        |    lead(valid_from) OVER (PARTITION BY user_id
+        |      ORDER BY valid_from, event_id) AS valid_to
+        |  FROM chg)
+        |SELECT user_id, event_type, valid_from, valid_to,
+        |  valid_to IS NULL AS is_current
+        |FROM scd""".stripMargin,
     "e10_daily_fill" ->
       """WITH ev AS (
         |  SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, value

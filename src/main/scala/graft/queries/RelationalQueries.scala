@@ -309,6 +309,88 @@ object RelationalQueries extends QueryPack {
         .withColumn("prio_filled", coalesce(col("prio_or_null"), lit("NONE")))
         .withColumn("price_int", floor(col("o_totalprice")).cast("long"))
         .select("o_orderkey", "prio_or_null", "prio_filled", "price_int")
+    },
+
+    // -- TPC-H Q11 shape (important stock): grouped value with a HAVING
+    //    threshold that is a scalar subquery over the SAME aggregation —
+    //    the fixture has no partsupp, so "value" is discounted revenue
+    //    from one nation's suppliers per part. DataFrame spelling of the
+    //    scalar subquery: aggregate the total once (one row) and
+    //    broadcast-cross-join it — at 100 TB the threshold side is one
+    //    row regardless of input size, so the "join" is a map-side
+    //    literal; the grouped side shuffles once on l_partkey. The
+    //    threshold is 2x the MEAN per-part value — scale-invariant (a
+    //    fixed fraction of the total returns 0 rows once the part count
+    //    outgrows it) — and engine-identical: exact decimal sums cast to
+    //    double, one division, one multiply by binary-exact 2.0.
+    "q11_important_stock" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val natLines = t.lineitem
+        .join(broadcast(t.supplier.filter(col("s_nationkey") === 3)),
+          col("l_suppkey") === col("s_suppkey"))
+        .withColumn("val", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      val perPart = natLines.groupBy(col("l_partkey"))
+        .agg(Exact.dsum(col("val"), 4).as("part_value"))
+      val total = natLines.agg(
+        (lit(2.0) * (Exact.dsum(col("val"), 4) /
+          countDistinct(col("l_partkey")))).as("threshold"))
+      perPart.join(broadcast(total))
+        .filter(col("part_value") > col("threshold"))
+        .select(col("l_partkey"), col("part_value"))
+        .orderBy(col("part_value").desc, col("l_partkey").asc)
+    },
+
+    // -- TPC-H Q16 shape (part/supplier variety): COUNT(DISTINCT) per
+    //    part-attribute group with a NOT-IN exclusion subquery. The
+    //    NOT IN is spelled as a left-anti join (Spark's native plan for
+    //    it when the subquery side is provably null-free); the exclusion
+    //    list (negative-balance suppliers) is tiny → broadcast anti join,
+    //    zero extra shuffle. countDistinct expands to a two-phase
+    //    partial-distinct aggregate — no row explosion at scale.
+    "q16_part_variety" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val excluded = t.supplier.filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      t.lineitem
+        .join(broadcast(t.part.filter(
+          col("p_brand") =!= "Brand#15" &&
+            !col("p_type").like("PROMO%") &&
+            col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    },
+
+    // -- TPC-H Q20 shape (part promotion): IN over a grouped subquery
+    //    whose filter is a CORRELATED scalar aggregate ("suppliers who
+    //    shipped more than half of a small-part's 1997 volume").
+    //    Catalyst decorrelates the scalar subquery into an aggregate +
+    //    join on l_partkey; the 0.5 factor is binary-exact and
+    //    l_quantity is integer-valued, so the threshold compare is
+    //    engine-identical. SQL spelling because correlated scalar
+    //    subqueries are the operator surface under test here.
+    "q20_part_promotion" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.supplier.createOrReplaceTempView("q20_supplier")
+      t.part.createOrReplaceTempView("q20_part")
+      t.lineitem.createOrReplaceTempView("q20_lineitem")
+      spark.sql(
+        """SELECT s_suppkey, s_name, s_acctbal FROM q20_supplier
+          |WHERE s_suppkey IN (
+          |  SELECT l_suppkey FROM (
+          |    SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+          |    FROM q20_lineitem
+          |    WHERE l_partkey IN (
+          |        SELECT p_partkey FROM q20_part WHERE p_name LIKE 'small%')
+          |      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          |      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          |    GROUP BY l_suppkey, l_partkey) g
+          |  WHERE qty > (
+          |    SELECT 0.5 * sum(l2.l_quantity) FROM q20_lineitem l2
+          |    WHERE l2.l_partkey = g.l_partkey
+          |      AND l2.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          |      AND l2.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'))
+          |ORDER BY s_suppkey""".stripMargin)
     }
   )
 
@@ -486,6 +568,43 @@ object RelationalQueries extends QueryPack {
         |  CAST(floor(o_totalprice) AS BIGINT) AS price_int
         |FROM orders
         |WHERE o_orderstatus IN ('F','P')
-        |  AND o_totalprice BETWEEN 50000.0 AND 200000.0""".stripMargin
+        |  AND o_totalprice BETWEEN 50000.0 AND 200000.0""".stripMargin,
+    "q11_important_stock" ->
+      """SELECT l_partkey,
+        |  CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS part_value
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_nationkey = 3
+        |GROUP BY l_partkey
+        |HAVING CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(28,4))) AS DOUBLE) >
+        |  2.0 * (
+        |    SELECT CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(28,4))) AS DOUBLE)
+        |      / count(DISTINCT l_partkey)
+        |    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |    WHERE s_nationkey = 3)
+        |ORDER BY part_value DESC, l_partkey ASC""".stripMargin,
+    "q16_part_variety" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#15' AND p_type NOT LIKE 'PROMO%'
+        |  AND p_size IN (1,5,9,13,17,21,25,29)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size""".stripMargin,
+    "q20_part_promotion" ->
+      """SELECT s_suppkey, s_name, s_acctbal FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM (
+        |    SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+        |    FROM lineitem
+        |    WHERE l_partkey IN (
+        |        SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        |      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |    GROUP BY l_suppkey, l_partkey) g
+        |  WHERE qty > (
+        |    SELECT 0.5 * sum(l2.l_quantity) FROM lineitem l2
+        |    WHERE l2.l_partkey = g.l_partkey
+        |      AND l2.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |      AND l2.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'))
+        |ORDER BY s_suppkey""".stripMargin
   )
 }

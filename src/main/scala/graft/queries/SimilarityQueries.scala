@@ -180,6 +180,29 @@ object SimilarityQueries extends QueryPack {
         t.embeddings, "vec_id", "embedding", "label")
     },
 
+    // -- L3 approximate, product-quantization variant (Jégou TPAMI'11):
+    //    corpus compressed to m=8 4-bit-ish codes (8 ints here) per
+    //    64-dim vector, scored by ADC table lookups, exact-re-ranked from
+    //    a 100-deep shortlist. Same bounded-property gate as s02/s05; the
+    //    driver-side codebook training is deterministic (id-ordered
+    //    sample + fixed Lloyd iterations), so the recall boolean is
+    //    stable. The fixture's near-isotropic vectors are PQ's worst case
+    //    (subspace quantization error is maximal on unstructured data), so
+    //    parameters are sized up: ksub=64, shortlist=100. Measured hits/5
+    //    (ProbePq): 4..5 at every query and fixture scale; shortlist
+    //    misses are the only error source after exact re-rank — bound 4 =
+    //    the measured min, the s05 calibration convention.
+    "s10_pq_topk" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val emb = t.embeddings
+      val q = emb.filter(col("vec_id") < 5)
+      val truth = SimilaritySearch.bruteForceTopK(
+        q, emb, "vec_id", "embedding", k = 5, rankPrecision = Some(6))
+      val ann = SimilaritySearch.pqTopK(
+        q, emb, "vec_id", "embedding", k = 5, m = 8, ksub = 64, shortlist = 100)
+      annRecallReport(truth, ann, minHits = 4)
+    },
+
     "s06_embedding_neardups_lsh" -> { (spark, dir) =>
       val t = Tables(spark, dir)
       val base = t.embeddings.filter(col("vec_id") < 250)
@@ -269,6 +292,7 @@ object SimilarityQueries extends QueryPack {
     // the s01 ranking), recall boolean is literal TRUE — the Spark side
     // computes it for real and must agree (bounded-property pattern).
     "s02_lsh_topk" -> annRecallOracleSql,
+    "s10_pq_topk" -> annRecallOracleSql,
     "s05_ivf_topk" -> annRecallOracleSql,
     "s04_embedding_neardups" ->
       """WITH e AS (SELECT vec_id, label,

@@ -207,6 +207,42 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall too low")
   }
 
+  test("PQ: codes in range, encode deterministic, recall vs brute force >= 0.6 at sf0.001") {
+    val emb = graft.sources.Tables(spark, sf).embeddings
+    val cb = SimilaritySearch.trainPqCodebooks(emb, "vec_id", "embedding",
+      m = 8, ksub = 16)
+    assert(cb.length === 8 && cb.forall(_.length === 16) &&
+      cb.forall(_.forall(_.length === 8)), "codebook shape m x ksub x dim/m")
+    val codes = SimilaritySearch.pqEncode(emb, "embedding", cb)
+      .select(col("vec_id"), col("_codes")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes.values.forall(c => c.length == 8 && c.forall(j => j >= 0 && j < 16)),
+      "every code indexes a codebook entry")
+    // deterministic: re-train + re-encode lands on identical codes
+    val cb2 = SimilaritySearch.trainPqCodebooks(emb, "vec_id", "embedding",
+      m = 8, ksub = 16)
+    assert(cb.flatten.flatten.toSeq === cb2.flatten.flatten.toSeq,
+      "training is deterministic")
+    val queries = emb.filter(col("vec_id") < 10)
+    val brute = SimilaritySearch.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = SimilaritySearch.pqTopK(queries, emb, "vec_id", "embedding", 5,
+      m = 8, ksub = 64, shortlist = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(pq).size.toDouble / brute.size
+    assert(recall >= 0.6, s"PQ recall $recall too low")
+    // exact re-rank contract: every returned sim equals the float cosine
+    // (the ADC estimate is never emitted)
+    val joined = SimilaritySearch.pqTopK(queries, emb, "vec_id", "embedding", 5,
+      m = 8, ksub = 64, shortlist = 100)
+      .join(SimilaritySearch.bruteForceTopK(queries, emb, "vec_id", "embedding", 5000),
+        Seq("query_id", "neighbor_id"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach(r => assert(math.abs(r.getDouble(2) - r.getDouble(4)) < 1e-12,
+      "re-ranked sim must be the exact cosine"))
+  }
+
   test("int8 quantization: codes bounded, peak maps to ±127, qsim tracks float cosine") {
     val emb = graft.sources.Tables(spark, sf).embeddings
     val q = SimilaritySearch.int8Quantize(
