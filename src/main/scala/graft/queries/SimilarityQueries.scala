@@ -188,10 +188,12 @@ object SimilarityQueries extends QueryPack {
     //    sample + fixed Lloyd iterations), so the recall boolean is
     //    stable. The fixture's near-isotropic vectors are PQ's worst case
     //    (subspace quantization error is maximal on unstructured data), so
-    //    parameters are sized up: ksub=64, shortlist=100. Measured hits/5
-    //    (ProbePq): 4..5 at every query and fixture scale; shortlist
-    //    misses are the only error source after exact re-rank — bound 4 =
-    //    the measured min, the s05 calibration convention.
+    //    subspaces are sized fine: m=16 4-dim subspaces x 64 centroids
+    //    (16 bytes/vector, 16x compression). Measured hits/5 (ProbePq):
+    //    5/5 at every query and fixture scale, and 5/5 at the 100x probe
+    //    (200k vectors) with shortlist 0.25% of the corpus — m=8's recall
+    //    collapse at 100x is what motivated the finer grid; see SCALE.md.
+    //    Bound 4 per the s05 calibration convention (measured min 5).
     "s10_pq_topk" -> { (spark, dir) =>
       val t = Tables(spark, dir)
       val emb = t.embeddings
@@ -199,7 +201,7 @@ object SimilarityQueries extends QueryPack {
       val truth = SimilaritySearch.bruteForceTopK(
         q, emb, "vec_id", "embedding", k = 5, rankPrecision = Some(6))
       val ann = SimilaritySearch.pqTopK(
-        q, emb, "vec_id", "embedding", k = 5, m = 8, ksub = 64, shortlist = 100)
+        q, emb, "vec_id", "embedding", k = 5, m = 16, ksub = 64, shortlist = 100)
       annRecallReport(truth, ann, minHits = 4)
     },
 

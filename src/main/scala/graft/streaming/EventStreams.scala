@@ -173,6 +173,66 @@ object EventStreams {
         OutputMode.Update())
   }
 
+  /** T6: streaming SCD2 maintenance via `transformWithState` — the
+    * incremental complement of the batch `e14_scd2_history` rebuild: each
+    * user's CURRENT (event_type, valid_from) lives in typed ValueState,
+    * and a CLOSED validity interval row is emitted the moment the type
+    * changes. Over an in-order change log, the emitted rows equal exactly
+    * the batch derivation's `valid_to IS NOT NULL` rows (pinned in
+    * StreamingSpec); the open interval per user is the state itself.
+    *
+    * Ordering contract: rows are folded in (ts, event_id) order WITHIN a
+    * micro-batch (AvailableNow catch-up can deliver a user's whole
+    * history in one batch), but like any SCD2 maintainer this consumes a
+    * per-key-ordered change log ACROSS batches — a CDC source provides
+    * that; arbitrary late data would need upstream resequencing, not
+    * state-side repair. At scale: state is one small record per user
+    * (RocksDB-backed, millions of keys per executor), output is change
+    * points only.
+    */
+  case class Scd2State(eventType: String, validFrom: Long)
+  case class Scd2Closed(user_id: Long, event_type: String,
+      valid_from: Timestamp, valid_to: Timestamp)
+  def scd2Maintain(events: Dataset[Event]): Dataset[Scd2Closed] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+    val provider = events.sparkSession.conf
+      .getOption("spark.sql.streaming.stateStore.providerClass").getOrElse("")
+    require(provider.contains("RocksDB"),
+      "transformWithState requires the RocksDB state store provider")
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new StatefulProcessor[Long, Event, Scd2Closed] {
+          @transient private var cur: ValueState[Scd2State] = _
+          override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+            cur = getHandle.getValueState[Scd2State]("cur",
+              Encoders.product[Scd2State], TTLConfig.NONE)
+          override def handleInputRows(key: Long, rows: Iterator[Event],
+              timerValues: TimerValues): Iterator[Scd2Closed] = {
+            val evs = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val out = scala.collection.mutable.Buffer.empty[Scd2Closed]
+            var state = if (cur.exists()) Some(cur.get()) else None
+            evs.foreach { e =>
+              state match {
+                case Some(s) if s.eventType != e.event_type =>
+                  out += Scd2Closed(key, s.eventType,
+                    new Timestamp(s.validFrom), e.ts)
+                  state = Some(Scd2State(e.event_type, e.ts.getTime))
+                case Some(_) => // same type: interval continues
+                case None =>
+                  state = Some(Scd2State(e.event_type, e.ts.getTime))
+              }
+            }
+            state.foreach(cur.update)
+            out.iterator
+          }
+        },
+        TimeMode.None(),
+        OutputMode.Append())
+  }
+
   // -- Sources & sinks (S8/S9) ----------------------------------------------
 
   /** S8: file-arrival ingestion — the Structured Streaming analog of the

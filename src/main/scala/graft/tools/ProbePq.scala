@@ -18,8 +18,12 @@ object ProbePq {
       val truth = SimilaritySearch.bruteForceTopK(
         q, emb, "vec_id", "embedding", k = 5, rankPrecision = Some(6))
         .select("query_id", "neighbor_id")
-      for ((m, ksub, shortlist) <- Seq((8, 16, 50), (8, 32, 50), (8, 16, 100),
-        (8, 32, 100), (4, 32, 100), (8, 64, 100))) {
+      val grid =
+        if (sys.env.contains("PQ_SCALE_GRID"))
+          Seq((8, 64, 100), (8, 64, 500), (8, 64, 2000), (16, 64, 500),
+            (16, 64, 2000), (16, 256, 2000))
+        else Seq((8, 64, 100), (16, 16, 100), (16, 64, 100), (16, 64, 50))
+      for ((m, ksub, shortlist) <- grid) {
         val ann = SimilaritySearch.pqTopK(q, emb, "vec_id", "embedding",
           k = 5, m = m, ksub = ksub, shortlist = shortlist)
         val hits = ann.select("query_id", "neighbor_id")

@@ -227,14 +227,14 @@ class LlmOpsSpec extends SparkSpec {
     val brute = SimilaritySearch.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val pq = SimilaritySearch.pqTopK(queries, emb, "vec_id", "embedding", 5,
-      m = 8, ksub = 64, shortlist = 100)
+      m = 16, ksub = 64, shortlist = 100)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = brute.intersect(pq).size.toDouble / brute.size
     assert(recall >= 0.6, s"PQ recall $recall too low")
     // exact re-rank contract: every returned sim equals the float cosine
     // (the ADC estimate is never emitted)
     val joined = SimilaritySearch.pqTopK(queries, emb, "vec_id", "embedding", 5,
-      m = 8, ksub = 64, shortlist = 100)
+      m = 16, ksub = 64, shortlist = 100)
       .join(SimilaritySearch.bruteForceTopK(queries, emb, "vec_id", "embedding", 5000),
         Seq("query_id", "neighbor_id"))
       .collect()

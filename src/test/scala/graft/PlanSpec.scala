@@ -275,6 +275,49 @@ class PlanSpec extends SparkSpec {
       s"cache must materialize inside this plan:\n${p.take(3000)}")
   }
 
+  test("q11 threshold compare is a one-row broadcast, never a shuffle join") {
+    val p = plan("q11_important_stock")
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight, Inner"),
+      s"threshold must broadcast the single aggregate row:\n${p.take(2500)}")
+  }
+
+  test("r03 fusion inputs are rank-bounded before the join (top-50 each side)") {
+    val p = plan("r03_hybrid_rrf")
+    assert(p.contains("TakeOrderedAndProject(limit=50"),
+      s"lexical side must bound via top-k, not global sort:\n${p.take(2500)}")
+    assert(p.contains("TakeOrderedAndProject(limit=20"),
+      s"final fusion emits top-20 via top-k:\n${p.take(2500)}")
+  }
+
+  test("e14 SCD2 reuses one user_id exchange across both windows") {
+    val p = plan("e14_scd2_history")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      s"lag and lead windows must share the user_id partitioning:\n${p.take(2500)}")
+  }
+
+  test("s10 PQ: ADC scoring is element_at lookups; shortlist re-rank joins broadcast") {
+    val t = Tables(spark, sf)
+    val emb = t.embeddings
+    val df = graft.operators.SimilaritySearch.pqTopK(
+      emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding",
+      k = 5, m = 8, ksub = 16, shortlist = 20)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("element_at"),
+      s"candidate scoring must be table lookups, not per-row dots:\n${p.take(2500)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the shortlist re-rank must broadcast the bounded shortlist:\n${p.take(2500)}")
+    // candidate SCORING must never fall back to a per-(query, candidate)
+    // vector op: cosine_sim may appear only in the bounded re-rank (above
+    // the shortlist broadcast), never under the ADC cross join. The
+    // vector_dot calls that DO sit corpus-side are the inline ENCODE (one
+    // per corpus row, not per candidate pair) — at production scale that
+    // pass is a persisted codes index, see pqTopK scaladoc.
+    val adcSide = p.linesIterator.dropWhile(!_.contains("BroadcastNestedLoopJoin"))
+      .mkString("\n")
+    assert(!adcSide.contains("cosine_sim"),
+      s"ADC candidate scoring recomputes cosine per pair:\n${adcSide.take(1500)}")
+  }
+
   test("whole-stage codegen covers the relational core queries") {
     Seq("q01_pricing_summary", "q06_forecast_revenue", "w03_running_revenue").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sf)

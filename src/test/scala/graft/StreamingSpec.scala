@@ -236,6 +236,71 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("scd2Maintain: streaming closed intervals equal the batch e14 derivation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[Event]
+      val q = EventStreams.scd2Maintain(stream.toDS())
+        .writeStream.format("memory").queryName("scd2").outputMode("append").start()
+      try {
+        // batch 1: user 1 changes type mid-batch; user 2 opens an interval
+        stream.addData(
+          ev(1, "2024-01-01 10:00:00", 1, "view", 1.0),
+          ev(2, "2024-01-01 10:05:00", 1, "view", 1.0),
+          ev(3, "2024-01-01 10:10:00", 1, "click", 1.0),
+          ev(4, "2024-01-01 10:00:00", 2, "view", 1.0))
+        q.processAllAvailable()
+        // batch 2: state persists — user 1 closes 'click'; user 2 closes 'view'
+        stream.addData(
+          ev(5, "2024-01-01 11:00:00", 1, "purchase", 1.0),
+          ev(6, "2024-01-01 11:30:00", 2, "error", 1.0))
+        q.processAllAvailable()
+        val got = spark.table("scd2").as[EventStreams.Scd2Closed].collect()
+          .map(c => (c.user_id, c.event_type, c.valid_from.toString, c.valid_to.toString))
+          .toSet
+        assert(got === Set(
+          (1L, "view", "2024-01-01 10:00:00.0", "2024-01-01 10:10:00.0"),
+          (1L, "click", "2024-01-01 10:10:00.0", "2024-01-01 11:00:00.0"),
+          (2L, "view", "2024-01-01 10:00:00.0", "2024-01-01 11:30:00.0")),
+          s"closed intervals wrong: $got")
+        // equivalence with the batch operator: the same rows through the
+        // e14 logic, keeping only closed intervals
+        val batchRows = Seq(
+          (1L, "2024-01-01 10:00:00", "view", 1L),
+          (1L, "2024-01-01 10:05:00", "view", 2L),
+          (1L, "2024-01-01 10:10:00", "click", 3L),
+          (1L, "2024-01-01 11:00:00", "purchase", 5L),
+          (2L, "2024-01-01 10:00:00", "view", 4L),
+          (2L, "2024-01-01 11:30:00", "error", 6L))
+          .toDF("user_id", "ts_s", "event_type", "event_id")
+          .withColumn("ts", to_timestamp(col("ts_s")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+        val batchClosed = batchRows
+          .withColumn("_prev", lag(col("event_type"), 1).over(w))
+          .filter(col("_prev").isNull || col("_prev") =!= col("event_type"))
+          .withColumn("valid_to", lead(col("ts"), 1).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)))
+          .filter(col("valid_to").isNotNull)
+          .select(col("user_id"), col("event_type"),
+            col("ts").as("valid_from"), col("valid_to"))
+          .as[EventStreams.Scd2Closed].collect()
+          .map(c => (c.user_id, c.event_type, c.valid_from.toString, c.valid_to.toString))
+          .toSet
+        assert(batchClosed === got,
+          s"streaming and batch SCD2 disagree: batch=$batchClosed stream=$got")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("statefulSessions splits sessions on gaps WITHIN one micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
