@@ -737,4 +737,79 @@ object Corpus {
         sum(col("_nt")).as("sum_tokens"),
         min(col(idCol)).as("min_id"),
         max(col(idCol)).as("max_id"))
+
+  // -- DSIR data selection ---------------------------------------------------
+
+  /** Hashed unigram+bigram feature bag of a document — the DSIR feature
+    * space (Xie et al., "Data Selection for Language Models via Importance
+    * Resampling", NeurIPS 2023). Features hash to `16^bucketHexLen` fixed
+    * buckets via an md5-hex prefix, so the bucket key is a cross-engine
+    * string (no integer-conversion divergence) and the model size is a
+    * CONSTANT independent of vocabulary — the property that makes the
+    * method viable at 100 TB: the whole "language model" of each
+    * distribution is one `16^hexLen`-row table.
+    */
+  private def dsirBuckets(textCol: Column, bucketHexLen: Int): Column = {
+    val tk = tokens(normalizeText(textCol))
+    transform(concat(tk, shingles(tk, 2)),
+      f => substring(md5(f), 1, bucketHexLen))
+  }
+
+  /** DSIR importance scores: every non-target ("raw") document scored by
+    * the log-likelihood ratio of its hashed n-gram bag under a
+    * bag-of-buckets model of the TARGET distribution vs the RAW
+    * distribution — `score(x) = Σ_b n_x[b]·(ln p̂_t[b] − ln p̂_r[b])`, both
+    * models add-one smoothed over the fixed bucket space. Selecting the
+    * top scorers yields raw data that "looks like" the target domain
+    * (Xie et al. NeurIPS 2023, §2; heldout-fit variant omitted).
+    *
+    * Determinism / oracle story: per-bucket log-ratios are quantized to
+    * micro-nats (`floor(llr·1e6 + 0.5)` — the t11 LM pattern) so the
+    * per-document score is an exact BIGINT sum, bit-identical across
+    * engines and partitionings.
+    *
+    * Scale shape: one map-side-combined aggregate over exploded features
+    * builds BOTH distribution models (shuffle ≤ 16^hexLen rows of longs);
+    * the log-ratio table (≤ 256 rows at hexLen=2) broadcasts; scoring is
+    * map-only explode + broadcast lookup + one partial-aggregated per-doc
+    * sum. Nothing driver-sided, nothing corpus-quadratic.
+    *
+    * `isTargetCol` must be a non-null boolean. Documents with no tokens
+    * produce no feature rows and are absent from the output (they carry no
+    * evidence either way).
+    */
+  def dsirScores(docs: DataFrame, idCol: String, textCol: String,
+      isTargetCol: Column, bucketHexLen: Int = 2): DataFrame = {
+    require(bucketHexLen >= 1 && bucketHexLen <= 8, "bucketHexLen in [1, 8]")
+    val nBuckets = 1L << (4 * bucketHexLen)
+    val feats = docs
+      .select(col(idCol), isTargetCol.as("_is_t"),
+        explode(dsirBuckets(col(textCol), bucketHexLen)).as("_bk"))
+    val cnt = feats.groupBy(col("_bk")).agg(
+      sum(when(col("_is_t"), lit(1L)).otherwise(lit(0L))).as("_ct"),
+      sum(when(col("_is_t"), lit(0L)).otherwise(lit(1L))).as("_cr"))
+    val tot = cnt.agg(sum(col("_ct")).as("_tt"), sum(col("_cr")).as("_tr"))
+    val llr = cnt.crossJoin(broadcast(tot))
+      .withColumn("_lq", floor(
+        (log((col("_ct") + lit(1L)).cast("double") /
+          (col("_tt") + lit(nBuckets)).cast("double")) -
+          log((col("_cr") + lit(1L)).cast("double") /
+            (col("_tr") + lit(nBuckets)).cast("double"))) * lit(1e6) + lit(0.5))
+        .cast("long"))
+      .select(col("_bk"), col("_lq"))
+    feats.filter(!col("_is_t"))
+      .join(broadcast(llr), Seq("_bk"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_lq")).as("dsir_score"))
+  }
+
+  /** Top-`n` raw documents by [[dsirScores]] (ties → smaller id) — the
+    * selection step of DSIR. Global top-n over per-doc scores plans as
+    * TakeOrderedAndProject: no full sort at any scale.
+    */
+  def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
+      isTargetCol: Column, n: Int, bucketHexLen: Int = 2): DataFrame =
+    dsirScores(docs, idCol, textCol, isTargetCol, bucketHexLen)
+      .orderBy(col("dsir_score").desc, col(idCol).asc)
+      .limit(n)
 }

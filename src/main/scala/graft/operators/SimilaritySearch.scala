@@ -579,24 +579,52 @@ object SimilaritySearch {
     graft.plans.GraftExtensions.register(queries.sparkSession)
     val codebooks = codebooksOpt.getOrElse(
       trainPqCodebooks(corpus, idCol, vecCol, m, ksub))
-    val subDim = codebooks(0)(0).length
     // the PQ index: at scale this is the persisted form (codes only)
     val codes = pqEncode(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
       "c_vec", codebooks)
       .select(col("neighbor_id"), col("_codes"))
-    // flat |c|^2 literal, indexed [s*ksub + code]
-    val normsq = lit(codebooks.flatMap(_.map(_.map(x => x.toDouble * x).sum)))
-    // per-query ADC table: dot(q_s, c_{s,j}) for every (s, j), plus |q|
+    val q = pqQueries(queries, idCol, vecCol, codebooks)
+    val cand = codes.crossJoin(broadcast(q))
+    pqShortlistRerank(cand, corpus, idCol, vecCol, codebooks, k, shortlist)
+  }
+
+  /** Per-query PQ scoring state: `_tbl` — the m x ksub ADC table of
+    * subspace dots dot(q_s, c_{s,j}) — and `_qnorm`. Computed ONCE per
+    * query; candidate scoring is then pure table lookups.
+    */
+  private def pqQueries(queries: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Array[Float]]],
+      keep: Seq[String] = Nil): DataFrame = {
+    val subDim = codebooks(0)(0).length
     val tableEntries = codebooks.indices.flatMap { s =>
       val sub = slice(col("q_vec"), s * subDim + 1, subDim)
       codebooks(s).map(c => graft.plans.GraftExtensions.vectorDot(sub, lit(c)))
     }
-    val q = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    queries
+      .select(col(idCol).as("query_id") +: col(vecCol).as("q_vec") +:
+        keep.map(col): _*)
       .withColumn("_tbl", array(tableEntries: _*))
       .withColumn("_qnorm",
         sqrt(graft.plans.GraftExtensions.vectorDot(col("q_vec"), col("q_vec"))))
+  }
+
+  /** ADC-score candidate rows (must carry query_id/q_vec/_tbl/_qnorm/
+    * neighbor_id/_codes), keep the `shortlist` best per query, then
+    * exactly re-rank that driver-bounded set against the float vectors
+    * via a broadcast join.
+    *
+    * approx cosine = adc_dot / (|q| * sqrt(sum_m |c_{m,code_m}|^2)) — the
+    * standard symmetric-norm PQ estimate; re-rank replaces it with the
+    * exact value, so estimate error only costs recall, never precision.
+    */
+  private def pqShortlistRerank(cand: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, codebooks: Array[Array[Array[Float]]],
+      k: Int, shortlist: Int): DataFrame = {
+    val m = codebooks.length
+    val ksub = codebooks(0).length
+    // flat |c|^2 literal, indexed [s*ksub + code]
+    val normsq = lit(codebooks.flatMap(_.map(_.map(x => x.toDouble * x).sum)))
     val adcDot = (0 until m)
       .map(s => element_at(col("_tbl"),
         lit(s * ksub + 1) + element_at(col("_codes"), s + 1)))
@@ -607,7 +635,7 @@ object SimilaritySearch {
       .reduce(_ + _)
     val wApprox = Window.partitionBy(col("query_id"))
       .orderBy(col("_approx_r").desc, col("neighbor_id").asc)
-    val short = codes.crossJoin(broadcast(q))
+    val short = cand
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("_approx",
         adcDot / (col("_qnorm") * sqrt(greatest(adcNormsq, lit(1e-30)))))
@@ -627,5 +655,100 @@ object SimilaritySearch {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rn"))
+  }
+
+  /** IVF-PQ: the two scale levers composed, FAISS's default billion-scale
+    * index layout (Jégou TPAMI 2011 §V; Johnson et al., "Billion-scale
+    * similarity search with GPUs", 2017). IVF coarse routing bounds WHICH
+    * candidates are touched (each query probes `nprobe` of `nlist`
+    * inverted lists instead of the whole corpus); PQ ADC bounds the COST
+    * and BYTES per candidate (m small ints instead of the float vector).
+    * The persisted index at scale is (bucket, codes) per vector — with
+    * the bucket as a partition key, a probe reads only nprobe/nlist of
+    * the index files, and each read row is m bytes, not 4·dim.
+    *
+    * Candidate meeting is an equi join on the bucket id (never a cross
+    * product); the `shortlist` ADC-best per query re-rank exactly, so PQ
+    * estimate error costs recall only. Same deterministic training as the
+    * parts: id-ordered init for both quantizers.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      m: Int = 16, ksub: Int = 16, shortlist: Int = 50,
+      centroidsOpt: Option[Array[Array[Float]]] = None,
+      codebooksOpt: Option[Array[Array[Array[Float]]]] = None): DataFrame = {
+    graft.plans.GraftExtensions.register(queries.sparkSession)
+    val centroids = centroidsOpt.getOrElse(
+      trainCentroids(corpus, idCol, vecCol, nlist))
+    val codebooks = codebooksOpt.getOrElse(
+      trainPqCodebooks(corpus, idCol, vecCol, m, ksub))
+    val nCentroids = centroids.length
+    // the IVF-PQ index: (neighbor_id, bucket, codes) — the persisted form
+    val codes = pqEncode(
+      assignBucket(
+        corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
+        "c_vec", centroids),
+      "c_vec", codebooks)
+      .select(col("neighbor_id"), col("_bucket").as("bucket"), col("_codes"))
+    // each query probes its nprobe best coarse buckets (ivfTopK's rule)
+    val probed = assignBucket(
+      queries.select(col(idCol).as("_qid"), col(vecCol).as("_qv")),
+      "_qv", centroids)
+      .withColumn("bucket", explode(filter(
+        sequence(lit(0), lit(nCentroids - 1)),
+        b => size(filter(col("_scores"),
+          s => s > element_at(col("_scores"), (b + 1).cast("int")))) < math.min(nprobe, nCentroids))))
+      .select(col("_qid"), col("_qv"), col("bucket").cast("int").as("bucket"))
+    val q = pqQueries(probed, "_qid", "_qv", codebooks, keep = Seq("bucket"))
+    // bucket equi join: each query meets only its probed lists' codes
+    val cand = codes.join(broadcast(q), Seq("bucket"))
+    pqShortlistRerank(cand, corpus, idCol, vecCol, codebooks, k, shortlist)
+  }
+
+  // -- SemDeDup: semantic near-duplicate removal over embeddings ------------
+
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540, 2023):
+    * embedding-space duplicate pruning. Vectors are clustered (here: the
+    * deterministic [[nearestCentroid]] assignment, so the whole pipeline
+    * is cross-engine reproducible); within each cluster, pairs with
+    * cosine >= `tau` form a duplicate graph; every connected component
+    * keeps ONE representative — the member LEAST similar to its cluster
+    * centroid (the paper's §3 choice: keep the least prototypical example
+    * to preserve diversity), ties toward the smaller id. Vectors in no
+    * pair survive untouched.
+    *
+    * Scale shape: the pair search is cluster-blocked (a self equi join on
+    * the assigned cluster — never all-pairs; the paper runs k-means with
+    * nlist ~ sqrt(N) so cluster sizes stay bounded); components come from
+    * [[Dedup.connectedComponents]] (driver union-find under the edge
+    * threshold, large-star/small-star above); survivor election is one
+    * map-side-combined min(struct) aggregate, no window.
+    *
+    * @return survivors: (idCol, cluster, centroid_sim)
+    */
+  def semDedup(vectors: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, tau: Double, simPrecision: Int = 6): DataFrame = {
+    graft.plans.GraftExtensions.register(vectors.sparkSession)
+    val assigned = nearestCentroid(vectors, idCol, vecCol, labelCol, simPrecision)
+      .select(col(idCol), col("label").as("cluster"), col("sim").as("centroid_sim"))
+    val withVec = assigned.join(vectors.select(col(idCol), col(vecCol)), Seq(idCol))
+    val a = withVec.select(col(idCol).as("id_a"), col("cluster"), col(vecCol).as("_va"))
+    val b = withVec.select(col(idCol).as("id_b"), col("cluster"), col(vecCol).as("_vb"))
+    val pairs = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(graft.plans.GraftExtensions.cosineSim(col("_va"), col("_vb")) >= tau)
+      .select(col("id_a"), col("id_b"))
+    val comps = Dedup.connectedComponents(pairs)
+      .withColumnRenamed("id", idCol)
+    // singletons are their own component; survivor = min (centroid_sim, id)
+    // per component via one partial-aggregating min(struct) — no window
+    val labeled = assigned.join(comps, Seq(idCol), "left")
+      .withColumn("_comp", coalesce(col("component"), col(idCol)))
+    labeled.groupBy(col("_comp"))
+      .agg(min(struct(col("centroid_sim"), col(idCol), col("cluster"))).as("_b"))
+      .select(col(s"_b.$idCol").as(idCol),
+        col("_b.cluster").as("cluster"),
+        col("_b.centroid_sim").as("centroid_sim"))
   }
 }

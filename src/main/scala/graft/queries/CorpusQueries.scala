@@ -208,6 +208,18 @@ object CorpusQueries extends QueryPack {
         weights = Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1),
         total = 100)
         .select(col("source"), col("doc_id"), col("lang"))
+    },
+
+    // -- DSIR data selection (Xie et al. NeurIPS 2023): top-100 raw docs
+    //    by hashed-n-gram importance weight toward a 4-source "target
+    //    domain". Scores are exact BIGINT micro-nat sums (the t11
+    //    quantization), so the whole selection — model fit, per-doc
+    //    log-likelihood ratios, ranking — is hash-compared vs DuckDB
+    //    refitting both bag-of-buckets models from scratch.
+    "c13_dsir_select" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      Corpus.dsirSelect(t.documents, "doc_id", "text",
+        col("source").isin("src0", "src1", "src2", "src3"), n = 100)
     }
   )
 
@@ -389,7 +401,37 @@ object CorpusQueries extends QueryPack {
            |  FROM t)
            |SELECT source, pack_id, count(*) AS n_docs,
            |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
-           |FROM packed GROUP BY source, pack_id""".stripMargin
+           |FROM packed GROUP BY source, pack_id""".stripMargin,
+      // c13: DuckDB refits both hashed bag-of-buckets models from scratch
+      // (unigrams+bigrams → md5-prefix buckets, add-one smoothing over the
+      // fixed 256-bucket space), quantizes per-bucket log-ratios to
+      // micro-nats (floor(llr·1e6+0.5) — the t11 pattern, exact BIGINT
+      // sums thereafter) and must land on the identical top-100.
+      "c13_dsir_select" ->
+        s"""WITH t AS (SELECT doc_id,
+           |    source IN ('src0', 'src1', 'src2', 'src3') AS is_t,
+           |    $tk AS tkv
+           |  FROM documents),
+           |f AS (SELECT doc_id, is_t,
+           |    unnest(list_concat(tkv,
+           |      list_transform(generate_series(1, greatest(len(tkv) - 1, 0)),
+           |        i -> concat_ws(' ', tkv[i], tkv[i+1])))) AS f
+           |  FROM t),
+           |b AS (SELECT doc_id, is_t, substr(md5(f), 1, 2) AS bk FROM f),
+           |cnt AS (SELECT bk,
+           |    CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+           |    CAST(sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS cr
+           |  FROM b GROUP BY bk),
+           |tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM cnt),
+           |llr AS (SELECT bk,
+           |    CAST(floor((ln(CAST(ct + 1 AS DOUBLE) / CAST(tt + 256 AS DOUBLE))
+           |      - ln(CAST(cr + 1 AS DOUBLE) / CAST(tr + 256 AS DOUBLE)))
+           |      * 1000000 + 0.5) AS BIGINT) AS lq
+           |  FROM cnt, tot)
+           |SELECT doc_id, dsir_score FROM (
+           |  SELECT b.doc_id, CAST(sum(l.lq) AS BIGINT) AS dsir_score
+           |  FROM b JOIN llr l USING (bk) WHERE NOT b.is_t GROUP BY b.doc_id)
+           |ORDER BY dsir_score DESC, doc_id ASC LIMIT 100""".stripMargin
     )
   }
 }

@@ -205,6 +205,33 @@ object SimilarityQueries extends QueryPack {
       annRecallReport(truth, ann, minHits = 4)
     },
 
+    // -- L3 at full scale: IVF routing x PQ compression composed — the
+    //    billion-scale index layout (probe nprobe/nlist of the lists, read
+    //    m bytes per candidate). Same recall gate as its two parts.
+    "s12_ivfpq_topk" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val emb = t.embeddings
+      val q = emb.filter(col("vec_id") < 5)
+      val truth = SimilaritySearch.bruteForceTopK(
+        q, emb, "vec_id", "embedding", k = 5, rankPrecision = Some(6))
+      val ann = SimilaritySearch.ivfPqTopK(
+        q, emb, "vec_id", "embedding", k = 5, nlist = 16, nprobe = 6,
+        m = 16, ksub = 64, shortlist = 100)
+      annRecallReport(truth, ann, minHits = 4)
+    },
+
+    // -- L2 semantic variant: SemDeDup (Abbas 2023) — cluster-blocked
+    //    embedding dedup keeping the least-prototypical member of every
+    //    cosine>=0.35 duplicate component. FULLY hash-oracled: the
+    //    deterministic fixed-point centroid assignment (s09's arithmetic)
+    //    makes clusters, pairs, components, and survivor election all
+    //    DuckDB-recomputable (recursive-CTE closure, the d05 pattern).
+    "s11_semdedup" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      SimilaritySearch.semDedup(t.embeddings, "vec_id", "embedding", "label",
+        tau = 0.35)
+    },
+
     "s06_embedding_neardups_lsh" -> { (spark, dir) =>
       val t = Tables(spark, dir)
       val base = t.embeddings.filter(col("vec_id") < 250)
@@ -296,6 +323,56 @@ object SimilarityQueries extends QueryPack {
     "s02_lsh_topk" -> annRecallOracleSql,
     "s10_pq_topk" -> annRecallOracleSql,
     "s05_ivf_topk" -> annRecallOracleSql,
+    "s12_ivfpq_topk" -> annRecallOracleSql,
+    // s11: everything re-derived — fixed-point centroids + round-6 argmax
+    // assignment (the s09 block), cluster-blocked cosine>=tau pairs,
+    // transitive closure (components = min reachable id, the d05 pattern),
+    // survivor = (sim ASC, id ASC) first per component.
+    "s11_semdedup" ->
+      """WITH RECURSIVE comps AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS comp FROM embeddings),
+        |fx AS (SELECT label, pos,
+        |    CAST(floor(comp * 10000000 + 0.5) AS BIGINT) AS f FROM comps),
+        |m AS (SELECT label, pos,
+        |    CAST(sum(f) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 10000000) AS m
+        |  FROM fx GROUP BY label, pos),
+        |cent AS (SELECT label, list(m ORDER BY pos) AS c FROM m GROUP BY label),
+        |cn AS (SELECT label, c, sqrt(list_dot_product(c, c)) AS cnorm FROM cent),
+        |e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS vn FROM e),
+        |scored AS (SELECT en.vec_id, cn.label,
+        |    round(CASE WHEN en.vn > 0 AND cn.cnorm > 0
+        |      THEN list_dot_product(en.v, cn.c) / (en.vn * cn.cnorm)
+        |      ELSE 0 END, 6) AS sim
+        |  FROM en CROSS JOIN cn),
+        |ranked AS (SELECT vec_id, label, sim,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY sim DESC, label ASC) AS rn
+        |  FROM scored),
+        |assign AS (SELECT vec_id, label, sim FROM ranked WHERE rn = 1),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM assign a JOIN assign b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  JOIN en ea ON ea.vec_id = a.vec_id
+        |  JOIN en eb ON eb.vec_id = b.vec_id
+        |  WHERE list_cosine_similarity(ea.v, eb.v) >= 0.35),
+        |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+        |  UNION SELECT id_b AS s, id_a AS d FROM pairs),
+        |reach AS (SELECT s AS a, d AS b FROM edges
+        |  UNION
+        |  SELECT e2.s AS a, r.b AS b FROM edges e2 JOIN reach r ON e2.d = r.a
+        |  WHERE e2.s <> r.b),
+        |cmp AS (SELECT v.vec_id,
+        |    least(v.vec_id, coalesce(min(r.b), v.vec_id)) AS c
+        |  FROM assign v LEFT JOIN reach r ON r.a = v.vec_id GROUP BY v.vec_id),
+        |surv AS (SELECT a.vec_id, a.label, a.sim,
+        |    row_number() OVER (PARTITION BY c.c
+        |      ORDER BY a.sim ASC, a.vec_id ASC) AS rn2
+        |  FROM assign a JOIN cmp c ON a.vec_id = c.vec_id)
+        |SELECT vec_id, label AS cluster, sim AS centroid_sim
+        |FROM surv WHERE rn2 = 1""".stripMargin,
     "s04_embedding_neardups" ->
       """WITH e AS (SELECT vec_id, label,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

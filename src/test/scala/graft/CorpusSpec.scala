@@ -166,4 +166,37 @@ class CorpusSpec extends SparkSpec {
       .agg(sum("pack_tokens")).head.getLong(0)
     assert(total === viaPacks)
   }
+
+  test("DSIR: target-typical raw docs outrank target-atypical ones") {
+    import spark.implicits._
+    // target speaks "alpha beta" language; raw docs that share its bigrams
+    // must score above raw docs that don't (the importance-weight contract)
+    val docs = Seq(
+      (1L, "alpha beta alpha beta alpha beta", true),
+      (2L, "alpha beta gamma alpha beta", true),
+      (10L, "alpha beta alpha beta", false),     // target-typical raw
+      (11L, "delta epsilon zeta delta epsilon", false), // atypical raw
+      (12L, "alpha beta delta epsilon", false)   // mixed
+    ).toDF("doc_id", "text", "is_t")
+    val scores = Corpus.dsirScores(docs, "doc_id", "text", col("is_t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scores.keySet === Set(10L, 11L, 12L), "only raw docs are scored")
+    assert(scores(10L) > scores(12L) && scores(12L) > scores(11L),
+      s"ordering must follow target-likeness: $scores")
+    // selection takes the top-n in (score desc, id asc) order
+    val sel = Corpus.dsirSelect(docs, "doc_id", "text", col("is_t"), n = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(sel === Seq(10L, 12L))
+  }
+
+  test("DSIR scores are partitioning-invariant (exact BIGINT contract)") {
+    val docs = graft.sources.Tables(spark, sf).documents
+    val isT = col("source").isin("src0", "src1", "src2", "src3")
+    val a = Corpus.dsirScores(docs, "doc_id", "text", isT)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Corpus.dsirScores(docs.repartition(13), "doc_id", "text", isT)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b, "micro-nat quantized sums must not depend on partitioning")
+    assert(a.nonEmpty)
+  }
 }

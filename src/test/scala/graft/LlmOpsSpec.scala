@@ -666,4 +666,72 @@ class LlmOpsSpec extends SparkSpec {
     val cnts = merged.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(cnts === Map("a" -> 4L, "b" -> 3L, "c" -> 3L, "d" -> 2L))
   }
+
+  test("IVF-PQ: no cartesian candidate meeting, recall >= 0.6, exact re-rank") {
+    val emb = graft.sources.Tables(spark, sf).embeddings
+    val queries = emb.filter(col("vec_id") < 10)
+    val ann = SimilaritySearch.ivfPqTopK(queries, emb, "vec_id", "embedding", 5,
+      nlist = 16, nprobe = 6, m = 16, ksub = 64, shortlist = 100)
+    // the candidate meeting must be the bucket equi join — a cross product
+    // here is the difference between nprobe/nlist of the index and all of it
+    val physical = ann.queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct"),
+      "IVF-PQ candidates must meet on the bucket key, not a cross product")
+    val rows = ann.collect()
+    assert(rows.map(r => (r.getLong(0), r.getInt(3))).toSet.size === rows.length)
+    assert(rows.groupBy(_.getLong(0)).forall(_._2.length == 5), "k rows per query")
+    val brute = SimilaritySearch.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(got).size.toDouble / brute.size
+    assert(recall >= 0.6, s"IVF-PQ recall $recall too low")
+    // re-rank contract: emitted sims are exact float cosines
+    val exact = SimilaritySearch.bruteForceTopK(queries, emb, "vec_id", "embedding", 5000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    rows.foreach(r => assert(
+      math.abs(r.getDouble(2) - exact((r.getLong(0), r.getLong(1)))) < 1e-12,
+      "IVF-PQ sims must be exact cosines, never the ADC estimate"))
+  }
+
+  test("SemDeDup: planted duplicates collapse to the least-prototypical member") {
+    import spark.implicits._
+    // two clusters of near-identical vectors + one singleton; the planted
+    // duplicates (cosine ~1 within group) must collapse to ONE survivor
+    // per group — the member with the LOWEST centroid similarity (paper's
+    // diversity-preserving election), ties toward the smaller id.
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.999f, 0.032f, 0.0f), 0),   // dup of 1 (cos ~0.9995)
+      (3L, Array(0.97f, 0.17f, 0.17f), 0),    // dup of 1/2, least prototypical
+      (10L, Array(0.0f, 1.0f, 0.0f), 1),
+      (11L, Array(0.0f, 0.999f, 0.045f), 1),  // dup of 10
+      (20L, Array(0.577f, 0.577f, 0.578f), 2) // singleton cluster
+    ).toDF("vec_id", "embedding", "label")
+    val out = SimilaritySearch.semDedup(vecs, "vec_id", "embedding", "label",
+      tau = 0.95).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // survivors: one per duplicate component + the singleton
+    assert(out.keySet === Set(3L, 11L, 20L) || out.keySet === Set(3L, 10L, 20L),
+      s"unexpected survivors ${out.keySet}")
+    // group {1,2,3}: 3 is farthest from the cluster centroid → survives
+    assert(out.contains(3L), "least-prototypical member must survive")
+    // partition contract: survivors ⊆ input, no survivor pair above tau
+    // within the same cluster
+    val surv = SimilaritySearch.semDedup(vecs, "vec_id", "embedding", "label",
+      tau = 0.95)
+    val joined = surv.as("a").join(surv.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
+    assert(joined.count() === 0, "no two survivors share a cluster here")
+  }
+
+  test("SemDeDup: survivors + removed partition the corpus at sf0.001") {
+    val emb = graft.sources.Tables(spark, sf).embeddings
+    val n = emb.count()
+    val surv = SimilaritySearch.semDedup(emb, "vec_id", "embedding", "label",
+      tau = 0.35)
+    val ns = surv.count()
+    assert(ns > 0 && ns < n, "tau=0.35 must remove something but not everything")
+    assert(surv.select("vec_id").distinct().count() === ns, "survivor ids unique")
+    // every survivor id is a real corpus id
+    assert(surv.join(emb, Seq("vec_id"), "left_anti").count() === 0)
+  }
 }
