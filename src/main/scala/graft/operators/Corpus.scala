@@ -812,4 +812,50 @@ object Corpus {
     dsirScores(docs, idCol, textCol, isTargetCol, bucketHexLen)
       .orderBy(col("dsir_score").desc, col(idCol).asc)
       .limit(n)
+
+  // -- Leakage-safe holdout split --------------------------------------------
+
+  /** Deterministic train/val/test split that assigns by GROUP, not by
+    * document — the eval-leakage guard (Lee et al. ACL 2022 §6.2: held-out
+    * perplexity is inflated when a test doc's duplicate sits in train;
+    * the fix is splitting at duplicate-cluster granularity). Every member
+    * of a group lands in the same split BY CONSTRUCTION: the group's
+    * representative id (min member id — deterministic under any
+    * partitioning) is hashed once and the whole group follows it.
+    *
+    * `groupCol` is whatever equivalence the pipeline trusts: an exact
+    * text fingerprint (md5 of normalized text — co-assigns exact dups,
+    * the registered c14 query), a near-dup component id from
+    * [[Dedup.connectedComponents]], or a URL/domain key.
+    *
+    * The hash is the same Knuth multiplicative permutation as
+    * [[weightedBernoulliSample]]/[[shardAssign]] — pure 64-bit integer
+    * arithmetic, so membership is reproducible bit-for-bit across
+    * engines, partitionings, and reruns, and a different `seed` yields an
+    * independent re-split (cross-validation folds for free).
+    *
+    * 100 TB shape: one group-keyed aggregate (map-side combined min) and
+    * one join of docs back to group representatives on the group key —
+    * the exact-dedup shuffle shape; bucketing docs by the group key makes
+    * it co-located. Everything after the join is map-only.
+    *
+    * @return (idCol, groupCol, bucket, split) — bucket ∈ [0, 100),
+    *         split = train | val | test by (trainPct, valPct) cut points
+    */
+  def groupHoldoutSplit(df: DataFrame, idCol: String, groupCol: String,
+      trainPct: Int = 90, valPct: Int = 5, seed: Long = 0L): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      "need 0 < trainPct, 0 <= valPct, trainPct + valPct < 100")
+    val reps = df.groupBy(col(groupCol))
+      .agg(min(col(idCol).cast("long")).as("_gid"))
+    df.join(reps, Seq(groupCol))
+      .withColumn("bucket",
+        floor(mulHash(col("_gid"), seed) * lit(100L) / lit(HashMod.toDouble))
+          .cast("int"))
+      .select(col(idCol), col(groupCol),
+        col("bucket"),
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test").as("split"))
+  }
 }

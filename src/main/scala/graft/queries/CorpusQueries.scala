@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.normalizeText
 import graft.operators.Corpus
 import graft.sources.Tables
 
@@ -220,6 +221,19 @@ object CorpusQueries extends QueryPack {
       val t = Tables(spark, dir)
       Corpus.dsirSelect(t.documents, "doc_id", "text",
         col("source").isin("src0", "src1", "src2", "src3"), n = 100)
+    },
+
+    // -- Leakage-safe holdout split: exact-dup groups (md5 of normalized
+    //    text) co-assign to one split by construction — the group
+    //    representative's Knuth-hash bucket decides train/val/test for
+    //    every member (Lee ACL 2022 §6.2: duplicate leakage inflates
+    //    held-out metrics). Near-dup-family and domain-keyed splits reuse
+    //    the same operator with a different group column (spec-pinned).
+    "c14_holdout_split" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val withFp = t.documents
+        .withColumn("fp", md5(normalizeText(col("text")).cast("binary")))
+      Corpus.groupHoldoutSplit(withFp, "doc_id", "fp")
     }
   )
 
@@ -431,7 +445,26 @@ object CorpusQueries extends QueryPack {
            |SELECT doc_id, dsir_score FROM (
            |  SELECT b.doc_id, CAST(sum(l.lq) AS BIGINT) AS dsir_score
            |  FROM b JOIN llr l USING (bk) WHERE NOT b.is_t GROUP BY b.doc_id)
-           |ORDER BY dsir_score DESC, doc_id ASC LIMIT 100""".stripMargin
+           |ORDER BY dsir_score DESC, doc_id ASC LIMIT 100""".stripMargin,
+      // c14: DuckDB re-derives the fingerprint groups, the min-id group
+      // representative, and the identical Knuth multiplicative hash
+      // (((gid mod 2^31)·2654435761) mod 2^31, then the ·100/2^31
+      // multiply-shift — u·100 < 2^53 so the double path is bit-exact).
+      "c14_holdout_split" ->
+        """WITH fp AS (SELECT doc_id,
+          |    md5(trim(regexp_replace(regexp_replace(lower(text),
+          |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+          |  FROM documents),
+          |rep AS (SELECT fp, min(doc_id) AS gid FROM fp GROUP BY fp),
+          |b AS (SELECT f.doc_id, f.fp,
+          |    CAST(floor((((r.gid % 2147483648) * 2654435761) % 2147483648)
+          |      * 100 / 2147483648.0) AS INT) AS bucket
+          |  FROM fp f JOIN rep r ON f.fp = r.fp)
+          |SELECT doc_id, fp, bucket,
+          |  CASE WHEN bucket < 90 THEN 'train'
+          |       WHEN bucket < 95 THEN 'val'
+          |       ELSE 'test' END AS split
+          |FROM b""".stripMargin
     )
   }
 }

@@ -245,6 +245,37 @@ object TextQueries extends QueryPack {
         length(raw).cast("long").as("n_raw"),
         length(nfc).cast("long").as("n_nfc"),
         (raw =!= nfc).as("changed"))
+    },
+
+    // -- Learned quality classifier (L4): the GPT-3/CCNet stage — Naive
+    //    Bayes trained on curated-vs-crawl labels (here: a source
+    //    allowlist plays "curated"), scoring every doc by exact BIGINT
+    //    micro-nat log-likelihood ratio. The oracle retrains the identical
+    //    model from scratch; the high-quality set (pred_hq) is the
+    //    integer-space Bayes decision, identical on every engine.
+    "t14_quality_classifier" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val curated = col("source").isin("src0", "src1", "src2", "src3", "src4")
+      val m = graft.operators.QualityClassifier.trainNaiveBayes(
+        t.documents, "text", curated)
+      graft.operators.QualityClassifier.scoreLlr(t.documents, "text", "doc_id", m)
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          col("llr_micro"), col("pred_hq"))
+    },
+
+    // -- Phrase detection (L4): word2phrase (Mikolov NIPS 2013) — adjacent
+    //    pairs whose discounted co-occurrence beats unigram expectation.
+    //    The acceptance test is integer cross-multiplied in DECIMAL(38,0)
+    //    (HUGEINT on the oracle side), exact at any corpus size.
+    "t15_phrase_detect" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      // threshold=1 flags pairs co-occurring above unigram expectation
+      // (after the δ discount) — the fixture's synthetic text has no real
+      // collocations, so the word2phrase default of 10 would flag nothing;
+      // at 1 the decision splits the candidate set non-trivially (~1/5
+      // flagged at sf0.01) and still exercises the exact integer test.
+      graft.operators.Phrases.detect(t.documents, "text",
+        minPairCount = 3, delta = 5, threshold = 1)
     }
   )
 
@@ -564,6 +595,78 @@ object TextQueries extends QueryPack {
         |  length(raw) AS n_raw,
         |  length(nfc_normalize(raw)) AS n_nfc,
         |  raw <> nfc_normalize(raw) AS changed
-        |FROM r""".stripMargin
+        |FROM r""".stripMargin,
+    // t14: DuckDB retrains the identical NB model — shared minCount vocab,
+    // per-class add-one log-probs quantized floor(ln·1e6+0.5) BEFORE the
+    // subtraction (two BIGINTs, exact difference), full class token masses
+    // as denominators, add-one doc-count prior. Zero-token docs keep a row
+    // (LEFT JOIN from documents) scoring exactly the prior.
+    "t14_quality_classifier" ->
+      """WITH lab AS (SELECT doc_id, text,
+        |    source IN ('src0','src1','src2','src3','src4') AS pos
+        |  FROM documents),
+        |n AS (SELECT doc_id, pos,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS nt
+        |  FROM lab),
+        |tok AS (SELECT doc_id, pos, unnest(string_split(nt, ' ')) AS tok
+        |  FROM n WHERE nt <> ''),
+        |cnt AS (SELECT tok,
+        |    count(*) FILTER (WHERE pos) AS cp,
+        |    count(*) FILTER (WHERE NOT pos) AS cn
+        |  FROM tok GROUP BY tok),
+        |tot AS (SELECT sum(cp) AS tp, sum(cn) AS tn,
+        |    count(*) FILTER (WHERE cp + cn >= 2) AS v FROM cnt),
+        |llr AS (SELECT tok,
+        |    CAST(floor(ln((cp + 1.0) / (tp + v + 1)) * 1e6 + 0.5) AS BIGINT)
+        |      - CAST(floor(ln((cn + 1.0) / (tn + v + 1)) * 1e6 + 0.5) AS BIGINT)
+        |      AS llr
+        |  FROM cnt, tot WHERE cp + cn >= 2),
+        |oov AS (SELECT
+        |    CAST(floor(ln(1.0 / (tp + v + 1)) * 1e6 + 0.5) AS BIGINT)
+        |      - CAST(floor(ln(1.0 / (tn + v + 1)) * 1e6 + 0.5) AS BIGINT) AS llr
+        |  FROM tot),
+        |pri AS (SELECT
+        |    CAST(floor(ln(count(*) FILTER (WHERE pos) + 1.0) * 1e6 + 0.5) AS BIGINT)
+        |      - CAST(floor(ln(count(*) FILTER (WHERE NOT pos) + 1.0) * 1e6 + 0.5)
+        |          AS BIGINT) AS p
+        |  FROM lab),
+        |scored AS (SELECT l.doc_id,
+        |    CAST(count(t.tok) AS BIGINT) AS n_tokens,
+        |    CAST(coalesce(sum(coalesce(m.llr, (SELECT llr FROM oov))), 0)
+        |      + (SELECT p FROM pri) AS BIGINT) AS llr_micro
+        |  FROM lab l
+        |  LEFT JOIN tok t ON l.doc_id = t.doc_id
+        |  LEFT JOIN llr m ON t.tok = m.tok
+        |  GROUP BY l.doc_id)
+        |SELECT doc_id, n_tokens, llr_micro, llr_micro > 0 AS pred_hq
+        |FROM scored""".stripMargin,
+    // t15: DuckDB re-derives adjacent pairs via the t12 parallel-unnest +
+    // lag idiom and evaluates the same cross-multiplied acceptance test in
+    // HUGEINT (decimal(38,0) on the Spark side) — exact both sides.
+    "t15_phrase_detect" ->
+      """WITH n AS (SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS nt
+        |  FROM documents),
+        |tp AS (SELECT doc_id,
+        |    unnest(string_split(nt, ' ')) AS tok,
+        |    unnest(range(1, len(string_split(nt, ' ')) + 1)) AS pos
+        |  FROM n WHERE nt <> ''),
+        |pr AS (SELECT doc_id,
+        |    lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+        |    tok AS w2
+        |  FROM tp),
+        |pc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_pair
+        |  FROM pr WHERE w1 IS NOT NULL
+        |  GROUP BY w1, w2 HAVING count(*) >= 3),
+        |uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tp GROUP BY tok),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uc)
+        |SELECT p.w1, p.w2, p.c_pair, a.c AS c1, b.c AS c2,
+        |  CAST(p.c_pair - 5 AS HUGEINT) * (SELECT n FROM tot)
+        |    > CAST(1 * a.c AS HUGEINT) * b.c AS is_phrase
+        |FROM pc p
+        |JOIN uc a ON p.w1 = a.tok
+        |JOIN uc b ON p.w2 = b.tok""".stripMargin
   )
 }
