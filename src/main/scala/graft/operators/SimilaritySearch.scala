@@ -444,10 +444,24 @@ object SimilaritySearch {
     * aggregate inside centroid training.
     */
   def nearestCentroid(vectors: DataFrame, idCol: String, vecCol: String,
-      labelCol: String, simPrecision: Int = 6): DataFrame = {
-    val cents = fixedPointCentroids(vectors, labelCol, vecCol)
+      labelCol: String, simPrecision: Int = 6): DataFrame =
+    assignToCentroids(vectors, idCol, vecCol,
+      fixedPointCentroids(vectors, labelCol, vecCol)
+        .withColumnRenamed(labelCol, "label"),
+      simPrecision)
+
+  /** Assignment against a FROZEN centroid table `(label, centroid, cnorm)`
+    * — the piece [[nearestCentroid]] runs after training, exposed so an
+    * index can be MAINTAINED: assign only a new batch against persisted
+    * centroids without retraining or touching indexed history
+    * ([[incrementalIndexManifest]]). Map-only over the vectors (one
+    * broadcast row carries the centroid array).
+    */
+  def assignToCentroids(vectors: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, simPrecision: Int = 6): DataFrame = {
+    val cents = centroids
       .agg(collect_list(struct(
-        col(labelCol).as("label"), col("centroid"), col("cnorm"))).as("_cents"))
+        col("label"), col("centroid"), col("cnorm"))).as("_cents"))
     val vd = transform(col(vecCol), x => x.cast("double"))
     val scored = vectors
       .select(col(idCol), col(vecCol))
@@ -478,6 +492,40 @@ object SimilaritySearch {
       .select(col(idCol),
         col("_best.label").as("label"),
         col("_best.sim").as("sim"))
+  }
+
+  /** Incremental vector-index maintenance — the d06/d09/c08 persisted-store
+    * shape applied to ANN: centroids train ONCE on the base corpus and
+    * FREEZE (the FAISS `add`-after-`train` contract); each arriving batch
+    * is assigned map-only against the frozen centroid broadcast — no
+    * retrain, no re-assignment of indexed history, per-batch cost O(batch),
+    * NOT O(index). Emits the merged per-list manifest a reader plans probes
+    * from (the vector-index analogue of [[Corpus.shardManifest]]).
+    *
+    * The deterministic [[fixedPointCentroids]] make every assignment
+    * exact-reproducible, so "append(base-index, delta) == full build over
+    * base∪delta with the same frozen centroids" is a strict row-level
+    * equality (spec-pinned) and the whole manifest is DuckDB-recomputable.
+    *
+    * @return one row per inverted list:
+    *         (list_label, n_vectors, n_new, min_vec_id, max_vec_id)
+    */
+  def incrementalIndexManifest(base: DataFrame, delta: DataFrame,
+      idCol: String, vecCol: String, labelCol: String): DataFrame = {
+    val cents = fixedPointCentroids(base, labelCol, vecCol)
+      .withColumnRenamed(labelCol, "label")
+      .localCheckpoint(true) // labels x dim; read by both assignment passes
+    val store = assignToCentroids(base, idCol, vecCol, cents) // persisted in prod
+      .withColumn("_new", lit(false))
+    val batch = assignToCentroids(delta, idCol, vecCol, cents) // per-batch cost
+      .withColumn("_new", lit(true))
+    store.unionByName(batch)
+      .groupBy(col("label").as("list_label"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        sum(when(col("_new"), 1L).otherwise(0L)).as("n_new"),
+        min(col(idCol)).as("min_vec_id"),
+        max(col(idCol)).as("max_vec_id"))
   }
 
   // -- Product quantization: the ANN memory scale path beyond int8 ----------

@@ -257,6 +257,20 @@ object SimilarityQueries extends QueryPack {
           .as("found_subset_of_exact"),
         (count(when(col("_f") === 1 && col("_e") === 1, 1)) * 10L >=
           count(col("_e")) * 9L).as("recall_ok"))
+    },
+
+    // -- L3 index maintenance: centroids train once on the base corpus
+    //    and freeze (FAISS add-after-train); the delta batch assigns
+    //    map-only against the frozen broadcast — per-batch cost O(batch),
+    //    not O(index). Deterministic fixed-point centroids (s09
+    //    arithmetic) make the merged per-list manifest fully
+    //    hash-oracled; append == full-rebuild equality is spec-pinned.
+    "s13_incremental_ivf" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val base = t.embeddings.filter(col("vec_id") % 4 =!= 0)
+      val delta = t.embeddings.filter(col("vec_id") % 4 === 0)
+      SimilaritySearch.incrementalIndexManifest(
+        base, delta, "vec_id", "embedding", "label")
     }
   )
 
@@ -447,6 +461,40 @@ object SimilarityQueries extends QueryPack {
         |SELECT n.label,
         |  (SELECT count(*) FROM embeddings e WHERE e.label = n.label) AS n_vectors,
         |  CAST(n.dim AS INT) AS dim, n.centroid_norm
-        |FROM norms n""".stripMargin
+        |FROM norms n""".stripMargin,
+    // s13: centroids re-derived from the BASE subset only (vec_id % 4 <> 0)
+    // with s09's exact fixed-point arithmetic, every vector (base + delta)
+    // assigned by the same rounded-cosine argmax, manifest = conditional
+    // counts per winning list.
+    "s13_incremental_ivf" ->
+      """WITH b AS (SELECT * FROM embeddings WHERE vec_id % 4 <> 0),
+        |comps AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS comp FROM b),
+        |fx AS (SELECT label, pos,
+        |    CAST(floor(comp * 10000000 + 0.5) AS BIGINT) AS f FROM comps),
+        |m AS (SELECT label, pos,
+        |    CAST(sum(f) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 10000000) AS m
+        |  FROM fx GROUP BY label, pos),
+        |cent AS (SELECT label, list(m ORDER BY pos) AS c FROM m GROUP BY label),
+        |cn AS (SELECT label, c, sqrt(list_dot_product(c, c)) AS cnorm FROM cent),
+        |e AS (SELECT vec_id, vec_id % 4 = 0 AS is_new,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |en AS (SELECT vec_id, is_new, v, sqrt(list_dot_product(v, v)) AS vn FROM e),
+        |scored AS (SELECT en.vec_id, en.is_new, cn.label,
+        |    round(CASE WHEN en.vn > 0 AND cn.cnorm > 0
+        |      THEN list_dot_product(en.v, cn.c) / (en.vn * cn.cnorm)
+        |      ELSE 0 END, 6) AS sim
+        |  FROM en CROSS JOIN cn),
+        |ranked AS (SELECT vec_id, is_new, label, sim,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY sim DESC, label ASC) AS rn
+        |  FROM scored)
+        |SELECT label AS list_label,
+        |  CAST(count(*) AS BIGINT) AS n_vectors,
+        |  CAST(count(*) FILTER (WHERE is_new) AS BIGINT) AS n_new,
+        |  min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id
+        |FROM ranked WHERE rn = 1
+        |GROUP BY label""".stripMargin
   )
 }

@@ -597,6 +597,36 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.values.forall { case (_, s) => s >= -1.0 && s <= 1.0 })
   }
 
+  test("incremental index: append == full rebuild under frozen centroids") {
+    val emb = graft.sources.Tables(spark, sf).embeddings
+    val base = emb.filter(col("vec_id") % 4 =!= 0)
+    val delta = emb.filter(col("vec_id") % 4 === 0)
+    val incremental = SimilaritySearch.incrementalIndexManifest(
+      base, delta, "vec_id", "embedding", "label")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    // full rebuild over base ∪ delta against the SAME frozen (base-trained)
+    // centroids must produce the identical manifest
+    val cents = SimilaritySearch.fixedPointCentroids(base, "label", "embedding")
+    val full = SimilaritySearch.assignToCentroids(
+      emb, "vec_id", "embedding", cents)
+      .withColumn("_new", col("vec_id") % 4 === 0)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), sum(when(col("_new"), 1L).otherwise(0L)).as("nn"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(incremental === full)
+    // the batch never touches indexed history: delta-side assignment is
+    // map-only — no shuffle exchange in its plan (broadcast is fine)
+    val plan = SimilaritySearch.assignToCentroids(
+      delta, "vec_id", "embedding", cents)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ShuffleExchange"),
+      s"delta assignment must not shuffle the batch:\n$plan")
+    // manifest accounting: n_new sums to the delta count
+    val nNew = incremental.toSeq.map(_._3).sum
+    assert(nNew === delta.count())
+    assert(incremental.toSeq.map(_._2).sum === emb.count())
+  }
+
   test("unigram LM: quantized log-probs, OOV floor, exact bigint NLL sums") {
     import spark.implicits._
     import graft.operators.LanguageModel
