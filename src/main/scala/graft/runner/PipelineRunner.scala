@@ -144,6 +144,22 @@ object PipelineRunner {
           .filter(col("quality") >= minQuality &&
             col("dup_trigram_frac") <= 0.5)
       },
+      // learned quality classifier (GPT-3 §A / CCNet): NB trained with the
+      // curated source allowlist as positives and the rest of the gated
+      // corpus as negatives; every doc gets its exact-integer LLR and the
+      // Bayes verdict. ANNOTATE, not filter: the score is mixture-weight
+      // input downstream (like the Gopher verdicts), and the llr column is
+      // the deterministic analogue of GPT-3's stochastic keep probability
+      "classifier_annotate" -> { (spark, cfg) =>
+        val gated = spark.read.parquet(s"${cfg.outputDir}/quality_gate")
+        val m = graft.operators.QualityClassifier.trainNaiveBayes(
+          gated, "text", col("source").isin("src0", "src1", "src2", "src3", "src4"))
+        gated.join(
+          graft.operators.QualityClassifier.scoreLlr(gated, "text", "doc_id", m)
+            .select(col("id").as("doc_id"),
+              col("llr_micro").as("clf_llr_micro"), col("pred_hq")),
+          Seq("doc_id"), "left")
+      },
       // CCNet-style LM gate: train the unigram LM on the rule-gated
       // survivors themselves, score every doc, drop the high-perplexity
       // tail (integer threshold test — avg NLL <= 3.45 nats). Training on
@@ -151,7 +167,7 @@ object PipelineRunner {
       // model represents what survived the cheap rules, so the tail is
       // "unlike the acceptable corpus", not "unlike the web"
       "lm_gate" -> { (spark, cfg) =>
-        val gated = spark.read.parquet(s"${cfg.outputDir}/quality_gate")
+        val gated = spark.read.parquet(s"${cfg.outputDir}/classifier_annotate")
         val (lm, oov) = graft.operators.LanguageModel.unigramLm(gated, "text")
         gated.join(
           graft.operators.LanguageModel.scoreNll(gated, "text", "doc_id", lm, oov)
@@ -166,6 +182,28 @@ object PipelineRunner {
         val gated = spark.read.parquet(s"${cfg.outputDir}/lm_gate")
         val merges = graft.operators.Bpe.learnMerges(gated, "text", numMerges = 100)
         graft.operators.Bpe.segment(gated, "text", "doc_id", merges)
+      },
+      // word2phrase pass over the final corpus: collocations detected
+      // from corpus statistics, then every doc rewritten with accepted
+      // pairs joined as single units — the phrased stream an embedding
+      // trainer (word2vec-style, whitespace tokenization) consumes. Kept
+      // SEPARATE from bpe_tokenize: the BPE normalizer strips '_', so the
+      // two tokenizations are alternative terminal outputs, not a chain
+      "phrase_corpus" -> { (spark, cfg) =>
+        val gated = spark.read.parquet(s"${cfg.outputDir}/lm_gate")
+        val phrases = graft.operators.Phrases.detect(gated, "text", threshold = 1)
+        graft.operators.Phrases.rewrite(gated, "text", "doc_id", phrases)
+      },
+      // leakage-safe split assignment: exact-dup fingerprint families
+      // co-assign to one of train/val/test by the group representative's
+      // hash — reproducible across runs, so the split is stable even as
+      // upstream gates change membership
+      "split_assign" -> { (spark, cfg) =>
+        graft.operators.Corpus.groupHoldoutSplit(
+          spark.read.parquet(s"${cfg.outputDir}/lm_gate")
+            .withColumn("fp", md5(graft.functions.TextFunctions
+              .normalizeText(col("text")).cast("binary"))),
+          "doc_id", "fp")
       },
       // training-ready outputs: overlapping token chunks of the gated
       // corpus, and fixed-token-budget shard assignments per language

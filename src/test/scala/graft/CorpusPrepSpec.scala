@@ -49,6 +49,39 @@ class CorpusPrepSpec extends SparkSpec {
     assert(run(2) == run(13))
   }
 
+  test("frozen NB classifier scores streams exactly like batch") {
+    import spark.implicits._
+    // classify-at-ingest: the model trains once offline, persists, and
+    // each micro-batch scores against the SAME frozen LLR table — exact
+    // integer sums make this a strict equality with the batch run
+    val tmp = java.nio.file.Files.createTempDirectory("graft_clfstream").toString
+    val corpus = Seq((1L, "good prose text", true), (2L, "bad spam spam", false),
+      (3L, "prose spam text good", true), (4L, "spam bad", false))
+      .toDF("doc_id", "text", "is_pos")
+    val m = QualityClassifier.trainNaiveBayes(corpus, "text", col("is_pos"), minCount = 1)
+    m.llr.write.parquet(s"$tmp/llr")
+    val frozen = QualityClassifier.NbModel(
+      spark.read.parquet(s"$tmp/llr"), m.oovLlrMicro, m.priorMicro)
+    corpus.filter($"doc_id" <= 2).coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    corpus.filter($"doc_id" > 2).coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    val q = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
+      .writeStream
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        QualityClassifier.scoreLlr(batch, "text", "doc_id", frozen)
+          .write.mode("append").parquet(s"$tmp/out")
+      }
+      .start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(s"$tmp/out")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    val batch = QualityClassifier.scoreLlr(corpus, "text", "doc_id", m)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(streamed === batch, "frozen-classifier streaming scores == batch scores")
+  }
+
   // -- Phrases ---------------------------------------------------------------
 
   test("phrase detection matches the hand-derived word2phrase decision") {

@@ -32,8 +32,13 @@ class PipelineRunnerSpec extends SparkSpec {
     assert(byStage("near_dedup") <= byStage("exact_dedup"))
     assert(byStage("quality_gate") <= byStage("near_dedup"))
     assert(byStage("quality_gate") > 0)
+    // classifier annotation is row-preserving and every doc gets a verdict
+    assert(byStage("classifier_annotate") === byStage("quality_gate"))
+    val clf = spark.read.parquet(s"$out/classifier_annotate")
+    assert(clf.filter(col("clf_llr_micro").isNull || col("pred_hq").isNull)
+      .count() === 0)
     // the LM gate drops the high-perplexity tail of the rule-gated corpus
-    assert(byStage("lm_gate") <= byStage("quality_gate"))
+    assert(byStage("lm_gate") <= byStage("classifier_annotate"))
     assert(byStage("lm_gate") > 0)
     // tokenization is row-preserving over the final corpus, and BPE can
     // only produce at least one subword per token
@@ -56,6 +61,18 @@ class PipelineRunnerSpec extends SparkSpec {
       .collect().forall(_.getLong(1) <= 25))
     assert(holdout.join(spark.read.parquet(s"$out/lm_gate"), "doc_id").count()
       === holdout.count())
+    // phrased corpus: row-preserving over the final corpus, and rewriting
+    // can only shrink the whitespace token count (merges join two tokens)
+    assert(byStage("phrase_corpus") === byStage("lm_gate"))
+    val phrased = spark.read.parquet(s"$out/phrase_corpus")
+      .select(size(split(col("phrased_text"), " ")).as("n_ph"))
+      .agg(min(col("n_ph"))).head().getInt(0)
+    assert(phrased > 0)
+    // split assignment: row-preserving, no fingerprint family straddles
+    assert(byStage("split_assign") === byStage("lm_gate"))
+    assert(spark.read.parquet(s"$out/split_assign")
+      .groupBy("fp").agg(countDistinct(col("split")).as("n"))
+      .filter(col("n") > 1).count() === 0)
     // stats cover every language present in the gated corpus
     val langs = spark.read.parquet(s"$out/corpus_stats").count()
     assert(langs > 0 && langs <= 6)
