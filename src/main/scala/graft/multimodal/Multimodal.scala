@@ -453,4 +453,153 @@ object Multimodal {
           sequence(lit(0), col("meta.n_frames") - 1),
           i => i % stride === 0))
         .otherwise(array().cast("array<int>"))) // 0-frame media: no plan, not frame [-1,0]
+
+  // -- Perceptual image hashing: the multimodal dedup signal -----------------
+
+  /** 60-bit id-derived block pattern — the shared contract between
+    * [[synthesizeBitPatternImages]] (renders it as pixels) and the m08
+    * oracle (recomputes it as integer arithmetic). Two xor-mixed 31-bit
+    * multiplicative-hash lanes: the xor between affine stages breaks the
+    * mod-2^31 linearity a plain Knuth hash keeps, so unrelated ids land at
+    * ~random hamming distance (~30 of 60) and the PLANTED variants are the
+    * only low-hamming structure. Every step is nonneg-BIGINT arithmetic
+    * (products < 2^63) that DuckDB reproduces exactly.
+    */
+  def patternBits(id: Long): Long = {
+    val M = 2147483648L
+    def m1(x: Long): Long = (x % M) * 2654435761L % M
+    def mix(x: Long): Long = { val a = m1(x); m1(a ^ (a >> 16)) }
+    (mix(id + 1) / 2) * 1073741824L + (mix(id + 99991L) / 2)
+  }
+
+  /** Ids ≡ 1 (mod 8) render the PREVIOUS id's pattern with two bits
+    * flipped — a planted near-duplicate at hamming 2. */
+  val phashFlipMask: Long = (1L << 5) | (1L << 37)
+
+  private def plantedPattern(id: Long): Long =
+    if (id % 8 == 1) patternBits(id - 1) ^ phashFlipMask else patternBits(id)
+
+  /** Real PNG payloads carrying the 60-bit pattern as a 10×6 grid of 4×4
+    * black/white cells (40×24 px). Executor-side synthesis like
+    * [[synthesizeImages]]; the decode→hash pipeline must recover the
+    * pattern EXACTLY, which is what makes m08 hash-oracle-able.
+    */
+  def synthesizeBitPatternImages(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .as[Long].mapPartitions { ids =>
+        useMemoryCodecBuffers()
+        ids.map { id =>
+          val bits = plantedPattern(id)
+          val img = new java.awt.image.BufferedImage(
+            40, 24, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var k = 0
+          while (k < 60) {
+            val cx = k % 10; val cy = k / 10
+            val rgb = if (((bits >> k) & 1L) == 1L) 0xFFFFFF else 0x000000
+            var y = cy * 4
+            while (y < cy * 4 + 4) {
+              var x = cx * 4
+              while (x < cx * 4 + 4) { img.setRGB(x, y, rgb); x += 1 }
+              y += 1
+            }
+            k += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          (id, out.toByteArray)
+        }
+      }.toDF("doc_id", "content")
+  }
+
+  /** Average-hash (aHash) of an image payload: decode, 10×6 grid of block
+    * means, one bit per block — set iff the block mean exceeds the global
+    * mean of block means. 60 bits packed into a BIGINT. The standard
+    * perceptual fingerprint (same family as pHash/dHash): re-encoding,
+    * resampling, and small local edits move few bits, so near-duplicate
+    * images sit at low hamming distance — the image analogue of SimHash
+    * over text.
+    *
+    * Map-only per row (decode + integer block sums inside mapPartitions);
+    * decode failures quarantine to hash = -1 / ok = false, never a task
+    * failure (the Multimodal contract). At 100 TB the wide binary column
+    * is dropped right here — only (id, 8-byte hash) ever shuffles.
+    */
+  def imageAHash(media: DataFrame, idCol: String = "doc_id",
+      contentCol: String = "content"): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        useMemoryCodecBuffers()
+        it.map { case (id, bytes) =>
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            if (img == null) (id, -1L, false)
+            else {
+              val w = img.getWidth; val h = img.getHeight
+              val sums = new Array[Long](60)
+              val counts = new Array[Long](60)
+              var y = 0
+              while (y < h) {
+                val cy = math.min(y * 6 / h, 5)
+                var x = 0
+                while (x < w) {
+                  val cx = math.min(x * 10 / w, 9)
+                  val rgb = img.getRGB(x, y)
+                  // integer luma (BT.601-ish, /256 keeps it exact-integer)
+                  val g = (((rgb >> 16) & 0xFF) * 77 + ((rgb >> 8) & 0xFF) * 151 +
+                    (rgb & 0xFF) * 28) >> 8
+                  val k = cy * 10 + cx
+                  sums(k) += g; counts(k) += 1
+                  x += 1
+                }
+                y += 1
+              }
+              // exact rational compare: mean_k > global_mean without floats —
+              // (sum_k/cnt_k) > (Σsum/Σcnt) ⟺ sum_k·Σcnt > Σsum·cnt_k
+              val totSum = sums.sum; val totCnt = counts.sum
+              var bits = 0L; var k = 0
+              while (k < 60) {
+                if (counts(k) > 0 && sums(k) * totCnt > totSum * counts(k))
+                  bits |= (1L << k)
+                k += 1
+              }
+              (id, bits, true)
+            }
+          } catch { case scala.util.control.NonFatal(_) => (id, -1L, false) }
+        }
+      }.toDF(idCol, "phash", "ok")
+  }
+
+  /** Near-duplicate image pairs by perceptual-hash hamming distance —
+    * banded exactly like SimHash text dedup: 4 bands of 15 bits, a pair
+    * meets iff SOME band matches (pigeonhole: ≤ 3 flipped bits leave at
+    * least one band untouched, so recall at maxHamming ≤ 3 is exhaustive,
+    * not probabilistic), then the true hamming filter runs on the met
+    * pairs only. Scale shape: the join is an equi join on (band, value) —
+    * candidates meet in buckets, never all-pairs.
+    */
+  def perceptualNearDups(hashes: DataFrame, idCol: String = "doc_id",
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4x15-bit banding is exhaustive only to hamming 3")
+    val banded = hashes.filter(col("ok"))
+      .select(col(idCol).as("id"), col("phash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("phash"), 15 * b).bitwiseAND(lit(32767L))
+              .as("v"))): _*)).as("bk"))
+      .select(col("id"), col("phash"),
+        col("bk.band").as("band"), col("bk.v").as("v"))
+    banded.select(col("id").as("id_a"), col("phash").as("ph_a"), col("band"), col("v"))
+      .join(banded.select(col("id").as("id_b"), col("phash").as("ph_b"),
+        col("band"), col("v")), Seq("band", "v"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
+  }
 }

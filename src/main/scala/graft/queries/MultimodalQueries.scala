@@ -120,6 +120,21 @@ object MultimodalQueries extends QueryPack {
           size(col("sample_frames")).as("n_sampled"),
           element_at(col("sample_frames"), 1).as("first_frame"),
           element_at(col("sample_frames"), -1).as("last_frame"))
+    },
+
+    // -- Multimodal DEDUP: perceptual hashing over really-decoded pixels.
+    //    Synthesized PNGs carry a 60-bit id-derived block pattern (ids ≡ 1
+    //    mod 8 render the previous id's pattern with two bits flipped — a
+    //    planted near-dup at hamming 2); aHash must recover the pattern
+    //    EXACTLY through the encode→decode→block-mean→threshold chain, and
+    //    the banded pair join is pigeonhole-exhaustive at hamming ≤ 3 — so
+    //    the oracle recomputes the entire pair set from pure integer
+    //    arithmetic and the gate is rows+schema+hash exact.
+    "m08_image_phash_dedup" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val media = Multimodal.synthesizeBitPatternImages(t.documents)
+      val hashes = Multimodal.imageAHash(media)
+      Multimodal.perceptualNearDups(hashes, maxHamming = 3)
     }
   )
 
@@ -186,6 +201,32 @@ object MultimodalQueries extends QueryPack {
         |  0 AS first_frame,
         |  CAST(10 * floor((doc_id % 64) / 10) AS INT) AS last_frame
         |FROM documents
-        |WHERE doc_id % 3 = 2""".stripMargin
+        |WHERE doc_id % 3 = 2""".stripMargin,
+    // m08: the pixel pattern is Multimodal.patternBits — two xor-mixed
+    // 31-bit multiplicative-hash lanes packed to 60 bits (all nonneg
+    // BIGINT arithmetic), flip mask 2^5+2^37 on ids ≡ 1 mod 8. The
+    // brute-force pair filter here equals the engine's banded join because
+    // 4x15-bit banding is exhaustive at hamming <= 3 (pigeonhole).
+    "m08_image_phash_dedup" ->
+      """WITH k AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 8 = 1 THEN doc_id - 1 ELSE doc_id END AS k
+        |  FROM documents),
+        |a AS (SELECT doc_id,
+        |    ((k + 1) % 2147483648) * 2654435761 % 2147483648 AS a1,
+        |    ((k + 99991) % 2147483648) * 2654435761 % 2147483648 AS a2
+        |  FROM k),
+        |m AS (SELECT doc_id,
+        |    (xor(a1, a1 >> 16) * 2654435761 % 2147483648) AS u1,
+        |    (xor(a2, a2 >> 16) * 2654435761 % 2147483648) AS u2
+        |  FROM a),
+        |base AS (SELECT doc_id,
+        |    (u1 // 2) * 1073741824 + (u2 // 2) AS b FROM m),
+        |p AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 8 = 1 THEN xor(b, 137438953504) ELSE b END AS ph
+        |  FROM base)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+        |FROM p a JOIN p b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.ph, b.ph)) <= 3""".stripMargin
   )
 }

@@ -597,6 +597,41 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.values.forall { case (_, s) => s >= -1.0 && s <= 1.0 })
   }
 
+  test("perceptual hash: decode->block-mean chain recovers the pattern bits") {
+    import spark.implicits._
+    val ids = Seq(0L, 2L, 7L, 40L, 123L) // none ≡ 1 mod 8 → unflipped patterns
+    val media = Multimodal.synthesizeBitPatternImages(ids.toDF("doc_id"))
+    val hashes = Multimodal.imageAHash(media)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    ids.foreach { id =>
+      assert(hashes(id)._2, s"decode of synthesized PNG $id must succeed")
+      assert(hashes(id)._1 === Multimodal.patternBits(id),
+        s"aHash($id) must equal the arithmetic pattern")
+    }
+  }
+
+  test("perceptual near-dups: planted pairs found, hamming>3 filtered, corrupt quarantined") {
+    import spark.implicits._
+    // ids 8,9 are a planted pair (hamming 2); id 999 gets a corrupt payload
+    val media = Multimodal.synthesizeBitPatternImages(
+      Seq(8L, 9L, 16L, 24L).toDF("doc_id"))
+      .unionByName(Seq((999L, Array[Byte](1, 2, 3))).toDF("doc_id", "content"))
+    val hashes = Multimodal.imageAHash(media)
+    assert(hashes.filter(col("doc_id") === 999L && !col("ok")).count() === 1,
+      "corrupt payload must quarantine, not fail the task")
+    val pairs = Multimodal.perceptualNearDups(hashes)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq === Seq((8L, 9L, 2)),
+      s"exactly the planted pair at hamming 2, got ${pairs.mkString(",")}")
+    // 4 flips concentrated in one band: the pair MEETS on the 3 clean
+    // bands, so it's the hamming filter (not banding) that must drop it
+    val fourFlip = (1L << 1) | (1L << 3) | (1L << 7) | (1L << 11) // all in band 0
+    val synth = Seq((1000L, Multimodal.patternBits(1000L), true),
+      (1001L, Multimodal.patternBits(1000L) ^ fourFlip, true))
+      .toDF("doc_id", "phash", "ok")
+    assert(Multimodal.perceptualNearDups(synth).count() === 0)
+  }
+
   test("incremental index: append == full rebuild under frozen centroids") {
     val emb = graft.sources.Tables(spark, sf).embeddings
     val base = emb.filter(col("vec_id") % 4 =!= 0)
