@@ -846,9 +846,13 @@ object Corpus {
       trainPct: Int = 90, valPct: Int = 5, seed: Long = 0L): DataFrame = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
       "need 0 < trainPct, 0 <= valPct, trainPct + valPct < 100")
-    val reps = df.groupBy(col(groupCol))
+    val reps = df.groupBy(col(groupCol).as("_g"))
       .agg(min(col(idCol).cast("long")).as("_gid"))
-    df.join(reps, Seq(groupCol))
+    // null-SAFE join: a null group key (e.g. the fingerprint of a null
+    // text) is a real group — all its members co-assign behind the null
+    // rep row. A plain equi join would silently DROP those rows instead
+    df.join(reps, col(groupCol) <=> col("_g"))
+      .drop("_g")
       .withColumn("bucket",
         floor(mulHash(col("_gid"), seed) * lit(100L) / lit(HashMod.toDouble))
           .cast("int"))

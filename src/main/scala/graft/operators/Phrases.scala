@@ -39,10 +39,13 @@ object Phrases {
     */
   def detect(docs: DataFrame, textCol: String, minPairCount: Long = 3,
       delta: Long = 5, threshold: Long = 10): DataFrame = {
+    // read twice (unigram + pair counts) but NOT checkpointed: tokenize is
+    // a map-only projection, and materializing a second corpus-sized copy
+    // to executor storage costs more than recomputing the regex pass —
+    // at 100 TB the hidden full-corpus write would dwarf both count shuffles
     val toksDf = docs
       .select(tokens(normalizeText(col(textCol))).as("toks"))
       .filter(size(col("toks")) > 0)
-      .localCheckpoint(true) // read twice: unigram + pair counts
     val uni = toksDf.select(explode(col("toks")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
       .localCheckpoint(true) // vocab-sized; N + two join probes

@@ -494,13 +494,53 @@ object SimilaritySearch {
         col("_best.sim").as("sim"))
   }
 
+  /** Per-inverted-list manifest of an assignment frame — the vector-index
+    * analogue of [[Corpus.shardManifest]]: one bounded row per list
+    * (nlist rows total), the sidecar a reader plans probes from.
+    *
+    * @param isNew marks rows counted into `n_new` (a fresh batch vs the
+    *              persisted store)
+    */
+  def indexManifest(assigned: DataFrame, idCol: String,
+      isNew: Boolean): DataFrame =
+    assigned
+      .groupBy(col("label").as("list_label"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        (if (isNew) count(lit(1)) else lit(0L)).cast("long").as("n_new"),
+        min(col(idCol)).as("min_vec_id"),
+        max(col(idCol)).as("max_vec_id"))
+
+  /** Exact merge of two manifests — counts add, id ranges widen. Merge of
+    * the persisted manifest with a batch manifest IS the manifest of the
+    * concatenated assignments (a strict equality, spec-pinned — the c08
+    * OR-merge property). Both inputs are nlist-row frames, so the merge
+    * cost is O(nlist), independent of index size.
+    */
+  def mergeIndexManifests(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("list_label"))
+      .agg(
+        sum(col("n_vectors")).as("n_vectors"),
+        sum(col("n_new")).as("n_new"),
+        min(col("min_vec_id")).as("min_vec_id"),
+        max(col("max_vec_id")).as("max_vec_id"))
+
   /** Incremental vector-index maintenance — the d06/d09/c08 persisted-store
     * shape applied to ANN: centroids train ONCE on the base corpus and
-    * FREEZE (the FAISS `add`-after-`train` contract); each arriving batch
-    * is assigned map-only against the frozen centroid broadcast — no
-    * retrain, no re-assignment of indexed history, per-batch cost O(batch),
-    * NOT O(index). Emits the merged per-list manifest a reader plans probes
-    * from (the vector-index analogue of [[Corpus.shardManifest]]).
+    * FREEZE (the FAISS `add`-after-`train` contract). The steady-state
+    * per-batch path is [[assignToCentroids]] on the batch (map-only
+    * against the frozen centroid broadcast) + [[indexManifest]] on the
+    * batch + [[mergeIndexManifests]] with the PERSISTED manifest — cost
+    * O(batch) + O(nlist), with no retrain and no re-scan of indexed
+    * history.
+    *
+    * This gate-facing composition replays the WHOLE lifecycle (train,
+    * base-store build, batch append, merge) inside one query so the
+    * DuckDB oracle can recompute it end to end — the same
+    * registered-query-vs-production-probe split as c08/d09 (COVERAGE.md):
+    * the base assignment here stands in for the store a deployment
+    * persists once.
     *
     * The deterministic [[fixedPointCentroids]] make every assignment
     * exact-reproducible, so "append(base-index, delta) == full build over
@@ -516,16 +556,10 @@ object SimilaritySearch {
       .withColumnRenamed(labelCol, "label")
       .localCheckpoint(true) // labels x dim; read by both assignment passes
     val store = assignToCentroids(base, idCol, vecCol, cents) // persisted in prod
-      .withColumn("_new", lit(false))
     val batch = assignToCentroids(delta, idCol, vecCol, cents) // per-batch cost
-      .withColumn("_new", lit(true))
-    store.unionByName(batch)
-      .groupBy(col("label").as("list_label"))
-      .agg(
-        count(lit(1)).as("n_vectors"),
-        sum(when(col("_new"), 1L).otherwise(0L)).as("n_new"),
-        min(col(idCol)).as("min_vec_id"),
-        max(col(idCol)).as("max_vec_id"))
+    mergeIndexManifests(
+      indexManifest(store, idCol, isNew = false),
+      indexManifest(batch, idCol, isNew = true))
   }
 
   // -- Product quantization: the ANN memory scale path beyond int8 ----------

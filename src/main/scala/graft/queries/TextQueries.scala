@@ -633,7 +633,8 @@ object TextQueries extends QueryPack {
         |  FROM lab),
         |scored AS (SELECT l.doc_id,
         |    CAST(count(t.tok) AS BIGINT) AS n_tokens,
-        |    CAST(coalesce(sum(coalesce(m.llr, (SELECT llr FROM oov))), 0)
+        |    CAST(coalesce(sum(CASE WHEN t.tok IS NULL THEN 0
+        |        ELSE coalesce(m.llr, (SELECT llr FROM oov)) END), 0)
         |      + (SELECT p FROM pri) AS BIGINT) AS llr_micro
         |  FROM lab l
         |  LEFT JOIN tok t ON l.doc_id = t.doc_id

@@ -160,6 +160,18 @@ class CorpusPrepSpec extends SparkSpec {
     assert(math.abs(frac.getOrElse("test", 0.0) - 0.05) < 0.02)
   }
 
+  test("holdout split keeps null-keyed groups (null-safe join, one family)") {
+    import spark.implicits._
+    // null group key (a null-text fingerprint) must not silently drop rows:
+    // all null-keyed docs form ONE family behind the null rep
+    val docs = Seq((1L, Some("g1")), (2L, None), (3L, None), (4L, Some("g2")))
+      .toDF("doc_id", "g")
+    val out = Corpus.groupHoldoutSplit(docs, "doc_id", "g")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L), "no row may vanish")
+    assert(out(2L) === out(3L), "null-keyed docs co-assign")
+  }
+
   test("holdout split rejects malformed percent cuts") {
     import spark.implicits._
     val docs = Seq((1L, 1L)).toDF("doc_id", "g")

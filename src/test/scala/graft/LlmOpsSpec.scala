@@ -649,12 +649,16 @@ class LlmOpsSpec extends SparkSpec {
       .agg(count(lit(1)).as("n"), sum(when(col("_new"), 1L).otherwise(0L)).as("nn"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
     assert(incremental === full)
-    // the batch never touches indexed history: delta-side assignment is
-    // map-only — no shuffle exchange in its plan (broadcast is fine)
+    // the batch never touches indexed history: against FROZEN (pinned)
+    // centroids, delta assignment is map-only — no hash-partitioned
+    // exchange anywhere in its plan (the one-row centroid collect plans an
+    // Exchange SinglePartition; broadcast is fine). "Exchange
+    // hashpartitioning" is the needle this Spark build actually prints
+    // for a shuffle — asserting on "ShuffleExchange" would be vacuous.
     val plan = SimilaritySearch.assignToCentroids(
-      delta, "vec_id", "embedding", cents)
+      delta, "vec_id", "embedding", cents.localCheckpoint(true))
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("ShuffleExchange"),
+    assert(!plan.contains("Exchange hashpartitioning"),
       s"delta assignment must not shuffle the batch:\n$plan")
     // manifest accounting: n_new sums to the delta count
     val nNew = incremental.toSeq.map(_._3).sum

@@ -318,6 +318,48 @@ class PlanSpec extends SparkSpec {
       s"ADC candidate scoring recomputes cosine per pair:\n${adcSide.take(1500)}")
   }
 
+  test("t14 classifier scoring: broadcast LLR lookup, map-side combined doc aggregate") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables(spark, sf).documents
+    val m = graft.operators.QualityClassifier.trainNaiveBayes(
+      docs, "text", col("source").isin("src0", "src1", "src2", "src3", "src4"))
+    val scored = graft.operators.QualityClassifier.scoreLlr(docs, "text", "doc_id", m)
+    scored.collect() // finalize under AQE
+    val p = scored.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"the minCount-bounded LLR table must broadcast, never shuffle the token stream:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"), s"no token-keyed shuffle join:\n${p.take(2000)}")
+    assert(p.contains("partial_"),
+      s"doc aggregate must map-side combine before the one exchange:\n${p.take(2000)}")
+  }
+
+  test("t15 phrase detection: both unigram joins broadcast the bounded count table") {
+    val docs = graft.sources.Tables(spark, sf).documents
+    val det = graft.operators.Phrases.detect(docs, "text", threshold = 1)
+    det.collect()
+    val p = det.queryExecution.executedPlan.toString
+    // pair table joins the vocab-sized unigram counts twice — both must be
+    // broadcast hash joins; the only shuffles are the two count aggregates
+    assert(p.contains("BroadcastHashJoin"), s"unigram joins must broadcast:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"no shuffle join between bounded count tables:\n${p.take(2000)}")
+  }
+
+  test("c14 holdout split: one group aggregate, assignment carries no extra shuffle") {
+    import org.apache.spark.sql.functions.{col, md5}
+    val docs = graft.sources.Tables(spark, sf).documents
+      .withColumn("fp", md5(graft.functions.TextFunctions
+        .normalizeText(col("text")).cast("binary")))
+    val split = graft.operators.Corpus.groupHoldoutSplit(docs, "doc_id", "fp")
+    split.collect()
+    val p = split.queryExecution.executedPlan.toString
+    // the group-min aggregate must combine map-side; the hash-bucket and
+    // split derivation are pure projections (no window, no extra exchange)
+    assert(p.contains("partial_min"),
+      s"group representative must map-side combine:\n${p.take(2000)}")
+    assert(!p.contains("Window"), s"assignment must not window:\n${p.take(2000)}")
+  }
+
   test("whole-stage codegen covers the relational core queries") {
     Seq("q01_pricing_summary", "q06_forecast_revenue", "w03_running_revenue").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sf)
