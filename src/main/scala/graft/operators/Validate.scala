@@ -122,4 +122,65 @@ object Validate {
       .agg(count(lit(1)).cast("long").as("n_violations"))
       .select(lit(name).as("check_name"), col("n_violations"),
         (col("n_violations") === 0L).as("pass"))
+
+  // -- Distribution drift monitoring -----------------------------------------
+
+  /** Population Stability Index contributions between two snapshots of a
+    * categorical dimension — the standard batch-over-batch drift monitor
+    * (PSI, the symmetrized-KL variant credit-scoring and ML-ops pipelines
+    * gate retrains on; > 0.1 "investigate", > 0.25 "act"). Per-key
+    * contribution `(p−q)·ln(p/q)` with add-one smoothing over the UNION
+    * key space (so a key that vanished or appeared still contributes a
+    * finite term), QUANTIZED to nano-units (`floor(·1e9 + 0.5)` — the t11
+    * discipline) so the total PSI is an exact BIGINT sum any engine
+    * reproduces.
+    *
+    * 100 TB shape: two count aggregates (map-side combined), one
+    * key-space-sized full outer join, one bounded stats row broadcast —
+    * nothing scales with row count except the two scans.
+    *
+    * @return (keyCol, n_ref, n_cur, psi_nano), one row per key seen in
+    *         either snapshot; total PSI = Σ psi_nano / 1e9
+    */
+  def distributionDrift(ref: DataFrame, cur: DataFrame,
+      keyCol: String): DataFrame = {
+    val a = ref.groupBy(col(keyCol)).agg(count(lit(1)).as("n_ref"))
+    val b = cur.groupBy(col(keyCol)).agg(count(lit(1)).as("n_cur"))
+    val joined = a.join(b, Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val stats = joined.agg(
+      sum(col("n_ref")).as("_ta"), sum(col("n_cur")).as("_tb"),
+      count(lit(1)).as("_k"))
+    val p = (col("n_ref") + 1).cast("double") / (col("_ta") + col("_k")).cast("double")
+    val q = (col("n_cur") + 1).cast("double") / (col("_tb") + col("_k")).cast("double")
+    joined.crossJoin(broadcast(stats)) // one row: totals + key-space size
+      .select(col(keyCol), col("n_ref"), col("n_cur"),
+        floor((p - q) * log(p / q) * 1e9 + 0.5).cast("long").as("psi_nano"))
+  }
+
+  /** Snapshot diff — the dataset-versioning audit: which documents were
+    * added, removed, or changed between two corpus versions, by id and
+    * content fingerprint. One full outer join on the id; fingerprints are
+    * md5 so the diff is cross-engine-verifiable. Rows whose content is
+    * unchanged are omitted (the diff is output-sized, not corpus-sized —
+    * at 100 TB the interesting set is the delta, and the equality filter
+    * happens before anything else materializes).
+    *
+    * @return (idCol, status ∈ added|removed|changed, fp_old, fp_new)
+    */
+  def snapshotDiff(old: DataFrame, current: DataFrame, idCol: String,
+      fpCol: Column): DataFrame = {
+    val o = old.select(col(idCol).as("_id"), fpCol.as("fp_old"))
+    val c = current.select(col(idCol).as("_id"), fpCol.as("fp_new"))
+    o.join(c, Seq("_id"), "full_outer")
+      .select(col("_id").as(idCol),
+        when(col("fp_old").isNull, "added")
+          .when(col("fp_new").isNull, "removed")
+          .when(col("fp_old") =!= col("fp_new"), "changed")
+          .otherwise("unchanged").as("status"),
+        col("fp_old"), col("fp_new"))
+      .filter(col("status") =!= "unchanged")
+  }
 }

@@ -27,6 +27,36 @@ object ValidationQueries extends QueryPack {
       ))).unionByName(Validate.refIntegrity(
         t.lineitem, "l_orderkey", t.orders, "o_orderkey",
         "ref_integrity(lineitem.l_orderkey)"))
+    },
+
+    // -- Distribution drift monitor: PSI over the language dimension
+    //    between two disjoint source cohorts (src0–9 as the reference
+    //    snapshot, src10–19 as current) — real non-zero drift values the
+    //    oracle recomputes exactly (nano-quantized per-key contributions,
+    //    exact BIGINT total). The retrain-gate primitive of an ML-ops
+    //    pipeline.
+    "v02_drift_report" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      import org.apache.spark.sql.functions.{col, length}
+      val ref = t.documents.filter(length(col("source")) === 4) // src0–src9
+      val cur = t.documents.filter(length(col("source")) === 5) // src10–src19
+      Validate.distributionDrift(ref, cur, "lang")
+    },
+
+    // -- Dataset-versioning audit: diff two corpus snapshots by id +
+    //    content fingerprint. v1 = all docs except id%10==3, v2 = all
+    //    except id%10==7 with text edited where id%10==5 — so the diff
+    //    contains genuine added/removed/changed rows the oracle re-derives.
+    "v03_snapshot_diff" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      import org.apache.spark.sql.functions._
+      val v1 = t.documents.filter(col("doc_id") % 10 =!= 3)
+      val v2 = t.documents.filter(col("doc_id") % 10 =!= 7)
+        .withColumn("text",
+          when(col("doc_id") % 10 === 5, concat(col("text"), lit(" edited")))
+            .otherwise(col("text")))
+      Validate.snapshotDiff(v1, v2, "doc_id",
+        md5(graft.functions.TextFunctions.normalizeText(col("text")).cast("binary")))
     }
   )
 
@@ -64,6 +94,46 @@ object ValidationQueries extends QueryPack {
         |    CAST((SELECT count(*) FROM lineitem l
         |          LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
         |          WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL) AS BIGINT)
-        |)""".stripMargin
+        |)""".stripMargin,
+    // v02: DuckDB recomputes the PSI pipeline — same add-one smoothing over
+    // the union key space, same left-associated (p−q)·ln(p/q)·1e9 shape, so
+    // every nano-quantized contribution lands on the identical BIGINT.
+    "v02_drift_report" ->
+      """WITH a AS (SELECT lang, count(*) AS n_ref FROM documents
+        |  WHERE length(source) = 4 GROUP BY lang),
+        |b AS (SELECT lang, count(*) AS n_cur FROM documents
+        |  WHERE length(source) = 5 GROUP BY lang),
+        |j AS (SELECT coalesce(a.lang, b.lang) AS lang,
+        |    coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+        |  FROM a FULL OUTER JOIN b ON a.lang = b.lang),
+        |s AS (SELECT sum(n_ref) AS ta, sum(n_cur) AS tb, count(*) AS k FROM j)
+        |SELECT lang, CAST(n_ref AS BIGINT) AS n_ref,
+        |  CAST(n_cur AS BIGINT) AS n_cur,
+        |  CAST(floor(
+        |    ((n_ref + 1.0) / (ta + k) - (n_cur + 1.0) / (tb + k))
+        |    * ln(((n_ref + 1.0) / (ta + k)) / ((n_cur + 1.0) / (tb + k)))
+        |    * 1e9 + 0.5) AS BIGINT) AS psi_nano
+        |FROM j, s""".stripMargin,
+    // v03: both versions re-derived from documents (id%10 membership +
+    // the '%10==5 edited' rewrite), fingerprints via the shared md5 twin.
+    "v03_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+        |  FROM documents WHERE doc_id % 10 <> 3),
+        |v2 AS (SELECT doc_id,
+        |    md5(trim(regexp_replace(regexp_replace(lower(
+        |      CASE WHEN doc_id % 10 = 5 THEN text || ' edited' ELSE text END),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+        |  FROM documents WHERE doc_id % 10 <> 7),
+        |d AS (SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+        |    CASE WHEN v1.fp IS NULL THEN 'added'
+        |         WHEN v2.fp IS NULL THEN 'removed'
+        |         WHEN v1.fp <> v2.fp THEN 'changed'
+        |         ELSE 'unchanged' END AS status,
+        |    v1.fp AS fp_old, v2.fp AS fp_new
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT doc_id, status, fp_old, fp_new FROM d
+        |WHERE status <> 'unchanged'""".stripMargin
   )
 }

@@ -71,6 +71,39 @@ class ValidateSpec extends SparkSpec {
     assert(clean.filter(!col("pass")).count() === 0)
   }
 
+  test("distributionDrift: hand-derived PSI, identical dists ~0, vanished key finite") {
+    import spark.implicits._
+    // ref: a×3, b×1; cur: a×1, b×2, c×1 — K=3 keys, A=4, B=4.
+    // p(a)=(3+1)/7, q(a)=(1+1)/7 → contribution (2/7)·ln(2) etc.
+    val ref = Seq("a", "a", "a", "b").toDF("k")
+    val cur = Seq("a", "b", "b", "c").toDF("k")
+    val rows = Validate.distributionDrift(ref, cur, "k")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet === Set("a", "b", "c"))
+    assert(rows("a")._1 === 3L && rows("a")._2 === 1L)
+    def contrib(nr: Long, nc: Long): Long = {
+      val p = (nr + 1).toDouble / 7.0; val q = (nc + 1).toDouble / 7.0
+      math.floor((p - q) * math.log(p / q) * 1e9 + 0.5).toLong
+    }
+    assert(rows("a")._3 === contrib(3, 1))
+    assert(rows("b")._3 === contrib(1, 2))
+    assert(rows("c")._3 === contrib(0, 1), "vanished/new keys contribute finitely")
+    assert(rows.values.forall(_._3 >= 0L), "PSI contributions are non-negative")
+    // identical snapshots → every contribution exactly 0
+    val same = Validate.distributionDrift(ref, ref, "k")
+      .agg(sum(col("psi_nano"))).head().getLong(0)
+    assert(same === 0L)
+  }
+
+  test("snapshotDiff classifies added/removed/changed and omits unchanged") {
+    import spark.implicits._
+    val v1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("id", "text")
+    val v2 = Seq((1L, "alpha"), (2L, "beta EDITED"), (4L, "delta")).toDF("id", "text")
+    val d = Validate.snapshotDiff(v1, v2, "id", md5(col("text").cast("binary")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d === Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
   test("refIntegrity counts orphans, ignores null FKs") {
     import spark.implicits._
     val parent = Seq(1L, 2L).toDF("pk")
