@@ -27,7 +27,8 @@ object SparkEntry {
     DedupQueries,
     SimilarityQueries,
     MultimodalQueries,
-    TypeSurfaceQueries
+    TypeSurfaceQueries,
+    GraphQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
