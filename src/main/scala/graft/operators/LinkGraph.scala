@@ -45,11 +45,16 @@ object LinkGraph {
     val n = nodes.count()
     require(n > 0, "empty vertex set")
     val base = totalUnits * 3 / (20 * n)
-    val od = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    // materialize the edge frame ONCE (the GraphX convention — iterative
+    // compute caches edges): every round's plan references it, and without
+    // the checkpoint the whole edge-build subtree (e.g. syntheticEdges'
+    // distinct shuffle) would replay per round
+    val e = edges.localCheckpoint(true)
+    val od = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
       .localCheckpoint(true) // node-sized; reused every round
     var ranks = nodes.select(col("idx"), lit(totalUnits / n).as("r"))
     for (_ <- 0 until iters) {
-      val contrib = edges
+      val contrib = e
         .join(ranks.withColumnRenamed("idx", "src"), Seq("src"))
         .join(od, Seq("src"))
         .select(col("dst"), expr("(17 * r) div (20 * d)").as("m"))

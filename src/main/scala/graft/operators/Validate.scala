@@ -144,10 +144,13 @@ object Validate {
     */
   def distributionDrift(ref: DataFrame, cur: DataFrame,
       keyCol: String): DataFrame = {
-    val a = ref.groupBy(col(keyCol)).agg(count(lit(1)).as("n_ref"))
-    val b = cur.groupBy(col(keyCol)).agg(count(lit(1)).as("n_cur"))
-    val joined = a.join(b, Seq(keyCol), "full_outer")
-      .select(col(keyCol),
+    val a = ref.groupBy(col(keyCol).as("_ka")).agg(count(lit(1)).as("n_ref"))
+    val b = cur.groupBy(col(keyCol).as("_kb")).agg(count(lit(1)).as("n_cur"))
+    // null-SAFE join: a null key present in both snapshots is ONE key, not
+    // a vanished+appeared pair — plain equality would split it into two
+    // rows, fabricate two large drift terms, and over-count the key space
+    val joined = a.join(b, col("_ka") <=> col("_kb"), "full_outer")
+      .select(coalesce(col("_ka"), col("_kb")).as(keyCol),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
     val stats = joined.agg(
@@ -172,13 +175,18 @@ object Validate {
     */
   def snapshotDiff(old: DataFrame, current: DataFrame, idCol: String,
       fpCol: Column): DataFrame = {
-    val o = old.select(col(idCol).as("_id"), fpCol.as("fp_old"))
-    val c = current.select(col(idCol).as("_id"), fpCol.as("fp_new"))
+    // membership travels on explicit marker columns, NOT fingerprint
+    // nullity: a null fingerprint (null text) is a real value a present
+    // row can carry, and the changed-test is null-safe for the same reason
+    val o = old.select(col(idCol).as("_id"), fpCol.as("fp_old"),
+      lit(true).as("_in_old"))
+    val c = current.select(col(idCol).as("_id"), fpCol.as("fp_new"),
+      lit(true).as("_in_new"))
     o.join(c, Seq("_id"), "full_outer")
       .select(col("_id").as(idCol),
-        when(col("fp_old").isNull, "added")
-          .when(col("fp_new").isNull, "removed")
-          .when(col("fp_old") =!= col("fp_new"), "changed")
+        when(col("_in_old").isNull, "added")
+          .when(col("_in_new").isNull, "removed")
+          .when(!(col("fp_old") <=> col("fp_new")), "changed")
           .otherwise("unchanged").as("status"),
         col("fp_old"), col("fp_new"))
       .filter(col("status") =!= "unchanged")

@@ -22,7 +22,10 @@ object GraphQueries extends QueryPack {
       val t = Tables(spark, dir)
       val nodes = t.documents.select(col("doc_id").as("idx"))
       val n = nodes.count()
-      val edges = LinkGraph.syntheticEdges(nodes, n)
+      // checkpoint here so the query's own outdeg aggregate and pageRank's
+      // internal reuse both read the one materialized edge set — the
+      // distinct shuffle in syntheticEdges runs exactly once
+      val edges = LinkGraph.syntheticEdges(nodes, n).localCheckpoint(true)
       val od = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       LinkGraph.pageRank(nodes, edges)
         .join(od.withColumnRenamed("src", "idx"), Seq("idx"), "left")

@@ -105,7 +105,7 @@ object ValidationQueries extends QueryPack {
         |  WHERE length(source) = 5 GROUP BY lang),
         |j AS (SELECT coalesce(a.lang, b.lang) AS lang,
         |    coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
-        |  FROM a FULL OUTER JOIN b ON a.lang = b.lang),
+        |  FROM a FULL OUTER JOIN b ON a.lang IS NOT DISTINCT FROM b.lang),
         |s AS (SELECT sum(n_ref) AS ta, sum(n_cur) AS tb, count(*) AS k FROM j)
         |SELECT lang, CAST(n_ref AS BIGINT) AS n_ref,
         |  CAST(n_cur AS BIGINT) AS n_cur,
@@ -127,9 +127,9 @@ object ValidationQueries extends QueryPack {
         |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
         |  FROM documents WHERE doc_id % 10 <> 7),
         |d AS (SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
-        |    CASE WHEN v1.fp IS NULL THEN 'added'
-        |         WHEN v2.fp IS NULL THEN 'removed'
-        |         WHEN v1.fp <> v2.fp THEN 'changed'
+        |    CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |         WHEN v2.doc_id IS NULL THEN 'removed'
+        |         WHEN v1.fp IS DISTINCT FROM v2.fp THEN 'changed'
         |         ELSE 'unchanged' END AS status,
         |    v1.fp AS fp_old, v2.fp AS fp_new
         |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)

@@ -104,6 +104,30 @@ class ValidateSpec extends SparkSpec {
     assert(d === Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
   }
 
+  test("snapshotDiff: null fingerprints are values, not membership signals") {
+    import spark.implicits._
+    // id 9: null -> 'x' is CHANGED (present both sides), not 'added';
+    // id 10: 'x' -> null is CHANGED, not 'removed';
+    // id 11: null -> null is unchanged and must be omitted
+    val v1 = Seq((9L, None), (10L, Some("x")), (11L, None))
+      .toDF("id", "text")
+    val v2 = Seq((9L, Some("x")), (10L, None), (11L, None))
+      .toDF("id", "text")
+    val d = Validate.snapshotDiff(v1, v2, "id", md5(col("text").cast("binary")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d === Map(9L -> "changed", 10L -> "changed"))
+  }
+
+  test("distributionDrift: a null key in both snapshots is one key with ~zero drift") {
+    import spark.implicits._
+    val ref = Seq(Some("a"), Some("a"), None, None).toDF("k")
+    val cur = Seq(Some("a"), Some("a"), None, None).toDF("k")
+    val rows = Validate.distributionDrift(ref, cur, "k").collect()
+      .map(r => Option(r.getString(0)) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.size === 2, s"null must be ONE key, got ${rows.keySet}")
+    assert(rows(None) === ((2L, 2L, 0L)), "identical null-key counts drift zero")
+  }
+
   test("refIntegrity counts orphans, ignores null FKs") {
     import spark.implicits._
     val parent = Seq(1L, 2L).toDF("pk")
