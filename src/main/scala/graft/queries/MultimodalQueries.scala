@@ -135,6 +135,33 @@ object MultimodalQueries extends QueryPack {
       val media = Multimodal.synthesizeBitPatternImages(t.documents)
       val hashes = Multimodal.imageAHash(media)
       Multimodal.perceptualNearDups(hashes, maxHamming = 3)
+    },
+
+    // -- Training-record assembly: the terminal multimodal join — text
+    //    stats ⋈ embeddings (LEFT: not every doc is embedded yet at
+    //    sf0.1, a real pipeline state) ⋈ really-decoded image metadata,
+    //    one row per doc as a trainer consumes it. Embedding presence
+    //    travels on a marker (a null label is a value, not absence);
+    //    norms reuse the s09-proven round-6 list_dot_product parity.
+    "m09_training_records" -> { (spark, dir) =>
+      import graft.functions.TextFunctions.tokenCount
+      val t = Tables(spark, dir)
+      val docs = t.documents.select(col("doc_id"), col("lang"),
+        tokenCount(col("text")).as("n_tokens"))
+      val emb = t.embeddings.select(col("vec_id").as("doc_id"), col("label"),
+        round(sqrt(aggregate(
+          transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+          lit(0.0), (acc, v) => acc + v)), 6).as("emb_norm"),
+        lit(true).as("_has"))
+      val meta = Multimodal.extractMeta(
+        Multimodal.synthesizeImages(t.documents), Multimodal.imageioDecoder)
+        .select(col("doc_id"), col("meta.width").as("width"),
+          col("meta.height").as("height"))
+      docs.join(emb, Seq("doc_id"), "left")
+        .join(meta, Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          coalesce(col("_has"), lit(false)).as("has_embedding"),
+          col("label"), col("emb_norm"), col("width"), col("height"))
     }
   )
 
@@ -227,6 +254,23 @@ object MultimodalQueries extends QueryPack {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
         |FROM p a JOIN p b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.ph, b.ph)) <= 3""".stripMargin
+        |WHERE bit_count(xor(a.ph, b.ph)) <= 3""".stripMargin,
+    // m09: n_tokens via the t01 raw-token twin, norms via the s09-proven
+    // round-6 list_dot_product parity, image dims from doc_id arithmetic
+    // (the m02 contract the real decode path is gated against).
+    "m09_training_records" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    round(sqrt(list_dot_product(lt, lt)), 6) AS emb_norm, TRUE AS m
+        |  FROM (SELECT vec_id, label,
+        |      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS lt
+        |    FROM embeddings))
+        |SELECT d.doc_id, d.lang,
+        |  len(list_filter(string_split_regex(trim(d.text), '\s+'),
+        |    x -> x <> '')) AS n_tokens,
+        |  e.m IS NOT NULL AS has_embedding,
+        |  e.label, e.emb_norm,
+        |  CAST(8 + d.doc_id % 64 AS INT) AS width,
+        |  CAST(8 + d.doc_id % 48 AS INT) AS height
+        |FROM documents d LEFT JOIN e ON d.doc_id = e.vec_id""".stripMargin
   )
 }

@@ -128,6 +128,46 @@ class ValidateSpec extends SparkSpec {
     assert(rows(None) === ((2L, 2L, 0L)), "identical null-key counts drift zero")
   }
 
+  test("streaming drift: per-batch PSI vs a frozen reference == batch run") {
+    import spark.implicits._
+    // monitor-at-ingest: the reference snapshot freezes on disk; every
+    // micro-batch is drift-scored against the SAME reference — exact
+    // integer quantization makes each batch's report a strict equality
+    // with the batch-mode computation on that slice
+    val tmp = java.nio.file.Files.createTempDirectory("graft_driftstream").toString
+    val ref = Seq("a", "a", "a", "b", "c").toDF("k")
+    ref.write.parquet(s"$tmp/ref")
+    val frozenRef = spark.read.parquet(s"$tmp/ref")
+    val b1 = Seq((1L, "a"), (2L, "b")).toDF("id", "k")
+    val b2 = Seq((3L, "c"), (4L, "c"), (5L, "d")).toDF("id", "k")
+    b1.coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    b2.coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    val q = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
+      .writeStream
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        Validate.distributionDrift(frozenRef, batch, "k")
+          .withColumn("batch_id", lit(bid))
+          .write.mode("append").parquet(s"$tmp/out")
+      }
+      .start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(s"$tmp/out")
+      .collect()
+      .map(r => (r.getLong(4), r.getString(0)) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // each micro-batch's report equals the batch-mode drift on that slice
+    Seq(b1, b2).zipWithIndex.foreach { case (b, i) =>
+      val expect = Validate.distributionDrift(ref, b, "k")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      expect.foreach { case (k, v) =>
+        assert(streamed((i.toLong, k)) === v, s"batch $i key $k")
+      }
+    }
+  }
+
   test("refIntegrity counts orphans, ignores null FKs") {
     import spark.implicits._
     val parent = Seq(1L, 2L).toDF("pk")
