@@ -98,6 +98,55 @@ object AsOfJoin {
       .drop("_salt")
   }
 
+  /** [[backward]] planned through the custom whole-operator Catalyst
+    * extension ([[graft.plans.AsOfJoinPlan]] → `AsOfMergeJoinExec`):
+    * co-partition + per-side sort + single-pass two-pointer merge, instead
+    * of the composed union + carry-forward window. Results are
+    * bit-identical to [[backward]] (same tie hash, same tolerance
+    * semantics — driver-gated under e05's oracle as e15 and spec-pinned);
+    * the physical plan exchanges each side separately and never
+    * materializes the null-padded union. Registers [[graft.plans.AsOfJoinStrategy]]
+    * into `spark.experimental.extraStrategies` idempotently.
+    *
+    * Tolerance is compared in whole microseconds (`floor(sec·1e6)`) —
+    * identical to [[backward]] for any tolerance that is exact at
+    * microsecond precision.
+    */
+  def backwardMerge(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightVals: Seq[(String, String)],
+      toleranceSeconds: Option[Double] = None
+  ): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    val spark = left.sparkSession
+    val exp = spark.experimental
+    if (!exp.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    // normalize the time columns through TimestampType at the DataFrame
+    // level (NTZ-robust, same as the composed path's epochSec) so the
+    // physical sweep always compares epoch micros
+    val l2 = left.withColumn("_asof_lt", col(leftTime).cast("timestamp"))
+    val r2 = right.withColumn("_asof_rt", col(rightTime).cast("timestamp"))
+    def ex(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.GraftSqlShim.expr(c)
+    val valExprs = rightVals.map { case (src, _) => ex(r2.col(src)) }
+    // output attributes carried explicitly (never as Aliases — the
+    // analyzer's CleanupAliases would strip them from a custom node)
+    val valAttrs = rightVals.zip(valExprs).map { case ((_, alias), e) =>
+      AttributeReference(alias, e.dataType, nullable = true)()
+    }
+    val node = graft.plans.AsOfJoinPlan(
+      l2.queryExecution.analyzed, r2.queryExecution.analyzed,
+      keys.map(k => ex(l2.col(k))), keys.map(k => ex(r2.col(k))),
+      ex(l2.col("_asof_lt")), ex(r2.col("_asof_rt")),
+      valExprs, valAttrs, toleranceSeconds.map(t => (t * 1e6).toLong))
+    org.apache.spark.sql.GraftSqlShim.ofRows(spark, node).drop("_asof_lt")
+  }
+
   private def asof(
       left: DataFrame,
       right: DataFrame,

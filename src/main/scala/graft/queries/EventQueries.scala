@@ -129,6 +129,25 @@ object EventQueries extends QueryPack {
       )
     },
 
+    // -- J7 via the CUSTOM whole-operator plan (X4 tier c): AsOfJoinPlan →
+    //    AsOfJoinStrategy → AsOfMergeJoinExec — co-partitioned per-side
+    //    sorts + a two-pointer merge, no union-window. Same inputs and
+    //    oracle as e05: the custom physical operator must be
+    //    indistinguishable from the composed one.
+    "e15_asof_merge" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val purchases = t.events.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val clicks = t.events.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"))
+      AsOfJoin.backwardMerge(
+        purchases, clicks,
+        keys = Seq("user_id"),
+        leftTime = "ts", rightTime = "click_ts",
+        rightVals = Seq(("click_ts", "last_click_ts"))
+      )
+    },
+
     // -- F2 on the stream: daily activity with day-of-week (0=Sunday).
     "e06_daily_activity" -> { (spark, dir) =>
       val t = Tables(spark, dir)
@@ -379,6 +398,14 @@ object EventQueries extends QueryPack {
         |    AS props_canon
         |FROM ent""".stripMargin,
     "e05_asof_purchase_click" ->
+      """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts, p.value,
+        |  (SELECT max(CAST(c.ts AS TIMESTAMP)) FROM events c
+        |   WHERE c.user_id = p.user_id AND c.event_type = 'click'
+        |     AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)) AS last_click_ts
+        |FROM events p WHERE p.event_type = 'purchase'""".stripMargin,
+    // identical oracle to e05: the custom physical operator must be
+    // indistinguishable
+    "e15_asof_merge" ->
       """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts, p.value,
         |  (SELECT max(CAST(c.ts AS TIMESTAMP)) FROM events c
         |   WHERE c.user_id = p.user_id AND c.event_type = 'click'

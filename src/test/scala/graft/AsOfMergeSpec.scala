@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.AsOfJoin
+
+/** The custom whole-operator as-of join (AsOfJoinPlan/AsOfMergeJoinExec)
+  * must be indistinguishable from the composed union-window operator —
+  * same rows, same tie winners, same tolerance and null semantics — while
+  * planning as co-partitioned per-side sorts + a two-pointer merge.
+  */
+class AsOfMergeSpec extends SparkSpec {
+
+  private def purchasesAndClicks() = {
+    val t = graft.sources.Tables(spark, sf)
+    val purchases = t.events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val clicks = t.events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+    (purchases, clicks)
+  }
+
+  test("merge exec == composed operator on the fixture (no tolerance)") {
+    val (p, c) = purchasesAndClicks()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), Option(r.get(4)).map(_.toString))).toSet
+    val composed = canon(AsOfJoin.backward(p, c, Seq("user_id"), "ts",
+      "click_ts", Seq(("click_ts", "last_click_ts"))))
+    val merged = canon(AsOfJoin.backwardMerge(p, c, Seq("user_id"), "ts",
+      "click_ts", Seq(("click_ts", "last_click_ts"))))
+    assert(merged === composed)
+  }
+
+  test("merge exec == composed operator under tolerance") {
+    val (p, c) = purchasesAndClicks()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), Option(r.get(4)).map(_.toString))).toSet
+    val composed = canon(AsOfJoin.backward(p, c, Seq("user_id"), "ts",
+      "click_ts", Seq(("click_ts", "last_click_ts")), toleranceSeconds = Some(600.0)))
+    val merged = canon(AsOfJoin.backwardMerge(p, c, Seq("user_id"), "ts",
+      "click_ts", Seq(("click_ts", "last_click_ts")), toleranceSeconds = Some(600.0)))
+    assert(merged === composed)
+  }
+
+  test("plan is the custom exec: two per-side sorts, no union window") {
+    val (p, c) = purchasesAndClicks()
+    val df = AsOfJoin.backwardMerge(p, c, Seq("user_id"), "ts",
+      "click_ts", Seq(("click_ts", "last_click_ts")))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfMergeJoin"), s"custom exec must plan:\n${plan.take(1500)}")
+    assert(!plan.contains("Window"), s"no carry-forward window:\n${plan.take(1500)}")
+    assert(!plan.contains("Union"), s"no null-padded union:\n${plan.take(1500)}")
+  }
+
+  test("edge semantics match: equal-time ties, null times, unmatched keys") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, "2024-01-01 10:00:00"),
+      (2L, 10L, "2024-01-01 09:00:00"), // before every right row
+      (3L, 20L, "2024-01-01 10:00:00"), // key with no right rows
+      (4L, 30L, "2024-01-01 10:00:00")
+    ).toDF("id", "k", "ts").withColumn("ts", col("ts").cast("timestamp"))
+    val right = Seq(
+      (10L, "2024-01-01 10:00:00", "a"), // tie at left 1's time
+      (10L, "2024-01-01 10:00:00", "b"), // tie — hash decides, both paths agree
+      (10L, "2024-01-01 09:30:00", "c"),
+      (30L, null, "z") // null right time: "-infinity" — matches without
+                       // tolerance, never within one (composed semantics)
+    ).toDF("k", "rts", "v").withColumn("rts", col("rts").cast("timestamp"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> Option(r.getAs[String]("v"))).toMap
+    val composed = canon(AsOfJoin.backward(left, right, Seq("k"), "ts", "rts",
+      Seq(("v", "v"))))
+    val merged = canon(AsOfJoin.backwardMerge(left, right, Seq("k"), "ts", "rts",
+      Seq(("v", "v"))))
+    assert(merged === composed)
+    assert(merged(2L).isEmpty, "left row before all right rows matches nothing")
+    assert(merged(3L).isEmpty, "unmatched key yields null")
+    assert(merged(4L) === Some("z"), "null right time acts as -infinity")
+    assert(merged(1L).nonEmpty && Set("a", "b").contains(merged(1L).get))
+    // under ANY tolerance the null-time match must null out — both paths
+    val composedTol = canon(AsOfJoin.backward(left, right, Seq("k"), "ts", "rts",
+      Seq(("v", "v")), toleranceSeconds = Some(1e9)))
+    val mergedTol = canon(AsOfJoin.backwardMerge(left, right, Seq("k"), "ts", "rts",
+      Seq(("v", "v")), toleranceSeconds = Some(1e9)))
+    assert(mergedTol === composedTol)
+    assert(mergedTol(4L).isEmpty, "null-time match is outside every tolerance")
+  }
+
+  test("merge exec is deterministic across partitionings") {
+    val (p, c) = purchasesAndClicks()
+    def run(parts: Int) =
+      AsOfJoin.backwardMerge(p.repartition(parts), c.repartition(parts + 3),
+        Seq("user_id"), "ts", "click_ts", Seq(("click_ts", "last_click_ts")))
+        .collect().map(r => (r.getLong(0), Option(r.get(4)).map(_.toString))).toSet
+    assert(run(2) === run(11))
+  }
+}
