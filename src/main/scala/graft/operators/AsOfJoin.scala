@@ -101,16 +101,16 @@ object AsOfJoin {
   /** [[backward]] planned through the custom whole-operator Catalyst
     * extension ([[graft.plans.AsOfJoinPlan]] → `AsOfMergeJoinExec`):
     * co-partition + per-side sort + single-pass two-pointer merge, instead
-    * of the composed union + carry-forward window. Results are
-    * bit-identical to [[backward]] (same tie hash, same tolerance
-    * semantics — driver-gated under e05's oracle as e15 and spec-pinned);
-    * the physical plan exchanges each side separately and never
-    * materializes the null-padded union. Registers [[graft.plans.AsOfJoinStrategy]]
-    * into `spark.experimental.extraStrategies` idempotently.
-    *
-    * Tolerance is compared in whole microseconds (`floor(sec·1e6)`) —
-    * identical to [[backward]] for any tolerance that is exact at
-    * microsecond precision.
+    * of the composed union + carry-forward window. Equal to [[backward]]
+    * on every gated input (driver-gated under e05's oracle as e15;
+    * tie/tolerance/null-time equivalence spec-pinned); on degenerate
+    * inputs it follows pandas `merge_asof` instead of window quirks — the
+    * matched right row carries WHOLE (no per-column ignoreNulls
+    * stitching) and a null left time never matches — see the operator
+    * scaladoc in `plans/AsOfMergeJoin.scala` for the full contract, which
+    * also covers the integer-micros tolerance boundary. Strategy
+    * registration is delegated to
+    * `GraftExtensions.registerAsOfStrategy` (synchronized, idempotent).
     */
   def backwardMerge(
       left: DataFrame,
@@ -123,9 +123,7 @@ object AsOfJoin {
   ): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.AttributeReference
     val spark = left.sparkSession
-    val exp = spark.experimental
-    if (!exp.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
-      exp.extraStrategies = exp.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    graft.plans.GraftExtensions.registerAsOfStrategy(spark)
     // normalize the time columns through TimestampType at the DataFrame
     // level (NTZ-robust, same as the composed path's epochSec) so the
     // physical sweep always compares epoch micros

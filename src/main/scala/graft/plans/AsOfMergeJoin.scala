@@ -33,17 +33,27 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * future codegen'd implementation) — kept bit-equivalent and
   * driver-gated so either physical strategy can serve the same query.
   *
-  * Semantics are bit-identical to `AsOfJoin.backward` (driver-gated: e15
-  * runs under e05's correlated-MAX oracle, and the equivalence is also
-  * spec-pinned on edge cases): inclusive `rightTime <= leftTime`, ties
-  * among equal (key, time) right rows broken by max xxhash64 of the
-  * carried values (the required right-side ordering ends on that hash, so
-  * "last consumed wins" IS "max hash wins"), null keys group together
-  * (window-partition semantics, matching the composed operator), a null
-  * right time acts as "-infinity" (matchable, beaten by any real match,
-  * outside every tolerance window — exactly the composed nulls-first
-  * carry), and tolerance nulls out matches older than
-  * `leftTime - tolerance`.
+  * Semantics equal `AsOfJoin.backward` on every input the gates exercise
+  * (driver-gated: e15 runs under e05's correlated-MAX oracle; equivalence
+  * also spec-pinned on tie/tolerance/null-time edges): inclusive
+  * `rightTime <= leftTime`; ties among equal (key, time) right rows
+  * broken by max xxhash64 of (carried values, right time) — the SAME hash
+  * input as the composed `_tb`, and the required right-side ordering ends
+  * on it, so "last consumed wins" IS "max hash wins"; null keys group
+  * together (window-partition semantics); a null right time acts as
+  * "-infinity" (matchable, beaten by any real match, outside every
+  * tolerance window — exactly the composed nulls-first carry).
+  *
+  * Two DELIBERATE divergences on degenerate inputs, chosen to match
+  * pandas `merge_asof` rather than window quirks (spec-pinned):
+  *  - the matched right row is carried WHOLE — a null value column stays
+  *    null; the composed window's per-column `last(ignoreNulls)` would
+  *    stitch values from different right rows;
+  *  - a null LEFT time never matches; the composed window lets it see
+  *    null-time right rows (both land in the nulls-first frame).
+  * Tolerance compares exact integer micros; the composed path compares
+  * double epoch-seconds, so a gap landing EXACTLY on the tolerance can
+  * differ in the last ulp between the two paths.
   */
 case class AsOfJoinPlan(
     left: LogicalPlan,
@@ -57,6 +67,15 @@ case class AsOfJoinPlan(
                               // the analyzer's CleanupAliases strips
                               // Aliases out of non-Project operators
     toleranceMicros: Option[Long]) extends BinaryNode {
+
+  // silent garbage otherwise: the merge compares left-projected keys to
+  // right-projected keys with ONE ordering, and hash-partitions each side
+  // by its own key expressions — both require identical key types
+  require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
+    s"as-of key types must match pairwise: ${leftKeys.map(_.dataType)} vs " +
+      s"${rightKeys.map(_.dataType)}")
+  require(leftTime.dataType == rightTime.dataType,
+    s"as-of time types must match: ${leftTime.dataType} vs ${rightTime.dataType}")
 
   override def output: Seq[Attribute] = left.output ++ valAttrs
 
@@ -106,13 +125,14 @@ case class AsOfMergeJoinExec(
     ClusteredDistribution(leftKeys, requireAllClusterKeys = true) ::
       ClusteredDistribution(rightKeys, requireAllClusterKeys = true) :: Nil
 
-  // the right side additionally orders on xxhash64 of the carried values,
-  // so the sweep's last-consumed-wins rule reproduces the composed
-  // operator's deterministic max-hash tiebreak at equal (key, time)
+  // the right side additionally orders on xxhash64 of (values, time) —
+  // the composed operator's exact `_tb` input — so the sweep's
+  // last-consumed-wins rule reproduces its deterministic max-hash
+  // tiebreak at equal (key, time)
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
     rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending)
-      :+ SortOrder(new XxHash64(valExprs), Ascending))
+      :+ SortOrder(new XxHash64(valExprs :+ rightTime), Ascending))
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
@@ -121,6 +141,7 @@ case class AsOfMergeJoinExec(
   override protected def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output
+    val outAttrs = output // local copy: the task closure must not drag `this`
     val keyTypes = leftKeys.map(_.dataType)
     val numVals = valExprs.size
     val tol = toleranceMicros
@@ -139,6 +160,9 @@ case class AsOfMergeJoinExec(
         BindReferences.bindReference(_, rOut)))
       val nullVals = new GenericInternalRow(numVals)
       val joined = new JoinedRow
+      // parents (Exchange, Sort) cast rows to UnsafeRow — emit one, like
+      // every built-in join exec
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
       val rBuf = rIter.buffered
       // O(1) sweep state: the best (= latest-time, max-hash at ties) right
       // row at or before the current left cursor, per current key. A null
@@ -156,7 +180,7 @@ case class AsOfMergeJoinExec(
           val l = lIter.next()
           val lk = lKeyProj(l)
           val ltv = lTimeEval.eval(l)
-          if (ltv == null) return joined(l, nullVals)
+          if (ltv == null) return resultProj(joined(l, nullVals))
           val lt = ltv.asInstanceOf[Long]
           var scanning = true
           while (scanning && rBuf.hasNext) {
@@ -178,7 +202,7 @@ case class AsOfMergeJoinExec(
           }
           val matched = candKey != null && keyOrd.compare(candKey, lk) == 0 &&
             tol.forall(t => !candTimeNull && lt - candTime <= t)
-          joined(l, if (matched) candVals else nullVals)
+          resultProj(joined(l, if (matched) candVals else nullVals))
         }
       }
     }

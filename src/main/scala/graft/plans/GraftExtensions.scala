@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.bloomAggDescriptor)
     ext.injectFunction(GraftExtensions.bloomMightContainDescriptor)
     ext.injectFunction(GraftExtensions.unicodeNormalizeDescriptor)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
 
@@ -103,7 +104,19 @@ object GraftExtensions {
     })
 
   /** Idempotent registration on a live session. */
+  /** Runtime twin of the config-path `injectPlannerStrategy`: adds
+    * [[AsOfJoinStrategy]] to the live session's experimental strategies.
+    * Synchronized on the session — extraStrategies is session-global
+    * mutable state and a bare check-then-append would race.
+    */
+  def registerAsOfStrategy(spark: SparkSession): Unit = spark.synchronized {
+    val exp = spark.experimental
+    if (!exp.extraStrategies.contains(AsOfJoinStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ AsOfJoinStrategy
+  }
+
   def register(spark: SparkSession): Unit = {
+    registerAsOfStrategy(spark)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim",
       children => cosineSimDescriptor._3(children),

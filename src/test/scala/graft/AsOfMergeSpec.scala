@@ -87,6 +87,43 @@ class AsOfMergeSpec extends SparkSpec {
     assert(mergedTol(4L).isEmpty, "null-time match is outside every tolerance")
   }
 
+  test("deliberate divergences from the composed window on degenerate inputs") {
+    import spark.implicits._
+    // merge_asof semantics (the documented contract of backwardMerge):
+    // the matched right row is carried WHOLE, and a null left time never
+    // matches — both differ from the composed window's per-column
+    // last(ignoreNulls) stitching / nulls-first frame on these inputs
+    val left = Seq((1L, 10L, Some("2024-01-01 12:00:00")),
+      (2L, 20L, None))
+      .toDF("id", "k", "ts").withColumn("ts", col("ts").cast("timestamp"))
+    val right = Seq(
+      (10L, Some("2024-01-01 10:00:00"), Some("x")),
+      (10L, Some("2024-01-01 11:00:00"), None), // later match, null value
+      (20L, None, Some("z")) // null right time for the null-left-time key
+    ).toDF("k", "rts", "v").withColumn("rts", col("rts").cast("timestamp"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> Option(r.getAs[String]("v"))).toMap
+    val composed = canon(AsOfJoin.backward(left, right, Seq("k"), "ts", "rts",
+      Seq(("v", "v"))))
+    val merged = canon(AsOfJoin.backwardMerge(left, right, Seq("k"), "ts", "rts",
+      Seq(("v", "v"))))
+    assert(composed(1L) === Some("x"), "composed stitches past the null value")
+    assert(merged(1L).isEmpty, "merge carries the whole matched row: null stays null")
+    assert(composed(2L) === Some("z"), "composed nulls-first frame matches null-to-null")
+    assert(merged(2L).isEmpty, "merge: a null left time never matches")
+  }
+
+  test("merge exec rejects mismatched key types loudly") {
+    import spark.implicits._
+    val left = Seq((1L, 1, "2024-01-01 10:00:00")).toDF("id", "k", "ts")
+      .withColumn("ts", col("ts").cast("timestamp")) // k: INT
+    val right = Seq((1L, "2024-01-01 09:00:00", "a")).toDF("k", "rts", "v")
+      .withColumn("rts", col("rts").cast("timestamp")) // k: BIGINT
+    intercept[IllegalArgumentException] {
+      AsOfJoin.backwardMerge(left, right, Seq("k"), "ts", "rts", Seq(("v", "v")))
+    }
+  }
+
   test("merge exec is deterministic across partitionings") {
     val (p, c) = purchasesAndClicks()
     def run(parts: Int) =
