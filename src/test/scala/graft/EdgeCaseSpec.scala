@@ -190,4 +190,51 @@ class EdgeCaseSpec extends SparkSpec {
     assert(graft.operators.Corpus
       .mixtureSample(one, "source", "doc_id", Map("a" -> 0.01), 10).count() === 1)
   }
+
+  test("round-8 operators on empty corpora: no throws, empty or guarded") {
+    import spark.implicits._
+    val emptyDocs = Seq.empty[(Long, String, Boolean)].toDF("doc_id", "text", "pos")
+    // NB classifier: empty corpus trains a degenerate model (denominators
+    // floor at 1) and scores nothing
+    val m = graft.operators.QualityClassifier.trainNaiveBayes(
+      emptyDocs, "text", col("pos"))
+    assert(graft.operators.QualityClassifier
+      .scoreLlr(emptyDocs, "text", "doc_id", m).count() === 0)
+    // phrase detection: no docs, no pairs
+    assert(graft.operators.Phrases.detect(emptyDocs, "text").count() === 0)
+    // holdout split: empty in, empty out
+    assert(graft.operators.Corpus
+      .groupHoldoutSplit(emptyDocs.withColumn("g", col("text")), "doc_id", "g")
+      .count() === 0)
+    // drift: two empty snapshots yield an empty report (no keys at all)
+    assert(graft.operators.Validate.distributionDrift(
+      emptyDocs.select(col("text").as("k")),
+      emptyDocs.select(col("text").as("k")), "k").count() === 0)
+    // snapshot diff of empties is empty
+    assert(graft.operators.Validate.snapshotDiff(
+      emptyDocs, emptyDocs, "doc_id", md5(col("text").cast("binary")))
+      .count() === 0)
+    // perceptual near-dups over an empty hash frame: no pairs
+    assert(graft.multimodal.Multimodal.perceptualNearDups(
+      Seq.empty[(Long, Long, Boolean)].toDF("doc_id", "phash", "ok"))
+      .count() === 0)
+    // pageRank refuses an empty vertex set loudly (a silent empty frame
+    // would hide an upstream bug in a 100 TB run)
+    intercept[IllegalArgumentException] {
+      graft.operators.LinkGraph.pageRank(
+        Seq.empty[Long].toDF("idx"),
+        Seq.empty[(Long, Long)].toDF("src", "dst"))
+    }
+  }
+
+  test("drift between an empty reference and a populated current is finite") {
+    import spark.implicits._
+    val ref = Seq.empty[String].toDF("k")
+    val cur = Seq("a", "a", "b").toDF("k")
+    val rows = graft.operators.Validate.distributionDrift(ref, cur, "k")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet === Set("a", "b"))
+    // every key appeared from nothing: n_ref 0, finite positive PSI terms
+    assert(rows.values.forall { case (nr, _, psi) => nr == 0L && psi > 0L })
+  }
 }
