@@ -545,6 +545,22 @@ object ScaleProbe {
             .coalesce(1).write.mode("append").parquet(inDir)
           replay() // incremental: 1 batch, 1 touched bucket
           s.read.parquet(outDir)
+        } else if (name == "g02_sketch") { (s, d) =>
+          // the TRUE sketch regime: full probe graph (500k nodes / 1.5M
+          // edges), k=64 << ball sizes — the HyperANF shape where the
+          // registered query's exact-regime gate cannot reach. Reports
+          // corpus-level ball statistics (the neighborhood function).
+          val nodes = graft.sources.Tables(s, d).documents
+            .select(col("doc_id").as("idx"))
+          val n = nodes.count()
+          val edges = graft.operators.LinkGraph.syntheticEdges(nodes, n)
+          graft.operators.LinkGraph.kmvNeighborhood(nodes, edges,
+            radius = 3, k = 64)
+            .agg(count(lit(1)).as("n_nodes"),
+              avg(col("n_1")).as("avg_ball_1"),
+              avg(col("n_2")).as("avg_ball_2"),
+              avg(col("n_3")).as("avg_ball_3"),
+              max(col("n_3")).as("max_ball_3"))
         } else SparkEntry.queries(name)
       def once(): Double = {
         val t0 = System.nanoTime()

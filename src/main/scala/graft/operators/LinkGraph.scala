@@ -67,6 +67,78 @@ object LinkGraph {
     ranks.select(col("idx"), col("r").as("rank_u"))
   }
 
+  /** Neighborhood function per node — the HyperANF/HyperBall computation
+    * (Boldi & Vigna, WWW 2011 / 2013: Common Crawl's harmonic-centrality
+    * rankings come from exactly this sketch iteration), with one
+    * deliberate substitution: K-MINIMUM-VALUES sketches instead of HLL
+    * registers. KMV union is take-k-smallest over a set union — exactly
+    * order- and partitioning-independent, bit-reproducible — where
+    * DataSketches HLL union can be merge-order-sensitive, which would
+    * flake the determinism gate. Below k distinct elements the sketch IS
+    * the set, so counts are EXACT; past k it degrades to the (k−1)·2⁶³/kth
+    * KMV estimator.
+    *
+    * Computes INCOMING balls `B(v, r) = {u : d(u→v) <= r}`:
+    * `sketch_r(v) = trunc_k( sketch_{r-1}(v) ∪ ⋃_{(w,v)∈E} sketch_{r-1}(w) )`.
+    *
+    * 100 TB shape: each round is ONE edges⋈sketches join + one dst-keyed
+    * aggregate whose payload is a k-bounded long array (map-side
+    * combinable via the flatten-distinct-truncate merge), with the
+    * node-sized sketch frame localCheckpointed per round — the same
+    * K-rounds-K-shuffles discipline as [[pageRank]]. Sketch size k is the
+    * memory/accuracy knob exactly as in HyperBall.
+    *
+    * @return (idx, n_0 … n_radius) — ball cardinalities per radius
+    *         (exact whenever the true ball has fewer than k members)
+    */
+  def kmvNeighborhood(nodes: DataFrame, edges: DataFrame, radius: Int,
+      k: Int): DataFrame = {
+    require(radius >= 1 && radius <= 16, "radius in [1, 16]")
+    require(k >= 8, "k >= 8")
+    val est = (sk: org.apache.spark.sql.Column) =>
+      when(size(sk) < k, size(sk).cast("long"))
+        .otherwise(floor(lit((k - 1).toDouble) * lit(9.223372036854776e18) /
+          element_at(sk, k).cast("double")).cast("long"))
+    // 63-bit positive hash so KMV order == unsigned order
+    val h = shiftrightunsigned(xxhash64(col("idx")), 1)
+    val e = edges.localCheckpoint(true)
+    var sk = nodes.select(col("idx"), array(h).as("sketch"))
+      .withColumn("n_0", est(col("sketch")))
+      .localCheckpoint(true)
+    for (r <- 1 to radius) {
+      val gathered = e
+        .join(sk.select(col("idx").as("src"), col("sketch")), Seq("src"))
+        .select(col("dst").as("idx"), col("sketch"))
+        .unionByName(sk.select(col("idx"), col("sketch")))
+        .groupBy(col("idx"))
+        .agg(slice(array_sort(array_distinct(flatten(
+          collect_list(col("sketch"))))), 1, k).as("merged"))
+      sk = sk.drop("sketch")
+        .join(gathered, Seq("idx"))
+        .withColumnRenamed("merged", "sketch")
+        .withColumn(s"n_$r", est(col("sketch")))
+        .localCheckpoint(true)
+    }
+    sk.drop("sketch")
+  }
+
+  /** Harmonic centrality from [[kmvNeighborhood]]'s incoming balls:
+    * `H(v) = Σ_{r=1..R} (n_r − n_{r-1}) / r`, emitted ×12 so every term
+    * is an exact integer for R ≤ 4 (12/r ∈ {12, 6, 4, 3}) — the quantized
+    * exact-arithmetic discipline of the rest of the engine. With k at
+    * least the ball sizes the whole output is exact and hash-oracle-able
+    * against a recursive-CTE BFS.
+    */
+  def harmonicCentrality(nodes: DataFrame, edges: DataFrame, k: Int,
+      radius: Int = 4): DataFrame = {
+    require(radius <= 4, "x12 quantization covers radius <= 4")
+    val nf = kmvNeighborhood(nodes, edges, radius, k)
+    val harmonic = (1 to radius).map(r =>
+      (col(s"n_$r") - col(s"n_${r - 1}")) * lit(12L / r))
+      .reduce(_ + _)
+    nf.withColumn("harmonic_x12", harmonic.cast("long"))
+  }
+
   /** Deterministic synthetic link graph over a dense index space — three
     * affine out-links per node, self-loops dropped, duplicates collapsed.
     * The fixture-side stand-in for a real hyperlink table; every edge is

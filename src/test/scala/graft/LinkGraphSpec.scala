@@ -43,6 +43,48 @@ class LinkGraphSpec extends SparkSpec {
     assert(run(2) === run(13))
   }
 
+  test("harmonic centrality: hand-derived chain values in exact x12 units") {
+    import spark.implicits._
+    // 0 -> 1 -> 2 -> 3 -> 4. Incoming balls of node 4 grow one node per
+    // radius: n = 1,2,3,4,5 → H(4)·12 = 12 + 6 + 4 + 3 = 25. Node 0 has
+    // no in-edges: H = 0. Node 2: n = 1,2,3,3,3 → 12 + 6 = 18.
+    val nodes = (0L to 4L).toDF("idx")
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val h = LinkGraph.harmonicCentrality(nodes, edges, k = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(6)).toMap
+    assert(h(4L) === 25L)
+    assert(h(0L) === 0L)
+    assert(h(2L) === 18L)
+  }
+
+  test("KMV sketch regime: truncated sketches still estimate and rank hubs") {
+    import spark.implicits._
+    // 300 leaves -> hub 0; k=64 << 301, so the hub's r>=1 balls are true
+    // KMV estimates (σ ≈ 1/√(k−2) ≈ 13%). They must be deterministic,
+    // within ~3σ of 301, and rank the hub above every leaf.
+    val nodes = (0L to 300L).toDF("idx")
+    val edges = (1L to 300L).map(i => (i, 0L)).toDF("src", "dst")
+    def run() = LinkGraph.kmvNeighborhood(nodes, edges, radius = 2, k = 64)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val a = run()
+    assert(a === run(), "sketch estimates must be bit-deterministic")
+    val hubN1 = a(0L)._2
+    assert(math.abs(hubN1 - 301L) <= 120L, s"hub estimate $hubN1 vs true 301")
+    assert((1L to 300L).forall(l => a(l)._2 < hubN1), "hub outranks leaves")
+  }
+
+  test("neighborhood counts are exact under repartitioning (k >= balls)") {
+    val docs = graft.sources.Tables(spark, sf).documents
+    def run(parts: Int) = {
+      val nodes = docs.filter(col("doc_id") < 200)
+        .select(col("doc_id").as("idx")).repartition(parts)
+      val edges = LinkGraph.syntheticEdges(nodes, 200L)
+      LinkGraph.harmonicCentrality(nodes, edges, k = 512, radius = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(5))).toSet
+    }
+    assert(run(2) === run(13))
+  }
+
   test("syntheticEdges: no self-loops, no duplicates, targets in range") {
     val nodes = spark.range(100).toDF("idx")
     val e = LinkGraph.syntheticEdges(nodes, 100L).collect()
