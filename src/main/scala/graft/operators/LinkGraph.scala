@@ -82,11 +82,14 @@ object LinkGraph {
     * `sketch_r(v) = trunc_k( sketch_{r-1}(v) ∪ ⋃_{(w,v)∈E} sketch_{r-1}(w) )`.
     *
     * 100 TB shape: each round is ONE edges⋈sketches join + one dst-keyed
-    * aggregate whose payload is a k-bounded long array (map-side
-    * combinable via the flatten-distinct-truncate merge), with the
-    * node-sized sketch frame localCheckpointed per round — the same
-    * K-rounds-K-shuffles discipline as [[pageRank]]. Sketch size k is the
-    * memory/accuracy knob exactly as in HyperBall.
+    * aggregate through [[graft.functions.KmvUnion]] — a typed Aggregator
+    * whose BUFFER never exceeds k longs at any update or merge, so the
+    * aggregation partial-combines map-side and a power-law hub with
+    * millions of in-links costs the same bounded memory as any other node
+    * (a collect-then-truncate merge would buffer O(in-degree·k) before
+    * slicing). Node-sized sketch frame localCheckpointed per round — the
+    * same K-rounds-K-shuffles discipline as [[pageRank]]. Sketch size k
+    * is the memory/accuracy knob exactly as in HyperBall.
     *
     * @return (idx, n_0 … n_radius) — ball cardinalities per radius
     *         (exact whenever the true ball has fewer than k members)
@@ -101,6 +104,7 @@ object LinkGraph {
           element_at(sk, k).cast("double")).cast("long"))
     // 63-bit positive hash so KMV order == unsigned order
     val h = shiftrightunsigned(xxhash64(col("idx")), 1)
+    val kmv = udaf(new graft.functions.KmvUnion(k))
     val e = edges.localCheckpoint(true)
     var sk = nodes.select(col("idx"), array(h).as("sketch"))
       .withColumn("n_0", est(col("sketch")))
@@ -111,8 +115,7 @@ object LinkGraph {
         .select(col("dst").as("idx"), col("sketch"))
         .unionByName(sk.select(col("idx"), col("sketch")))
         .groupBy(col("idx"))
-        .agg(slice(array_sort(array_distinct(flatten(
-          collect_list(col("sketch"))))), 1, k).as("merged"))
+        .agg(kmv(col("sketch")).as("merged"))
       sk = sk.drop("sketch")
         .join(gathered, Seq("idx"))
         .withColumnRenamed("merged", "sketch")
@@ -125,9 +128,11 @@ object LinkGraph {
   /** Harmonic centrality from [[kmvNeighborhood]]'s incoming balls:
     * `H(v) = Σ_{r=1..R} (n_r − n_{r-1}) / r`, emitted ×12 so every term
     * is an exact integer for R ≤ 4 (12/r ∈ {12, 6, 4, 3}) — the quantized
-    * exact-arithmetic discipline of the rest of the engine. With k at
-    * least the ball sizes the whole output is exact and hash-oracle-able
-    * against a recursive-CTE BFS.
+    * exact-arithmetic discipline of the rest of the engine. With k
+    * STRICTLY GREATER than every ball size the whole output is exact and
+    * hash-oracle-able against a recursive-CTE BFS (at size == k the
+    * sketch may hold the complete set but the estimator still applies —
+    * a full sketch cannot prove the true set isn't larger).
     */
   def harmonicCentrality(nodes: DataFrame, edges: DataFrame, k: Int,
       radius: Int = 4): DataFrame = {

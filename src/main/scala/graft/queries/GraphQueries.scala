@@ -115,7 +115,7 @@ object GraphQueries extends QueryPack {
           |SELECT v AS doc_id, n_0, n_1, n_2, n_3, n_4,
           |  CAST((n_1 - n_0) * 12 + (n_2 - n_1) * 6
           |    + (n_3 - n_2) * 4 + (n_4 - n_3) * 3 AS BIGINT) AS harmonic_x12
-          |FROM nr""".stripMargin
+          |FROM nr JOIN nd ON nr.v = nd.idx""".stripMargin
     )
   }
 }

@@ -85,6 +85,19 @@ class LinkGraphSpec extends SparkSpec {
     assert(run(2) === run(13))
   }
 
+  test("KmvUnion: bounded sorted-distinct merge, associative, k-truncated") {
+    val agg = new graft.functions.KmvUnion(4)
+    def m(a: Seq[Long], b: Seq[Long]) = agg.merge(a.toArray, b.toArray).toSeq
+    assert(m(Seq(1L, 3L, 5L), Seq(2L, 3L, 9L)) === Seq(1L, 2L, 3L, 5L))
+    assert(m(Seq.empty, Seq(7L, 8L)) === Seq(7L, 8L))
+    assert(m(Seq(1L, 2L, 3L, 4L), Seq(5L, 6L)) === Seq(1L, 2L, 3L, 4L))
+    // associativity (the mergeability KMV needs): ((a+b)+c) == (a+(b+c))
+    val (a, b, c) = (Seq(10L, 40L), Seq(20L, 40L, 90L), Seq(5L, 35L))
+    assert(m(m(a, b), c) === m(a, m(b, c)))
+    // buffer never exceeds k even when fed oversize inputs
+    assert(agg.reduce(Array.empty, (1L to 100L)).length === 4)
+  }
+
   test("syntheticEdges: no self-loops, no duplicates, targets in range") {
     val nodes = spark.range(100).toDF("idx")
     val e = LinkGraph.syntheticEdges(nodes, 100L).collect()
