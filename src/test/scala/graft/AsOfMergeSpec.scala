@@ -124,6 +124,44 @@ class AsOfMergeSpec extends SparkSpec {
     }
   }
 
+  test("streaming enrichment: micro-batches through the custom exec == batch") {
+    import spark.implicits._
+    // enrich-at-ingest: each micro-batch as-of joins a frozen reference
+    // dimension — run through the CUSTOM plan inside foreachBatch, proving
+    // the injected strategy serves streaming micro-batches too
+    val tmp = java.nio.file.Files.createTempDirectory("graft_asofstream").toString
+    val dim = Seq((10L, "2024-01-01 08:00:00", "old"),
+      (10L, "2024-01-01 11:00:00", "new"), (20L, "2024-01-01 09:00:00", "only"))
+      .toDF("k", "rts", "v").withColumn("rts", col("rts").cast("timestamp"))
+    dim.write.parquet(s"$tmp/dim")
+    val frozenDim = spark.read.parquet(s"$tmp/dim")
+    val events = Seq((1L, 10L, "2024-01-01 10:00:00"), (2L, 20L, "2024-01-01 10:00:00"),
+      (3L, 10L, "2024-01-01 12:00:00"), (4L, 30L, "2024-01-01 12:00:00"))
+      .toDF("id", "k", "ts").withColumn("ts", col("ts").cast("timestamp"))
+    events.filter($"id" <= 2).coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    events.filter($"id" > 2).coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    val q = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
+      .writeStream
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        AsOfJoin.backwardMerge(batch, frozenDim, Seq("k"), "ts", "rts",
+          Seq(("v", "v")))
+          .write.mode("append").parquet(s"$tmp/out")
+      }
+      .start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(s"$tmp/out")
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[String]("v"))).toMap
+    val batch = AsOfJoin.backwardMerge(events, dim, Seq("k"), "ts", "rts",
+      Seq(("v", "v")))
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[String]("v"))).toMap
+    assert(streamed === batch)
+    assert(streamed(1L) === Some("old") && streamed(3L) === Some("new"))
+    assert(streamed(4L).isEmpty)
+  }
+
   test("merge exec is deterministic across partitionings") {
     val (p, c) = purchasesAndClicks()
     def run(parts: Int) =
