@@ -120,6 +120,39 @@ object AsOfJoin {
       rightTime: String,
       rightVals: Seq[(String, String)],
       toleranceSeconds: Option[Double] = None
+  ): DataFrame =
+    mergePlanned(left, right, keys, leftTime, rightTime, rightVals,
+      toleranceSeconds, forwardDir = false)
+
+  /** [[forward]] through the custom plan — the mirror of [[backwardMerge]]:
+    * earliest right at or after the left time, match window
+    * `[t, t + tolerance]`, equal-(key,time) ties resolve to the MIN-hash
+    * row (the composed first()-over-following-frame winner). Forward
+    * needs NO candidate state: strictly-past rights are useless for every
+    * later left row (consumed), and the match is the un-consumed head.
+    * Same deliberate degenerate-input divergences as backwardMerge.
+    */
+  def forwardMerge(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightVals: Seq[(String, String)],
+      toleranceSeconds: Option[Double] = None
+  ): DataFrame =
+    mergePlanned(left, right, keys, leftTime, rightTime, rightVals,
+      toleranceSeconds, forwardDir = true)
+
+  private def mergePlanned(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightVals: Seq[(String, String)],
+      toleranceSeconds: Option[Double],
+      forwardDir: Boolean
   ): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.AttributeReference
     val spark = left.sparkSession
@@ -141,7 +174,8 @@ object AsOfJoin {
       l2.queryExecution.analyzed, r2.queryExecution.analyzed,
       keys.map(k => ex(l2.col(k))), keys.map(k => ex(r2.col(k))),
       ex(l2.col("_asof_lt")), ex(r2.col("_asof_rt")),
-      valExprs, valAttrs, toleranceSeconds.map(t => (t * 1e6).toLong))
+      valExprs, valAttrs, toleranceSeconds.map(t => (t * 1e6).toLong),
+      forwardDir)
     org.apache.spark.sql.GraftSqlShim.ofRows(spark, node).drop("_asof_lt")
   }
 

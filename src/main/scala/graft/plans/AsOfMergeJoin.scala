@@ -66,7 +66,8 @@ case class AsOfJoinPlan(
     valAttrs: Seq[Attribute], // output names live HERE, not in Aliases —
                               // the analyzer's CleanupAliases strips
                               // Aliases out of non-Project operators
-    toleranceMicros: Option[Long]) extends BinaryNode {
+    toleranceMicros: Option[Long],
+    forwardDir: Boolean = false) extends BinaryNode {
 
   // silent garbage otherwise: the merge compares left-projected keys to
   // right-projected keys with ONE ordering, and hash-partitions each side
@@ -96,8 +97,8 @@ case class AsOfJoinPlan(
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, vals, attrs, tol) =>
-      AsOfMergeJoinExec(lk, rk, lt, rt, vals, attrs, tol,
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, vals, attrs, tol, fwd) =>
+      AsOfMergeJoinExec(lk, rk, lt, rt, vals, attrs, tol, fwd,
         planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
@@ -111,6 +112,7 @@ case class AsOfMergeJoinExec(
     valExprs: Seq[Expression],
     valAttrs: Seq[Attribute],
     toleranceMicros: Option[Long],
+    forwardDir: Boolean,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -145,6 +147,7 @@ case class AsOfMergeJoinExec(
     val keyTypes = leftKeys.map(_.dataType)
     val numVals = valExprs.size
     val tol = toleranceMicros
+    val fwd = forwardDir
     val valExprsB = valExprs
     val lKeysB = leftKeys
     val rKeysB = rightKeys
@@ -164,12 +167,17 @@ case class AsOfMergeJoinExec(
       // every built-in join exec
       val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
       val rBuf = rIter.buffered
-      // O(1) sweep state: the best (= latest-time, max-hash at ties) right
-      // row at or before the current left cursor, per current key. A null
-      // right time is "-infinity" — matchable, but beaten by any real-time
-      // match and ALWAYS outside a tolerance window — mirroring the
-      // composed operator, where null times sort first and the tolerance
-      // predicate requires a non-null matched time.
+      // BACKWARD sweep state (O(1)): the best (= latest-time, max-hash at
+      // ties) right row at or before the current left cursor, per current
+      // key. A null right time is "-infinity" — matchable, but beaten by
+      // any real-time match and ALWAYS outside a tolerance window —
+      // mirroring the composed operator, where null times sort first and
+      // the tolerance predicate requires a non-null matched time.
+      // FORWARD needs no candidate state at all: rights strictly before
+      // the left cursor are useless for every later left row too
+      // (consume), and the match — if any — is the un-consumed HEAD
+      // (peek), which ties resolve to the min-hash row exactly like the
+      // composed first()-over-following-frame.
       var candKey: InternalRow = null
       var candTime: Long = 0L
       var candTimeNull: Boolean = false
@@ -182,27 +190,53 @@ case class AsOfMergeJoinExec(
           val ltv = lTimeEval.eval(l)
           if (ltv == null) return resultProj(joined(l, nullVals))
           val lt = ltv.asInstanceOf[Long]
-          var scanning = true
-          while (scanning && rBuf.hasNext) {
-            val r = rBuf.head
-            val rk = rKeyProj(r)
-            val c = keyOrd.compare(rk, lk)
-            if (c < 0) {
-              rBuf.next() // right row of an earlier key: consume, no candidate
-            } else if (c == 0) {
+          if (fwd) {
+            var scanning = true
+            while (scanning && rBuf.hasNext) {
+              val r = rBuf.head
+              val rk = rKeyProj(r)
+              val c = keyOrd.compare(rk, lk)
+              if (c < 0) rBuf.next() // earlier key: consume
+              else if (c == 0) {
+                val rtv = rTimeEval.eval(r)
+                // null right times sort first and are NEVER in a left
+                // row's following frame (composed parity); strictly-past
+                // rights can't serve this or any later left row
+                if (rtv == null || rtv.asInstanceOf[Long] < lt) rBuf.next()
+                else scanning = false // head is the candidate — PEEK only
+              } else scanning = false
+            }
+            val out = if (rBuf.hasNext) {
+              val r = rBuf.head
               val rtv = rTimeEval.eval(r)
-              if (rtv == null || rtv.asInstanceOf[Long] <= lt) {
-                candKey = rk.copy()
-                candTimeNull = rtv == null
-                candTime = if (rtv == null) 0L else rtv.asInstanceOf[Long]
-                candVals = valProj(r).copy()
-                rBuf.next()
-              } else scanning = false // future right row: stop for this left
-            } else scanning = false // right is already past the left key
+              val ok = keyOrd.compare(rKeyProj(r), lk) == 0 && rtv != null &&
+                tol.forall(t => rtv.asInstanceOf[Long] - lt <= t)
+              if (ok) valProj(r) else nullVals
+            } else nullVals
+            resultProj(joined(l, out))
+          } else {
+            var scanning = true
+            while (scanning && rBuf.hasNext) {
+              val r = rBuf.head
+              val rk = rKeyProj(r)
+              val c = keyOrd.compare(rk, lk)
+              if (c < 0) {
+                rBuf.next() // right row of an earlier key: consume, no candidate
+              } else if (c == 0) {
+                val rtv = rTimeEval.eval(r)
+                if (rtv == null || rtv.asInstanceOf[Long] <= lt) {
+                  candKey = rk.copy()
+                  candTimeNull = rtv == null
+                  candTime = if (rtv == null) 0L else rtv.asInstanceOf[Long]
+                  candVals = valProj(r).copy()
+                  rBuf.next()
+                } else scanning = false // future right row: stop for this left
+              } else scanning = false // right is already past the left key
+            }
+            val matched = candKey != null && keyOrd.compare(candKey, lk) == 0 &&
+              tol.forall(t => !candTimeNull && lt - candTime <= t)
+            resultProj(joined(l, if (matched) candVals else nullVals))
           }
-          val matched = candKey != null && keyOrd.compare(candKey, lk) == 0 &&
-            tol.forall(t => !candTimeNull && lt - candTime <= t)
-          resultProj(joined(l, if (matched) candVals else nullVals))
         }
       }
     }

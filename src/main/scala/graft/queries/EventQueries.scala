@@ -129,6 +129,25 @@ object EventQueries extends QueryPack {
       )
     },
 
+    // -- J7 FORWARD via the custom plan — same inputs and oracle as e07
+    //    (bounded-MIN subquery with 1h tolerance): the peek-head forward
+    //    sweep must be indistinguishable from the composed
+    //    first()-over-following-frame.
+    "e16_asof_forward_merge" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val clicks = t.events.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = t.events.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("purchase_ts"))
+      AsOfJoin.forwardMerge(
+        clicks, purchases,
+        keys = Seq("user_id"),
+        leftTime = "ts", rightTime = "purchase_ts",
+        rightVals = Seq(("purchase_ts", "next_purchase_ts")),
+        toleranceSeconds = Some(3600.0)
+      )
+    },
+
     // -- J7 via the CUSTOM whole-operator plan (X4 tier c): AsOfJoinPlan →
     //    AsOfJoinStrategy → AsOfMergeJoinExec — co-partitioned per-side
     //    sorts + a two-pointer merge, no union-window. Same inputs and
@@ -419,6 +438,16 @@ object EventQueries extends QueryPack {
         |     AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)) AS last_click_ts
         |FROM events p WHERE p.event_type = 'purchase'""".stripMargin,
     "e07_asof_forward" ->
+      """SELECT c.event_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS ts,
+        |  (SELECT min(CAST(p.ts AS TIMESTAMP)) FROM events p
+        |   WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+        |     AND epoch(CAST(p.ts AS TIMESTAMP)) >= epoch(CAST(c.ts AS TIMESTAMP))
+        |     AND epoch(CAST(p.ts AS TIMESTAMP)) - epoch(CAST(c.ts AS TIMESTAMP)) <= 3600.0
+        |  ) AS next_purchase_ts
+        |FROM events c WHERE c.event_type = 'click'""".stripMargin,
+    // identical oracle to e07: the custom forward plan must be
+    // indistinguishable
+    "e16_asof_forward_merge" ->
       """SELECT c.event_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS ts,
         |  (SELECT min(CAST(p.ts AS TIMESTAMP)) FROM events p
         |   WHERE p.user_id = c.user_id AND p.event_type = 'purchase'

@@ -162,6 +162,48 @@ class AsOfMergeSpec extends SparkSpec {
     assert(streamed(4L).isEmpty)
   }
 
+  test("forward merge == composed forward on the fixture, with and without tolerance") {
+    val t = graft.sources.Tables(spark, sf)
+    val clicks = t.events.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = t.events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), Option(r.get(3)).map(_.toString))).toSet
+    for (tol <- Seq(None, Some(3600.0))) {
+      val composed = canon(AsOfJoin.forward(clicks, purchases, Seq("user_id"),
+        "ts", "purchase_ts", Seq(("purchase_ts", "next_purchase_ts")), tol))
+      val merged = canon(AsOfJoin.forwardMerge(clicks, purchases, Seq("user_id"),
+        "ts", "purchase_ts", Seq(("purchase_ts", "next_purchase_ts")), tol))
+      assert(merged === composed, s"tolerance=$tol")
+    }
+  }
+
+  test("forward merge edge semantics: inclusive >=, shared next right, ties") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, "2024-01-01 10:00:00"), // tie with a right row at the same time
+      (2L, 10L, "2024-01-01 09:00:00"), // two lefts share the next right
+      (3L, 10L, "2024-01-01 23:00:00")  // after every right: no match
+    ).toDF("id", "k", "ts").withColumn("ts", col("ts").cast("timestamp"))
+    val right = Seq(
+      (10L, "2024-01-01 10:00:00", "a"),
+      (10L, "2024-01-01 10:00:00", "b"), // tie — min-hash winner, both paths
+      (10L, "2024-01-01 12:00:00", "late")
+    ).toDF("k", "rts", "v").withColumn("rts", col("rts").cast("timestamp"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> Option(r.getAs[String]("v"))).toMap
+    val composed = canon(AsOfJoin.forward(left, right, Seq("k"), "ts", "rts",
+      Seq(("v", "v"))))
+    val merged = canon(AsOfJoin.forwardMerge(left, right, Seq("k"), "ts", "rts",
+      Seq(("v", "v"))))
+    assert(merged === composed)
+    assert(merged(1L).nonEmpty && Set("a", "b").contains(merged(1L).get),
+      "simultaneous right row is visible (inclusive >=)")
+    assert(merged(2L).nonEmpty, "an earlier left matches the shared next right")
+    assert(merged(3L).isEmpty, "left after all rights matches nothing")
+  }
+
   test("merge exec is deterministic across partitionings") {
     val (p, c) = purchasesAndClicks()
     def run(parts: Int) =
