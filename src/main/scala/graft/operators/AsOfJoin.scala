@@ -175,7 +175,10 @@ object AsOfJoin {
       keys.map(k => ex(l2.col(k))), keys.map(k => ex(r2.col(k))),
       ex(l2.col("_asof_lt")), ex(r2.col("_asof_rt")),
       valExprs, valAttrs, toleranceSeconds.map(t => (t * 1e6).toLong),
-      forwardDir)
+      forwardDir,
+      // tie hash takes the RAW right-time column — composed-`_tb` parity
+      // even when the time column isn't TimestampType yet
+      tieTime = Some(ex(r2.col(rightTime))))
     org.apache.spark.sql.GraftSqlShim.ofRows(spark, node).drop("_asof_lt")
   }
 

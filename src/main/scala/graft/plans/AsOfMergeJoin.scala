@@ -67,7 +67,8 @@ case class AsOfJoinPlan(
                               // the analyzer's CleanupAliases strips
                               // Aliases out of non-Project operators
     toleranceMicros: Option[Long],
-    forwardDir: Boolean = false) extends BinaryNode {
+    forwardDir: Boolean = false,
+    tieTime: Option[Expression] = None) extends BinaryNode {
 
   // silent garbage otherwise: the merge compares left-projected keys to
   // right-projected keys with ONE ordering, and hash-partitions each side
@@ -97,8 +98,8 @@ case class AsOfJoinPlan(
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, vals, attrs, tol, fwd) =>
-      AsOfMergeJoinExec(lk, rk, lt, rt, vals, attrs, tol, fwd,
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, vals, attrs, tol, fwd, tie) =>
+      AsOfMergeJoinExec(lk, rk, lt, rt, vals, attrs, tol, fwd, tie,
         planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
@@ -113,6 +114,7 @@ case class AsOfMergeJoinExec(
     valAttrs: Seq[Attribute],
     toleranceMicros: Option[Long],
     forwardDir: Boolean,
+    tieTime: Option[Expression],
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -128,13 +130,18 @@ case class AsOfMergeJoinExec(
       ClusteredDistribution(rightKeys, requireAllClusterKeys = true) :: Nil
 
   // the right side additionally orders on xxhash64 of (values, time) —
-  // the composed operator's exact `_tb` input — so the sweep's
-  // last-consumed-wins rule reproduces its deterministic max-hash
-  // tiebreak at equal (key, time)
+  // the composed operator's exact `_tb` input. The hash takes the RAW
+  // right-time column (`tieTime`) when the builder provides it, not the
+  // TimestampType-normalized one: for inputs whose time column is a
+  // string/numeric, the composed `_tb` hashes the raw value, and hashing
+  // the cast value instead could pick a different tie winner (the time
+  // contributes equally to every tying row, but xxhash is not monotonic
+  // in its seed-chaining, so the REPRESENTATION still decides order).
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
     rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending)
-      :+ SortOrder(new XxHash64(valExprs :+ rightTime), Ascending))
+      :+ SortOrder(new XxHash64(valExprs :+ tieTime.getOrElse(rightTime)),
+        Ascending))
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
@@ -191,6 +198,10 @@ case class AsOfMergeJoinExec(
           if (ltv == null) return resultProj(joined(l, nullVals))
           val lt = ltv.asInstanceOf[Long]
           if (fwd) {
+            // forward match decided at the loop exit — no second key
+            // projection or time eval on the head the loop just classified
+            var fwdHead: InternalRow = null
+            var fwdRt: Long = 0L
             var scanning = true
             while (scanning && rBuf.hasNext) {
               val r = rBuf.head
@@ -203,16 +214,15 @@ case class AsOfMergeJoinExec(
                 // row's following frame (composed parity); strictly-past
                 // rights can't serve this or any later left row
                 if (rtv == null || rtv.asInstanceOf[Long] < lt) rBuf.next()
-                else scanning = false // head is the candidate — PEEK only
+                else { // head is the candidate — PEEK only
+                  fwdHead = r; fwdRt = rtv.asInstanceOf[Long]; scanning = false
+                }
               } else scanning = false
             }
-            val out = if (rBuf.hasNext) {
-              val r = rBuf.head
-              val rtv = rTimeEval.eval(r)
-              val ok = keyOrd.compare(rKeyProj(r), lk) == 0 && rtv != null &&
-                tol.forall(t => rtv.asInstanceOf[Long] - lt <= t)
-              if (ok) valProj(r) else nullVals
-            } else nullVals
+            val out =
+              if (fwdHead != null && tol.forall(t => fwdRt - lt <= t))
+                valProj(fwdHead)
+              else nullVals
             resultProj(joined(l, out))
           } else {
             var scanning = true

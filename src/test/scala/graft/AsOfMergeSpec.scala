@@ -204,6 +204,32 @@ class AsOfMergeSpec extends SparkSpec {
     assert(merged(3L).isEmpty, "left after all rights matches nothing")
   }
 
+  test("tie winners match the composed path even on a raw string time column") {
+    import spark.implicits._
+    // the tie hash must take the RAW right-time value (composed `_tb`
+    // parity) — hashing the cast micros could order the same two tying
+    // payloads differently. ISO strings keep lexicographic ==
+    // chronological, so the only divergence risk IS the hash input.
+    val left = Seq((1L, 10L, "2024-01-01 10:00:00"), (2L, 10L, "2024-01-01 11:00:00"))
+      .toDF("id", "k", "ts")
+    val right = Seq(
+      (10L, "2024-01-01 10:00:00", "p"), (10L, "2024-01-01 10:00:00", "q"),
+      (10L, "2024-01-01 10:30:00", "r"), (10L, "2024-01-01 10:30:00", "s"))
+      .toDF("k", "rts", "v")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> Option(r.getAs[String]("v"))).toMap
+    val composed = canon(AsOfJoin.backward(left, right, Seq("k"), "ts", "rts",
+      Seq(("v", "v"))))
+    val merged = canon(AsOfJoin.backwardMerge(left, right, Seq("k"), "ts", "rts",
+      Seq(("v", "v"))))
+    assert(merged === composed)
+    val fwdComposed = canon(AsOfJoin.forward(left, right, Seq("k"), "ts", "rts",
+      Seq(("v", "v"))))
+    val fwdMerged = canon(AsOfJoin.forwardMerge(left, right, Seq("k"), "ts", "rts",
+      Seq(("v", "v"))))
+    assert(fwdMerged === fwdComposed)
+  }
+
   test("merge exec is deterministic across partitionings") {
     val (p, c) = purchasesAndClicks()
     def run(parts: Int) =
