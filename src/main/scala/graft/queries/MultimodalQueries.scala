@@ -108,7 +108,8 @@ object MultimodalQueries extends QueryPack {
     //    from doc metadata (1 + doc_id % 64) rather than the stub decoder,
     //    which makes the whole sampling plan — stride arithmetic, frame
     //    bounds, counts — oracle-checkable in SQL. The decoder-driven
-    //    variant of the same operator is m02's rows-only path.
+    //    variant of the same arithmetic is m02's real-decode path (also
+    //    fully oracled since round 6 — synthesized dims ARE doc_id math).
     "m03_frame_samples" -> { (spark, dir) =>
       val t = Tables(spark, dir)
       val meta = Multimodal.mediaFromDocuments(t.documents)
