@@ -89,6 +89,8 @@ object AsOfJoin {
       toleranceSeconds: Option[Double] = None
   ): DataFrame = {
     require(salts > 0, "salts must be positive")
+    require(!left.columns.contains("_salt") && !right.columns.contains("_salt"),
+      "backwardSalted reserves the column name _salt; rename it on the input")
     val saltedLeft = left.withColumn("_salt",
       pmod(hash(col(leftTime) +: keys.map(col): _*), lit(salts)))
     val saltedRight = right.withColumn("_salt",
@@ -159,9 +161,17 @@ object AsOfJoin {
     graft.plans.GraftExtensions.registerAsOfStrategy(spark)
     // normalize the time columns through TimestampType at the DataFrame
     // level (NTZ-robust, same as the composed path's epochSec) so the
-    // physical sweep always compares epoch micros
-    val l2 = left.withColumn("_asof_lt", col(leftTime).cast("timestamp"))
-    val r2 = right.withColumn("_asof_rt", col(rightTime).cast("timestamp"))
+    // physical sweep always compares epoch micros. The temp names are
+    // collision-proofed against the input schemas: a fixed name would
+    // silently REPLACE (and then drop) a caller column that happens to
+    // share it.
+    def fresh(base: String, taken: Array[String]): String =
+      Iterator.from(0).map(i => if (i == 0) base else s"${base}_$i")
+        .find(n => !taken.contains(n)).get
+    val ltName = fresh("_asof_lt", left.columns)
+    val rtName = fresh("_asof_rt", right.columns)
+    val l2 = left.withColumn(ltName, col(leftTime).cast("timestamp"))
+    val r2 = right.withColumn(rtName, col(rightTime).cast("timestamp"))
     def ex(c: org.apache.spark.sql.Column) =
       org.apache.spark.sql.GraftSqlShim.expr(c)
     val valExprs = rightVals.map { case (src, _) => ex(r2.col(src)) }
@@ -173,13 +183,13 @@ object AsOfJoin {
     val node = graft.plans.AsOfJoinPlan(
       l2.queryExecution.analyzed, r2.queryExecution.analyzed,
       keys.map(k => ex(l2.col(k))), keys.map(k => ex(r2.col(k))),
-      ex(l2.col("_asof_lt")), ex(r2.col("_asof_rt")),
+      ex(l2.col(ltName)), ex(r2.col(rtName)),
       valExprs, valAttrs, toleranceSeconds.map(t => (t * 1e6).toLong),
       forwardDir,
       // tie hash takes the RAW right-time column — composed-`_tb` parity
       // even when the time column isn't TimestampType yet
       tieTime = Some(ex(r2.col(rightTime))))
-    org.apache.spark.sql.GraftSqlShim.ofRows(spark, node).drop("_asof_lt")
+    org.apache.spark.sql.GraftSqlShim.ofRows(spark, node).drop(ltName)
   }
 
   private def asof(
@@ -199,6 +209,16 @@ object AsOfJoin {
     val (leftSide, rightSide) = if (forwardDir) (0, 1) else (1, 0)
     // the matched right TIME is always carried too — it drives tolerance
     val carriedVals = rightVals :+ (rightTime -> "_rt_matched")
+    // the union/window composition owns these working names; a caller
+    // column sharing one would be silently replaced — fail loudly instead
+    // (the merge-planned path generates collision-proof names; here the
+    // names participate in unionByName resolution, so they must be fixed)
+    val reserved = Seq("_t", "_side", "_tb") ++
+      carriedVals.map { case (_, alias) => s"_rv_$alias" }
+    val clash = (left.columns ++ right.columns).toSeq.intersect(reserved)
+    require(clash.isEmpty,
+      s"as-of join reserves working column names ${clash.mkString(", ")}; " +
+        "rename them on the input")
     val sideL = left
       .withColumn("_t", col(leftTime))
       .withColumn("_side", lit(leftSide))

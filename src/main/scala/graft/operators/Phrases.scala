@@ -72,11 +72,15 @@ object Phrases {
   /** Rewrites documents with detected phrases joined by '_' — the
     * word2phrase output format the downstream tokenizer consumes. Greedy
     * left-to-right, non-overlapping (a token consumed by a phrase cannot
-    * start the next one — word2phrase's exact behavior): fold over the
-    * token array carrying (emitted-so-far, pending-token); phrase hits
-    * merge the pending token, misses flush it. One broadcast row holds the
-    * accepted pair set as a map key lookup — scoring is a pure map over
-    * the corpus, ZERO shuffle on the document side.
+    * start the next one — word2phrase's exact behavior). Two linear steps
+    * per document: pair-hit flags via a codegen'd adjacent zip against the
+    * broadcast accepted-pair map (the same map-lookup shape as the old
+    * fold), then ONE sequential sweep over (tokens, flags) in a tiny UDF —
+    * the sweep is inherently stateful (a consumed token can't start the
+    * next phrase), which Catalyst's aggregate() could only express by
+    * concat-copying the accumulator array per token, O(n²) per document.
+    * Still ZERO shuffle on the document side; the only non-map piece is
+    * the one-row broadcast of the accepted-pair map.
     */
   def rewrite(docs: DataFrame, textCol: String, idCol: String,
       phrases: DataFrame): DataFrame = {
@@ -85,26 +89,41 @@ object Phrases {
         collect_list(concat_ws(" ", col("w1"), col("w2"))),
         collect_list(lit(true))).as("_ph"))
     val toks = tokens(normalizeText(col(textCol)))
-    // fold state: (out array, pending token or null)
-    val init = struct(
-      array().cast("array<string>").as("out"),
-      lit(null).cast("string").as("pend"))
-    val step = (acc: org.apache.spark.sql.Column, t: org.apache.spark.sql.Column) =>
-      when(acc.getField("pend").isNull,
-        struct(acc.getField("out").as("out"), t.as("pend")))
-        .when(element_at(col("_ph"),
-            concat_ws(" ", acc.getField("pend"), t)).isNotNull,
-          struct(concat(acc.getField("out"),
-            array(concat_ws("_", acc.getField("pend"), t))).as("out"),
-            lit(null).cast("string").as("pend")))
-        .otherwise(struct(concat(acc.getField("out"),
-          array(acc.getField("pend"))).as("out"), t.as("pend")))
-    val fin = (acc: org.apache.spark.sql.Column) =>
-      when(acc.getField("pend").isNull, acc.getField("out"))
-        .otherwise(concat(acc.getField("out"), array(acc.getField("pend"))))
+    // hits(i) = accepted(tok(i), tok(i+1)) — map lookup stays in codegen;
+    // greatest(...,0) guards slice's non-negative-length requirement on
+    // empty token arrays
+    val adjLen = greatest(size(col("_toks")) - 1, lit(0))
+    val hits = zip_with(
+      slice(col("_toks"), lit(1), adjLen),
+      slice(col("_toks"), lit(2), adjLen),
+      (a, b) => element_at(col("_ph"), concat_ws(" ", a, b)).isNotNull)
     docs
       .crossJoin(broadcast(accepted)) // one row: the accepted-pair map
+      .withColumn("_toks", toks)
       .select(col(idCol).as("id"),
-        array_join(aggregate(toks, init, step, fin), " ").as("phrased_text"))
+        greedySweep(col("_toks"), hits).as("phrased_text"))
   }
+
+  /** The O(n) greedy merge over precomputed pair-hit flags: emit
+    * `tok(i)_tok(i+1)` and skip both when `hits(i)`, else emit `tok(i)`.
+    * Sequential by nature — kept as a minimal UDF over two already-built
+    * arrays (strings + booleans), one StringBuilder pass, no per-step
+    * array copies.
+    */
+  private val greedySweep =
+    udf { (toks: Seq[String], hits: Seq[Boolean]) =>
+      if (toks == null) null
+      else {
+        val out = new StringBuilder
+        val n = toks.length
+        var i = 0
+        while (i < n) {
+          if (out.nonEmpty) out.append(' ')
+          if (i + 1 < n && hits(i)) {
+            out.append(toks(i)).append('_').append(toks(i + 1)); i += 2
+          } else { out.append(toks(i)); i += 1 }
+        }
+        out.toString
+      }
+    }
 }

@@ -111,7 +111,15 @@ object GraftExtensions {
     */
   def registerAsOfStrategy(spark: SparkSession): Unit = spark.synchronized {
     val exp = spark.experimental
-    if (!exp.extraStrategies.contains(AsOfJoinStrategy))
+    // planner.strategies already folds in BOTH registration paths —
+    // experimental.extraStrategies and the extension-injected planning
+    // strategies — so a session built with GraftExtensions is seen here
+    // and not double-registered (the strategy would otherwise be
+    // consulted twice per plan)
+    val already = spark.sessionState.planner.strategies
+      .contains(AsOfJoinStrategy) ||
+      exp.extraStrategies.contains(AsOfJoinStrategy)
+    if (!already)
       exp.extraStrategies = exp.extraStrategies :+ AsOfJoinStrategy
   }
 
