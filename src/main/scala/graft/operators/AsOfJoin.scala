@@ -113,6 +113,13 @@ object AsOfJoin {
     * also covers the integer-micros tolerance boundary. Strategy
     * registration is delegated to
     * `GraftExtensions.registerAsOfStrategy` (synchronized, idempotent).
+    *
+    * PICK THIS PATH when carrying several right columns: measured at 10M
+    * events (ProbeAsOf, SCALE.md §18), it is within 1.14× of [[backward]]
+    * on one carried column and 1.6×/5.6× FASTER at 4/16 columns — the
+    * composed window pays one null-padded union exchange plus a carry
+    * window per column, and past ~64 carried columns fails to plan
+    * outright (driver OOM in constraint propagation).
     */
   def backwardMerge(
       left: DataFrame,

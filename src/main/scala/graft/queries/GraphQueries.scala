@@ -40,7 +40,7 @@ object GraphQueries extends QueryPack {
     //    sketches are the true reachable sets and the whole output —
     //    per-radius ball sizes and the x12-quantized harmonic sum —
     //    hash-matches a recursive-CTE BFS. The sketch (k < ball) regime
-    //    is spec-pinned and probed at 100x.
+    //    is driver-gated separately as g03 (bounded-property oracle).
     "g02_harmonic" -> { (spark, dir) =>
       val t = Tables(spark, dir)
       val nodes = t.documents.filter(col("doc_id") < 400)
@@ -49,6 +49,43 @@ object GraphQueries extends QueryPack {
       LinkGraph.harmonicCentrality(nodes, edges, k = 512)
         .select(col("idx").as("doc_id"), col("n_0"), col("n_1"),
           col("n_2"), col("n_3"), col("n_4"), col("harmonic_x12"))
+    },
+
+    // -- The SKETCH regime of the same operator — the one a 100 TB corpus
+    //    actually runs (k ≪ ball size) — under the a07/a13 bounded-
+    //    property pattern. k=64 straddles the graph's ball sizes: radius-1/2
+    //    balls (~4, ~13 members) stay below k, where the sketch IS the set
+    //    and the estimate must EQUAL the exact count; radius-3/4 balls
+    //    (up to ~121) overflow k into the (k−1)·2⁶³/h_(k) estimator, where
+    //    the per-node bound is 4σ of the KMV relative standard error
+    //    1/√(k−2) ≈ 12.7% → |est − exact| ≤ 0.5·exact. Everything is
+    //    deterministic (the sketch hash has no randomness), so the flags
+    //    are stable across runs/partitionings. The exact columns come from
+    //    the k=512 run and hash-match the oracle's recursive-CTE BFS —
+    //    both regimes verified in one gate.
+    "g03_harmonic_sketch" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val nodes = t.documents.filter(col("doc_id") < 400)
+        .select(col("doc_id").as("idx"))
+      // one materialized edge set feeds both sketch runs
+      val edges = LinkGraph.syntheticEdges(nodes, 400L).localCheckpoint(true)
+      val k = 64
+      val est = LinkGraph.kmvNeighborhood(nodes, edges, radius = 4, k = k)
+      val exact = LinkGraph.kmvNeighborhood(nodes, edges, radius = 4, k = 512)
+      val j = exact
+        .select(col("idx") +:
+          (1 to 4).map(r => col(s"n_$r").as(s"exact_n_$r")): _*)
+        .join(est.select(col("idx") +:
+          (1 to 4).map(r => col(s"n_$r").as(s"est_n_$r")): _*), Seq("idx"))
+      val flags = (1 to 4).map { r =>
+        when(col(s"exact_n_$r") < k,
+          col(s"est_n_$r") === col(s"exact_n_$r"))
+          .otherwise(abs(col(s"est_n_$r") - col(s"exact_n_$r")) <=
+            col(s"exact_n_$r") * 0.5)
+          .as(s"within_envelope_$r")
+      }
+      j.select(Seq(col("idx").as("doc_id")) ++
+        (1 to 4).map(r => col(s"exact_n_$r")) ++ flags: _*)
     }
   )
 
@@ -115,6 +152,34 @@ object GraphQueries extends QueryPack {
           |SELECT v AS doc_id, n_0, n_1, n_2, n_3, n_4,
           |  CAST((n_1 - n_0) * 12 + (n_2 - n_1) * 6
           |    + (n_3 - n_2) * 4 + (n_4 - n_3) * 3 AS BIGINT) AS harmonic_x12
+          |FROM nr JOIN nd ON nr.v = nd.idx""".stripMargin,
+      // g03: same exact BFS ground truth; the sketch-regime estimates are
+      // asserted within their error envelope Spark-side (deterministic
+      // flags — the KMV hash has no randomness), so the oracle pins the
+      // exact counts and TRUE flags, the a07/a13 bounded-property pattern.
+      "g03_harmonic_sketch" ->
+        """WITH RECURSIVE nd AS (
+          |  SELECT doc_id AS idx FROM documents WHERE doc_id < 400),
+          |e0 AS (
+          |  SELECT idx AS src, (idx * 7 + 1) % 400 AS dst FROM nd
+          |  UNION ALL SELECT idx, (idx * 13 + 3) % 400 FROM nd
+          |  UNION ALL SELECT idx, (idx * 31 + 5) % 400 FROM nd),
+          |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+          |reach AS (
+          |  SELECT idx AS u, idx AS v, 0 AS d FROM nd
+          |  UNION
+          |  SELECT r.u, e.dst AS v, r.d + 1
+          |  FROM reach r JOIN e ON e.src = r.v WHERE r.d < 4),
+          |md AS (SELECT u, v, min(d) AS d FROM reach GROUP BY u, v),
+          |nr AS (SELECT v,
+          |    CAST(count(*) FILTER (WHERE d <= 1) AS BIGINT) AS exact_n_1,
+          |    CAST(count(*) FILTER (WHERE d <= 2) AS BIGINT) AS exact_n_2,
+          |    CAST(count(*) FILTER (WHERE d <= 3) AS BIGINT) AS exact_n_3,
+          |    CAST(count(*) FILTER (WHERE d <= 4) AS BIGINT) AS exact_n_4
+          |  FROM md GROUP BY v)
+          |SELECT v AS doc_id, exact_n_1, exact_n_2, exact_n_3, exact_n_4,
+          |  TRUE AS within_envelope_1, TRUE AS within_envelope_2,
+          |  TRUE AS within_envelope_3, TRUE AS within_envelope_4
           |FROM nr JOIN nd ON nr.v = nd.idx""".stripMargin
     )
   }

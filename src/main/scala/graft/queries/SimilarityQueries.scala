@@ -200,8 +200,12 @@ object SimilarityQueries extends QueryPack {
       val q = emb.filter(col("vec_id") < 5)
       val truth = SimilaritySearch.bruteForceTopK(
         q, emb, "vec_id", "embedding", k = 5, rankPrecision = Some(6))
+      // shortlist deliberately NOT passed: the corpus-fraction default
+      // (defaultShortlist — max(100, 0.25% of corpus)) is the SCALE.md §16
+      // deployment rule in code, so this same query needs no hand-tuning
+      // from sf0.001 through the 100x probe
       val ann = SimilaritySearch.pqTopK(
-        q, emb, "vec_id", "embedding", k = 5, m = 16, ksub = 64, shortlist = 100)
+        q, emb, "vec_id", "embedding", k = 5, m = 16, ksub = 64)
       annRecallReport(truth, ann, minHits = 4)
     },
 
@@ -214,9 +218,12 @@ object SimilarityQueries extends QueryPack {
       val q = emb.filter(col("vec_id") < 5)
       val truth = SimilaritySearch.bruteForceTopK(
         q, emb, "vec_id", "embedding", k = 5, rankPrecision = Some(6))
+      // nprobe/shortlist NOT passed: derived from nlist and corpus size
+      // (defaultNprobe 3/8 of the lists = the registered 6-of-16 ratio;
+      // defaultShortlist as in s10) — scale-rule-as-code, same as s10
       val ann = SimilaritySearch.ivfPqTopK(
-        q, emb, "vec_id", "embedding", k = 5, nlist = 16, nprobe = 6,
-        m = 16, ksub = 64, shortlist = 100)
+        q, emb, "vec_id", "embedding", k = 5, nlist = 16,
+        m = 16, ksub = 64)
       annRecallReport(truth, ann, minHits = 4)
     },
 
@@ -271,6 +278,28 @@ object SimilarityQueries extends QueryPack {
       val delta = t.embeddings.filter(col("vec_id") % 4 === 0)
       SimilaritySearch.incrementalIndexManifest(
         base, delta, "vec_id", "embedding", "label")
+    },
+
+    // -- L3 serving tier: the PQ index in its PERSISTED form. buildPqIndex
+    //    writes (neighbor_id, codes) parquet once — the 16 B/vector index a
+    //    deployment pays for at ingest — and the probe-only pqServeTopK
+    //    query runs against that file: the corpus-sized scan reads m ints
+    //    per row off disk; float vectors are touched only for the
+    //    |Q|·shortlist re-rank. Same recall gate + oracle as s10 (serve ==
+    //    inline is additionally spec-pinned bit-equal in LlmOpsSpec).
+    "s14_pq_persisted" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val emb = t.embeddings
+      val q = emb.filter(col("vec_id") < 5)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_s14_").toString
+      val codebooks = SimilaritySearch.buildPqIndex(
+        emb, "vec_id", "embedding", s"$tmp/codes", m = 16, ksub = 64)
+      val codes = spark.read.parquet(s"$tmp/codes")
+      val truth = SimilaritySearch.bruteForceTopK(
+        q, emb, "vec_id", "embedding", k = 5, rankPrecision = Some(6))
+      val ann = SimilaritySearch.pqServeTopK(
+        q, codes, emb, "vec_id", "embedding", codebooks, k = 5)
+      annRecallReport(truth, ann, minHits = 4)
     }
   )
 
@@ -336,6 +365,7 @@ object SimilarityQueries extends QueryPack {
     // computes it for real and must agree (bounded-property pattern).
     "s02_lsh_topk" -> annRecallOracleSql,
     "s10_pq_topk" -> annRecallOracleSql,
+    "s14_pq_persisted" -> annRecallOracleSql,
     "s05_ivf_topk" -> annRecallOracleSql,
     "s12_ivfpq_topk" -> annRecallOracleSql,
     // s11: everything re-derived — fixed-point centroids + round-6 argmax

@@ -162,6 +162,54 @@ class AsOfMergeSpec extends SparkSpec {
     assert(streamed(4L).isEmpty)
   }
 
+  test("streaming enrichment with a MULTI-VALUE payload == batch") {
+    import spark.implicits._
+    // the payload shape that motivates the custom tier (ProbeAsOf: the
+    // composed union-window degrades with carried width and OOMs the
+    // driver at 64 columns) — pin micro-batch == batch for a 4-column
+    // mixed-type carry through the custom exec
+    val tmp = java.nio.file.Files.createTempDirectory("graft_asofwide").toString
+    val dim = Seq(
+      (10L, "2024-01-01 08:00:00", "old", 1L, 0.5, "2023-12-31 00:00:00"),
+      (10L, "2024-01-01 11:00:00", "new", 2L, 1.5, "2024-01-01 00:00:00"),
+      (20L, "2024-01-01 09:00:00", "only", 3L, 2.5, "2024-01-02 00:00:00"))
+      .toDF("k", "rts", "v_str", "v_num", "v_dbl", "v_ts")
+      .withColumn("rts", col("rts").cast("timestamp"))
+      .withColumn("v_ts", col("v_ts").cast("timestamp"))
+    dim.write.parquet(s"$tmp/dim")
+    val frozenDim = spark.read.parquet(s"$tmp/dim")
+    val events = Seq((1L, 10L, "2024-01-01 10:00:00"),
+      (2L, 20L, "2024-01-01 10:00:00"), (3L, 10L, "2024-01-01 12:00:00"),
+      (4L, 30L, "2024-01-01 12:00:00"))
+      .toDF("id", "k", "ts").withColumn("ts", col("ts").cast("timestamp"))
+    events.filter($"id" <= 2).coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    events.filter($"id" > 2).coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    val vals = Seq(("v_str", "v_str"), ("v_num", "v_num"),
+      ("v_dbl", "v_dbl"), ("v_ts", "v_ts"))
+    val q = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
+      .writeStream
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        AsOfJoin.backwardMerge(batch, frozenDim, Seq("k"), "ts", "rts", vals)
+          .write.mode("append").parquet(s"$tmp/out")
+      }
+      .start()
+    q.awaitTermination()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "v_str", "v_num", "v_dbl", "v_ts")
+        .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val streamed = canon(spark.read.parquet(s"$tmp/out"))
+    val batchRes = canon(
+      AsOfJoin.backwardMerge(events, dim, Seq("k"), "ts", "rts", vals))
+    assert(streamed === batchRes)
+    // the whole matched row carries together — row 3 gets ALL of "new"'s
+    // columns, row 4 (no match) gets all nulls
+    assert(streamed(3L).head === "new" && streamed(3L)(1) === 2L)
+    assert(streamed(4L).forall(_ == null))
+  }
+
   test("forward merge == composed forward on the fixture, with and without tolerance") {
     val t = graft.sources.Tables(spark, sf)
     val clicks = t.events.filter(col("event_type") === "click")

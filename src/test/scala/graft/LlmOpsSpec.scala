@@ -243,6 +243,28 @@ class LlmOpsSpec extends SparkSpec {
       "re-ranked sim must be the exact cosine"))
   }
 
+  test("persisted PQ index: probe-only serve == inline pqTopK, bit-equal") {
+    val emb = graft.sources.Tables(spark, sf).embeddings
+    val queries = emb.filter(col("vec_id") < 10)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pqserve").toString
+    // build writes (neighbor_id, codes) parquet once — the serving tier
+    // then never reads the float vectors for the corpus scan
+    val cb = SimilaritySearch.buildPqIndex(
+      emb, "vec_id", "embedding", s"$tmp/codes", m = 16, ksub = 64)
+    val codes = spark.read.parquet(s"$tmp/codes")
+    assert(codes.columns.toSeq === Seq("neighbor_id", "_codes"),
+      "persisted index carries only the id and the m-int codes")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val served = canon(SimilaritySearch.pqServeTopK(
+      queries, codes, emb, "vec_id", "embedding", cb, k = 5))
+    val inline = canon(SimilaritySearch.pqTopK(
+      queries, emb, "vec_id", "embedding", k = 5, m = 16, ksub = 64,
+      codebooksOpt = Some(cb)))
+    assert(served === inline,
+      "serving from the persisted codes must equal the inline build exactly")
+  }
+
   test("int8 quantization: codes bounded, peak maps to ±127, qsim tracks float cosine") {
     val emb = graft.sources.Tables(spark, sf).embeddings
     val q = SimilaritySearch.int8Quantize(
