@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.bloomMightContainDescriptor)
     ext.injectFunction(GraftExtensions.unicodeNormalizeDescriptor)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => AsOfPushdown)
   }
 }
 
@@ -104,23 +105,30 @@ object GraftExtensions {
     })
 
   /** Idempotent registration on a live session. */
-  /** Runtime twin of the config-path `injectPlannerStrategy`: adds
-    * [[AsOfJoinStrategy]] to the live session's experimental strategies.
-    * Synchronized on the session — extraStrategies is session-global
-    * mutable state and a bare check-then-append would race.
+  /** Runtime twin of the config-path `injectPlannerStrategy` /
+    * `injectOptimizerRule`: adds [[AsOfJoinStrategy]] to the live
+    * session's experimental strategies and [[AsOfPushdown]] to its extra
+    * optimizations. Synchronized on the session — both are
+    * session-global mutable state and a bare check-then-append would
+    * race.
     */
   def registerAsOfStrategy(spark: SparkSession): Unit = spark.synchronized {
     val exp = spark.experimental
-    // planner.strategies already folds in BOTH registration paths —
-    // experimental.extraStrategies and the extension-injected planning
-    // strategies — so a session built with GraftExtensions is seen here
-    // and not double-registered (the strategy would otherwise be
-    // consulted twice per plan)
-    val already = spark.sessionState.planner.strategies
+    // planner.strategies / optimizer.extendedOperatorOptimizationRules
+    // already fold in BOTH registration paths — the experimental lists
+    // and the extension-injected ones — so a session built with
+    // GraftExtensions is seen here and not double-registered (the
+    // strategy/rule would otherwise run twice per plan)
+    val strategyIn = spark.sessionState.planner.strategies
       .contains(AsOfJoinStrategy) ||
       exp.extraStrategies.contains(AsOfJoinStrategy)
-    if (!already)
+    if (!strategyIn)
       exp.extraStrategies = exp.extraStrategies :+ AsOfJoinStrategy
+    val ruleIn = spark.sessionState.optimizer.extendedOperatorOptimizationRules
+      .contains(AsOfPushdown) ||
+      exp.extraOptimizations.contains(AsOfPushdown)
+    if (!ruleIn)
+      exp.extraOptimizations = exp.extraOptimizations :+ AsOfPushdown
   }
 
   def register(spark: SparkSession): Unit = {

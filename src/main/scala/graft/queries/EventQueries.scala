@@ -167,6 +167,29 @@ object EventQueries extends QueryPack {
       )
     },
 
+    // -- J7 custom plan, MULTI-VALUE payload: the shape the merge exec
+    //    exists for (ProbeAsOf: composed union-window degrades with
+    //    carried width, merge is near-flat — SCALE.md §18). Carries THREE
+    //    columns of the matched click — time, value, event_id — in one
+    //    whole-row carry; the oracle re-derives the matched row with a
+    //    correlated LATERAL top-1 (tie-free: (user_id, ts) is unique among
+    //    clicks at every fixture scale, asserted before this was gated).
+    "e17_asof_merge_multi" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val purchases = t.events.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val clicks = t.events.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("value").as("cv"), col("event_id").as("ce"))
+      AsOfJoin.backwardMerge(
+        purchases, clicks,
+        keys = Seq("user_id"),
+        leftTime = "ts", rightTime = "click_ts",
+        rightVals = Seq(("click_ts", "last_click_ts"),
+          ("cv", "click_value"), ("ce", "click_event_id"))
+      )
+    },
+
     // -- F2 on the stream: daily activity with day-of-week (0=Sunday).
     "e06_daily_activity" -> { (spark, dir) =>
       val t = Tables(spark, dir)
@@ -430,6 +453,20 @@ object EventQueries extends QueryPack {
         |   WHERE c.user_id = p.user_id AND c.event_type = 'click'
         |     AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)) AS last_click_ts
         |FROM events p WHERE p.event_type = 'purchase'""".stripMargin,
+    // the multi-value carry: the matched click re-derived whole-row by a
+    // correlated LATERAL top-1 (ORDER BY ts DESC LIMIT 1 — tie-free on
+    // this fixture, see the query comment)
+    "e17_asof_merge_multi" ->
+      """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts, p.value,
+        |  c.last_click_ts, c.click_value, c.click_event_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN LATERAL (
+        |  SELECT CAST(c.ts AS TIMESTAMP) AS last_click_ts,
+        |    c.value AS click_value, c.event_id AS click_event_id
+        |  FROM events c
+        |  WHERE c.user_id = p.user_id AND c.event_type = 'click'
+        |    AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+        |  ORDER BY CAST(c.ts AS TIMESTAMP) DESC LIMIT 1) c ON TRUE""".stripMargin,
     // identical oracle to e05: the salted operator must be indistinguishable
     "e13_asof_salted" ->
       """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts, p.value,
