@@ -100,6 +100,38 @@ object AsOfJoin {
       .drop("_salt")
   }
 
+  /** Skew-resilient [[backwardMerge]] — [[backwardSalted]]'s construction
+    * over the custom exec: the merge demands exact co-partitioning on the
+    * keys (`ClusteredDistribution`), so a hot key serializes one
+    * partition's two-pointer sweep and AQE cannot split a custom exec the
+    * way it splits a SortMergeJoin. Salting the left into `salts`
+    * sub-streams and replicating the right bounds the per-partition sweep
+    * at ~1/salts of the hot key's left rows; the deterministic hash salt
+    * and the identical tie rules keep the result exactly
+    * [[backwardMerge]]'s (driver-gated under e05's oracle as e18).
+    */
+  def backwardMergeSalted(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightVals: Seq[(String, String)],
+      salts: Int,
+      toleranceSeconds: Option[Double] = None
+  ): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    require(!left.columns.contains("_salt") && !right.columns.contains("_salt"),
+      "backwardMergeSalted reserves the column name _salt; rename it on the input")
+    val saltedLeft = left.withColumn("_salt",
+      pmod(hash(col(leftTime) +: keys.map(col): _*), lit(salts)))
+    val saltedRight = right.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    mergePlanned(saltedLeft, saltedRight, keys :+ "_salt", leftTime, rightTime,
+      rightVals, toleranceSeconds, forwardDir = false)
+      .drop("_salt")
+  }
+
   /** [[backward]] planned through the custom whole-operator Catalyst
     * extension ([[graft.plans.AsOfJoinPlan]] → `AsOfMergeJoinExec`):
     * co-partition + per-side sort + single-pass two-pointer merge, instead

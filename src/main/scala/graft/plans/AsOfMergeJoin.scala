@@ -40,6 +40,16 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   * multi-value enrichment — kept bit-equivalent and driver-gated so
   * either physical strategy can serve the same query.
   *
+  * Co-location (plan-pinned in PlanSpec): with both inputs bucketed on
+  * the join key, the required `ClusteredDistribution` is satisfied
+  * straight off the bucketed scans and the join runs with ZERO exchange
+  * (partition-local sorts only) — something the composed union-window
+  * can never do, because Union destroys its children's partitioning.
+  * Skew: the exec demands exact co-partitioning, so a hot key
+  * serializes one partition's sweep and AQE cannot split a custom exec;
+  * `AsOfJoin.backwardMergeSalted` (e18) bounds it with the same
+  * deterministic salt construction as the composed e13 path.
+  *
   * Semantics equal `AsOfJoin.backward` on every input the gates exercise
   * (driver-gated: e15 runs under e05's correlated-MAX oracle; equivalence
   * also spec-pinned on tie/tolerance/null-time edges): inclusive

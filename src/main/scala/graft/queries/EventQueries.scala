@@ -190,6 +190,26 @@ object EventQueries extends QueryPack {
       )
     },
 
+    // -- J7 custom plan, SALTED skew path: the merge exec demands exact
+    //    key co-partitioning, so a hot key serializes one partition's
+    //    sweep (AQE can't split a custom exec); the salt bounds it. Same
+    //    inputs and oracle as e05 — the skew path must be
+    //    indistinguishable, exactly like e13 proves for the composed path.
+    "e18_asof_merge_salted" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val purchases = t.events.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val clicks = t.events.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"))
+      AsOfJoin.backwardMergeSalted(
+        purchases, clicks,
+        keys = Seq("user_id"),
+        leftTime = "ts", rightTime = "click_ts",
+        rightVals = Seq(("click_ts", "last_click_ts")),
+        salts = 4
+      )
+    },
+
     // -- F2 on the stream: daily activity with day-of-week (0=Sunday).
     "e06_daily_activity" -> { (spark, dir) =>
       val t = Tables(spark, dir)
@@ -467,6 +487,14 @@ object EventQueries extends QueryPack {
         |  WHERE c.user_id = p.user_id AND c.event_type = 'click'
         |    AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
         |  ORDER BY CAST(c.ts AS TIMESTAMP) DESC LIMIT 1) c ON TRUE""".stripMargin,
+    // identical oracle to e05: the salted MERGE path must be
+    // indistinguishable (the e13 proof applied to the custom exec)
+    "e18_asof_merge_salted" ->
+      """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts, p.value,
+        |  (SELECT max(CAST(c.ts AS TIMESTAMP)) FROM events c
+        |   WHERE c.user_id = p.user_id AND c.event_type = 'click'
+        |     AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)) AS last_click_ts
+        |FROM events p WHERE p.event_type = 'purchase'""".stripMargin,
     // identical oracle to e05: the salted operator must be indistinguishable
     "e13_asof_salted" ->
       """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts, p.value,

@@ -286,4 +286,32 @@ class AsOfMergeSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), Option(r.get(4)).map(_.toString))).toSet
     assert(run(2) === run(11))
   }
+
+  test("salted merge == plain merge, including on a hot key") {
+    import spark.implicits._
+    // one hot user carries most of the left side — the shape the salt
+    // exists for; every salt bucket must still see the full right set
+    val left = (1 to 400).map(i =>
+      (i.toLong, if (i <= 300) 7L else (i % 20).toLong,
+        f"2024-01-01 ${i % 24}%02d:${i % 60}%02d:00"))
+      .toDF("id", "k", "ts").withColumn("ts", col("ts").cast("timestamp"))
+    val right = (1 to 120).map(j =>
+      (if (j <= 80) 7L else (j % 20).toLong,
+        f"2024-01-01 ${j % 24}%02d:${(j * 7) % 60}%02d:30", s"v$j"))
+      .toDF("k", "rts", "v").withColumn("rts", col("rts").cast("timestamp"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), Option(r.getAs[String]("v")))).toSet
+    val plain = canon(AsOfJoin.backwardMerge(
+      left, right, Seq("k"), "ts", "rts", Seq(("v", "v"))))
+    val salted = canon(AsOfJoin.backwardMergeSalted(
+      left, right, Seq("k"), "ts", "rts", Seq(("v", "v")), salts = 8))
+    assert(salted === plain)
+    val tol = canon(AsOfJoin.backwardMergeSalted(
+      left, right, Seq("k"), "ts", "rts", Seq(("v", "v")), salts = 8,
+      toleranceSeconds = Some(1800.0)))
+    val tolPlain = canon(AsOfJoin.backwardMerge(
+      left, right, Seq("k"), "ts", "rts", Seq(("v", "v")),
+      toleranceSeconds = Some(1800.0)))
+    assert(tol === tolPlain)
+  }
 }
