@@ -233,6 +233,133 @@ object EventStreams {
         OutputMode.Append())
   }
 
+  /** T6/J7: STREAMING TEMPORAL as-of join — both sides are streams. Each
+    * event is enriched with the dimension version in effect AT ITS EVENT
+    * TIME (`max rts <= ts` per key), where the dimension itself arrives as
+    * a stream of timestamped versions — the event-time temporal join
+    * (Flink's FOR SYSTEM_TIME AS OF; Spark has no built-in equivalent,
+    * and `enrichWithStatic` only covers a FROZEN dimension).
+    *
+    * Correctness protocol (watermark-driven, out-of-order-safe):
+    * events and versions buffer in keyed state; an event FINALIZES only
+    * once the shared watermark passes its timestamp — after which neither
+    * a late event nor a late dimension version at or before that time can
+    * arrive (both inputs sit under ONE watermark on the unioned stream) —
+    * so the match is decided against the complete version history, not
+    * arrival order. Ripe events flush on the next batch's input or, for
+    * keys that go quiet, on an event-time timer registered one ms past
+    * the current watermark.
+    *
+    * State is BOUNDED: pending events drain at the watermark, and version
+    * history prunes to the newest version at or before the watermark
+    * (older versions can never be the match for any future event) plus
+    * anything newer. Tie at equal (rts): the version with the greater
+    * (dim_value) string wins — deterministic, matching the batch
+    * operators' content-hash-style tie discipline. At scale the state
+    * shards by the join key exactly like the other T6 processors
+    * (RocksDB-backed, bounded per key).
+    *
+    * @param delayThreshold watermark delay on the unioned stream, e.g.
+    *        "10 minutes" — the allowed lateness of BOTH sides
+    */
+  case class DimVersion(user_id: Long, rts: Timestamp, dim_value: String)
+  case class TemporalIn(user_id: Long, ts: Timestamp, side: Int,
+      event_id: Long, value: Double, dim_value: String)
+  case class TemporalEnriched(user_id: Long, event_id: Long, ts: Timestamp,
+      value: Double, dim_value: Option[String])
+  private case class DimVer(rts: Long, v: String)
+  private case class PendEv(ts: Long, eventId: Long, value: Double)
+  def temporalAsOf(events: Dataset[Event], dims: Dataset[DimVersion],
+      delayThreshold: String = "10 minutes"): Dataset[TemporalEnriched] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+    val provider = events.sparkSession.conf
+      .getOption("spark.sql.streaming.stateStore.providerClass").getOrElse("")
+    require(provider.contains("RocksDB"),
+      "transformWithState requires the RocksDB state store provider")
+    val tagged = events
+      .map(e => TemporalIn(e.user_id, e.ts, 1, e.event_id, e.value, null))
+      .unionByName(dims.map(d =>
+        TemporalIn(d.user_id, d.rts, 0, 0L, 0.0, d.dim_value)))
+      .withWatermark("ts", delayThreshold)
+    tagged
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new StatefulProcessor[Long, TemporalIn, TemporalEnriched] {
+          @transient private var versions: ListState[DimVer] = _
+          @transient private var pending: ListState[PendEv] = _
+          @transient private var timerAt: ValueState[Long] = _
+          override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+            versions = getHandle.getListState[DimVer]("versions",
+              Encoders.product[DimVer], TTLConfig.NONE)
+            pending = getHandle.getListState[PendEv]("pending",
+              Encoders.product[PendEv], TTLConfig.NONE)
+            timerAt = getHandle.getValueState[Long]("timerAt",
+              Encoders.scalaLong, TTLConfig.NONE)
+          }
+          /** Finalize every pending event at or before the watermark
+            * against the buffered version history; prune both buffers.
+            */
+          private def flush(key: Long, wm: Long): Iterator[TemporalEnriched] = {
+            val vers = versions.get().toArray.sortBy(v => (v.rts, v.v))
+            val pend = pending.get().toArray.sortBy(p => (p.ts, p.eventId))
+            val (ripe, rest) = pend.partition(_.ts <= wm)
+            val out = ripe.iterator.map { p =>
+              // latest version at or before the event time; equal-rts
+              // ties resolve to the LAST in (rts, v) order = max v
+              val m = vers.takeWhile(_.rts <= p.ts).lastOption
+              TemporalEnriched(key, p.eventId, new Timestamp(p.ts),
+                p.value, m.map(_.v))
+            }.toArray // materialize BEFORE rewriting state below
+            if (rest.isEmpty) pending.clear() else pending.put(rest)
+            // prune: versions strictly older than the newest one at or
+            // before the watermark can never match a future event
+            val cut = vers.takeWhile(_.rts <= wm).lastOption
+            cut.foreach { c =>
+              val kept = vers.dropWhile(v =>
+                v.rts < c.rts || (v.rts == c.rts && v.v < c.v))
+              if (kept.length != vers.length) versions.put(kept)
+            }
+            out.iterator
+          }
+          override def handleInputRows(key: Long, rows: Iterator[TemporalIn],
+              timerValues: TimerValues): Iterator[TemporalEnriched] = {
+            rows.foreach { r =>
+              if (r.side == 0) versions.appendValue(DimVer(r.ts.getTime, r.dim_value))
+              else pending.appendValue(PendEv(r.ts.getTime, r.event_id, r.value))
+            }
+            val wm = timerValues.getCurrentWatermarkInMs()
+            val out = flush(key, wm)
+            // a key that goes quiet still needs its tail flushed: keep one
+            // timer parked just past the current watermark
+            if (pending.get().nonEmpty) {
+              val at = wm + 1
+              val prev = if (timerAt.exists()) timerAt.get() else -1L
+              if (prev != at) {
+                if (prev >= 0) getHandle.deleteTimer(prev)
+                getHandle.registerTimer(at)
+                timerAt.update(at)
+              }
+            }
+            out
+          }
+          override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+              expiredTimerInfo: ExpiredTimerInfo): Iterator[TemporalEnriched] = {
+            timerAt.clear()
+            val out = flush(key, timerValues.getCurrentWatermarkInMs())
+            if (pending.get().nonEmpty) {
+              val at = timerValues.getCurrentWatermarkInMs() + 1
+              getHandle.registerTimer(at)
+              timerAt.update(at)
+            }
+            out
+          }
+        },
+        TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   // -- Sources & sinks (S8/S9) ----------------------------------------------
 
   /** S8: file-arrival ingestion — the Structured Streaming analog of the

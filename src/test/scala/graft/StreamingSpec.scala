@@ -553,4 +553,66 @@ class StreamingSpec extends SparkSpec {
       "the run-1 duplicate must be dropped by the fingerprint store, not re-admitted")
     assert(spark.read.parquet(fpDir).count() === 3, "one fingerprint per unique text")
   }
+
+  test("temporalAsOf: events match the dim version at EVENT time, out of order") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val evStream = MemoryStream[Event]
+      val dimStream = MemoryStream[EventStreams.DimVersion]
+      val q = EventStreams.temporalAsOf(
+        evStream.toDS(), dimStream.toDS(), delayThreshold = "10 minutes")
+        .writeStream.format("memory").queryName("tasof").outputMode("append").start()
+      try {
+        // batch 1: a version and two events for user 1 — nothing ripe yet
+        dimStream.addData(EventStreams.DimVersion(1L, ts("2024-01-01 09:00:00"), "v1"))
+        evStream.addData(
+          ev(2, "2024-01-01 09:30:00", 1, "view", 1.0),
+          ev(1, "2024-01-01 10:00:00", 1, "view", 2.0))
+        q.processAllAvailable()
+        // batch 2: a LATER version arrives AFTER the event it must match
+        // (v2@09:55 beats v1 for the 10:00 event), plus a user-2 event
+        // that advances the shared watermark to 10:50
+        dimStream.addData(EventStreams.DimVersion(1L, ts("2024-01-01 09:55:00"), "v2"))
+        evStream.addData(ev(3, "2024-01-01 11:00:00", 2, "view", 3.0))
+        q.processAllAvailable()
+        // batch 3: advance the watermark past user 2's event; it has no
+        // version history at all -> enriched with None
+        evStream.addData(ev(4, "2024-01-01 12:30:00", 2, "view", 4.0))
+        q.processAllAvailable()
+        val got = spark.table("tasof").collect()
+          .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(4)))).toSet
+        assert(got === Set(
+          (1L, 2L, Some("v1")), // 09:30 event: only v1@09:00 in effect
+          (1L, 1L, Some("v2")), // 10:00 event: v2@09:55 ARRIVED LATER but wins
+          (2L, 3L, None)),      // no version history for user 2
+          s"temporal matches wrong: $got")
+        // event 4 (12:30) is still inside the watermark window: pending
+        assert(!got.exists(_._2 == 4L), "unfinalized event must not emit")
+        // equivalence with the BATCH as-of operator: every finalized event
+        // carries exactly what AsOfJoin.backward derives over the same data
+        val evBatch = Seq(
+          ev(2, "2024-01-01 09:30:00", 1, "view", 1.0),
+          ev(1, "2024-01-01 10:00:00", 1, "view", 2.0),
+          ev(3, "2024-01-01 11:00:00", 2, "view", 3.0)).toDF()
+        val dimBatch = Seq(
+          EventStreams.DimVersion(1L, ts("2024-01-01 09:00:00"), "v1"),
+          EventStreams.DimVersion(1L, ts("2024-01-01 09:55:00"), "v2")).toDF()
+        val batchRows = graft.operators.AsOfJoin.backward(
+          evBatch, dimBatch.withColumnRenamed("user_id", "u2")
+            .withColumnRenamed("u2", "user_id"),
+          Seq("user_id"), "ts", "rts", Seq(("dim_value", "dim_value")))
+          .collect().map(r => (r.getAs[Long]("user_id"),
+            r.getAs[Long]("event_id"), Option(r.getAs[String]("dim_value")))).toSet
+        assert(got === batchRows,
+          s"streaming temporal as-of diverges from the batch operator: $got vs $batchRows")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
