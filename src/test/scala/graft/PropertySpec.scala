@@ -130,4 +130,40 @@ class PropertySpec extends SparkSpec {
         cnts(lmF.withColumnRenamed("lp_micro", "c")) && oovM === oovF)
     }
   }
+
+  test("as-of: merge exec == composed window over random tie-heavy inputs") {
+    import spark.implicits._
+    // TINY key/time domains force heavy collisions: many rows per key,
+    // many equal-(key, time) right groups — the regime where the
+    // content-hash tie-break actually decides winners. Right values stay
+    // non-null and left times non-null, the two documented degenerate
+    // divergences between the paths (AsOfMergeJoin scaladoc); everything
+    // else, including ties, must match bit-for-bit.
+    val genRows = Gen.zip(
+      Gen.listOfN(40, Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 5L))),
+      Gen.listOfN(25, Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 5L),
+        Gen.choose(0, 3))),
+      Gen.oneOf(None, Some(2.5), Some(0.0)))
+    forAll(genRows, n = 6) { case (leftRaw, rightRaw, tol) =>
+      val left = leftRaw.zipWithIndex.map { case ((k, t), i) =>
+        (i.toLong, k, new java.sql.Timestamp(86400000L + t * 1000)) }
+        .toDF("id", "k", "ts")
+      val right = rightRaw.map { case (k, t, v) =>
+        (k, new java.sql.Timestamp(86400000L + t * 1000), s"v$v") }
+        .toDF("k", "rts", "v")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select("id", "v").collect()
+          .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      val composed = canon(graft.operators.AsOfJoin.backward(
+        left, right, Seq("k"), "ts", "rts", Seq(("v", "v")), tol))
+      val merged = canon(graft.operators.AsOfJoin.backwardMerge(
+        left, right, Seq("k"), "ts", "rts", Seq(("v", "v")), tol))
+      assert(merged === composed, s"backward diverged (tol=$tol)")
+      val composedF = canon(graft.operators.AsOfJoin.forward(
+        left, right, Seq("k"), "ts", "rts", Seq(("v", "v")), tol))
+      val mergedF = canon(graft.operators.AsOfJoin.forwardMerge(
+        left, right, Seq("k"), "ts", "rts", Seq(("v", "v")), tol))
+      assert(mergedF === composedF, s"forward diverged (tol=$tol)")
+    }
+  }
 }
