@@ -50,6 +50,13 @@ class AsOfMergeSpec extends SparkSpec {
     assert(plan.contains("AsOfMergeJoin"), s"custom exec must plan:\n${plan.take(1500)}")
     assert(!plan.contains("Window"), s"no carry-forward window:\n${plan.take(1500)}")
     assert(!plan.contains("Union"), s"no null-padded union:\n${plan.take(1500)}")
+    // the merge participates in WHOLE-STAGE CODEGEN (the round-9 doProduce
+    // implementation) — a silent fallback to the interpreted doExecute
+    // would show the node without a codegen-span marker
+    assert(plan.linesIterator.exists(l =>
+      l.contains("AsOfMergeJoin") && l.trim.startsWith("+- *(") ||
+        l.contains("AsOfMergeJoin") && l.contains("*(")),
+      s"merge must run inside a whole-stage codegen span:\n${plan.take(1500)}")
   }
 
   test("edge semantics match: equal-time ties, null times, unmatched keys") {
