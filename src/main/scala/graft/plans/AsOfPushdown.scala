@@ -30,6 +30,14 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *    ColumnPruning then drives the narrowed schema into the scan
   *    (`ReadSchema` drops the dead columns).
   *
+  * Deliberately NOT done: pruning unused VALUE columns (`valExprs` /
+  * `valAttrs`) out of the join. It looks symmetric but is UNSOUND — the
+  * equal-(key,time) tie-break hashes the carried value columns (the
+  * composed `_tb` contract), so dropping a value column can change which
+  * tied right row wins and alter the SURVIVING columns' output. An
+  * optimizer rewrite must never change results; value pruning would,
+  * exactly on tied inputs.
+  *
   * Registered by both extension paths (config-built sessions via
   * `injectOptimizerRule`, live sessions via
   * `experimental.extraOptimizations` — see

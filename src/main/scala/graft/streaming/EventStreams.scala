@@ -260,7 +260,14 @@ object EventStreams {
     * (RocksDB-backed, bounded per key).
     *
     * @param delayThreshold watermark delay on the unioned stream, e.g.
-    *        "10 minutes" — the allowed lateness of BOTH sides
+    *        "10 minutes" — the allowed lateness of BOTH sides. Like every
+    *        watermarked operator, rows older than the watermark are
+    *        DROPPED before they reach the state store: replaying
+    *        historical files requires arrival in rough time order within
+    *        this lateness (a racing, unordered file commit replays the
+    *        timeline out of sequence and the watermark correctly discards
+    *        it — measured in ProbeTemporal, which feeds slices in mtime
+    *        order exactly like a production file feed).
     */
   case class DimVersion(user_id: Long, rts: Timestamp, dim_value: String)
   case class TemporalIn(user_id: Long, ts: Timestamp, side: Int,
