@@ -294,6 +294,46 @@ class AsOfMergeSpec extends SparkSpec {
     assert(run(2) === run(11))
   }
 
+  test("string + multi-column keys, incl NULL keys: merge == composed, codegen'd") {
+    import spark.implicits._
+    // exercises the codegen paths the long-key fixtures miss: UTF8String
+    // key compares (genComp/genEqual) and the buffered key clone, the
+    // multi-key compare chain, and NULL keys (nulls group together —
+    // window-partition semantics on the composed side, nulls-first
+    // ordering + null==null candidate equality on the merge side)
+    val left = Seq(
+      (1L, Some("alice"), 1L, "2024-01-01 10:00:00"),
+      (2L, Some("alice"), 2L, "2024-01-01 10:00:00"), // same k1, other k2
+      (3L, Some("bob"), 1L, "2024-01-01 12:00:00"),
+      (4L, None, 1L, "2024-01-01 12:00:00"), // NULL string key
+      (5L, Some("carol"), 9L, "2024-01-01 12:00:00")) // unmatched
+      .toDF("id", "k1", "k2", "ts").withColumn("ts", col("ts").cast("timestamp"))
+    val right = Seq(
+      (Some("alice"), 1L, "2024-01-01 09:00:00", "a1"),
+      (Some("alice"), 1L, "2024-01-01 09:30:00", "a2"), // later: wins for id 1
+      (Some("alice"), 2L, "2024-01-01 09:00:00", "b"),
+      (Some("bob"), 1L, "2024-01-01 11:00:00", "c"),
+      (None, 1L, "2024-01-01 11:30:00", "n")) // NULL key matches NULL key
+      .toDF("k1", "k2", "rts", "v").withColumn("rts", col("rts").cast("timestamp"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> Option(r.getAs[String]("v"))).toMap
+    val merged = AsOfJoin.backwardMerge(
+      left, right, Seq("k1", "k2"), "ts", "rts", Seq(("v", "v")))
+    val m = canon(merged)
+    val c = canon(AsOfJoin.backward(
+      left, right, Seq("k1", "k2"), "ts", "rts", Seq(("v", "v"))))
+    assert(m === c, s"multi/string/null-key divergence: $m vs $c")
+    assert(m(1L) === Some("a2") && m(2L) === Some("b") && m(3L) === Some("c"))
+    assert(m(4L) === Some("n"), "null keys must group together")
+    assert(m(5L).isEmpty)
+    // and this plan, too, runs inside whole-stage codegen
+    merged.collect()
+    val plan = merged.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("AsOfMergeJoin") && l.contains("*(")),
+      s"string-key merge must stay codegen'd:\n${plan.take(1200)}")
+  }
+
   test("salted merge == plain merge, including on a hot key") {
     import spark.implicits._
     // one hot user carries most of the left side — the shape the salt
