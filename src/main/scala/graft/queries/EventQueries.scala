@@ -300,6 +300,35 @@ object EventQueries extends QueryPack {
           col("valid_to"), col("valid_to").isNull.as("is_current"))
     },
 
+    // -- First-order Markov transition matrix over each user's timeline:
+    //    counts and probabilities of event_type → next event_type. One
+    //    user-keyed window pass (lag over the (ts, event_id) per-user
+    //    total order) feeding a bounded groupBy — both shuffles map-side
+    //    combined, and the output is ≤|types|² rows at any corpus size,
+    //    so the row-total window that normalizes probabilities runs on a
+    //    bounded frame. Probabilities are exact integer micro-units
+    //    (n·10⁶ DIV row total) so the gate compares BIGINTs, never
+    //    engine-ordered double division.
+    "e19_markov_transitions" -> { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(spark, dir)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val trans = t.events
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n_transitions"))
+      trans
+        .withColumn("_total",
+          sum(col("n_transitions")).over(Window.partitionBy(col("prev_type"))))
+        .select(col("prev_type"), col("event_type").as("next_type"),
+          col("n_transitions"),
+          expr("n_transitions * 1000000 div _total").cast("long")
+            .as("prob_micro"))
+    },
+
     // -- S9/T9 streaming upsert, pinned END-TO-END: replays a
     //    deterministic slice of the events fixture as date-ranged
     //    AvailableNow micro-batches through the real foreachBatch merge
@@ -559,6 +588,24 @@ object EventQueries extends QueryPack {
         |SELECT user_id, event_type, valid_from, valid_to,
         |  valid_to IS NULL AS is_current
         |FROM scd""".stripMargin,
+    // e19: the raw ts value orders identically whether the fixture stores
+    // timestamps or nanos-as-long, so no cast is needed in the lag order.
+    "e19_markov_transitions" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |c AS (
+        |  SELECT prev_type, event_type AS next_type,
+        |    CAST(count(*) AS BIGINT) AS n_transitions
+        |  FROM s WHERE prev_type IS NOT NULL
+        |  GROUP BY prev_type, event_type)
+        |SELECT prev_type, next_type, n_transitions,
+        |  CAST(n_transitions * 1000000
+        |    // sum(n_transitions) OVER (PARTITION BY prev_type)
+        |    AS BIGINT) AS prob_micro
+        |FROM c""".stripMargin,
     "e10_daily_fill" ->
       """WITH ev AS (
         |  SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, value

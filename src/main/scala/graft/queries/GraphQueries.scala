@@ -86,6 +86,30 @@ object GraphQueries extends QueryPack {
       }
       j.select(Seq(col("idx").as("doc_id")) ++
         (1 to 4).map(r => col(s"exact_n_$r")) ++ flags: _*)
+    },
+
+    // -- Distributed connected components gated DIRECTLY — the L2
+    //    primitive every near-dup family clusters with (d05/d09 gate it
+    //    only through survivor selection). Edge set: data-dependent chain
+    //    edges — doc i—(i+1) present iff (n_chars_i + n_chars_{i+1}) % 3
+    //    ≠ 0 — giving geometric runs (mean ~3, longest ~15 on the
+    //    fixture), so convergence takes several large-star/small-star
+    //    rounds, not one. The DISTRIBUTED path (Kiveris et al. 2014) is
+    //    forced via largeStarSmallStar — never the driver union-find fast
+    //    path — because the iterative-join shape is what a 100 TB pair
+    //    set runs. Components are maximal runs over a consecutive-id
+    //    chain, so DuckDB re-derives the exact labels with a
+    //    gaps-and-islands window — closure-free, no recursive CTE blowup.
+    "g04_connected_components" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val d = t.documents.select(col("doc_id"), col("n_chars"))
+      val a = d.select(col("doc_id").as("id_a"), col("n_chars").as("_na"))
+      val b = d.select(col("doc_id").as("id_b"), col("n_chars").as("_nb"))
+      val edges = a.join(b, col("id_b") === col("id_a") + 1)
+        .filter((col("_na") + col("_nb")) % 3 =!= 0)
+        .select(col("id_a"), col("id_b"))
+      graft.operators.Dedup.largeStarSmallStar(edges)
+        .select(col("id").as("doc_id"), col("component"))
     }
   )
 
@@ -180,7 +204,29 @@ object GraphQueries extends QueryPack {
           |SELECT v AS doc_id, exact_n_1, exact_n_2, exact_n_3, exact_n_4,
           |  TRUE AS within_envelope_1, TRUE AS within_envelope_2,
           |  TRUE AS within_envelope_3, TRUE AS within_envelope_4
-          |FROM nr JOIN nd ON nr.v = nd.idx""".stripMargin
+          |FROM nr JOIN nd ON nr.v = nd.idx""".stripMargin,
+      // g04: chain edges over consecutive doc_ids → components are maximal
+      // runs; gaps-and-islands re-derives the min-id label exactly.
+      // Singleton runs have no edges, so CC never emits them (sz > 1).
+      "g04_connected_components" ->
+        """WITH d AS (
+          |  SELECT doc_id, n_chars,
+          |    lag(doc_id) OVER (ORDER BY doc_id) AS pid,
+          |    lag(n_chars) OVER (ORDER BY doc_id) AS pn
+          |  FROM documents),
+          |m AS (
+          |  SELECT doc_id,
+          |    CASE WHEN pid IS NULL OR pid <> doc_id - 1
+          |           OR (pn + n_chars) % 3 = 0 THEN 1 ELSE 0 END AS brk
+          |  FROM d),
+          |r AS (SELECT doc_id,
+          |    sum(brk) OVER (ORDER BY doc_id) AS run FROM m),
+          |c AS (SELECT doc_id,
+          |    min(doc_id) OVER (PARTITION BY run) AS component,
+          |    count(*) OVER (PARTITION BY run) AS sz
+          |  FROM r)
+          |SELECT doc_id, CAST(component AS BIGINT) AS component
+          |FROM c WHERE sz > 1""".stripMargin
     )
   }
 }

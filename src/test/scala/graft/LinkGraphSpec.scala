@@ -98,6 +98,21 @@ class LinkGraphSpec extends SparkSpec {
     assert(agg.reduce(Array.empty, (1L to 100L)).length === 4)
   }
 
+  test("g04 components are consecutive-id runs labeled by their min id") {
+    val df = SparkEntry.queries("g04_connected_components")(spark, sf)
+      .groupBy("component")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .collect()
+    assert(df.nonEmpty)
+    df.foreach { r =>
+      // chain edges over consecutive ids: every component is a contiguous
+      // run of >= 2 ids whose label is the run minimum
+      assert(r.getAs[Long]("n") >= 2L)
+      assert(r.getAs[Long]("hi") - r.getAs[Long]("lo") + 1 === r.getAs[Long]("n"))
+      assert(r.getAs[Long]("component") === r.getAs[Long]("lo"))
+    }
+  }
+
   test("syntheticEdges: no self-loops, no duplicates, targets in range") {
     val nodes = spark.range(100).toDF("idx")
     val e = LinkGraph.syntheticEdges(nodes, 100L).collect()

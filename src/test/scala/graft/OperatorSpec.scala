@@ -193,4 +193,21 @@ class OperatorSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(mg.head === (("heavy", 80L)))
   }
+
+  test("e19 transition matrix: counts conserve and probabilities sum to ~1") {
+    val rows = SparkEntry.queries("e19_markov_transitions")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // per-user transitions = events - users (each user contributes
+    // n_events - 1 lag pairs), so the matrix total must conserve it
+    val t = graft.sources.Tables(spark, sf)
+    val nEvents = t.events.count()
+    val nUsers = t.events.select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_transitions")).sum === nEvents - nUsers)
+    // per-prev probabilities: floor quantization loses < 1 micro-unit per
+    // row, so each row-sum lands in (1e6 - n_rows, 1e6]
+    rows.groupBy(_.getAs[String]("prev_type")).foreach { case (_, rs) =>
+      val s = rs.map(_.getAs[Long]("prob_micro")).sum
+      assert(s <= 1000000L && s > 1000000L - rs.length)
+    }
+  }
 }
