@@ -123,6 +123,57 @@ object Validate {
       .select(lit(name).as("check_name"), col("n_violations"),
         (col("n_violations") === 0L).as("pass"))
 
+  // -- Column profiling -------------------------------------------------------
+
+  /** Column-profiling report — the Glue-crawler / Deequ "column statistics"
+    * surface the reference's catalog story implies: per column, non-null
+    * count, null count, EXACT distinct count, and min/max rendered to a
+    * deterministic cross-engine string. ONE aggregate pass over the table:
+    * Catalyst plans the multi-distinct via Expand (rows × |cols|), but the
+    * partial aggregate collapses map-side per (column, value), so the
+    * shuffle carries the union of per-column value spaces — value-sized,
+    * not row-sized, the same bound any engine pays for exact multi-column
+    * distinct. (For a quick pass over a truly high-cardinality table,
+    * swap countDistinct for approx_count_distinct at the call site; the
+    * report schema is unchanged.)
+    *
+    * min/max rendering is type-aware so both engines print the identical
+    * string: timestamps via an explicit `yyyy-MM-dd HH:mm:ss` format (UTC
+    * session), fractional doubles pinned onto the DECIMAL(28,6) grid
+    * (trailing zeros and all), everything else via plain string cast.
+    *
+    * @return (column, n_nonnull, n_null, n_distinct, min_s, max_s), one
+    *         row per profiled column, in declaration order
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, TimestampType}
+    require(cols.nonEmpty, "need at least one column to profile")
+    def render(c: Column, dt: DataType): Column = dt match {
+      case TimestampType => date_format(c, "yyyy-MM-dd HH:mm:ss")
+      case DoubleType | FloatType => c.cast("decimal(28,6)").cast("string")
+      case _ => c.cast("string")
+    }
+    val aggs = cols.flatMap { name =>
+      val dt = df.schema(name).dataType
+      val c = col(name)
+      Seq(count(c).cast("long").as(s"${name}__n"),
+        count(when(c.isNull, 1)).cast("long").as(s"${name}__nulls"),
+        countDistinct(c).cast("long").as(s"${name}__distinct"),
+        render(min(c), dt).as(s"${name}__min"),
+        render(max(c), dt).as(s"${name}__max"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    // one-row frame → |cols| trivial projections unioned back to rows
+    cols.map { name =>
+      row.select(lit(name).as("column"),
+        col(s"${name}__n").as("n_nonnull"),
+        col(s"${name}__nulls").as("n_null"),
+        col(s"${name}__distinct").as("n_distinct"),
+        col(s"${name}__min").as("min_s"),
+        col(s"${name}__max").as("max_s"))
+    }.reduce(_ unionByName _)
+  }
+
   // -- Distribution drift monitoring -----------------------------------------
 
   /** Population Stability Index contributions between two snapshots of a

@@ -57,6 +57,35 @@ object ValidationQueries extends QueryPack {
             .otherwise(col("text")))
       Validate.snapshotDiff(v1, v2, "doc_id",
         md5(graft.functions.TextFunctions.normalizeText(col("text")).cast("binary")))
+    },
+
+    // -- Column-profiling report over the reference's namesake entity:
+    //    exact per-column statistics in one multi-distinct aggregate pass
+    //    (the Glue-crawler surface). min/max strings are rendered
+    //    identically by both engines: timestamps via explicit format,
+    //    doubles pinned to the DECIMAL(28,6) grid.
+    "v04_profile" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      Validate.profile(t.orders, Seq("o_orderkey", "o_custkey",
+        "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"))
+    },
+
+    // -- Equi-width histogram profiling (the other half of the crawler
+    //    surface): 10 data-derived bins over o_totalprice. Two scans —
+    //    one min/max aggregate broadcast as a single row, one map-side-
+    //    combined bin count. The bin expression is the identical
+    //    left-associated double formula on both engines, so bin edges are
+    //    bit-identical; the top edge clamps into the last bin.
+    "v05_histogram" -> { (spark, dir) =>
+      import org.apache.spark.sql.functions._
+      val t = Tables(spark, dir)
+      val stats = t.orders.agg(
+        min(col("o_totalprice")).as("mn"), max(col("o_totalprice")).as("mx"))
+      t.orders.crossJoin(broadcast(stats))
+        .select(least(floor((col("o_totalprice") - col("mn")) * lit(10.0)
+          / (col("mx") - col("mn"))), lit(9.0)).cast("int").as("bin"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_orders"))
     }
   )
 
@@ -134,6 +163,35 @@ object ValidationQueries extends QueryPack {
         |    v1.fp AS fp_old, v2.fp AS fp_new
         |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
         |SELECT doc_id, status, fp_old, fp_new FROM d
-        |WHERE status <> 'unchanged'""".stripMargin
+        |WHERE status <> 'unchanged'""".stripMargin,
+    // v04: one SELECT per profiled column; rendering mirrors the operator
+    // exactly (strftime for the timestamp, DECIMAL(28,6) for the double).
+    "v04_profile" -> {
+      def arm(c: String, render: String => String) =
+        s"""SELECT '$c' AS "column",
+           |  CAST(count($c) AS BIGINT) AS n_nonnull,
+           |  CAST(count(*) FILTER (WHERE $c IS NULL) AS BIGINT) AS n_null,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  ${render(s"min($c)")} AS min_s,
+           |  ${render(s"max($c)")} AS max_s
+           |FROM orders""".stripMargin
+      val plain = (e: String) => s"CAST($e AS VARCHAR)"
+      val dec6 = (e: String) => s"CAST(CAST($e AS DECIMAL(28,6)) AS VARCHAR)"
+      val tsf = (e: String) => s"strftime($e, '%Y-%m-%d %H:%M:%S')"
+      Seq(arm("o_orderkey", plain), arm("o_custkey", plain),
+        arm("o_orderstatus", plain), arm("o_totalprice", dec6),
+        arm("o_orderdate", tsf), arm("o_orderpriority", plain))
+        .mkString("\nUNION ALL\n")
+    },
+    // v05: identical left-associated bin formula; min/max from the same
+    // scan, top edge clamped into bin 9.
+    "v05_histogram" ->
+      """WITH s AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
+        |  FROM orders)
+        |SELECT CAST(least(floor((o_totalprice - mn) * 10.0 / (mx - mn)), 9)
+        |    AS INT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders, s
+        |GROUP BY 1""".stripMargin
   )
 }

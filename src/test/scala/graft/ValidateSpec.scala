@@ -177,4 +177,22 @@ class ValidateSpec extends SparkSpec {
     assert(rep.getLong(1) === 1L, "only the orphan 99 counts; null FK is not a violation")
     assert(!rep.getBoolean(2))
   }
+
+  test("profile: exact counts, nulls, distinct, and typed min/max rendering") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, String, java.lang.Double)](
+      (1L, "a", 1.5), (2L, "a", null), (3L, null, 2.0), (3L, "b", 2.0))
+      .toDF("id", "s", "v")
+      .withColumn("ts", to_timestamp(lit("2024-03-01 10:30:00")))
+    val p = Validate.profile(df, Seq("id", "s", "v", "ts"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(p("id").getLong(1) === 4L && p("id").getLong(3) === 3L)
+    assert(p("s").getLong(2) === 1L, "one null in s")
+    assert(p("s").getString(4) === "a" && p("s").getString(5) === "b")
+    assert(p("v").getString(4) === "1.500000", "double pinned to the 6dp grid")
+    assert(p("ts").getString(4) === "2024-03-01 10:30:00")
+    // declaration order preserved
+    assert(Validate.profile(df, Seq("v", "id")).collect()
+      .map(_.getString(0)).toSeq === Seq("v", "id"))
+  }
 }
