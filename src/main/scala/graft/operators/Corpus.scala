@@ -667,6 +667,63 @@ object Corpus {
     result
   }
 
+  /** Curriculum staging: exact global rank by (`orderCol` ASC, `idCol`
+    * ASC) and stage `rank·nStages DIV total` — the length/difficulty
+    * curriculum assignment (train on easy/short documents first; Bengio
+    * et al., ICML 2009) as a distributed operator.
+    *
+    * Scale shape: the naive form is `ntile(k) OVER (ORDER BY ...)` — a
+    * GLOBAL window Spark executes in ONE task. This is instead the
+    * [[tokenBudgetSelect]] two-pass shape: range partition + cache to
+    * freeze partition boundaries, per-partition counts → driver offsets
+    * (one row per partition — bounded), then an order-preserving
+    * mapPartitions stamps rank = offset + local index. One distributed
+    * sort, no single-task stage, stage math in exact 64-bit integers.
+    *
+    * @return input columns + (rank, stage): rank 0-based in the global
+    *         order, stage ∈ [0, nStages)
+    */
+  def curriculumStages(docs: DataFrame, idCol: String, orderCol: String,
+      nStages: Int, numPartitions: Int = 0): DataFrame = {
+    require(nStages > 0, "nStages must be positive")
+    val spark = docs.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+      else spark.sparkContext.defaultParallelism
+    val ranged = docs
+      .repartitionByRange(n, col(orderCol).asc, col(idCol).asc)
+      .sortWithinPartitions(col(orderCol).asc, col(idCol).asc)
+      .cache()
+    val counts: Array[(Int, Long)] = ranged
+      .select(spark_partition_id().as("_pid"))
+      .groupBy(col("_pid")).agg(count(lit(1)).as("_c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val total = math.max(counts.map(_._2).sum, 1L)
+    val offsets: Map[Int, Long] = counts.map { case (pid, _) =>
+      pid -> counts.collect { case (p2, c) if p2 < pid => c }.sum
+    }.toMap
+    val schema = org.apache.spark.sql.types.StructType(ranged.schema
+      :+ org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.LongType)
+      :+ org.apache.spark.sql.types.StructField("stage",
+        org.apache.spark.sql.types.IntegerType))
+    implicit val enc: org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+        org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema))
+    val staged = ranged.mapPartitions { rows =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var rank = offsets.getOrElse(pid, 0L)
+      rows.map { r =>
+        val stage = (rank * nStages / total).toInt
+        val out = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ rank :+ stage)
+        rank += 1
+        out
+      }
+    }
+    val result = staged.localCheckpoint(true)
+    ranged.unpersist()
+    result
+  }
+
   /** Deterministic weighted Bernoulli (Poisson) sampling: keep each row
     * independently with probability `min(weight, fullWeight) / fullWeight`,
     * decided by a seeded multiplicative hash of the id (Knuth's

@@ -234,6 +234,16 @@ object CorpusQueries extends QueryPack {
       val withFp = t.documents
         .withColumn("fp", md5(normalizeText(col("text")).cast("binary")))
       Corpus.groupHoldoutSplit(withFp, "doc_id", "fp")
+    },
+
+    // -- Length-based curriculum staging: exact distributed global rank
+    //    (two-pass range-partition shape, no single-task ntile window)
+    //    over (n_chars, doc_id), four stages. All-integer math → the
+    //    oracle reproduces rank and stage bit-exactly via row_number.
+    "c15_curriculum" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      Corpus.curriculumStages(t.documents, "doc_id", "n_chars", nStages = 4)
+        .select(col("doc_id"), col("n_chars"), col("rank"), col("stage"))
     }
   )
 
@@ -464,7 +474,19 @@ object CorpusQueries extends QueryPack {
           |  CASE WHEN bucket < 90 THEN 'train'
           |       WHEN bucket < 95 THEN 'val'
           |       ELSE 'test' END AS split
-          |FROM b""".stripMargin
+          |FROM b""".stripMargin,
+      // c15: rank/stage re-derived via row_number over the same total
+      // order; stage = rank*4 DIV n in exact integer arithmetic.
+      "c15_curriculum" ->
+        """WITH r AS (
+          |  SELECT doc_id, n_chars,
+          |    CAST(row_number() OVER (ORDER BY n_chars, doc_id) - 1
+          |      AS BIGINT) AS rank
+          |  FROM documents),
+          |n AS (SELECT count(*) AS total FROM documents)
+          |SELECT doc_id, n_chars, rank,
+          |  CAST(rank * 4 // total AS INT) AS stage
+          |FROM r, n""".stripMargin
     )
   }
 }

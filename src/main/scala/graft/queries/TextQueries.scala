@@ -276,6 +276,25 @@ object TextQueries extends QueryPack {
       // flagged at sf0.01) and still exercises the exact integer test.
       graft.operators.Phrases.detect(t.documents, "text",
         minPairCount = 3, delta = 5, threshold = 1)
+    },
+
+    // -- Lexical diversity (L4): per-document type/token/hapax counts and
+    //    type-token ratio in exact integer micro-units — the vocabulary-
+    //    richness signal quality-filtering pipelines pair with the Gopher
+    //    rules (templated/spammy text has low TTR, word-soup has high).
+    //    One (doc, token) shuffle (map-side combined) then a doc-keyed
+    //    re-aggregate — never a per-doc O(n²) array scan.
+    "t16_lexical_diversity" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.documents
+        .select(col("doc_id"), explode(tokens(normalizeText(col("text")))).as("token"))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          count(when(col("cnt") === 1, 1)).as("n_hapax"))
+        .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+          expr("n_types * 1000000 div n_tokens").cast("long").as("ttr_micro"))
     }
   )
 
@@ -668,6 +687,22 @@ object TextQueries extends QueryPack {
         |    > CAST(1 * a.c AS HUGEINT) * b.c AS is_phrase
         |FROM pc p
         |JOIN uc a ON p.w1 = a.tok
-        |JOIN uc b ON p.w2 = b.tok""".stripMargin
+        |JOIN uc b ON p.w2 = b.tok""".stripMargin,
+    // t16: same normalize+split twin as t04; docs whose normalized text is
+    // empty produce no tokens and (like the explode) no output row.
+    "t16_lexical_diversity" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), '\s+')) AS token
+        |  FROM documents),
+        |tc AS (SELECT doc_id, token, count(*) AS cnt
+        |  FROM tok WHERE token <> '' GROUP BY doc_id, token)
+        |SELECT doc_id,
+        |  CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(count(*) FILTER (WHERE cnt = 1) AS BIGINT) AS n_hapax,
+        |  CAST(count(*) * 1000000 // sum(cnt) AS BIGINT) AS ttr_micro
+        |FROM tc GROUP BY doc_id""".stripMargin
   )
 }

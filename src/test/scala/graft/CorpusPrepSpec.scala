@@ -179,4 +179,24 @@ class CorpusPrepSpec extends SparkSpec {
       Corpus.groupHoldoutSplit(docs, "doc_id", "g", trainPct = 96, valPct = 5)
     }
   }
+
+  test("curriculumStages: exact dense rank and stage, partition-invariant") {
+    import spark.implicits._
+    val docs = (0L until 97L).map(i => (i, (i * 37 + 11) % 50)).toDF("doc_id", "len")
+    val got = Corpus.curriculumStages(docs, "doc_id", "len", nStages = 4,
+      numPartitions = 7)
+      .select("doc_id", "len", "rank", "stage").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sortBy(_._3)
+    // rank is a dense 0..n-1 permutation following the (len, id) order
+    assert(got.map(_._3).toSeq === (0L until 97L))
+    assert(got.map(t => (t._2, t._1)).toSeq === got.map(t => (t._2, t._1)).sorted.toSeq)
+    // stage = rank*4 DIV 97, so sizes are 25/24/24/24 and non-decreasing
+    assert(got.map(_._4).toSeq === got.map(t => (t._3 * 4 / 97).toInt).toSeq)
+    // partition count must not change the assignment
+    val again = Corpus.curriculumStages(docs, "doc_id", "len", nStages = 4,
+      numPartitions = 3).select("doc_id", "rank", "stage").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+    assert(again.toSeq === got.map(t => (t._1, t._3, t._4)).sortBy(_._1).toSeq)
+  }
 }

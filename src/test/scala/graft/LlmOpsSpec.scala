@@ -825,4 +825,21 @@ class LlmOpsSpec extends SparkSpec {
     // every survivor id is a real corpus id
     assert(surv.join(emb, Seq("vec_id"), "left_anti").count() === 0)
   }
+
+  test("t16 lexical diversity: hand-derived type/token/hapax counts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"), // 6 tokens, 5 types, hapax: cat sat on mat
+      (2L, "a a a a"),                // 4 tokens, 1 type, 0 hapax
+      (3L, "  !!  ")                  // normalizes to empty -> no output row
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_t16_").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("t16_lexical_diversity")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet === Set(1L, 2L))
+    assert(got(1L) === ((6L, 5L, 4L, 833333L)))
+    assert(got(2L) === ((4L, 1L, 0L, 250000L)))
+  }
 }
