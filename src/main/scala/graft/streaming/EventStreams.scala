@@ -233,6 +233,55 @@ object EventStreams {
         OutputMode.Append())
   }
 
+  /** T6: streaming transition-pair emission — the incremental complement
+    * of the batch `e19_markov_transitions` matrix. Each user's LAST event
+    * type lives in typed ValueState; every arriving event emits one
+    * (prev_type, next_type) pair against it and advances the state. The
+    * ordering contract is [[scd2Maintain]]'s: rows fold in (ts, event_id)
+    * order within a micro-batch, and the stream is a per-key-ordered
+    * change log across batches. Downstream the matrix is
+    * `pairs.groupBy(prev,next).count` in update mode — pair emission is
+    * append-only, so counts only ever grow and the streaming matrix at
+    * any point equals the batch matrix over the events seen so far
+    * (pinned in StreamingSpec). At scale: one small record per user in
+    * RocksDB state; output is exactly one row per event after each
+    * user's first.
+    */
+  case class LastType(eventType: String)
+  case class TransitionPair(user_id: Long, prev_type: String, next_type: String)
+  def transitionPairs(events: Dataset[Event]): Dataset[TransitionPair] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+    val provider = events.sparkSession.conf
+      .getOption("spark.sql.streaming.stateStore.providerClass").getOrElse("")
+    require(provider.contains("RocksDB"),
+      "transformWithState requires the RocksDB state store provider")
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new StatefulProcessor[Long, Event, TransitionPair] {
+          @transient private var last: ValueState[LastType] = _
+          override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+            last = getHandle.getValueState[LastType]("last",
+              Encoders.product[LastType], TTLConfig.NONE)
+          override def handleInputRows(key: Long, rows: Iterator[Event],
+              timerValues: TimerValues): Iterator[TransitionPair] = {
+            val evs = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val out = scala.collection.mutable.Buffer.empty[TransitionPair]
+            var prev = if (last.exists()) Some(last.get().eventType) else None
+            evs.foreach { e =>
+              prev.foreach(p => out += TransitionPair(key, p, e.event_type))
+              prev = Some(e.event_type)
+            }
+            prev.foreach(p => last.update(LastType(p)))
+            out.iterator
+          }
+        },
+        TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** T6/J7: STREAMING TEMPORAL as-of join — both sides are streams. Each
     * event is enriched with the dimension version in effect AT ITS EVENT
     * TIME (`max rts <= ts` per key), where the dimension itself arrives as

@@ -236,6 +236,59 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transitionPairs: streaming matrix equals the batch e19 derivation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[Event]
+      val q = EventStreams.transitionPairs(stream.toDS())
+        .writeStream.format("memory").queryName("trans").outputMode("append").start()
+      try {
+        // batch 1 delivers user 1's first three events OUT of arrival order
+        // (in-batch sort must restore the (ts, event_id) fold order)
+        stream.addData(
+          ev(3, "2024-01-01 10:10:00", 1, "click", 1.0),
+          ev(1, "2024-01-01 10:00:00", 1, "view", 1.0),
+          ev(2, "2024-01-01 10:05:00", 1, "view", 1.0),
+          ev(4, "2024-01-01 10:00:00", 2, "view", 1.0))
+        q.processAllAvailable()
+        // batch 2: state carries each user's last type across batches
+        stream.addData(
+          ev(5, "2024-01-01 11:00:00", 1, "purchase", 1.0),
+          ev(6, "2024-01-01 11:30:00", 2, "error", 1.0))
+        q.processAllAvailable()
+        val got = spark.table("trans")
+          .groupBy("prev_type", "next_type").count()
+          .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+        // batch twin: lag over the full event set
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+        val batch = Seq(
+          (1L, "2024-01-01 10:00:00", "view", 1L),
+          (1L, "2024-01-01 10:05:00", "view", 2L),
+          (1L, "2024-01-01 10:10:00", "click", 3L),
+          (1L, "2024-01-01 11:00:00", "purchase", 5L),
+          (2L, "2024-01-01 10:00:00", "view", 4L),
+          (2L, "2024-01-01 11:30:00", "error", 6L))
+          .toDF("user_id", "ts_s", "event_type", "event_id")
+          .withColumn("ts", to_timestamp(col("ts_s")))
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type").as("next_type")).count()
+          .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+        assert(got === batch, s"streaming=$got batch=$batch")
+        assert(got === Set(("view", "view", 1L), ("view", "click", 1L),
+          ("click", "purchase", 1L), ("view", "error", 1L)))
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("scd2Maintain: streaming closed intervals equal the batch e14 derivation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
