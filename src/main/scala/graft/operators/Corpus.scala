@@ -679,6 +679,9 @@ object Corpus {
     * (one row per partition — bounded), then an order-preserving
     * mapPartitions stamps rank = offset + local index. One distributed
     * sort, no single-task stage, stage math in exact 64-bit integers.
+    * Pre-project to the columns you need before calling: the
+    * mapPartitions tail blocks Catalyst column pruning, so every input
+    * column rides the range shuffle and the checkpoint.
     *
     * @return input columns + (rank, stage): rank 0-based in the global
     *         order, stage ∈ [0, nStages)

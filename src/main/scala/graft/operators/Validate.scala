@@ -162,7 +162,11 @@ object Validate {
         render(min(c), dt).as(s"${name}__min"),
         render(max(c), dt).as(s"${name}__max"))
     }
-    val row = df.agg(aggs.head, aggs.tail: _*)
+    // the ONE-row stats frame is referenced once per column below, and
+    // Spark does not share common subplans across union arms — without
+    // materialization each arm would re-run the whole aggregate (k scans
+    // of the table). An eager localCheckpoint pins it to one pass.
+    val row = df.agg(aggs.head, aggs.tail: _*).localCheckpoint(true)
     // one-row frame → |cols| trivial projections unioned back to rows
     cols.map { name =>
       row.select(lit(name).as("column"),

@@ -242,7 +242,11 @@ object CorpusQueries extends QueryPack {
     //    oracle reproduces rank and stage bit-exactly via row_number.
     "c15_curriculum" -> { (spark, dir) =>
       val t = Tables(spark, dir)
-      Corpus.curriculumStages(t.documents, "doc_id", "n_chars", nStages = 4)
+      // project BEFORE staging: curriculumStages ends in mapPartitions,
+      // which blocks column pruning — without this the full text column
+      // rides the range shuffle and the checkpoint
+      Corpus.curriculumStages(t.documents.select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", nStages = 4)
         .select(col("doc_id"), col("n_chars"), col("rank"), col("stage"))
     }
   )
