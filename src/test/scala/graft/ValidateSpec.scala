@@ -195,4 +195,23 @@ class ValidateSpec extends SparkSpec {
     assert(Validate.profile(df, Seq("v", "id")).collect()
       .map(_.getString(0)).toSeq === Seq("v", "id"))
   }
+
+  test("profile: default approx distinct tracks exact within the HLL rsd") {
+    import spark.implicits._
+    val df = (1L to 5000L).map(i => (i, i % 97)).toDF("u", "m")
+    val exact = Validate.profile(df, Seq("u", "m"), Validate.ExactDistinct)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(exact("u") === 5000L && exact("m") === 97L)
+    val approx = Validate.profile(df, Seq("u", "m")) // ApproxDistinct default
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    // 4 sigma of the default rsd=0.05
+    assert(math.abs(approx("u") - 5000L) <= 5000L * 0.2)
+    assert(math.abs(approx("m") - 97L) <= 97L * 0.2)
+    // everything except the distinct column is identical across modes
+    val ex = Validate.profile(df, Seq("u", "m"), Validate.ExactDistinct)
+      .drop("n_distinct").collect().map(_.toSeq).toSeq
+    val ap = Validate.profile(df, Seq("u", "m"))
+      .drop("n_distinct").collect().map(_.toSeq).toSeq
+    assert(ex === ap)
+  }
 }
