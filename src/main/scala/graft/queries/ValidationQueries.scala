@@ -90,6 +90,24 @@ object ValidationQueries extends QueryPack {
           / (col("mx") - col("mn"))), lit(9.0)).cast("int").as("bin"))
         .groupBy(col("bin"))
         .agg(count(lit(1)).as("n_orders"))
+    },
+
+    // -- Equi-DEPTH histogram (decile summary) — v05's complement, and
+    //    curriculumStages generalizing beyond documents: exact global
+    //    rank over (o_totalprice, o_orderkey) via the two-pass range-
+    //    partition shape, decile = rank·10 DIV n, then a bounded
+    //    per-decile roll-up. Money bounds ride the DECIMAL(28,2) grid so
+    //    the decile min/max are engine-exact.
+    "v06_equidepth" -> { (spark, dir) =>
+      import org.apache.spark.sql.functions._
+      val t = Tables(spark, dir)
+      graft.operators.Corpus.curriculumStages(
+        t.orders.select(col("o_orderkey"), col("o_totalprice")),
+        "o_orderkey", "o_totalprice", nStages = 10)
+        .groupBy(col("stage").as("decile"))
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("o_totalprice").cast("decimal(28,2)")).cast("double").as("lo"),
+          max(col("o_totalprice").cast("decimal(28,2)")).cast("double").as("hi"))
     }
   )
 
@@ -196,6 +214,21 @@ object ValidationQueries extends QueryPack {
         |    AS INT) AS bin,
         |  CAST(count(*) AS BIGINT) AS n_orders
         |FROM orders, s
+        |GROUP BY 1""".stripMargin,
+    // v06: decile via the identical rank formula; min/max on the money
+    // grid so doubles are engine-exact.
+    "v06_equidepth" ->
+      """WITH r AS (
+        |  SELECT o_totalprice,
+        |    CAST(row_number() OVER (ORDER BY o_totalprice, o_orderkey) - 1
+        |      AS BIGINT) AS rank
+        |  FROM orders),
+        |n AS (SELECT count(*) AS total FROM orders)
+        |SELECT CAST(rank * 10 // total AS INT) AS decile,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(min(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS lo,
+        |  CAST(max(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS hi
+        |FROM r, n
         |GROUP BY 1""".stripMargin
   )
 }

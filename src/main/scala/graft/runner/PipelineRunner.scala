@@ -285,6 +285,16 @@ object PipelineRunner {
       require(bad.isEmpty, s"constraint violations: ${bad.mkString("; ")}")
       rep
     },
+    // crawler step: the column-statistics profile of the ingested batch,
+    // persisted alongside the data like a Glue-crawler catalog entry.
+    // Approx distinct (the operator default) — the profile informs, the
+    // constraint report above gates.
+    "profile_orders" -> { (spark, cfg) =>
+      graft.operators.Validate.profile(
+        spark.read.parquet(s"${cfg.outputDir}/ingest_orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority"))
+    },
     "enrich_customers" -> { (spark, cfg) =>
       val t = graft.sources.Tables(spark, cfg.inputDir)
       spark.read.parquet(s"${cfg.outputDir}/ingest_orders")

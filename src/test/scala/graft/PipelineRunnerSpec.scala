@@ -10,11 +10,15 @@ class PipelineRunnerSpec extends SparkSpec {
     val out = java.nio.file.Files.createTempDirectory("graft_run").toString
     val results = PipelineRunner.run(spark,
       EngineConfig("dev", sf, out), PipelineRunner.ordersJobStages)
-    assert(results.map(_.status) === Seq("ok", "ok", "ok", "ok"))
+    assert(results.map(_.status) === Seq("ok", "ok", "ok", "ok", "ok"))
     assert(results.last.rows === 5) // five market segments
     val manifest = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$out/manifest.json"))
     assert(manifest.contains("\"env\":\"dev\"") && manifest.contains("segment_revenue"))
     assert(spark.read.parquet(s"$out/segment_revenue").count() === 5)
+    // the crawler step persisted one profile row per declared column
+    val prof = spark.read.parquet(s"$out/profile_orders")
+    assert(prof.count() === 6)
+    assert(prof.filter(org.apache.spark.sql.functions.col("n_null") =!= 0L).count() === 0)
   }
 
   test("corpus preparation pipeline runs end to end and shrinks monotonically") {
