@@ -237,4 +237,28 @@ class EdgeCaseSpec extends SparkSpec {
     // every key appeared from nothing: n_ref 0, finite positive PSI terms
     assert(rows.values.forall { case (nr, _, psi) => nr == 0L && psi > 0L })
   }
+
+  test("session-2 operators on empty/degenerate inputs") {
+    import spark.implicits._
+    import graft.operators.{Corpus, Validate}
+    // profile of an empty frame: one row per column, zero counts, null min/max
+    val empty = Seq.empty[(Long, String)].toDF("id", "s")
+    val prof = Validate.profile(empty, Seq("id", "s"), Validate.ExactDistinct).collect()
+    assert(prof.length === 2)
+    prof.foreach { r =>
+      assert(r.getLong(1) === 0L && r.getLong(2) === 0L && r.getLong(3) === 0L)
+      assert(r.isNullAt(4) && r.isNullAt(5))
+    }
+    // curriculum of empty and single-row frames
+    assert(Corpus.curriculumStages(empty, "id", "s", 4).count() === 0)
+    val one = Corpus.curriculumStages(Seq((7L, 3L)).toDF("id", "len"),
+      "id", "len", 4).select("rank", "stage").head
+    assert(one.getLong(0) === 0L && one.getInt(1) === 0)
+    // null order values sort first (Spark default asc) and still rank densely
+    val withNull = Seq[(java.lang.Long, java.lang.Long)]((1L, null), (2L, 5L))
+      .toDF("id", "len")
+    val ranks = Corpus.curriculumStages(withNull, "id", "len", 2)
+      .select("id", "rank").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks === Map(1L -> 0L, 2L -> 1L))
+  }
 }
