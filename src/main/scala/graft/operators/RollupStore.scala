@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental aggregate-rollup maintenance — the append-a-partition ETL
+  * shape the reference's daily Glue job implies
+  * (`Hoth/FHIR/cloudformations/lambda-stack.yml:42-55`: an orchestrated
+  * run per arrival): keep a compact per-key aggregate STORE whose state
+  * is mergeable (re-aggregable), so ingesting a new batch costs
+  * `merge(store, partials(batch))` — one keyed re-aggregate over
+  * store-sized rows — never a recompute over history.
+  *
+  * State algebra: count and decimal sum merge by addition (the sum on the
+  * exact decimal grid, the [[graft.queries.Exact]] discipline, so merged
+  * totals are order- and partitioning-independent to the bit); min/max by
+  * min/max; distinct-user state is a DataSketches HLL sketch merged with
+  * `hll_union_agg` (Spark 4 built-ins — register-max union, so merging
+  * disjoint batches lands in the identical register state as a one-shot
+  * sketch over the union, and the estimate is bit-equal, not just close).
+  * `merge(partials(a), partials(b)) == partials(a ∪ b)` is the algebra's
+  * associativity law, spec-pinned in OperatorSpec.
+  *
+  * 100 TB shape: partials are one map-side-combined groupBy over the NEW
+  * batch only; merge shuffles store-sized rows (one per key), never raw
+  * history; the store persists as ordinary parquet (BinaryType sketch
+  * column). This is the batch complement of the streaming foreachBatch
+  * upsert sink (e11) — same contract, re-aggregable state instead of
+  * latest-row-wins.
+  */
+object RollupStore {
+
+  /** One batch → per-key mergeable partials. `scale` is the exact decimal
+    * grid of `valueCol` (10 = the arbitrary-double pin).
+    */
+  def partials(df: DataFrame, keys: Seq[String], valueCol: String,
+      userCol: String, scale: Int = 10): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        // decimal(38,s) from day one so the column type is closed under
+        // repeated merging (sum(decimal(38,s)) stays decimal(38,s))
+        sum(col(valueCol).cast(s"decimal(28,$scale)"))
+          .cast(s"decimal(38,$scale)").as("value_sum_dec"),
+        min(col(valueCol)).as("v_min"),
+        max(col(valueCol)).as("v_max"),
+        hll_sketch_agg(col(userCol)).as("users_hll"))
+
+  /** Merge partial stores (same schema, any number, any order): one
+    * unionByName + one keyed re-aggregate. Output schema equals the
+    * input schema, so merge composes — the store after N daily batches
+    * is a fold of this.
+    */
+  def merge(keys: Seq[String], stores: Seq[DataFrame]): DataFrame = {
+    require(stores.nonEmpty, "need at least one store")
+    stores.reduce(_ unionByName _)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        sum(col("n_rows")).cast("long").as("n_rows"),
+        sum(col("value_sum_dec")).cast(
+          stores.head.schema("value_sum_dec").dataType.sql).as("value_sum_dec"),
+        min(col("v_min")).as("v_min"),
+        max(col("v_max")).as("v_max"),
+        hll_union_agg(col("users_hll")).as("users_hll"))
+  }
+
+  /** Read-side finalize: exact columns as doubles plus the HLL distinct
+    * estimate; the binary sketch column is dropped.
+    */
+  def finalizeStore(store: DataFrame): DataFrame =
+    store
+      .withColumn("value_sum", col("value_sum_dec").cast("double"))
+      .withColumn("n_users_est", hll_sketch_estimate(col("users_hll")))
+      .drop("value_sum_dec", "users_hll")
+}

@@ -133,6 +133,38 @@ object TypeSurfaceQueries extends QueryPack {
           sum(col("value").cast("decimal(28,10)")).cast("double").as("total_value"),
           countDistinct(col("uid")).as("n_users"),
           min(col("props_str")).as("min_props"))
+    },
+
+    // -- Incremental aggregate-rollup maintenance (RollupStore): the
+    //    append-a-partition ETL pattern — two arrival generations build
+    //    mergeable per-(day, type) partials, merge() folds them into the
+    //    store, finalize reads it out. count/sum/min/max are EXACT
+    //    through the merge (decimal-grid sums), so the oracle recomputes
+    //    them from scratch over the union; the HLL distinct-user state is
+    //    gated x02-style (exact count hash-compared + in-query
+    //    within-bound flag — sparse-mode HLL is exact at these per-key
+    //    cardinalities, the flag pins it).
+    "x07_incremental_rollup" -> { (spark, dir) =>
+      import graft.operators.RollupStore
+      val t = Tables(spark, dir)
+      val keys = Seq("day", "event_type")
+      val ev = t.events
+        .withColumn("day", date_trunc("day", col("ts")).cast("date"))
+      // two deterministic arrival generations (a backfill and a late batch)
+      val gen1 = ev.filter(col("event_id") % 3 =!= 0)
+      val gen2 = ev.filter(col("event_id") % 3 === 0)
+      val store = RollupStore.merge(keys, Seq(
+        RollupStore.partials(gen1, keys, "value", "user_id"),
+        RollupStore.partials(gen2, keys, "value", "user_id")))
+      val exact = ev.groupBy(col("day"), col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users_exact"))
+      RollupStore.finalizeStore(store)
+        .join(exact, keys)
+        .select(col("day"), col("event_type"), col("n_rows"),
+          col("value_sum"), col("v_min"), col("v_max"), col("n_users_exact"),
+          (abs(col("n_users_est") - col("n_users_exact")) <=
+            greatest(col("n_users_exact") * 0.05, lit(1.0)))
+            .as("users_within_5pct"))
     }
   )
 
@@ -187,6 +219,19 @@ object TypeSurfaceQueries extends QueryPack {
         |  CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total_value,
         |  count(DISTINCT user_id) AS n_users,
         |  min(props) AS min_props
-        |FROM events GROUP BY event_type""".stripMargin
+        |FROM events GROUP BY event_type""".stripMargin,
+    // x07: exact columns recomputed from scratch over the union — the
+    // merged store must agree to the bit; the HLL flag is pinned TRUE.
+    "x07_incremental_rollup" ->
+      """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+        |  event_type,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS value_sum,
+        |  min(value) AS v_min,
+        |  max(value) AS v_max,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+        |  TRUE AS users_within_5pct
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin
   )
 }

@@ -194,6 +194,32 @@ class OperatorSpec extends SparkSpec {
     assert(mg.head === (("heavy", 80L)))
   }
 
+  test("RollupStore: merged disjoint batches equal the one-shot build, associatively") {
+    import spark.implicits._
+    import graft.operators.RollupStore
+    val rows = (1L to 300L)
+      .map(i => (i, s"t${i % 3}", (i % 7).toDouble + 0.25, i % 40))
+      .toDF("event_id", "etype", "value", "user_id")
+    val keys = Seq("etype")
+    def p(df: org.apache.spark.sql.DataFrame) =
+      RollupStore.partials(df, keys, "value", "user_id")
+    val (a, b, c) = (rows.filter($"event_id" % 3 === 0),
+      rows.filter($"event_id" % 3 === 1), rows.filter($"event_id" % 3 === 2))
+    def fin(df: org.apache.spark.sql.DataFrame) =
+      RollupStore.finalizeStore(df).orderBy("etype").collect().map(_.toSeq).toSeq
+    val whole = fin(p(rows))
+    // flat merge, left-nested merge, and permuted order all equal the
+    // one-shot build — including the HLL estimate to the bit (register-max
+    // union over disjoint inputs lands in the one-shot register state)
+    assert(fin(RollupStore.merge(keys, Seq(p(a), p(b), p(c)))) === whole)
+    assert(fin(RollupStore.merge(keys,
+      Seq(RollupStore.merge(keys, Seq(p(a), p(b))), p(c)))) === whole)
+    assert(fin(RollupStore.merge(keys, Seq(p(c), p(a), p(b)))) === whole)
+    // merging with an empty batch is the identity
+    val none = rows.filter($"event_id" < 0L)
+    assert(fin(RollupStore.merge(keys, Seq(p(rows), p(none)))) === whole)
+  }
+
   test("e19 transition matrix: counts conserve and probabilities sum to ~1") {
     val rows = SparkEntry.queries("e19_markov_transitions")(spark, sf).collect()
     assert(rows.nonEmpty)
