@@ -90,6 +90,65 @@ object Ingest {
   def saveAsTable(df: DataFrame, name: String): Unit =
     df.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(name)
 
+  /** Schema evolution read (SURVEY §1.3 mode (c)): union the footer
+    * schemas of every generation under a path — a column added in a later
+    * generation reads as null for earlier files, the standard additive
+    * lake evolution. `mergeSchema` is per-read (not the session default)
+    * because footer merging costs one extra metadata pass per file —
+    * opt in where generations genuinely differ. Type CHANGES of an
+    * existing column are not evolution and fail loudly at merge time
+    * (Parquet refuses incompatible footer types) — the desired behavior:
+    * silent coercion corrupts history.
+    */
+  def readEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
+  /** Migration helper for the non-additive case: materialize an evolved
+    * column onto an OLD generation with an explicit backfill expression,
+    * producing the new schema exactly (column order included) so both
+    * generations union cleanly and downstream code sees one shape.
+    */
+  def backfillColumn(old: DataFrame, target: StructType,
+      name: String, backfill: org.apache.spark.sql.Column): DataFrame = {
+    require(target.fieldNames.contains(name), s"$name not in target schema")
+    require(!old.columns.contains(name), s"$name already present")
+    val widened = old.withColumn(name,
+      backfill.cast(target(name).dataType))
+    widened.select(target.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** Small-file compaction — THE recurring lake maintenance operation:
+    * streaming sinks and per-trigger micro-batches leave thousands of
+    * KB-sized files whose open/footer cost dominates later scans. Rewrite
+    * a directory into ~`targetRecordsPerFile`-row files: one count, one
+    * round-robin repartition to the implied file count (plus
+    * `maxRecordsPerFile` as the hard cap for skewed in-partition row
+    * sizes), then an atomic swap via overwrite of a sibling dir. Returns
+    * (filesBefore, filesAfter). Partitioned layouts compact per-partition
+    * with the same write by keeping `partitionCols` non-empty.
+    */
+  def compact(spark: SparkSession, dir: String, outDir: String,
+      targetRecordsPerFile: Long,
+      partitionCols: Seq[String] = Nil): (Long, Long) = {
+    require(targetRecordsPerFile > 0, "targetRecordsPerFile must be positive")
+    def parquetFiles(d: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1L else 0L
+      walk(new java.io.File(d.stripPrefix("file:")))
+    }
+    val before = parquetFiles(dir)
+    val df = spark.read.parquet(dir)
+    val n = df.count()
+    val files = math.max(1L, (n + targetRecordsPerFile - 1) / targetRecordsPerFile)
+    val writer = df.repartition(files.toInt)
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", targetRecordsPerFile)
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+     else writer).parquet(outDir)
+    (before, parquetFiles(outDir))
+  }
+
   /** Splits a permissively-parsed frame into (clean, quarantine, release).
     * Caches the parsed frame first: Spark disallows referencing only the
     * internal corrupt-record column on a raw file scan

@@ -144,4 +144,46 @@ class IngestSpec extends SparkSpec {
     assert(n === 25)
     spark.sql("DROP TABLE IF EXISTS graft_nation")
   }
+
+  test("schema evolution: additive column reads as null for old files; backfill migrates") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve_").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .write.parquet(s"$dir/gen=1")
+    Seq((3L, "c", 9.5)).toDF("id", "s", "score")
+      .write.parquet(s"$dir/gen=2")
+    val merged = Ingest.readEvolved(spark, dir)
+    assert(merged.columns.toSet === Set("id", "s", "score", "gen"))
+    val byId = merged.collect()
+      .map(r => r.getAs[Long]("id") -> Option(r.getAs[Any]("score"))).toMap
+    assert(byId(1L).isEmpty && byId(2L).isEmpty && byId(3L) === Some(9.5))
+    // explicit migration: old generation gains the column with a backfill
+    val target = spark.read.parquet(s"$dir/gen=2").schema
+    val migrated = Ingest.backfillColumn(
+      spark.read.parquet(s"$dir/gen=1"), target, "score",
+      org.apache.spark.sql.functions.lit(0.0))
+    assert(migrated.schema.fieldNames.toSeq === target.fieldNames.toSeq)
+    assert(migrated.unionByName(spark.read.parquet(s"$dir/gen=2")).count() === 3)
+    // non-additive (already present / unknown) migrations fail loudly
+    intercept[IllegalArgumentException] {
+      Ingest.backfillColumn(spark.read.parquet(s"$dir/gen=2"), target, "score",
+        org.apache.spark.sql.functions.lit(0.0))
+    }
+  }
+
+  test("compact rewrites a fragmented directory into target-sized files") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_").toString
+    // 40 tiny files of 5 rows each
+    (1L to 200L).map(i => (i, i % 7)).toDF("id", "m")
+      .repartition(40).write.parquet(s"$dir/in")
+    val (before, after) = Ingest.compact(spark, s"$dir/in", s"$dir/out",
+      targetRecordsPerFile = 100L)
+    assert(before === 40L)
+    assert(after === 2L, s"200 rows at 100/file must compact to 2, got $after")
+    // content preserved exactly
+    val a = spark.read.parquet(s"$dir/in").collect().map(_.toSeq).toSet
+    val b = spark.read.parquet(s"$dir/out").collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
 }
