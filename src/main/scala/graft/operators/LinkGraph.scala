@@ -156,4 +156,43 @@ object LinkGraph {
     }.reduce(_ unionByName _)
     e.filter(col("src") =!= col("dst")).distinct()
   }
+
+  /** Per-node triangle participation counts — the clustering-coefficient
+    * numerator web-graph pipelines use as a spam/mirror-farm signal
+    * (organic neighborhoods triangulate; generated link farms and scrape
+    * mirrors are near-bipartite).
+    *
+    * Standard distributed triangle enumeration: canonicalize to
+    * `lo < hi` edges, then ONE two-hop self-join (a<b ⋈ b<c) closed by a
+    * membership join against the edge set — every triangle found exactly
+    * once as its ordered triple (a<b<c), no orientation heuristics
+    * needed because the canonical form IS the total order. Each triangle
+    * is then credited to all three corners through one explode +
+    * map-side-combined count.
+    *
+    * 100 TB shape: both joins are equi-joins on edge endpoints (shuffle
+    * by vertex). The two-hop join is the classic hotspot under power-law
+    * hubs — a hub of degree d yields d² wedge candidates — which is
+    * AQE-skew-join territory (the same regime ProbeGraphSkew pins for
+    * pageRank); the membership join then cuts wedges to actual triangles
+    * before anything wide materializes.
+    *
+    * @param edges (id_a, id_b) undirected pairs, any orientation or
+    *              duplication — canonicalized here
+    * @return (idx, n_triangles), nodes in ≥1 triangle
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("id_a"), col("id_b")).as("lo"),
+        greatest(col("id_a"), col("id_b")).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+    val tri = und.select(col("lo").as("a"), col("hi").as("b"))
+      .join(und.select(col("lo").as("b"), col("hi").as("c")), Seq("b"))
+      .join(und.select(col("lo").as("a"), col("hi").as("c")), Seq("a", "c"))
+    tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("idx"))
+      .groupBy(col("idx"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
 }

@@ -48,6 +48,27 @@ object TextIndex {
       .groupBy(col("term"), col(idCol), col("dl"))
       .agg(count(lit(1)).as("tf"))
 
+  /** Incremental index maintenance — upsert a batch of new or re-indexed
+    * documents into a persisted postings store: the batch docs' stale
+    * postings drop via ONE doc-keyed anti join, their fresh postings
+    * append. Per-batch cost is O(store + batch), never a corpus re-index;
+    * doc-disjoint appends reduce to pure union (the anti join drops
+    * nothing). The result is definitionally equal to a from-scratch
+    * [[postings]] over the final corpus state — driver-gated as
+    * `r05_incremental_index` and spec-pinned, the same contract as the
+    * d06/c08/s13/x07 incremental stores. [[termStats]] over the merged
+    * store re-derives df/cf; for serving, persist the store bucketed by
+    * term (see the scaladoc above).
+    */
+  def upsertPostings(store: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    store.join(docs.select(col(idCol)), Seq(idCol), "left_anti")
+      .unionByName(postings(docs, idCol, textCol))
+      // the anti join hoists the key column first; restore the store's
+      // column order so the output schema equals the input schema (merge
+      // must compose across batches)
+      .select(store.columns.map(col).toIndexedSeq: _*)
+
   /** Per-term index statistics: document frequency and total occurrences —
     * the index-health view (df distribution drives stopword and bucketing
     * decisions).

@@ -110,6 +110,26 @@ object GraphQueries extends QueryPack {
         .select(col("id_a"), col("id_b"))
       graft.operators.Dedup.largeStarSmallStar(edges)
         .select(col("id").as("doc_id"), col("component"))
+    },
+
+    // -- Per-node triangle counts (clustering-coefficient numerator — the
+    //    web-graph spam/mirror-farm signal). The affine synthetic graph
+    //    is triangle-free, so the edge set here is chain + data-gated
+    //    skip: (i, i+1) always, (i, i+2) iff n_chars_i is even — every
+    //    even-n_chars node closes the (i, i+1, i+2) triangle, making the
+    //    triangle set data-derived and the DuckDB oracle an identical
+    //    3-way join.
+    "g05_triangles" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val d = t.documents.select(col("doc_id"), col("n_chars"))
+      val chain = d.select(col("doc_id").as("id_a"),
+        (col("doc_id") + 1).as("id_b"))
+        .join(d.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+      val skip = d.filter(col("n_chars") % 2 === 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 2).as("id_b"))
+        .join(d.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+      graft.operators.LinkGraph.triangleCounts(chain.unionByName(skip))
+        .select(col("idx").as("doc_id"), col("n_triangles"))
     }
   )
 
@@ -226,7 +246,29 @@ object GraphQueries extends QueryPack {
           |    count(*) OVER (PARTITION BY run) AS sz
           |  FROM r)
           |SELECT doc_id, CAST(component AS BIGINT) AS component
-          |FROM c WHERE sz > 1""".stripMargin
+          |FROM c WHERE sz > 1""".stripMargin,
+      // g05: identical chain + parity-gated skip edges; triangles via the
+      // same canonical a<b<c 3-way join, credited to all three corners.
+      "g05_triangles" ->
+        """WITH n AS (SELECT doc_id, n_chars FROM documents),
+          |e0 AS (
+          |  SELECT a.doc_id AS lo, b.doc_id AS hi
+          |  FROM n a JOIN n b ON b.doc_id = a.doc_id + 1
+          |  UNION
+          |  SELECT a.doc_id, b.doc_id
+          |  FROM n a JOIN n b ON b.doc_id = a.doc_id + 2
+          |  WHERE a.n_chars % 2 = 0),
+          |tri AS (
+          |  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+          |  FROM e0 e1
+          |  JOIN e0 e2 ON e2.lo = e1.hi
+          |  JOIN e0 e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+          |corners AS (
+          |  SELECT a AS doc_id FROM tri
+          |  UNION ALL SELECT b FROM tri
+          |  UNION ALL SELECT c FROM tri)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+          |FROM corners GROUP BY doc_id""".stripMargin
     )
   }
 }

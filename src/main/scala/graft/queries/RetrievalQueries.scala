@@ -93,6 +93,26 @@ object RetrievalQueries extends QueryPack {
         .select(col("n_relevant"),
           round(coalesce(lit(1.0) / col("_first"), lit(0.0)), 6).as("mrr"),
           round(coalesce(col("_dcg"), lit(0.0)) / idcg, 6).as("ndcg20"))
+    },
+
+    // -- Incremental index maintenance (d06/c08/s13/x07 lifecycle shape):
+    //    seed the postings store from the original corpus, then upsert a
+    //    batch that mixes NEW docs (ids shifted past the corpus) with
+    //    RE-INDEXED docs (every id%8==0 doc re-tokenized with ' updated'
+    //    appended — their stale postings must drop via the anti join).
+    //    The result must equal a from-scratch index over the final corpus
+    //    state, which is exactly what the oracle rebuilds. All-integer
+    //    rows → hash-exact.
+    "r05_incremental_index" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val base = t.documents.select(col("doc_id"), col("text"))
+      val store = TextIndex.postings(base, "doc_id", "text")
+      val nOff = 1000000L
+      val batch = base.filter(col("doc_id") % 8 === 0)
+        .withColumn("text", concat(col("text"), lit(" updated")))
+        .unionByName(base.filter(col("doc_id") % 8 === 3)
+          .select((col("doc_id") + nOff).as("doc_id"), col("text")))
+      TextIndex.upsertPostings(store, batch, "doc_id", "text")
     }
   )
 
@@ -201,7 +221,21 @@ object RetrievalQueries extends QueryPack {
            |SELECT n_relevant,
            |  round(coalesce(1.0 / first_rel, 0.0), 6) AS mrr,
            |  round(coalesce(dcg, 0.0) / idcg, 6) AS ndcg20
-           |FROM m CROSS JOIN n CROSS JOIN idcg""".stripMargin
+           |FROM m CROSS JOIN n CROSS JOIN idcg""".stripMargin,
+      // r05: from-scratch index over the FINAL corpus state (id%8==0 docs
+      // re-indexed with ' updated', id%8==3 docs also present as new ids).
+      "r05_incremental_index" ->
+        s"""WITH final AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 8 = 0 THEN text || ' updated' ELSE text END AS text
+           |  FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 8 = 3),
+           |t AS (SELECT doc_id, $tk AS tk FROM final),
+           |d AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, tk FROM t),
+           |post AS (SELECT doc_id, dl, unnest(tk) AS term FROM d)
+           |SELECT term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+           |FROM post GROUP BY term, doc_id, dl""".stripMargin
     )
   }
 }

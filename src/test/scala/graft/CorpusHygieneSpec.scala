@@ -239,4 +239,22 @@ class CorpusHygieneSpec extends SparkSpec {
       .collect().map(_.getLong(0))
     assert(top.length === 2 && top(0) === 1L, "3x-spark doc ranks first")
   }
+
+  test("upsertPostings: re-index drops stale rows, append reduces to union") {
+    val base = docsDF(Seq(
+      1L -> "spark join window",
+      2L -> "spark spark stream"))
+    val store = TextIndex.postings(base, "doc_id", "text")
+    // doc 1 re-indexed with entirely new text; doc 3 is brand new
+    val batch = docsDF(Seq(1L -> "vector merge", 3L -> "spark vector"))
+    val merged = TextIndex.upsertPostings(store, batch, "doc_id", "text")
+    val rebuilt = TextIndex.postings(
+      docsDF(Seq(1L -> "vector merge", 2L -> "spark spark stream",
+        3L -> "spark vector")), "doc_id", "text")
+    val m = merged.collect().map(_.toSeq).toSet
+    assert(m === rebuilt.collect().map(_.toSeq).toSet,
+      "upsert must equal the from-scratch index over the final state")
+    // doc 1's old terms are gone
+    assert(!m.exists(r => r.head == "join"), "stale posting survived the upsert")
+  }
 }

@@ -113,6 +113,18 @@ class LinkGraphSpec extends SparkSpec {
     }
   }
 
+  test("triangleCounts: clique counts, square has none, orientation-proof") {
+    import spark.implicits._
+    // K4 on {1..4}: C(3,2)=3 triangles per node, 4 total; square {5..8}
+    // (no diagonal): zero; edges deliberately duplicated and reversed
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a != b) yield (a, b)
+    val square = Seq((5L, 6L), (6L, 7L), (8L, 7L), (5L, 8L))
+    val got = LinkGraph.triangleCounts((k4 ++ square).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"square nodes must not appear: $got")
+  }
+
   test("syntheticEdges: no self-loops, no duplicates, targets in range") {
     val nodes = spark.range(100).toDF("idx")
     val e = LinkGraph.syntheticEdges(nodes, 100L).collect()
