@@ -517,6 +517,55 @@ object EventStreams {
       .start()
       .awaitTermination()
 
+  /** Streaming rollup maintenance — the incremental complement of the
+    * batch `x07_incremental_rollup` lifecycle: each micro-batch's
+    * [[graft.operators.RollupStore.partials]] fold into the persisted
+    * store via [[graft.operators.RollupStore.merge]]. Unlike the
+    * latest-row-wins upsert sink above, a rollup merge is NOT naturally
+    * idempotent (re-merging a replayed batch would double-count), so the
+    * store is GENERATIONAL: batch `i` writes `storeDir/gen=i` computed
+    * from the newest generation `< i` plus its own partials. A
+    * crash-replayed batch recomputes the SAME generation from the same
+    * predecessor and the same checkpointed input — overwriting its own
+    * directory, never double-merging. Readers take the max generation;
+    * superseded generations are prunable retention, kept here as the
+    * audit trail (each is one store-sized parquet — key-space rows, not
+    * corpus rows).
+    *
+    * Scale shape: per batch one map-side-combined partial aggregate over
+    * the BATCH, one store-sized merge re-aggregate, one store-sized
+    * write. Nothing reprocesses history; the HLL user sketches round-trip
+    * parquet as BinaryType.
+    */
+  def rollupForeachBatchAvailableNow(df: DataFrame, storeDir: String,
+      checkpointDir: String, keys: Seq[String], valueCol: String,
+      userCol: String): Unit =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val root = new org.apache.hadoop.fs.Path(storeDir)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val prevGen =
+          if (!fs.exists(root)) None
+          else fs.listStatus(root).toSeq.map(_.getPath.getName)
+            .filter(_.startsWith("gen="))
+            .map(_.stripPrefix("gen=").toLong)
+            .filter(_ < batchId)   // a replay must not see its own output
+            .sorted.lastOption
+        val partial = graft.operators.RollupStore
+          .partials(batch, keys, valueCol, userCol)
+        val merged = prevGen match {
+          case Some(g) => graft.operators.RollupStore.merge(keys,
+            Seq(spark.read.parquet(s"$storeDir/gen=$g"), partial))
+          case None => partial
+        }
+        merged.write.mode("overwrite").parquet(s"$storeDir/gen=$batchId")
+      }
+      .start()
+      .awaitTermination()
+
   /** Streaming exact dedup with UNBOUNDED history: each micro-batch is
     * deduped against a persisted fingerprint store via
     * `Dedup.incrementalExact`, survivors land in `outDir`, and their

@@ -236,6 +236,33 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("rollupForeachBatchAvailableNow: streamed generations equal the batch build") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rollup_").toString
+    val rows = (1L to 240L)
+      .map(i => (i, s"t${i % 3}", (i % 7).toDouble + 0.5, i % 29))
+      .toDF("event_id", "etype", "value", "user_id")
+    // three time-ordered input files -> three micro-batches
+    rows.withColumn("_b", col("event_id") % 3)
+      .repartitionByRange(3, col("_b")).drop("_b")
+      .write.parquet(s"$tmp/in")
+    EventStreams.rollupForeachBatchAvailableNow(
+      spark.readStream.schema(rows.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in"),
+      s"$tmp/store", s"$tmp/ckpt", Seq("etype"), "value", "user_id")
+    val gens = new java.io.File(s"$tmp/store").listFiles()
+      .map(_.getName).filter(_.startsWith("gen=")).sorted
+    assert(gens.length === 3, s"one generation per micro-batch: ${gens.toSeq}")
+    val latest = spark.read.parquet(s"$tmp/store/${gens.last}")
+    val streamed = graft.operators.RollupStore.finalizeStore(latest)
+      .orderBy("etype").collect().map(_.toSeq).toSeq
+    val batch = graft.operators.RollupStore.finalizeStore(
+      graft.operators.RollupStore.partials(rows, Seq("etype"), "value", "user_id"))
+      .orderBy("etype").collect().map(_.toSeq).toSeq
+    assert(streamed === batch,
+      "final generation must equal the one-shot batch build (HLL included)")
+  }
+
   test("transitionPairs: streaming matrix equals the batch e19 derivation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
