@@ -321,6 +321,18 @@ object Dedup {
       .filter(col("hi") =!= col("lo"))
       .distinct()
       .localCheckpoint(true)
+    // one order-independent set signature per round: (count, xor of row
+    // hashes). bit_xor over xxhash64 is overflow-free and partitioning-
+    // independent; rows are distinct within a round, so equal SETS imply
+    // equal signatures — which makes signature INEQUALITY a sound
+    // "still changing" proof, with no false-convergence risk because
+    // signature-equal rounds still run the exact exceptAll check below.
+    def signature(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("hi"), col("lo"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var edgeSig = signature(edges)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -345,16 +357,25 @@ object Dedup {
         .union(minPerX.select(col("hi"), col("m").as("lo")))
         .distinct()
         .localCheckpoint(true) // materialize + truncate lineage (see above)
-      // converged when the round is a no-op (same canonical edge set)
-      val changed = small.exceptAll(edges).limit(1).count() +
-        edges.exceptAll(small).limit(1).count()
+      // converged when the round is a no-op (same canonical edge set).
+      // Signature inequality PROVES the sets differ (one cheap map-side-
+      // combined aggregate over cached blocks), so the two exceptAll
+      // passes (each ~the cost of the contraction itself — measured at
+      // ~30% of total runtime on the 8M-edge probe) run only on
+      // signature-equal rounds — in practice just the final no-op round,
+      // where they make convergence PROVABLE rather than probabilistic.
+      val outSig = signature(small)
+      val changed = outSig != edgeSig ||
+        small.exceptAll(edges).limit(1).count() +
+          edges.exceptAll(small).limit(1).count() > 0
       // per-round probe line: the edge count IS the round's shuffle size
       // (each round shuffles ~2x edges twice); localCheckpointed, so the
-      // extra count is a cached-block scan, not a recompute
+      // signature is a cached-block scan, not a recompute
       if (verbose) println(
-        f"[cc] round ${iter + 1}%d edges=${small.count()}%,d changed=${changed > 0}%b")
+        f"[cc] round ${iter + 1}%d edges=${outSig._1}%,d changed=$changed%b")
       edges = small
-      converged = changed == 0
+      edgeSig = outSig
+      converged = !changed
       iter += 1
     }
     // star edges are (node, root); roots label themselves
