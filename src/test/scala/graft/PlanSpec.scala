@@ -455,4 +455,41 @@ class PlanSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_asof_dim")
     }
   }
+
+  test("v04 profile runs ONE aggregate pass: union arms read no file scan") {
+    // regression pin for the per-arm re-execution bug: without the eager
+    // localCheckpoint every union arm re-runs the whole aggregate (k
+    // pruned FileScans); the checkpointed plan reads cached RDD blocks
+    val p = plan("v04_profile")
+    assert(!p.contains("FileScan"), p.take(2000))
+    assert(p.contains("Scan ExistingRDD"), p.take(2000))
+  }
+
+  test("v05 histogram broadcasts the one-row stats frame") {
+    val p = plan("v05_histogram")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(2000))
+  }
+
+  test("c15 curriculum plans no Window operator (no single-task ntile)") {
+    val p = plan("c15_curriculum")
+    assert(!p.contains("Window"), p.take(2000))
+    // and the pruning contract: only (doc_id, n_chars) enter the shuffle
+    assert(!p.contains("text#"), "text column rides the curriculum plan")
+  }
+
+  test("e19 transitions: user-keyed window, partial-aggregated matrix") {
+    val p = plan("e19_markov_transitions")
+    // the lag window partitions on user_id — never a global (empty) order
+    assert(p.contains("Window") && p.contains("user_id"), p.take(2000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
+  test("t16 lexical diversity: both aggregates partial, scan pruned to id+text") {
+    val p = plan("t16_lexical_diversity")
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(2000))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      s"scan reads unneeded columns: $readSchema")
+  }
 }
