@@ -166,4 +166,42 @@ class PropertySpec extends SparkSpec {
       assert(mergedF === composedF, s"forward diverged (tol=$tol)")
     }
   }
+
+  test("curriculumStages rank equals the sorted index at any partition count") {
+    import spark.implicits._
+    forAll(Gen.zip(
+      Gen.listOfN(60, Gen.choose(0L, 20L)), Gen.choose(2, 9)), n = 5) {
+      case (lens, parts) =>
+        val docs = lens.zipWithIndex.map { case (l, i) => (i.toLong, l) }
+          .toDF("id", "len")
+        val got = graft.operators.Corpus
+          .curriculumStages(docs, "id", "len", nStages = 3, numPartitions = parts)
+          .select("id", "rank").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val expect = lens.zipWithIndex
+          .map { case (l, i) => (l, i.toLong) }.sorted.zipWithIndex
+          .map { case ((_, id), rank) => id -> rank.toLong }.toMap
+        assert(got === expect, s"parts=$parts")
+    }
+  }
+
+  test("RollupStore merge is invariant to how the rows are batched") {
+    import spark.implicits._
+    import graft.operators.RollupStore
+    forAll(Gen.listOfN(80, Gen.zip(
+      Gen.choose(0, 2), Gen.choose(0.0, 9.0), Gen.choose(0L, 15L))), n = 5) { rows =>
+      val df = rows.zipWithIndex.map { case ((k, v, u), i) =>
+        (i.toLong, s"k$k", math.floor(v * 4) / 4, u) }
+        .toDF("id", "key", "value", "user")
+      val keys = Seq("key")
+      def fin(d: org.apache.spark.sql.DataFrame) =
+        RollupStore.finalizeStore(d).orderBy("key").collect().map(_.toSeq).toSeq
+      val whole = fin(RollupStore.partials(df, keys, "value", "user"))
+      // random 3-way batching by id hash must land on the identical store
+      val batches = (0 to 2).map(m =>
+        df.filter(pmod(xxhash64(col("id")), lit(3)) === m))
+      assert(fin(RollupStore.merge(keys,
+        batches.map(b => RollupStore.partials(b, keys, "value", "user")))) === whole)
+    }
+  }
 }
