@@ -58,7 +58,9 @@ object TextIndex {
     * `r05_incremental_index` and spec-pinned, the same contract as the
     * d06/c08/s13/x07 incremental stores. [[termStats]] over the merged
     * store re-derives df/cf; for serving, persist the store bucketed by
-    * term (see the scaladoc above).
+    * term (see the scaladoc above). Caller contract: `docs` carries ONE
+    * row per id — a duplicate id in the same batch would double its term
+    * frequencies (dedupe upstream, e.g. `dropDuplicates(idCol)`).
     */
   def upsertPostings(store: DataFrame, docs: DataFrame, idCol: String,
       textCol: String): DataFrame =

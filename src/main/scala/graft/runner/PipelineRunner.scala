@@ -218,6 +218,15 @@ object PipelineRunner {
             .select(col("doc_id"), col("lang_guess"), col("text")),
           "lang_guess", "doc_id", "text", budgetTokens = 65536L)
       },
+      // length-based curriculum order over the gated training corpus:
+      // rank/stage stamped per doc (exact distributed rank — the training
+      // loader reads stages in order, easy-first)
+      "curriculum_order" -> { (spark, cfg) =>
+        graft.operators.Corpus.curriculumStages(
+          spark.read.parquet(s"${cfg.outputDir}/lm_gate")
+            .select(col("doc_id"), col("n_tokens")),
+          "doc_id", "n_tokens", nStages = 4)
+      },
       // reproducible held-out eval sample: same docs on every run, so eval
       // sets stay comparable across pipeline re-runs
       "holdout_sample" -> { (spark, cfg) =>
