@@ -92,6 +92,30 @@ object ValidationQueries extends QueryPack {
         .agg(count(lit(1)).as("n_orders"))
     },
 
+    // -- The APPROX profile path — the operator DEFAULT and the one a
+    //    100 TB table runs — driver-gated under the a07/g03 bounded-
+    //    property pattern: exact per-column stats anchor the hash
+    //    compare, and the HLL estimate must sit within 4σ of the default
+    //    rsd (0.05 → 20%, +2 absolute slack for tiny columns). The flag
+    //    is deterministic (HLL has no randomness over a fixed value
+    //    set), so the gate is stable across runs and partitionings.
+    "v07_profile_approx" -> { (spark, dir) =>
+      import org.apache.spark.sql.functions._
+      val t = Tables(spark, dir)
+      val cols = Seq("o_orderstatus", "o_orderpriority", "o_orderdate", "o_custkey")
+      val ap = Validate.profile(t.orders, cols) // ApproxDistinct default
+        .select(col("column"), col("n_nonnull"), col("n_null"),
+          col("n_distinct").as("_est"), col("min_s"), col("max_s"))
+      val exact = Validate.profile(t.orders, cols, Validate.ExactDistinct)
+        .select(col("column"), col("n_distinct").as("n_distinct_exact"))
+      ap.join(exact, Seq("column"))
+        .select(col("column"), col("n_nonnull"), col("n_null"),
+          col("n_distinct_exact"), col("min_s"), col("max_s"),
+          (abs(col("_est") - col("n_distinct_exact")) <=
+            greatest(col("n_distinct_exact") * 0.2, lit(2.0)))
+            .as("est_in_bound"))
+    },
+
     // -- Equi-DEPTH histogram (decile summary) — v05's complement, and
     //    curriculumStages generalizing beyond documents: exact global
     //    rank over (o_totalprice, o_orderkey) via the two-pass range-
@@ -215,6 +239,24 @@ object ValidationQueries extends QueryPack {
         |  CAST(count(*) AS BIGINT) AS n_orders
         |FROM orders, s
         |GROUP BY 1""".stripMargin,
+    // v07: exact anchors recomputed per column, flag pinned TRUE.
+    "v07_profile_approx" -> {
+      def arm(c: String, render: String => String) =
+        s"""SELECT '$c' AS "column",
+           |  CAST(count($c) AS BIGINT) AS n_nonnull,
+           |  CAST(count(*) FILTER (WHERE $c IS NULL) AS BIGINT) AS n_null,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct_exact,
+           |  ${render(s"min($c)")} AS min_s,
+           |  ${render(s"max($c)")} AS max_s,
+           |  TRUE AS est_in_bound
+           |FROM orders""".stripMargin
+      val plain = (e: String) => s"CAST($e AS VARCHAR)"
+      val tsf = (e: String) => s"strftime($e, '%Y-%m-%d %H:%M:%S')"
+      Seq(arm("o_orderstatus", plain), arm("o_orderpriority", plain),
+        arm("o_orderdate", tsf), arm("o_custkey", plain))
+        .mkString("\nUNION ALL\n")
+    },
+
     // v06: decile via the identical rank formula; min/max on the money
     // grid so doubles are engine-exact.
     "v06_equidepth" ->
