@@ -199,6 +199,30 @@ object CorpusQueries extends QueryPack {
           (concat_ws("", col("subwords")) === col("_expect")).as("concat_identity"))
     },
 
+    // -- Unigram-LM (SentencePiece) segmentation — b01's tokenizer-family
+    //    complement, same two-tier gate: exact per-doc token counts
+    //    cross-engine; coverage and concat-identity (pieces rebuild the
+    //    normalized token stream exactly) as in-query invariants. The
+    //    hard-EM training loop is a bounded driver iteration (integer
+    //    micro-nat scores) DuckDB cannot mirror.
+    "b02_unigram_segment" -> { (spark, dir) =>
+      import graft.operators.UnigramLm
+      import graft.functions.TextFunctions.{normalizeText, tokens}
+      val t = Tables(spark, dir)
+      val vocab = UnigramLm.train(t.documents, "text",
+        vocabSize = 200, emRounds = 2, minWordFreq = 2L)
+      val seg = UnigramLm.segment(t.documents, "text", "doc_id", vocab)
+        .withColumnRenamed("id", "doc_id")
+      val expect = concat_ws("", tokens(normalizeText(col("text"))))
+      t.documents.select(col("doc_id"), expect.as("_expect"))
+        .join(seg, Seq("doc_id"))
+        .select(
+          col("doc_id"),
+          col("n_tokens"),
+          (col("n_pieces") >= col("n_tokens")).as("pieces_ge_tokens"),
+          (concat_ws("", col("pieces")) === col("_expect")).as("concat_identity"))
+    },
+
     // -- Domain-mixture sampling: a 40/30/20/10 target mixture over four
     //    sources, quotas filled in reproducible md5 order. src0/src1's
     //    quotas (40/30) exceed the stratum size, so the query also
@@ -370,6 +394,11 @@ object CorpusQueries extends QueryPack {
         s"""WITH t AS (SELECT doc_id, $tk AS tk FROM documents)
            |SELECT doc_id, len(tk) AS n_tokens,
            |  TRUE AS subwords_ge_tokens, TRUE AS concat_identity
+           |FROM t""".stripMargin,
+      "b02_unigram_segment" ->
+        s"""WITH t AS (SELECT doc_id, $tk AS tk FROM documents)
+           |SELECT doc_id, len(tk) AS n_tokens,
+           |  TRUE AS pieces_ge_tokens, TRUE AS concat_identity
            |FROM t""".stripMargin,
       "c04_domain_mixture" ->
         """SELECT source, doc_id, lang FROM (
