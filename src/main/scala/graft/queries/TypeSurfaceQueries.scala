@@ -165,6 +165,26 @@ object TypeSurfaceQueries extends QueryPack {
           (abs(col("n_users_est") - col("n_users_exact")) <=
             greatest(col("n_users_exact") * 0.05, lit(1.0)))
             .as("users_within_5pct"))
+    },
+
+    // -- Schema-evolution read driven end-to-end (Ingest.readEvolved):
+    //    two parquet generations written in-query — gen 2 adds n_chars —
+    //    then one mergeSchema read; the additive column must null-
+    //    backfill for gen-1 rows and the partition column must surface.
+    //    The oracle re-derives both generations from documents directly.
+    "x08_schema_evolution" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_x08_").toString
+      t.documents.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"))
+        .write.mode("overwrite").parquet(s"$tmp/gen=1")
+      t.documents.filter(col("doc_id") % 2 =!= 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$tmp/gen=2")
+      graft.sources.Ingest.readEvolved(spark, tmp)
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"),
+          col("gen").cast("int").as("gen"))
     }
   )
 
@@ -232,6 +252,14 @@ object TypeSurfaceQueries extends QueryPack {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
         |  TRUE AS users_within_5pct
         |FROM events
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+    // x08: the two generations re-derived straight from documents; gen-1
+    // rows carry NULL for the evolved column.
+    "x08_schema_evolution" ->
+      """SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars, 1 AS gen
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars, 2 AS gen
+        |FROM documents WHERE doc_id % 2 = 1""".stripMargin
   )
 }
