@@ -206,7 +206,7 @@ object Corpus {
     */
   private val bloomConfLock = new Object
 
-  private def sizedBloomFilter(df: DataFrame, colName: String,
+  private[operators] def sizedBloomFilter(df: DataFrame, colName: String,
       numItems: Long, fpp: Double): org.apache.spark.util.sketch.BloomFilter = {
     val spark = df.sparkSession
     val neededBits =
@@ -520,6 +520,125 @@ object Corpus {
         coalesce(col("n_spans"), lit(0L)).as("n_spans"), // null text → 0 spans
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("new_text"), lit("")).as("new_text"))
+  }
+
+  /** Frequency-thresholded boilerplate REMOVAL (CCNet, Wenzek et al.
+    * LREC 2020 §4.1 paragraph-dedup of headers/footers; RefinedWeb,
+    * Penedo et al. NeurIPS 2023 line-wise filtering): a span occurring
+    * in >= `minDocs` DISTINCT documents — within its `domainCol` group
+    * when given (the per-site form: nav chrome repeats within a site),
+    * globally when `None` — is boilerplate and removed from EVERY
+    * document. Deliberately different from [[lineSpanDedup]] (C4): there
+    * the globally-first occurrence survives; here no occurrence does —
+    * a cookie banner should vanish everywhere, not be attributed to
+    * whichever page was crawled first. Span definition matches c12
+    * (consecutive non-overlapping `spanTokens`-token windows; real
+    * corpora pre-split on '\n' instead).
+    *
+    * Output: (idCol, n_spans, n_kept, new_text) — one row per input doc.
+    *
+    * Scale: the DF count double-groups — per-doc distinct FIRST
+    * (`array_distinct` before the explode, the c06 trick), so the
+    * (domain, span-md5) count is a plain `count(*)` with map-side
+    * combine, never a count-distinct Expand; a span pasted across
+    * millions of pages collapses per map task before the shuffle. The
+    * boilerplate key set is typically tiny (it IS the high-DF tail) →
+    * the anti-join back broadcasts under AQE; reconstruction groups by
+    * doc id, bounded by document size. `base` persists across its two
+    * consumers exactly as in [[lineSpanDedup]] (tokenize-once).
+    */
+  def boilerplateRemove(docs: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 5, minDocs: Int = 3,
+      domainCol: Option[String] = None): DataFrame = {
+    require(spanTokens > 0, "spanTokens must be positive")
+    require(minDocs >= 2, "minDocs must be >= 2 (1 would remove all text)")
+    val spark = docs.sparkSession
+    val w = spanTokens
+    val dom = domainCol.map(col).getOrElse(lit(""))
+    val nSpans = floor((size(col("_toks")) + lit(w - 1)) / lit(w)).cast("int")
+    val spanArr = when(coalesce(size(col("_toks")), lit(0)) === 0,
+        array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), nSpans - 1),
+        i => array_join(slice(col("_toks"), i * w + 1, lit(w)), " ")))
+    val base = docs
+      .repartition(spark.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol).as("doc"), dom.as("_dom"),
+        tokens(normalizeText(col(textCol))).as("_toks"))
+      .select(col("doc"), col("_dom"),
+        nSpans.cast("long").as("n_spans"), spanArr.as("_spans"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val boilerplate = base
+      .select(col("_dom"), explode(array_distinct(col("_spans"))).as("span"))
+      .select(col("_dom"), md5(col("span")).as("k"))
+      .groupBy(col("_dom"), col("k"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("_dom"), col("k"))
+    val kept = base
+      .select(col("doc"), col("_dom"),
+        posexplode(col("_spans")).as(Seq("idx", "span")))
+      .withColumn("k", md5(col("span")))
+      .join(boilerplate, Seq("_dom", "k"), "left_anti")
+    val rebuilt = kept
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("idx"), col("span")))),
+            s => s.getField("span")),
+          " ").as("new_text"))
+    base.select(col("doc"), col("n_spans"))
+      .join(rebuilt, Seq("doc"), "left")
+      .select(col("doc").as(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("new_text"), lit("")).as("new_text"))
+  }
+
+  /** Vocabulary-coverage report: per `groupCol`, how much of the token
+    * stream a top-`vocabSize` frequency vocabulary covers — the
+    * go/no-go check before deploying a tokenizer or embedding table
+    * trained on one slice to the whole corpus (OOV-rate-by-domain is
+    * the standard early-warning signal for domain shift). Vocabulary =
+    * the `vocabSize` most frequent normalized tokens corpus-wide, ties
+    * broken lexicographically (deterministic — the same discipline as
+    * every sampling operator here: cross-engine-reproducible order).
+    *
+    * Output per group: (groupCol, n_tokens, n_in_vocab, n_oov_tokens,
+    * n_oov_types, oov_ppm) — counts exact BIGINTs; `oov_ppm` the
+    * integer-floor parts-per-million OOV occurrence rate (the t11
+    * micro-unit quantization, so the ratio itself is oracle-exact).
+    *
+    * Scale: token counts are one map-side-combined shuffle (the t04
+    * shape); the vocab is a driver-bounded top-K (`vocabSize` rows —
+    * TakeOrderedAndProject, never a global sort) broadcast back to the
+    * per-group membership pass; per-group OOV-type counting groups on
+    * (group, token) first — again plain counts, no count-distinct
+    * Expand over the raw stream.
+    */
+  def vocabCoverage(docs: DataFrame, textCol: String, groupCol: String,
+      vocabSize: Int = 256): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val toks = docs
+      .select(col(groupCol), explode(tokens(normalizeText(col(textCol)))).as("tok"))
+    val vocab = broadcast(
+      toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("tok").asc)
+        .limit(vocabSize)
+        .select(col("tok"), lit(true).as("in_vocab")))
+    val perType = toks
+      .groupBy(col(groupCol), col("tok"))
+      .agg(count(lit(1)).as("occ"))
+      .join(vocab, Seq("tok"), "left")
+      .withColumn("in_vocab", coalesce(col("in_vocab"), lit(false)))
+    perType
+      .groupBy(col(groupCol))
+      .agg(
+        sum(col("occ")).as("n_tokens"),
+        sum(when(col("in_vocab"), col("occ")).otherwise(0L)).as("n_in_vocab"),
+        sum(when(!col("in_vocab"), col("occ")).otherwise(0L)).as("n_oov_tokens"),
+        count(when(!col("in_vocab"), 1)).as("n_oov_types"))
+      .withColumn("oov_ppm", // exact integer div — the c15 rank*4 DIV n discipline
+        expr("n_oov_tokens * 1000000 div n_tokens"))
   }
 
   /** Scale path of [[packSequences]] — identical output, no per-stratum

@@ -261,4 +261,40 @@ object Validate {
         col("fp_old"), col("fp_new"))
       .filter(col("status") =!= "unchanged")
   }
+
+  /** k-anonymity report (Sweeney, IJUFKS 2002): group the table by its
+    * quasi-identifier columns and flag every equivalence class smaller
+    * than `k` — the classes whose members a release would re-identify.
+    * Training corpora carry user-derived tables (profiles, events,
+    * feedback) next to the text; this is the release gate that runs
+    * before any of them ships with a dataset. Callers generalize the
+    * QIs (bucket, truncate, coarsen) and re-run until `at_risk` is
+    * empty, or suppress via [[kAnonymitySuppress]].
+    *
+    * Output: one row per equivalence class — (qiCols…, class_n,
+    * at_risk). Scale: one map-side-combined `count(*)` shuffle on the
+    * QI tuple; output is class-count-sized, not row-sized. Skewed
+    * classes are EXACTLY the safe ones (huge class = anonymous), so the
+    * hot-key path needs no salting — partial aggregation collapses hot
+    * classes map-side.
+    */
+  def kAnonymity(df: DataFrame, qiCols: Seq[String], k: Long): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2, s"k must be >= 2 (got $k) — k=1 flags nothing")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_n"))
+      .withColumn("at_risk", col("class_n") < k)
+  }
+
+  /** The applied form: rows in under-`k` classes are REMOVED (record
+    * suppression — the blunt but always-valid mechanism; generalization
+    * is data-specific and stays with the caller). The join back is on
+    * the QI tuple against the (small) at-risk class list — broadcast
+    * under AQE, since at-risk classes are by definition the < k-member
+    * tail.
+    */
+  def kAnonymitySuppress(df: DataFrame, qiCols: Seq[String], k: Long): DataFrame =
+    df.join(
+      kAnonymity(df, qiCols, k).filter(col("at_risk")).select(qiCols.map(col): _*),
+      qiCols, "left_anti")
 }

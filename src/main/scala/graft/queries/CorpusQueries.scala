@@ -272,6 +272,26 @@ object CorpusQueries extends QueryPack {
       Corpus.curriculumStages(t.documents.select(col("doc_id"), col("n_chars")),
         "doc_id", "n_chars", nStages = 4)
         .select(col("doc_id"), col("n_chars"), col("rank"), col("stage"))
+    },
+
+    // -- CCNet/RefinedWeb boilerplate removal: 5-token spans occurring
+    //    in >= 3 distinct docs are removed from EVERY doc (vs c12's C4
+    //    keep-first). The fixture's word-soup collisions produce ~35
+    //    real boilerplate spans at this setting; winner-less removal,
+    //    span DF election, and the rebuilt text are all value-checked.
+    "c16_boilerplate" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      Corpus.boilerplateRemove(t.documents, "doc_id", "text",
+        spanTokens = 5, minDocs = 3)
+    },
+
+    // -- Vocabulary-coverage / OOV-rate report: top-256 frequency vocab
+    //    (ties broken lexicographically), per-source exact occurrence and
+    //    type counts plus the integer-ppm OOV rate — the tokenizer
+    //    deployment go/no-go check, fully cross-engine-derivable.
+    "b03_vocab_coverage" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      Corpus.vocabCoverage(t.documents, "text", "source", vocabSize = 256)
     }
   )
 
@@ -519,7 +539,52 @@ object CorpusQueries extends QueryPack {
           |n AS (SELECT count(*) AS total FROM documents)
           |SELECT doc_id, n_chars, rank,
           |  CAST(rank * 4 // total AS INT) AS stage
-          |FROM r, n""".stripMargin
+          |FROM r, n""".stripMargin,
+      // c16: boilerplate set re-derived as the literal distinct-doc DF
+      // count per 5-token span; removal + reconstruction as an ordered
+      // string_agg over surviving spans — spans, DF election, and the
+      // rebuilt text are all value-checked.
+      "c16_boilerplate" ->
+        s"""WITH t AS (SELECT doc_id, $tk AS tk FROM documents),
+           |w AS (SELECT doc_id, tk,
+           |        CAST(floor((len(tk) + 4) / 5) AS BIGINT) AS n_spans
+           |      FROM t),
+           |s AS (SELECT doc_id, tk,
+           |        unnest(generate_series(0, CAST(n_spans AS INT) - 1)) AS idx
+           |      FROM w),
+           |sp AS (SELECT doc_id, idx,
+           |         array_to_string(tk[idx * 5 + 1 : idx * 5 + 5], ' ') AS span
+           |       FROM s),
+           |bp AS (SELECT span FROM sp GROUP BY span
+           |       HAVING count(DISTINCT doc_id) >= 3),
+           |reb AS (SELECT doc_id, count(*) AS n_kept,
+           |          string_agg(span, ' ' ORDER BY idx) AS new_text
+           |        FROM sp WHERE span NOT IN (SELECT span FROM bp)
+           |        GROUP BY doc_id)
+           |SELECT w.doc_id, coalesce(w.n_spans, 0) AS n_spans,
+           |  coalesce(r.n_kept, 0) AS n_kept,
+           |  coalesce(r.new_text, '') AS new_text
+           |FROM w LEFT JOIN reb r ON w.doc_id = r.doc_id""".stripMargin,
+      // b03: the top-256 vocab re-derived with the same (freq DESC,
+      // token ASC) deterministic order; per-source counts and the
+      // integer-ppm rate are exact.
+      "b03_vocab_coverage" ->
+        s"""WITH t AS (SELECT doc_id, source, $tk AS tk FROM documents),
+           |tok AS (SELECT source, unnest(tk) AS tok FROM t),
+           |v AS (SELECT tok FROM tok GROUP BY tok
+           |      ORDER BY count(*) DESC, tok ASC LIMIT 256),
+           |pt AS (SELECT source, tok, count(*) AS occ,
+           |         tok IN (SELECT tok FROM v) AS in_vocab
+           |       FROM tok GROUP BY source, tok)
+           |SELECT source,
+           |  CAST(sum(occ) AS BIGINT) AS n_tokens,
+           |  CAST(coalesce(sum(occ) FILTER (in_vocab), 0) AS BIGINT) AS n_in_vocab,
+           |  CAST(coalesce(sum(occ) FILTER (NOT in_vocab), 0) AS BIGINT)
+           |    AS n_oov_tokens,
+           |  CAST(count(*) FILTER (NOT in_vocab) AS BIGINT) AS n_oov_types,
+           |  CAST(coalesce(sum(occ) FILTER (NOT in_vocab), 0) * 1000000
+           |    // sum(occ) AS BIGINT) AS oov_ppm
+           |FROM pt GROUP BY source""".stripMargin
     )
   }
 }

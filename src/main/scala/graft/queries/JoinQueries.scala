@@ -126,6 +126,35 @@ object JoinQueries extends QueryPack {
           |  WHERE o_custkey = c_custkey
           |  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) o
           |WHERE c_custkey <= 100""".stripMargin)
+    },
+
+    // -- Manual runtime-filter join prep (RuntimeFilter.bloomSemiPrune),
+    //    gated under the c07 bounded-property pattern: the Bloom-pruned
+    //    fact side must be a SUPERSET of the exact semi-join (pruning
+    //    never loses a row — n_missed must be 0) with false positives
+    //    within 1% of the non-matching rows (fpp=1e-3 leaves 10x
+    //    headroom over the library's measured ~1e-5 floor). The exact
+    //    counts are cross-engine; the contract booleans are computed
+    //    for real on the Spark side and must be TRUE.
+    "j09_bloom_semi_prune" -> { (spark, dir) =>
+      import graft.operators.RuntimeFilter
+      val t = Tables(spark, dir)
+      val dim = t.customer.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val pruned = RuntimeFilter.bloomSemiPrune(
+        t.orders, "o_custkey", dim, "c_custkey", fpp = 1e-3)
+      val exact = t.orders
+        .join(dim, col("o_custkey") === col("c_custkey"), "left_semi")
+      val missed = exact
+        .join(pruned.select(col("o_orderkey")), Seq("o_orderkey"), "left_anti")
+      t.orders.agg(count(lit(1)).as("n_orders"))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact_semi")))
+        .crossJoin(pruned.agg(count(lit(1)).as("n_bloom_pass")))
+        .crossJoin(missed.agg(count(lit(1)).as("n_missed")))
+        .select(col("n_orders"), col("n_exact_semi"),
+          (col("n_missed") === 0L).as("no_false_negatives"),
+          ((col("n_bloom_pass") - col("n_exact_semi")) * 100L <=
+            (col("n_orders") - col("n_exact_semi"))).as("fp_rate_ok"))
     }
   )
 
@@ -182,6 +211,18 @@ object JoinQueries extends QueryPack {
         |  SELECT o_orderkey, o_totalprice FROM orders
         |  WHERE o_custkey = c_custkey
         |  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) o
-        |WHERE c_custkey <= 100""".stripMargin
+        |WHERE c_custkey <= 100""".stripMargin,
+    // j09: exact counts recomputed; the Bloom-contract booleans are
+    // literal TRUE — the Spark side computes them for real and must
+    // agree (the c07 bounded-property pattern).
+    "j09_bloom_semi_prune" ->
+      """WITH dim AS (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |SELECT
+        |  (SELECT count(*) FROM orders) AS n_orders,
+        |  (SELECT count(*) FROM orders
+        |   WHERE o_custkey IN (SELECT c_custkey FROM dim)) AS n_exact_semi,
+        |  TRUE AS no_false_negatives,
+        |  TRUE AS fp_rate_ok""".stripMargin
   )
 }

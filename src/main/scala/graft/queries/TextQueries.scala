@@ -295,6 +295,36 @@ object TextQueries extends QueryPack {
           count(when(col("cnt") === 1, 1)).as("n_hapax"))
         .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
           expr("n_types * 1000000 div n_tokens").cast("long").as("ttr_micro"))
+    },
+
+    // -- URL canonicalization (the crawl-dedup key): the fixture carries
+    //    no URL column, so raw URLs are derived deterministically from
+    //    (doc_id, source, lang) on BOTH sides — three families covering
+    //    mixed-case scheme/host, default and explicit ports, tracking
+    //    params (utm_*/fbclid) interleaved with real ones, trailing
+    //    slashes, fragments, and a co.uk registrable-domain case. The
+    //    oracle constructs the EXPECTED canonical string per family, so
+    //    normalize/host/domain are value-checked on every row; generic
+    //    parser edge cases (IPs, single labels, empty paths, nulls) are
+    //    spec-pinned in UrlSpec.
+    "t17_url_normalize" -> { (spark, dir) =>
+      import graft.functions.UrlFunctions._
+      val t = Tables(spark, dir)
+      val raw = when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit("HTTP://WWW."), upper(col("source")),
+            lit(".Example.COM:80/Docs/"), col("lang"), lit("/"),
+            col("doc_id"), lit("?utm_source=feed&b=2&a=1#top")))
+        .when(pmod(col("doc_id"), lit(3)) === 1,
+          concat(lit("https://"), col("source"), lit(".example.co.uk:8080/a/b/"),
+            col("doc_id"), lit("/?a=1&utm_campaign=x&b=2")))
+        .otherwise(
+          concat(lit("https://cdn."), col("source"), lit(".example.com:443/static/"),
+            col("doc_id"), lit("?fbclid=abc")))
+      t.documents.select(col("doc_id"), raw.as("raw_url"))
+        .select(col("doc_id"),
+          normalizeUrl(col("raw_url")).as("norm_url"),
+          urlHost(col("raw_url")).as("host"),
+          registrableDomain(urlHost(col("raw_url"))).as("domain"))
     }
   )
 
@@ -703,6 +733,29 @@ object TextQueries extends QueryPack {
         |  CAST(count(*) AS BIGINT) AS n_types,
         |  CAST(count(*) FILTER (WHERE cnt = 1) AS BIGINT) AS n_hapax,
         |  CAST(count(*) * 1000000 // sum(cnt) AS BIGINT) AS ttr_micro
-        |FROM tc GROUP BY doc_id""".stripMargin
+        |FROM tc GROUP BY doc_id""".stripMargin,
+    // t17: the oracle CONSTRUCTS the expected canonical URL per input
+    // family (same deterministic derivation as the Spark side), so the
+    // normalizer's lowercase/port-drop/param-sort/tracking-strip/
+    // fragment-drop decisions are value-checked on every row.
+    "t17_url_normalize" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3
+        |    WHEN 0 THEN 'http://www.' || lower(source) || '.example.com/Docs/'
+        |      || lang || '/' || doc_id || '?a=1&b=2'
+        |    WHEN 1 THEN 'https://' || source || '.example.co.uk:8080/a/b/'
+        |      || doc_id || '?a=1&b=2'
+        |    ELSE 'https://cdn.' || source || '.example.com/static/' || doc_id
+        |  END AS norm_url,
+        |  CASE doc_id % 3
+        |    WHEN 0 THEN 'www.' || lower(source) || '.example.com'
+        |    WHEN 1 THEN source || '.example.co.uk'
+        |    ELSE 'cdn.' || source || '.example.com'
+        |  END AS host,
+        |  CASE doc_id % 3
+        |    WHEN 1 THEN 'example.co.uk'
+        |    ELSE 'example.com'
+        |  END AS domain
+        |FROM documents""".stripMargin
   )
 }

@@ -132,6 +132,23 @@ object ValidationQueries extends QueryPack {
         .agg(count(lit(1)).as("n_orders"),
           min(col("o_totalprice").cast("decimal(28,2)")).cast("double").as("lo"),
           max(col("o_totalprice").cast("decimal(28,2)")).cast("double").as("hi"))
+    },
+
+    // -- k-anonymity release gate (Sweeney 2002): equivalence classes
+    //    over (nation, mktsegment, acctbal thousand-bucket) with the
+    //    under-k classes flagged. The bucket shifts cents positive
+    //    BEFORE the integer divide so Spark's truncating `div` and
+    //    DuckDB's flooring `//` agree (negative balances exist in the
+    //    fixture).
+    "v08_k_anonymity" -> { (spark, dir) =>
+      import org.apache.spark.sql.functions._
+      val t = Tables(spark, dir)
+      val qi = t.customer.select(
+        col("c_nationkey").as("nation"),
+        col("c_mktsegment").as("segment"),
+        expr("(cast(round(c_acctbal * 100) as bigint) + 100000) div 100000")
+          .as("bal_bucket"))
+      Validate.kAnonymity(qi, Seq("nation", "segment", "bal_bucket"), k = 5L)
     }
   )
 
@@ -271,6 +288,17 @@ object ValidationQueries extends QueryPack {
         |  CAST(min(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS lo,
         |  CAST(max(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS hi
         |FROM r, n
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+    // v08: class counts re-derived over the identical QI tuple; the
+    // positive-shifted integer bucket makes `div` (truncate) and `//`
+    // (floor) agree on negative balances.
+    "v08_k_anonymity" ->
+      """SELECT c_nationkey AS nation, c_mktsegment AS segment,
+        |  (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 100000
+        |    AS bal_bucket,
+        |  CAST(count(*) AS BIGINT) AS class_n,
+        |  count(*) < 5 AS at_risk
+        |FROM customer
+        |GROUP BY 1, 2, 3""".stripMargin
   )
 }
