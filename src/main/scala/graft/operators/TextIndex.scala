@@ -79,6 +79,44 @@ object TextIndex {
     post.groupBy(col("term"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("n_occurrences"))
 
+  /** Per-document TF-IDF keyword extraction — the classic unsupervised
+    * keyword/topic-tag signal (Spärck Jones 1972) corpus curation uses
+    * for domain labeling and index summarization. Scores are
+    * `tf · floor(ln(N/df)·1e6 + 0.5)` — the t11 micro-nat quantization,
+    * so the per-term score is an exact BIGINT product and the top-k
+    * ranking (score DESC, term ASC) is cross-engine-deterministic
+    * including ties.
+    *
+    * Scale: [[postings]]' one map-side-combined (term, doc) shuffle; df
+    * re-aggregates the postings by term (map-side combined — postings
+    * are already distinct per (term, doc)); the idf table is
+    * term-keyed and broadcastable in most corpora (vocabulary, not
+    * corpus, sized); the per-doc top-k rank filter plans as
+    * WindowGroupLimit, so no doc's full term list survives the window
+    * shuffle.
+    */
+  def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
+      topK: Int = 3): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val post = postings(docs, idCol, textCol)
+    val df = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val idf = df.crossJoin(broadcast(n))
+      .withColumn("idf_micro",
+        floor(log(col("n_docs").cast("double") / col("df")) * 1e6 + 0.5)
+          .cast("long"))
+      .select(col("term"), col("df"), col("idf_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("score_micro").desc, col("term").asc)
+    post.join(idf, Seq("term"))
+      .withColumn("score_micro", col("tf") * col("idf_micro"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        col("score_micro"), col("rank"))
+  }
+
   /** BM25 scores for every document matching at least one query term.
     * Output: (idCol, n_terms_hit, score) with `score` rounded to 6
     * decimals — the per-doc score is a sum of up to |queryTerms| double

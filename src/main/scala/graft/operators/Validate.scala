@@ -297,4 +297,35 @@ object Validate {
     df.join(
       kAnonymity(df, qiCols, k).filter(col("at_risk")).select(qiCols.map(col): _*),
       qiCols, "left_anti")
+
+  /** Robust (median/MAD) anomaly flagging over an AGGREGATED series —
+    * the Hampel identifier: a point is anomalous when
+    * `|x − median| > threshold · MAD`. Median/MAD, not mean/stddev,
+    * because the anomaly itself inflates the mean-based estimates
+    * (masking); the breakdown point of the median pair is 50%.
+    *
+    * Caller contract: `series` must already be aggregate-sized (daily
+    * counts, per-partition stats — NOT raw rows): it is eagerly
+    * `localCheckpoint`ed so the three consumers (median, MAD, output)
+    * cost ONE upstream computation instead of three (the v04 stats-row
+    * lesson) — which is only safe when the frame is bounded.
+    *
+    * Exactness: `percentile(x, 0.5)` interpolates the middle pair as
+    * `(a+b)/2` — exact in IEEE for integer-valued series (halves are
+    * representable), matching DuckDB's `median` bit-for-bit, so the
+    * flag comparison is engine-exact. Output: input columns + (med,
+    * mad, is_anomaly).
+    */
+  def robustAnomalies(series: DataFrame, valueCol: String,
+      threshold: Double = 3.0): DataFrame = {
+    require(threshold > 0, "threshold must be positive")
+    val s = series.localCheckpoint()
+    val med = s.agg(expr(s"percentile($valueCol, 0.5)").as("med"))
+    val withMed = s.crossJoin(broadcast(med))
+    val mad = withMed
+      .agg(expr(s"percentile(abs($valueCol - med), 0.5)").as("mad"))
+    withMed.crossJoin(broadcast(mad))
+      .withColumn("is_anomaly",
+        abs(col(valueCol) - col("med")) > col("mad") * lit(threshold))
+  }
 }

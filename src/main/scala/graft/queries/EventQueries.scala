@@ -428,6 +428,21 @@ object EventQueries extends QueryPack {
         .groupBy(col("cohort_day"), col("day_offset"))
         .agg(countDistinct(col("user_id")).as("n_active"))
         .filter(col("day_offset") <= 7)
+    },
+
+    // -- Robust daily-volume anomaly gate (Hampel identifier): days whose
+    //    event count sits > 3·MAD from the median — the pipeline-health
+    //    monitor that catches ingest gaps and replays, robust to the
+    //    anomalies themselves (median/MAD, not mean/stddev). The fixture
+    //    has two real anomalous days at this threshold. Integer-valued
+    //    counts make the interpolated median/MAD exact IEEE halves on
+    //    both engines.
+    "e20_daily_anomaly" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val daily = t.events
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      graft.operators.Validate.robustAnomalies(daily, "n_events")
     }
   )
 
@@ -671,6 +686,22 @@ object EventQueries extends QueryPack {
         |SELECT least(h.doc_id, b.doc_id) AS id_a,
         |  greatest(h.doc_id, b.doc_id) AS id_b,
         |  1.0 AS est_jaccard
-        |FROM h JOIN b ON h.nt = b.nt""".stripMargin
+        |FROM h JOIN b ON h.nt = b.nt""".stripMargin,
+    // e20: median/MAD re-derived with DuckDB's interpolating median —
+    // exact IEEE halves over integer counts, so med, mad, and the flag
+    // all hash-match.
+    "e20_daily_anomaly" ->
+      """WITH d AS (
+        |  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT CAST(median(n_events) AS DOUBLE) AS med FROM d),
+        |s2 AS (SELECT CAST(median(abs(n_events - (SELECT med FROM s)))
+        |         AS DOUBLE) AS mad FROM d)
+        |SELECT day, n_events, (SELECT med FROM s) AS med,
+        |  (SELECT mad FROM s2) AS mad,
+        |  abs(n_events - (SELECT med FROM s)) > (SELECT mad FROM s2) * 3
+        |    AS is_anomaly
+        |FROM d""".stripMargin
   )
 }

@@ -113,6 +113,16 @@ object RetrievalQueries extends QueryPack {
         .unionByName(base.filter(col("doc_id") % 8 === 3)
           .select((col("doc_id") + nOff).as("doc_id"), col("text")))
       TextIndex.upsertPostings(store, batch, "doc_id", "text")
+    },
+
+    // -- TF-IDF keyword extraction (Spärck Jones 1972): top-3 terms per
+    //    doc by tf · micro-nat-quantized idf — exact BIGINT products
+    //    (the t11 quantization), (score DESC, term ASC) tie-break, so
+    //    the whole ranking is hash-exact cross-engine. The rank filter
+    //    plans as WindowGroupLimit.
+    "r06_tfidf_keywords" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      TextIndex.tfidfKeywords(t.documents, "doc_id", "text", topK = 3)
     }
   )
 
@@ -235,7 +245,27 @@ object RetrievalQueries extends QueryPack {
            |d AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, tk FROM t),
            |post AS (SELECT doc_id, dl, unnest(tk) AS term FROM d)
            |SELECT term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
-           |FROM post GROUP BY term, doc_id, dl""".stripMargin
+           |FROM post GROUP BY term, doc_id, dl""".stripMargin,
+      // r06: tf/df/N re-derived; idf through the identical
+      // floor(ln(N/df)*1e6 + 0.5) quantization; same (score DESC, term
+      // ASC) rank order.
+      "r06_tfidf_keywords" ->
+        s"""WITH t AS (SELECT doc_id, $tk AS tk FROM documents),
+           |post AS (SELECT doc_id, unnest(tk) AS term FROM t),
+           |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           |       FROM post GROUP BY 1, 2),
+           |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+           |       FROM tf GROUP BY 1),
+           |n AS (SELECT count(*) AS n_docs FROM documents),
+           |s AS (SELECT f.doc_id, f.term, f.tf, d.df,
+           |        f.tf * CAST(floor(ln(CAST(n.n_docs AS DOUBLE) / d.df)
+           |          * 1e6 + 0.5) AS BIGINT) AS score_micro
+           |      FROM tf f JOIN df d ON f.term = d.term, n),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+           |        ORDER BY score_micro DESC, term ASC) AS rank
+           |      FROM s)
+           |SELECT doc_id, term, tf, df, score_micro, CAST(rank AS INT) AS rank
+           |FROM r WHERE rank <= 3""".stripMargin
     )
   }
 }
