@@ -641,6 +641,54 @@ object Corpus {
         expr("n_oov_tokens * 1000000 div n_tokens"))
   }
 
+  /** Contrastive-pair mining for embedding-model training (the
+    * SimCSE/E5-family data prep): per anchor document, elect ONE
+    * hardest positive — the LEAST-similar pair still above `posMin`
+    * (near-dups are free paraphrase-like positives; the least similar
+    * of them teaches the most) — and ONE hardest negative — the
+    * MOST-similar pair at or below `negMax` ("close in retrieval
+    * space, different in content" is exactly what in-batch random
+    * negatives never provide). Similarity is exact unigram Jaccard via
+    * [[Dedup.jaccardPairs]]; pairs form only within `blockCol` (an
+    * LSH bucket, domain, or language block — never all-pairs), and the
+    * [posMin, negMax] gap excludes the ambiguous middle band entirely.
+    *
+    * Elections are deterministic: min/max over (jaccard, id) structs,
+    * so ties break on id and the mined set is cross-engine-exact (the
+    * Jaccard double is a single IEEE division on both engines).
+    *
+    * Output: (anchor, pos_id, j_pos, neg_id, j_neg) — anchors lacking
+    * either side are dropped (no trainable triplet).
+    *
+    * Scale: within-block pair formation is [[Dedup.jaccardPairs]]'
+    * equi join (per-block quadratic — block by LSH bucket at corpus
+    * scale, the d02 candidate discipline); both elections are
+    * map-side-combined min/max aggregates on the anchor key; the final
+    * join is anchor-keyed, output ≤ one row per doc.
+    */
+  def contrastivePairs(docs: DataFrame, idCol: String, textCol: String,
+      blockCol: String, posMin: Double = 0.95,
+      negMax: Double = 0.5): DataFrame = {
+    require(posMin > negMax,
+      s"posMin ($posMin) must exceed negMax ($negMax) — an overlapping " +
+        "band would let one pair be both positive and negative")
+    val pairs = Dedup.jaccardPairs(docs, textCol, idCol,
+      k = 1, minJaccard = 0.0, blockCol = Some(blockCol))
+    val sym = pairs
+      .select(col("id_a").as("anchor"), col("id_b").as("other"), col("jaccard"))
+      .unionByName(pairs
+        .select(col("id_b").as("anchor"), col("id_a").as("other"), col("jaccard")))
+    val pos = sym.filter(col("jaccard") >= posMin)
+      .groupBy(col("anchor"))
+      .agg(min(struct(col("jaccard"), col("other"))).as("p"))
+      .select(col("anchor"), col("p.other").as("pos_id"), col("p.jaccard").as("j_pos"))
+    val neg = sym.filter(col("jaccard") <= negMax)
+      .groupBy(col("anchor"))
+      .agg(max(struct(col("jaccard"), col("other"))).as("n"))
+      .select(col("anchor"), col("n.other").as("neg_id"), col("n.jaccard").as("j_neg"))
+    pos.join(neg, Seq("anchor"))
+  }
+
   /** Scale path of [[packSequences]] — identical output, no per-stratum
     * single-task window. A windowed prefix sum puts each stratum in ONE
     * task (strata are few: languages, sources); this computes the same

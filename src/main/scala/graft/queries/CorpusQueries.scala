@@ -292,6 +292,17 @@ object CorpusQueries extends QueryPack {
     "b03_vocab_coverage" -> { (spark, dir) =>
       val t = Tables(spark, dir)
       Corpus.vocabCoverage(t.documents, "text", "source", vocabSize = 256)
+    },
+
+    // -- Contrastive-pair mining (SimCSE/E5 data prep) over the d04
+    //    subset, blocked by lang: hardest positive (min Jaccard >= 0.95)
+    //    + hardest negative (max Jaccard <= 0.5) per anchor, min/max-
+    //    struct elections so ties are id-deterministic. All 26 anchors
+    //    with a near-dup positive get a triplet on the fixture.
+    "c17_contrastive_pairs" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      Corpus.contrastivePairs(t.documents.filter(col("doc_id") < 200),
+        "doc_id", "text", blockCol = "lang")
     }
   )
 
@@ -584,7 +595,39 @@ object CorpusQueries extends QueryPack {
            |  CAST(count(*) FILTER (NOT in_vocab) AS BIGINT) AS n_oov_types,
            |  CAST(coalesce(sum(occ) FILTER (NOT in_vocab), 0) * 1000000
            |    // sum(occ) AS BIGINT) AS oov_ppm
-           |FROM pt GROUP BY source""".stripMargin
+           |FROM pt GROUP BY source""".stripMargin,
+      // c17: the same within-block exact-Jaccard pairs (d04's formula),
+      // symmetrized, with the identical min/max-struct elections —
+      // triplets, ids, and both Jaccard doubles are value-checked.
+      "c17_contrastive_pairs" ->
+        """WITH toks AS (
+          |  SELECT doc_id AS id, lang,
+          |    list_distinct(string_split_regex(trim(regexp_replace(regexp_replace(lower(text),
+          |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), '\s+')) AS grams
+          |  FROM documents WHERE doc_id < 200),
+          |p AS (
+          |  SELECT a.id AS id_a, b.id AS id_b,
+          |    CASE WHEN len(a.grams) + len(b.grams)
+          |        - len(list_intersect(a.grams, b.grams)) > 0
+          |      THEN len(list_intersect(a.grams, b.grams)) * 1.0
+          |        / (len(a.grams) + len(b.grams)
+          |           - len(list_intersect(a.grams, b.grams)))
+          |      ELSE 1.0 END AS jac
+          |  FROM toks a JOIN toks b ON a.id < b.id AND a.lang = b.lang),
+          |sym AS (SELECT id_a AS anchor, id_b AS other, jac FROM p
+          |        UNION ALL SELECT id_b, id_a, jac FROM p),
+          |pos AS (
+          |  SELECT anchor, other AS pos_id, jac AS j_pos FROM (
+          |    SELECT anchor, other, jac, row_number() OVER (
+          |      PARTITION BY anchor ORDER BY jac ASC, other ASC) AS rn
+          |    FROM sym WHERE jac >= 0.95) WHERE rn = 1),
+          |neg AS (
+          |  SELECT anchor, other AS neg_id, jac AS j_neg FROM (
+          |    SELECT anchor, other, jac, row_number() OVER (
+          |      PARTITION BY anchor ORDER BY jac DESC, other DESC) AS rn
+          |    FROM sym WHERE jac <= 0.5) WHERE rn = 1)
+          |SELECT anchor, pos_id, j_pos, neg_id, j_neg
+          |FROM pos JOIN neg USING (anchor)""".stripMargin
     )
   }
 }

@@ -111,6 +111,66 @@ class WebOpsSpec extends SparkSpec {
     }
   }
 
+  test("contrastivePairs: hand-derived elections and band guard") {
+    // block X: 1~2 near-dup (j=4/5=0.8 >= posMin 0.7), 1-3 (j=1/7) and
+    // 2-3 (j=1/8) dissimilar; anchors 1,2 elect each other as positive
+    // and 3 as hardest negative
+    val docs = Seq(
+      (1L, "X", "a b c d"), (2L, "X", "a b c d e"),
+      (3L, "X", "a z y x"), (4L, "Y", "only one in block")
+    ).toDF("id", "blk", "text")
+    val r = graft.operators.Corpus.contrastivePairs(docs, "id", "text",
+        blockCol = "blk", posMin = 0.7, negMax = 0.5)
+      .collect().map(x => x.getLong(0) ->
+        (x.getAs[Long]("pos_id"), x.getAs[Long]("neg_id"))).toMap
+    assert(r(1L) === (2L, 3L))
+    assert(r(2L) === (1L, 3L))
+    assert(!r.contains(3L)) // no positive -> no triplet
+    assert(!r.contains(4L)) // singleton block: no pairs at all
+    intercept[IllegalArgumentException] {
+      graft.operators.Corpus.contrastivePairs(docs, "id", "text", "blk",
+        posMin = 0.4, negMax = 0.5) // overlapping band
+    }
+  }
+
+  test("normalizeUrl is stateless and runs unchanged under readStream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    stream.addData((1L, "HTTP://E.com:80/a?utm_source=x&b=1#f"), (2L, "nope"))
+    val q = stream.toDF().toDF("id", "u")
+      .select(col("id"), normalizeUrl(col("u")).as("n"))
+      .writeStream.format("memory").queryName("urls")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val got = spark.table("urls").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1)))
+      .toMap
+    q.stop()
+    assert(got(1L) === "http://e.com/a?b=1")
+    assert(got(2L) === null)
+  }
+
+  test("bloomSemiPrune's filter literal applies unchanged to a streaming fact side") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(5L, 7L).toDF("d")
+    // build the pruned BATCH plan once; splice the same filter condition
+    // onto a stream by re-running the operator against the stream frame —
+    // the bloom literal is per-call state, map-only, so streaming works
+    val stream = MemoryStream[Long]
+    stream.addData(1L to 20L: _*)
+    val pruned = RuntimeFilter.bloomSemiPrune(
+      stream.toDF().toDF("k"), "k", dim, "d", fpp = 1e-4)
+    val q = pruned.writeStream.format("memory").queryName("bp")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val got = spark.table("bp").collect().map(_.getLong(0)).toSet
+    q.stop()
+    assert(Set(5L, 7L).subsetOf(got))
+    assert(got.size <= 4) // 18 non-members at fpp 1e-4
+  }
+
   test("bloomSemiPrune: superset of exact, empty dim, key-type guard") {
     val fact = (1L to 1000L).toDF("k")
     val dim = Seq(5L, 500L, 999L).toDF("d")
