@@ -492,4 +492,32 @@ class PlanSpec extends SparkSpec {
     assert(!readSchema.contains("lang") && !readSchema.contains("source"),
       s"scan reads unneeded columns: $readSchema")
   }
+
+  test("b03 vocab: driver-bounded top-K (TakeOrderedAndProject) broadcast back") {
+    val p = plan("b03_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject(limit=256"), p.take(2000))
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+  }
+
+  test("c16 boilerplate: tokenize-once (persisted base feeds both consumers)") {
+    val p = plan("c16_boilerplate")
+    assert(p.contains("InMemoryTableScan"), p.take(2000))
+    // exactly one parquet scan of documents materializes the persisted base
+    assert("FileScan parquet".r.findAllIn(p).size <= 1, p.take(3000))
+  }
+
+  test("j09 bloom prune: map-only probe (no join) feeds the pruned-count arm") {
+    val p = plan("j09_bloom_semi_prune")
+    // the probe is a Filter with the bloom expression directly over the
+    // orders scan — bloom_might_contain never sits above a join
+    val probeLine = p.linesIterator
+      .find(_.contains("bloom_might_contain")).getOrElse("")
+    assert(probeLine.contains("Filter"), p.take(3000))
+  }
+
+  test("t17 url normalize is a single map-only codegen stage (no exchange)") {
+    val p = plan("t17_url_normalize")
+    assert(!p.contains("Exchange"), p.take(2000))
+    assert(p.contains("WholeStageCodegen"), p.take(2000))
+  }
 }
