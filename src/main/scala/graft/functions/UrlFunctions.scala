@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** URL canonicalization for web-corpus pipelines — the dedup key and
@@ -33,36 +33,103 @@ object UrlFunctions {
   private def part(u: Column, group: Int): Column =
     regexp_extract(u, UrlRe, group)
 
+  /** The five URL capture groups extracted ONCE into a struct. Composing
+    * `normalizeUrl`/`urlHost` as one Column repeats
+    * `regexp_extract(u, UrlRe, k)` at every use site (Catalyst inlines
+    * shared subtrees), which blew the generated projection past the JVM
+    * 64 KB method limit and dropped the whole stage out of whole-stage
+    * codegen. Materializing this struct in its own narrow `select` first
+    * (see [[withUrlColumns]]) keeps each regex evaluated once —
+    * `CollapseProject` refuses to inline non-cheap producer expressions
+    * referenced more than once, so the two Projects survive and fuse into
+    * a single codegen stage.
+    */
+  def urlParts(u: Column): Column = struct(
+    part(u, 1).as("scheme_raw"),
+    part(u, 2).as("host_raw"),
+    part(u, 3).as("port_raw"),
+    part(u, 4).as("path_raw"),
+    part(u, 5).as("query_raw"))
+
+  /** Tracking-param removal as ONE regex pass over the raw query string:
+    * a param is dropped when its name is `utm_*` or an exact member of
+    * [[TrackingExact]] (a name PREFIX like `refx` survives — the `(?=&|$)`
+    * lookahead plus the optional `=value` arm reproduce the exact/`name=`
+    * match rule). Regex instead of `filter(split(...), lambda)` because
+    * higher-order-function lambdas are CodegenFallback in Spark — one HOF
+    * in the projection drops the entire stage out of whole-stage codegen.
+    */
+  private val TrackingRe =
+    "(?:^|&)(?:utm_[^=&]*|" + TrackingExact.mkString("|") + ")(?:=[^&]*)?(?=&|$)"
+
+  /** Canonical URL from a materialized [[urlParts]] struct column. Built
+    * exclusively from codegen'd expressions (regexp/split/sort_array) —
+    * no HOF lambdas — so the projection stays inside whole-stage codegen.
+    */
+  def normalizeFromParts(p: Column): Column = {
+    val scheme = lower(p.getField("scheme_raw"))
+    val host = regexp_replace(lower(p.getField("host_raw")), "\\.$", "")
+    val port = p.getField("port_raw")
+    val isDefaultPort = (scheme === "http" && port === ":80") ||
+      (scheme === "https" && port === ":443")
+    val portN = when(port === "" || isDefaultPort, lit("")).otherwise(port)
+    val rawPath = p.getField("path_raw")
+    val pathN = when(rawPath === "/", rawPath)
+      .otherwise(regexp_replace(rawPath, "/+$", ""))
+    // strip '?', drop tracking params, collapse the separators they leave
+    // behind (leading/trailing/doubled '&' — also removes empty params)
+    val cleaned = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(p.getField("query_raw"), "^\\?", ""),
+          TrackingRe, ""),
+        "&&+", "&"),
+      "^&+|&+$", "")
+    val queryN = when(cleaned === "", lit(""))
+      .otherwise(concat(lit("?"), array_join(sort_array(split(cleaned, "&")), "&")))
+    when(scheme === "", lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), host, portN, pathN, queryN))
+  }
+
+  /** Lowercased host (trailing dot dropped) from a [[urlParts]] struct. */
+  def hostFromParts(p: Column): Column = {
+    val host = regexp_replace(lower(p.getField("host_raw")), "\\.$", "")
+    when(p.getField("scheme_raw") === "", lit(null).cast("string"))
+      .otherwise(host)
+  }
+
   /** Canonical form: scheme/host lowercased, trailing host dot dropped,
     * default ports (`http:80`, `https:443`) dropped, trailing path
     * slashes dropped (root `/` kept), tracking params removed, remaining
     * query params sorted bytewise, fragment dropped. Path and query
     * VALUES keep their case (paths are case-sensitive per RFC 3986).
     * Non-matching input → NULL.
+    *
+    * Single-Column convenience form — fine for one output column, but
+    * composing it with [[urlHost]]/[[registrableDomain]] in one projection
+    * duplicates the regex work; batch pipelines should use
+    * [[withUrlColumns]], which shares the extraction.
     */
-  def normalizeUrl(u: Column): Column = {
-    val scheme = lower(part(u, 1))
-    val host = regexp_replace(lower(part(u, 2)), "\\.$", "")
-    val port = part(u, 3)
-    val isDefaultPort = (scheme === "http" && port === ":80") ||
-      (scheme === "https" && port === ":443")
-    val portN = when(port === "" || isDefaultPort, lit("")).otherwise(port)
-    val rawPath = part(u, 4)
-    val pathN = when(rawPath === "/", rawPath)
-      .otherwise(regexp_replace(rawPath, "/+$", ""))
-    val params = filter(split(regexp_replace(part(u, 5), "^\\?", ""), "&"),
-      p => !(p === "" || p.startsWith("utm_") ||
-        TrackingExact.map(t => p === t || p.startsWith(t + "=")).reduce(_ || _)))
-    val queryN = when(size(params) === 0, lit(""))
-      .otherwise(concat(lit("?"), array_join(array_sort(params), "&")))
-    when(scheme === "", lit(null).cast("string"))
-      .otherwise(concat(scheme, lit("://"), host, portN, pathN, queryN))
-  }
+  def normalizeUrl(u: Column): Column = normalizeFromParts(urlParts(u))
 
   /** Lowercased host (trailing dot dropped); NULL for non-matching input. */
-  def urlHost(u: Column): Column = {
-    val host = regexp_replace(lower(part(u, 2)), "\\.$", "")
-    when(part(u, 1) === "", lit(null).cast("string")).otherwise(host)
+  def urlHost(u: Column): Column = hostFromParts(urlParts(u))
+
+  /** Adds canonical-URL, host, and registrable-domain columns in three
+    * stacked narrow Projects (parts struct → norm/host → domain-from-host)
+    * so each regex group is extracted once and every derivation reads an
+    * attribute, not a repeated subtree. All three Projects fuse into one
+    * whole-stage-codegen span — map-only, no exchange, at any corpus size.
+    */
+  def withUrlColumns(df: DataFrame, urlCol: String, normCol: String = "norm_url",
+      hostCol: String = "host", domainCol: String = "domain"): DataFrame = {
+    val base = df.columns.map(col).toSeq
+    val p = col("_url_parts")
+    df.select(base :+ urlParts(col(urlCol)).as("_url_parts"): _*)
+      .select(base ++ Seq(normalizeFromParts(p).as(normCol),
+        hostFromParts(p).as(hostCol)): _*)
+      .select(base ++ Seq(col(normCol), col(hostCol),
+        registrableDomain(col(hostCol)).as(domainCol)): _*)
   }
 
   /** Registrable domain (the per-site grouping key) from a lowercased

@@ -320,11 +320,9 @@ object TextQueries extends QueryPack {
         .otherwise(
           concat(lit("https://cdn."), col("source"), lit(".example.com:443/static/"),
             col("doc_id"), lit("?fbclid=abc")))
-      t.documents.select(col("doc_id"), raw.as("raw_url"))
-        .select(col("doc_id"),
-          normalizeUrl(col("raw_url")).as("norm_url"),
-          urlHost(col("raw_url")).as("host"),
-          registrableDomain(urlHost(col("raw_url"))).as("domain"))
+      withUrlColumns(t.documents.select(col("doc_id"), raw.as("raw_url")),
+        "raw_url")
+        .select("doc_id", "norm_url", "host", "domain")
     }
   )
 

@@ -502,22 +502,45 @@ class PlanSpec extends SparkSpec {
   test("c16 boilerplate: tokenize-once (persisted base feeds both consumers)") {
     val p = plan("c16_boilerplate")
     assert(p.contains("InMemoryTableScan"), p.take(2000))
-    // exactly one parquet scan of documents materializes the persisted base
-    assert("FileScan parquet".r.findAllIn(p).size <= 1, p.take(3000))
+    // exactly one parquet scan of documents materializes the persisted
+    // base. Each InMemoryRelation printout embeds its cached BUILD plan
+    // (which contains the FileScan), so count scans only on lines outside
+    // InMemoryRelation subtrees: once a line mentions InMemoryRelation,
+    // deeper-indented lines belong to the cached plan and don't count.
+    var imrDepth = -1
+    var topLevelScans = 0
+    p.linesIterator.foreach { line =>
+      val depth = line.indexOf("+-") max line.indexOf(":-") max
+        (if (line.trim.nonEmpty && !line.startsWith(" ")) 0 else -1)
+      if (imrDepth >= 0 && depth >= 0 && depth <= imrDepth) imrDepth = -1
+      if (imrDepth < 0) {
+        if (line.contains("InMemoryRelation")) imrDepth = depth
+        else if (line.contains("FileScan parquet")) topLevelScans += 1
+      }
+    }
+    assert(topLevelScans <= 1, p.take(3000))
   }
 
   test("j09 bloom prune: map-only probe (no join) feeds the pruned-count arm") {
     val p = plan("j09_bloom_semi_prune")
     // the probe is a Filter with the bloom expression directly over the
-    // orders scan — bloom_might_contain never sits above a join
+    // orders scan — BloomFilterMightContain prints under its prettyName
+    // `might_contain`, and it never sits above a join
     val probeLine = p.linesIterator
-      .find(_.contains("bloom_might_contain")).getOrElse("")
+      .find(_.contains("might_contain")).getOrElse("")
     assert(probeLine.contains("Filter"), p.take(3000))
   }
 
   test("t17 url normalize is a single map-only codegen stage (no exchange)") {
-    val p = plan("t17_url_normalize")
+    val q = SparkEntry.queries("t17_url_normalize")(spark, sf)
+    val p = q.queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), p.take(2000))
-    assert(p.contains("WholeStageCodegen"), p.take(2000))
+    // codegen'd spans print as `*(n)` operator prefixes (the literal
+    // string WholeStageCodegen never appears in toString). The normalize
+    // projection must sit INSIDE a span: with the parts-struct extraction
+    // every Project line is codegen'd — no bare (non-starred) Project.
+    val projectLines = p.linesIterator.filter(_.contains("Project")).toSeq
+    assert(projectLines.nonEmpty && projectLines.forall(_.contains("*(")),
+      s"non-codegen'd Project in:\n${p.take(3000)}")
   }
 }
