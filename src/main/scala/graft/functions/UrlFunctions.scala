@@ -123,9 +123,17 @@ object UrlFunctions {
     */
   def withUrlColumns(df: DataFrame, urlCol: String, normCol: String = "norm_url",
       hostCol: String = "host", domainCol: String = "domain"): DataFrame = {
+    val clash = Seq(normCol, hostCol, domainCol).filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"output column(s) already present in input: ${clash.mkString(", ")} — " +
+        "pass different normCol/hostCol/domainCol names")
+    // collision-free temp name: a fixed literal would shadow (and the
+    // later col() reference would be ambiguous against) an input column
+    val tmpName = Iterator.from(0).map(i => s"_url_parts$i")
+      .find(n => !df.columns.contains(n)).get
     val base = df.columns.map(col).toSeq
-    val p = col("_url_parts")
-    df.select(base :+ urlParts(col(urlCol)).as("_url_parts"): _*)
+    val p = col(tmpName)
+    df.select(base :+ urlParts(col(urlCol)).as(tmpName): _*)
       .select(base ++ Seq(normalizeFromParts(p).as(normCol),
         hostFromParts(p).as(hostCol)): _*)
       .select(base ++ Seq(col(normCol), col(hostCol),

@@ -674,6 +674,14 @@ object Corpus {
         "band would let one pair be both positive and negative")
     val pairs = Dedup.jaccardPairs(docs, textCol, idCol,
       k = 1, minJaccard = 0.0, blockCol = Some(blockCol))
+    electTriplets(pairs, posMin, negMax)
+  }
+
+  /** The hardest-positive/hardest-negative elections shared by both
+    * contrastive miners, over a (id_a, id_b, jaccard) pair list.
+    */
+  private def electTriplets(pairs: DataFrame, posMin: Double,
+      negMax: Double): DataFrame = {
     val sym = pairs
       .select(col("id_a").as("anchor"), col("id_b").as("other"), col("jaccard"))
       .unionByName(pairs
@@ -687,6 +695,90 @@ object Corpus {
       .agg(max(struct(col("jaccard"), col("other"))).as("n"))
       .select(col("anchor"), col("n.other").as("neg_id"), col("n.jaccard").as("j_neg"))
     pos.join(neg, Seq("anchor"))
+  }
+
+  /** [[contrastivePairs]] with LSH-bucket blocking — the corpus-scale form
+    * (the d02 candidate discipline applied to mining instead of dedup):
+    * candidates form only within MinHash band buckets, never within a
+    * corpus-level attribute like language (a handful of giant blocks with
+    * quadratic within-block pairing).
+    *
+    * Band key b ∈ [0, bands) = the MINIMUM over the doc's k-shingles of
+    * `md5(b || '|' || shingle)` — a one-permutation MinHash per band with
+    * md5 as the permutation, so bucket keys are derivable in ANY engine
+    * (the engine-internal xxhash64 banding in [[Dedup.minhashNearDupPairs]]
+    * is faster, but its buckets can't be cross-checked). Two docs collide
+    * in a band iff they share the band's minimizing shingle:
+    * P(candidate) = 1 - (1 - J_k)^bands, where J_k is their k-shingle
+    * Jaccard. One row per band (r = 1) is deliberate — mining wants
+    * RECALL at moderate similarity (an LSH-colliding pair with low exact
+    * Jaccard is precisely a hard negative: close in retrieval space,
+    * different in content), where dedup's precision-targeted r = 4 would
+    * admit low-J pairs at J^4 ≈ never.
+    *
+    * Scale: shingling is map-only over cached token arrays; the band
+    * self-join carries only (band, bucket, id); `maxBucket` drops
+    * degenerate buckets (boilerplate-dominated shingles) BEFORE the
+    * self-join — the standard LSH skew guard, making within-bucket cost
+    * O(maxBucket²) per bucket regardless of corpus size. Verification and
+    * elections are candidate-sized.
+    */
+  def contrastivePairsLsh(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 2, bands: Int = 4, maxBucket: Int = 1000,
+      posMin: Double = 0.95, negMax: Double = 0.5): DataFrame = {
+    require(posMin > negMax,
+      s"posMin ($posMin) must exceed negMax ($negMax) — an overlapping " +
+        "band would let one pair be both positive and negative")
+    val parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    // cache the token arrays, then shingle the cached ATTRIBUTE — the
+    // same barrier minhashNearDupPairs uses, because CollapseProject
+    // would otherwise inline the regex tokenization into every shingle
+    // reference (measured up to 20x slower there)
+    val toksDf = docs
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+      .repartition(parallelism, col("id"))
+      .select(col("id"), tokens(normalizeText(col("text"))).as("toks"))
+      .cache()
+    val featured = toksDf
+      .select(col("id"),
+        array_distinct(col("toks")).as("grams"),
+        array_distinct(shingles(col("toks"), shingleK)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .cache() // consumers: banding chain + both verification joins
+    val banded = featured.select(
+      col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => array_min(transform(col("sh"),
+          s => md5(concat(b.cast("string"), lit("|"), s))))))
+        .as(Seq("band", "bucket")))
+    // skew guard: drop buckets larger than maxBucket before the self-join
+    val sized = banded
+      .withColumn("_bn", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("_bn") <= maxBucket)
+      .drop("_bn")
+    val cand = sized.select(col("id").as("id_a"), col("band"), col("bucket"))
+      .join(sized.select(col("id").as("id_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    // exact unigram Jaccard over the candidates (the mining similarity;
+    // shingles were only the blocking feature)
+    val pairs = cand
+      .join(featured.select(col("id").as("id_a"), col("grams").as("g_a")), Seq("id_a"))
+      .join(featured.select(col("id").as("id_b"), col("grams").as("g_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("g_a"), col("g_b"))).cast("double"))
+      .withColumn("uni",
+        (size(col("g_a")) + size(col("g_b"))).cast("double") - col("inter"))
+      .withColumn("jaccard",
+        when(col("uni") > 0, col("inter") / col("uni")).otherwise(lit(1.0)))
+      .select("id_a", "id_b", "jaccard")
+    // triplets are output-sized: materialize, then release the caches
+    val result = electTriplets(pairs, posMin, negMax).localCheckpoint(true)
+    featured.unpersist()
+    toksDf.unpersist()
+    result
   }
 
   /** Scale path of [[packSequences]] — identical output, no per-stratum

@@ -294,15 +294,19 @@ object CorpusQueries extends QueryPack {
       Corpus.vocabCoverage(t.documents, "text", "source", vocabSize = 256)
     },
 
-    // -- Contrastive-pair mining (SimCSE/E5 data prep) over the d04
-    //    subset, blocked by lang: hardest positive (min Jaccard >= 0.95)
-    //    + hardest negative (max Jaccard <= 0.5) per anchor, min/max-
-    //    struct elections so ties are id-deterministic. All 26 anchors
-    //    with a near-dup positive get a triplet on the fixture.
+    // -- Contrastive-pair mining (SimCSE/E5 data prep) over the FULL
+    //    documents table, blocked by md5-MinHash band buckets (r=1,
+    //    bands=4 over 2-shingles — the d02 candidate discipline in its
+    //    recall-oriented mining form, cross-engine because the band
+    //    permutation is md5, not the engine-internal xxhash64): hardest
+    //    positive (min Jaccard >= 0.95) + hardest negative (max
+    //    Jaccard <= 0.5) per anchor, min/max-struct elections so ties
+    //    are id-deterministic. ~120 triplets on the fixture; DuckDB
+    //    rebuilds the identical buckets, candidates, and elections.
     "c17_contrastive_pairs" -> { (spark, dir) =>
       val t = Tables(spark, dir)
-      Corpus.contrastivePairs(t.documents.filter(col("doc_id") < 200),
-        "doc_id", "text", blockCol = "lang")
+      Corpus.contrastivePairsLsh(t.documents, "doc_id", "text",
+        shingleK = 2, bands = 4)
     }
   )
 
@@ -596,24 +600,43 @@ object CorpusQueries extends QueryPack {
            |  CAST(coalesce(sum(occ) FILTER (NOT in_vocab), 0) * 1000000
            |    // sum(occ) AS BIGINT) AS oov_ppm
            |FROM pt GROUP BY source""".stripMargin,
-      // c17: the same within-block exact-Jaccard pairs (d04's formula),
-      // symmetrized, with the identical min/max-struct elections —
-      // triplets, ids, and both Jaccard doubles are value-checked.
+      // c17: DuckDB rebuilds the md5-MinHash band buckets from scratch
+      // (band key = min over 2-shingles of md5(band || '|' || shingle) —
+      // md5 is engine-independent), forms the identical candidate set,
+      // then the same exact unigram Jaccard and min/max-struct elections —
+      // buckets, candidates, triplet ids, and both Jaccard doubles are
+      // value-checked.
       "c17_contrastive_pairs" ->
         """WITH toks AS (
-          |  SELECT doc_id AS id, lang,
-          |    list_distinct(string_split_regex(trim(regexp_replace(regexp_replace(lower(text),
-          |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), '\s+')) AS grams
-          |  FROM documents WHERE doc_id < 200),
+          |  SELECT doc_id AS id,
+          |    list_filter(string_split_regex(trim(regexp_replace(lower(text),
+          |      '[^a-z0-9]+', ' ', 'g')), '\s+'), x -> x <> '') AS tk
+          |  FROM documents),
+          |sh AS (
+          |  SELECT id, list_distinct(tk) AS grams,
+          |    list_distinct(list_transform(
+          |      generate_series(1, greatest(len(tk) - 1, 0)),
+          |      i -> concat_ws(' ', tk[i], tk[i+1]))) AS sh
+          |  FROM toks WHERE len(tk) >= 2),
+          |banded AS (
+          |  SELECT id, band,
+          |    list_aggregate(list_transform(sh,
+          |      s -> md5(concat(CAST(band AS VARCHAR), '|', s))), 'min') AS bucket
+          |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band)
+          |  QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1000),
+          |cand AS (
+          |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          |  FROM banded a JOIN banded b
+          |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
           |p AS (
-          |  SELECT a.id AS id_a, b.id AS id_b,
+          |  SELECT id_a, id_b,
           |    CASE WHEN len(a.grams) + len(b.grams)
           |        - len(list_intersect(a.grams, b.grams)) > 0
           |      THEN len(list_intersect(a.grams, b.grams)) * 1.0
           |        / (len(a.grams) + len(b.grams)
           |           - len(list_intersect(a.grams, b.grams)))
           |      ELSE 1.0 END AS jac
-          |  FROM toks a JOIN toks b ON a.id < b.id AND a.lang = b.lang),
+          |  FROM cand c JOIN sh a ON c.id_a = a.id JOIN sh b ON c.id_b = b.id),
           |sym AS (SELECT id_a AS anchor, id_b AS other, jac FROM p
           |        UNION ALL SELECT id_b, id_a, jac FROM p),
           |pos AS (

@@ -500,25 +500,29 @@ class PlanSpec extends SparkSpec {
   }
 
   test("c16 boilerplate: tokenize-once (persisted base feeds both consumers)") {
-    val p = plan("c16_boilerplate")
-    assert(p.contains("InMemoryTableScan"), p.take(2000))
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val exec = SparkEntry.queries("c16_boilerplate")(spark, sf)
+      .queryExecution.executedPlan
     // exactly one parquet scan of documents materializes the persisted
-    // base. Each InMemoryRelation printout embeds its cached BUILD plan
-    // (which contains the FileScan), so count scans only on lines outside
-    // InMemoryRelation subtrees: once a line mentions InMemoryRelation,
-    // deeper-indented lines belong to the cached plan and don't count.
-    var imrDepth = -1
-    var topLevelScans = 0
-    p.linesIterator.foreach { line =>
-      val depth = line.indexOf("+-") max line.indexOf(":-") max
-        (if (line.trim.nonEmpty && !line.startsWith(" ")) 0 else -1)
-      if (imrDepth >= 0 && depth >= 0 && depth <= imrDepth) imrDepth = -1
-      if (imrDepth < 0) {
-        if (line.contains("InMemoryRelation")) imrDepth = depth
-        else if (line.contains("FileScan parquet")) topLevelScans += 1
-      }
+    // base. Traverse the plan OBJECT (not toString, whose InMemoryRelation
+    // printouts embed their cached build plans): an InMemoryTableScanExec
+    // leaf ends the walk — the scan inside its cached relation is the one
+    // allowed materialization, and both consumers must read the cache.
+    def countScans(p: SparkPlan): Int = p match {
+      case _: InMemoryTableScanExec => 0
+      case a: AdaptiveSparkPlanExec => countScans(a.executedPlan)
+      case _: FileSourceScanExec => 1
+      case other => other.children.map(countScans).sum
     }
-    assert(topLevelScans <= 1, p.take(3000))
+    def hasCacheScan(p: SparkPlan): Boolean = p match {
+      case _: InMemoryTableScanExec => true
+      case a: AdaptiveSparkPlanExec => hasCacheScan(a.executedPlan)
+      case other => other.children.exists(hasCacheScan)
+    }
+    assert(hasCacheScan(exec), exec.toString.take(2000))
+    assert(countScans(exec) <= 1, exec.toString.take(3000))
   }
 
   test("j09 bloom prune: map-only probe (no join) feeds the pruned-count arm") {
@@ -532,8 +536,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("t17 url normalize is a single map-only codegen stage (no exchange)") {
-    val q = SparkEntry.queries("t17_url_normalize")(spark, sf)
-    val p = q.queryExecution.executedPlan.toString
+    val p = plan("t17_url_normalize")
     assert(!p.contains("Exchange"), p.take(2000))
     // codegen'd spans print as `*(n)` operator prefixes (the literal
     // string WholeStageCodegen never appears in toString). The normalize

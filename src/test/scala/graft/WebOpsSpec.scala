@@ -133,6 +133,40 @@ class WebOpsSpec extends SparkSpec {
     }
   }
 
+  test("contrastivePairsLsh: md5-band candidates, elections, skew guard") {
+    // md5 band keys are engine-independent and deterministic, so the
+    // collision structure below is a permanent fact of these strings
+    // (derived with the c17 oracle formulation):
+    //  - docs 1/2 have EQUAL bigram sets -> collide in all 4 bands
+    //    (guaranteed, not luck); unigram J = 1.0 -> positive pair
+    //  - doc 3 shares only the "alpha beta" bigram with 1/2 and its
+    //    md5 minimizes band 1 for all three -> candidate at unigram
+    //    J = 0.25 -> the hard negative
+    //  - doc 4 shares NO bigram with anyone -> bucket equality is
+    //    impossible -> never a candidate (guaranteed)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta alpha beta"),
+      (2L, "alpha beta gamma delta alpha beta gamma"),
+      (3L, "alpha beta zeta eta kappa lam"),
+      (4L, "omega psi chi phi")
+    ).toDF("id", "text")
+    val r = graft.operators.Corpus.contrastivePairsLsh(docs, "id", "text",
+        shingleK = 2, bands = 4, posMin = 0.7, negMax = 0.5)
+      .collect().map(x => x.getLong(0) ->
+        (x.getAs[Long]("pos_id"), x.getAs[Long]("neg_id"),
+          x.getAs[Double]("j_pos"), x.getAs[Double]("j_neg"))).toMap
+    assert(r(1L) === ((2L, 3L, 1.0, 0.25)))
+    assert(r(2L) === ((1L, 3L, 1.0, 0.25)))
+    assert(!r.contains(3L)) // candidates but no positive -> no triplet
+    assert(!r.contains(4L)) // no shared shingle -> no candidates
+    // skew guard: maxBucket = 1 drops every shared bucket before the
+    // self-join -> no candidates survive at all
+    val guarded = graft.operators.Corpus.contrastivePairsLsh(docs, "id",
+      "text", shingleK = 2, bands = 4, maxBucket = 1,
+      posMin = 0.7, negMax = 0.5)
+    assert(guarded.count() === 0L)
+  }
+
   test("normalizeUrl is stateless and runs unchanged under readStream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
