@@ -443,6 +443,33 @@ object EventQueries extends QueryPack {
         .groupBy(date_trunc("day", col("ts")).as("day"))
         .agg(count(lit(1)).as("n_events"))
       graft.operators.Validate.robustAnomalies(daily, "n_events")
+    },
+
+    // -- S9 ATOMIC streaming upsert (e11's contract through the GenTable
+    //    commit protocol): the same deterministic replay — date-ranged
+    //    AvailableNow micro-batches, latest-event-per-user merge — but
+    //    each batch commits via stage-new-generations + one atomic
+    //    manifest swap instead of dynamic partition overwrite, and the
+    //    returned frame is the COMMITTED view (GenTable.read resolves
+    //    pcol=v/gen=n paths from the manifest). A 1-in-5 user slice
+    //    (disjoint protocol from e11's 1-in-7) keeps the replay cheap;
+    //    crash-points of the protocol are spec-pinned in GenTableSpec.
+    "e21_atomic_upsert" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e21_").toString
+      val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+      val slice = t.events.filter(col("user_id") % 5 === 0)
+        .withColumn("bucket", pmod(col("user_id"), lit(8)).cast("int"))
+      slice.repartitionByRange(3, col("ts")).write.parquet(inDir)
+      graft.streaming.EventStreams.upsertForeachBatchAvailableNowAtomic(
+        spark.readStream.schema(slice.schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir),
+        outDir, ckpt, keyCol = "user_id",
+        orderCols = Seq("ts", "event_id"), partitionCol = "bucket")
+      graft.sources.GenTable.read(spark, outDir).get.select(
+        col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        col("value"), col("props"),
+        col("bucket").cast("int").as("bucket"))
     }
   )
 
@@ -702,6 +729,18 @@ object EventQueries extends QueryPack {
         |  (SELECT mad FROM s2) AS mad,
         |  abs(n_events - (SELECT med FROM s)) > (SELECT mad FROM s2) * 3
         |    AS is_anomaly
-        |FROM d""".stripMargin
+        |FROM d""".stripMargin,
+    // e21: latest event per user over the 1-in-5 slice — what the ATOMIC
+    // generational upsert's committed view must equal regardless of how
+    // the replay split into micro-batches.
+    "e21_atomic_upsert" ->
+      """SELECT user_id, event_id, ts, event_type, value, props,
+        |  CAST(user_id % 8 AS INT) AS bucket
+        |FROM (
+        |  SELECT *, row_number() OVER (
+        |      PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |  FROM events WHERE user_id % 5 = 0)
+        |WHERE rn = 1""".stripMargin
   )
 }

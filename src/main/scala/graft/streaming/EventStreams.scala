@@ -517,6 +517,29 @@ object EventStreams {
       .start()
       .awaitTermination()
 
+  /** [[upsertForeachBatchAvailableNow]] with ATOMIC commits: each
+    * micro-batch merges through [[graft.sources.GenTable.upsertBatch]]
+    * (stage new generations, one manifest swap) instead of dynamic
+    * partition overwrite, so a crash mid-batch leaves the committed view
+    * exactly at the previous batch's state — no partially-rewritten
+    * partition is ever visible. Read the table back with
+    * [[graft.sources.GenTable.read]] (the plain directory listing would
+    * see uncommitted generations). Same latest-per-key contract and the
+    * same stable-per-key `partitionCol` requirement.
+    */
+  def upsertForeachBatchAvailableNowAtomic(df: DataFrame, outDir: String,
+      checkpointDir: String, keyCol: String, orderCols: Seq[String],
+      partitionCol: String): Unit =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.GenTable.upsertBatch(
+          batch, outDir, keyCol, orderCols, partitionCol)
+      }
+      .start()
+      .awaitTermination()
+
   /** Streaming rollup maintenance — the incremental complement of the
     * batch `x07_incremental_rollup` lifecycle: each micro-batch's
     * [[graft.operators.RollupStore.partials]] fold into the persisted
