@@ -66,6 +66,38 @@ object PipelineRunner {
     results
   }
 
+  // -- E1: environment promotion ----------------------------------------------
+
+  final case class PromotionResult(smoke: Seq[StageResult], promoted: Boolean,
+      full: Option[Seq[StageResult]])
+
+  /** The reference's most elaborated flow as ONE command — dev deploy →
+    * validate → approval gate → test promotion
+    * (`Hoth/FHIR/cloudformations/pipeline-stack.yml:294-472`, manual gate at
+    * `:396-406`): run `stages` against the SMOKE environment first; `gate`
+    * inspects the smoke results (default: every stage status "ok", which
+    * makes any Validate publish-gate violation — a thrown constraint — block
+    * promotion); only a passing gate executes the FULL environment. A
+    * blocked promotion leaves the full environment's outputDir untouched —
+    * the failed smoke run IS the denial, with its manifest as the evidence
+    * the approver would read.
+    *
+    * Scale posture: the smoke tier costs minutes on a fixture while the
+    * full tier costs hours on the lake — this inversion (cheap validation
+    * fences expensive execution) is the entire point of the reference's
+    * promotion pipeline, reproduced here without the CI/CD scaffolding.
+    */
+  def promote(spark: SparkSession, smoke: EngineConfig, full: EngineConfig,
+      stages: Seq[Stage],
+      gate: Seq[StageResult] => Boolean = _.forall(_.status == "ok")): PromotionResult = {
+    require(smoke.outputDir != full.outputDir,
+      "smoke and full environments must write to distinct outputDirs")
+    val smokeResults = run(spark, smoke, stages)
+    if (!gate(smokeResults)) PromotionResult(smokeResults, promoted = false, None)
+    else PromotionResult(smokeResults, promoted = true,
+      Some(run(spark, full, stages)))
+  }
+
   // -- E3: trigger payload ---------------------------------------------------
 
   val triggerSchema: StructType = StructType(Seq(

@@ -82,6 +82,59 @@ class PipelineRunnerSpec extends SparkSpec {
     assert(langs > 0 && langs <= 6)
   }
 
+  test("promote: smoke tier gates the full tier (E1 lifecycle)") {
+    // happy path: the orders job validates at the sf0.001 smoke tier and
+    // only then executes at the sf0.01 full tier
+    val smokeOut = java.nio.file.Files.createTempDirectory("graft_smoke").toString
+    val fullOut = java.nio.file.Files.createTempDirectory("graft_full").toString
+    val r = PipelineRunner.promote(spark,
+      EngineConfig("dev", sf, smokeOut),
+      EngineConfig("test", sf01, fullOut),
+      PipelineRunner.ordersJobStages)
+    assert(r.promoted, r.smoke.mkString(", "))
+    assert(r.full.get.forall(_.status == "ok"), r.full.get.mkString(", "))
+    assert(spark.read.parquet(s"$fullOut/segment_revenue").count() === 5)
+  }
+
+  test("promote: a seeded violation at smoke BLOCKS the full run") {
+    import spark.implicits._
+    val smokeIn = java.nio.file.Files.createTempDirectory("graft_badin").toString
+    val smokeOut = java.nio.file.Files.createTempDirectory("graft_smoke2").toString
+    val fullOut = java.nio.file.Files.createTempDirectory("graft_full2").toString
+    // seed a constraint violation into the smoke input: a null custkey
+    Seq((Some(1L), 10.0), (None: Option[Long], 20.0))
+      .toDF("o_custkey", "o_totalprice")
+      .write.parquet(s"$smokeIn/batch")
+    val stages: Seq[PipelineRunner.Stage] = Seq(
+      "ingest" -> { (s, cfg) => s.read.parquet(s"${cfg.inputDir}/batch") },
+      "validate" -> { (s, cfg) =>
+        import graft.operators.Validate
+        val rep = Validate.report(s.read.parquet(s"${cfg.outputDir}/ingest"),
+          Seq(Validate.notNull("o_custkey"))).localCheckpoint(true)
+        val bad = rep.filter(!col("pass")).collect()
+        require(bad.isEmpty, s"constraint violations: ${bad.mkString("; ")}")
+        rep
+      },
+      "aggregate" -> { (s, cfg) =>
+        s.read.parquet(s"${cfg.outputDir}/ingest")
+          .agg(sum(col("o_totalprice")).as("total"))
+      })
+    val r = PipelineRunner.promote(spark,
+      EngineConfig("dev", smokeIn, smokeOut),
+      EngineConfig("test", sf01, fullOut), stages)
+    assert(!r.promoted)
+    assert(r.full.isEmpty)
+    assert(r.smoke.map(_.status) match {
+      case Seq("ok", failed, "skipped") => failed.startsWith("failed")
+      case _ => false
+    }, r.smoke.mkString(", "))
+    // the full environment was never touched: no stage output, no manifest
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$fullOut/manifest.json")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$fullOut/aggregate")))
+  }
+
   test("a failing stage stops the run and marks the rest skipped") {
     val out = java.nio.file.Files.createTempDirectory("graft_run_fail").toString
     val stages: Seq[PipelineRunner.Stage] = Seq(
