@@ -323,6 +323,31 @@ object TextQueries extends QueryPack {
       withUrlColumns(t.documents.select(col("doc_id"), raw.as("raw_url")),
         "raw_url")
         .select("doc_id", "norm_url", "host", "domain")
+    },
+
+    // -- PSL-backed registrable domains (the per-site grouping key done
+    //    RIGHT): hosts synthesized from (doc_id, source) cover every rule
+    //    type — a private-registry suffix (github.io: each user site is
+    //    its own registrable domain, where the 2-char-TLD heuristic stops
+    //    a label short), a second-level family (gov.uk), the wildcard
+    //    zone (*.ck), the exception that overrides it (!www.ck), a plain
+    //    TLD under a deep host, and a host that IS a public suffix
+    //    (domain = NULL). DuckDB re-runs the published PSL algorithm —
+    //    suffix explode, rule match, exception-first-then-longest
+    //    election — against the identical inline rule table.
+    "t18_registrable_psl" -> { (spark, dir) =>
+      import graft.functions.PublicSuffix
+      val t = Tables(spark, dir)
+      val m = pmod(col("doc_id"), lit(6))
+      val host = when(m === 0, concat(col("source"), lit(".github.io")))
+        .when(m === 1, concat(lit("www."), col("source"), lit(".gov.uk")))
+        .when(m === 2, concat(col("source"), lit(".example.ck")))
+        .when(m === 3, lit("shop.www.ck"))
+        .when(m === 4, concat(lit("a.b."), col("source"), lit(".com")))
+        .otherwise(lit("github.io"))
+      PublicSuffix.withRegistrableDomain(
+        t.documents.select(col("doc_id"), host.as("host")), "host",
+        PublicSuffix.rules(spark))
     }
   )
 
@@ -754,6 +779,52 @@ object TextQueries extends QueryPack {
         |    WHEN 1 THEN 'example.co.uk'
         |    ELSE 'example.com'
         |  END AS domain
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // t18: the published PSL algorithm re-run from scratch — explode
+    // label suffixes, match the inline rule table (same parsed fixture:
+    // kind n/w/e, key = suffix or wildcard tail, pub = public-suffix
+    // label count), elect exception-first-then-longest, take pub+1
+    // trailing labels (NULL when the host IS a public suffix).
+    "t18_registrable_psl" ->
+      """WITH hosts AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 6
+        |      WHEN 0 THEN source || '.github.io'
+        |      WHEN 1 THEN 'www.' || source || '.gov.uk'
+        |      WHEN 2 THEN source || '.example.ck'
+        |      WHEN 3 THEN 'shop.www.ck'
+        |      WHEN 4 THEN 'a.b.' || source || '.com'
+        |      ELSE 'github.io' END AS host
+        |  FROM documents),
+        |lab AS (SELECT doc_id, host, string_split(host, '.') AS ls,
+        |        len(string_split(host, '.')) AS n FROM hosts),
+        |idx AS (SELECT doc_id, host, ls, n,
+        |        unnest(generate_series(1, n)) AS i FROM lab),
+        |cand AS (
+        |  SELECT doc_id, array_to_string(ls[i:n], '.') AS sfx,
+        |    array_to_string(ls[i+1:n], '.') AS tail
+        |  FROM idx),
+        |rules(kind, key, pub) AS (VALUES
+        |  ('n','com',1),('n','net',1),('n','org',1),('n','io',1),('n','co',1),
+        |  ('n','uk',1),('n','co.uk',2),('n','org.uk',2),('n','ac.uk',2),('n','gov.uk',2),
+        |  ('n','jp',1),('n','co.jp',2),('n','ac.jp',2),('n','or.jp',2),
+        |  ('n','au',1),('n','com.au',2),('n','net.au',2),('n','org.au',2),
+        |  ('n','us',1),('n','de',1),('n','fr',1),
+        |  ('n','github.io',2),('n','blogspot.com',2),('n','s3.amazonaws.com',3),
+        |  ('w','ck',2),('e','www.ck',1)),
+        |m AS (
+        |  SELECT c.doc_id,
+        |    max(CASE WHEN r.kind = 'e' THEN r.pub END) AS exc_pub,
+        |    max(CASE WHEN r.kind <> 'e' THEN r.pub END) AS norm_pub
+        |  FROM cand c JOIN rules r
+        |    ON (r.kind IN ('n','e') AND r.key = c.sfx)
+        |    OR (r.kind = 'w' AND r.key = c.tail)
+        |  GROUP BY 1)
+        |SELECT l.doc_id AS doc_id, l.host AS host,
+        |  CASE WHEN l.n <= coalesce(m.exc_pub, m.norm_pub, 1) THEN NULL
+        |       ELSE array_to_string(
+        |         l.ls[l.n - coalesce(m.exc_pub, m.norm_pub, 1):l.n], '.')
+        |  END AS domain
+        |FROM lab l LEFT JOIN m ON l.doc_id = m.doc_id""".stripMargin
   )
 }

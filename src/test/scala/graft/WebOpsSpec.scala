@@ -167,6 +167,48 @@ class WebOpsSpec extends SparkSpec {
     assert(guarded.count() === 0L)
   }
 
+  test("PSL registrable domains: rule types, exception priority, heuristic divergence") {
+    import graft.functions.PublicSuffix
+    val rules = PublicSuffix.rules(spark)
+    val hosts = Seq(
+      "user.github.io",             // private-registry suffix
+      "github.io",                  // IS a public suffix -> null
+      "www.cabinet-office.gov.uk",  // second-level family
+      "shop.example.ck",            // wildcard *.ck
+      "example.ck",                 // wildcard makes this public -> null
+      "shop.www.ck",                // exception !www.ck overrides wildcard
+      "www.ck",                     // the exception suffix is registrable
+      "deep.a.b.example.com",       // plain TLD, long host
+      "localhost",                  // unmatched single label -> null (PSL)
+      "10.0.0.1",                   // IPv4 passthrough
+      "my-bucket.s3.amazonaws.com"  // private suffix -> bucket is the site
+    ).toDF("host")
+    val got = PublicSuffix.registrableDomains(hosts, rules)
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(got("user.github.io") === "user.github.io")
+    assert(got("github.io") === null)
+    assert(got("www.cabinet-office.gov.uk") === "cabinet-office.gov.uk")
+    assert(got("shop.example.ck") === "shop.example.ck")
+    assert(got("example.ck") === null)
+    assert(got("shop.www.ck") === "www.ck")
+    assert(got("www.ck") === "www.ck")
+    assert(got("deep.a.b.example.com") === "example.com")
+    assert(got("localhost") === null)
+    assert(got("10.0.0.1") === "10.0.0.1")
+    assert(got("my-bucket.s3.amazonaws.com") === "my-bucket.s3.amazonaws.com")
+    // the documented heuristic failure: a 2-char TLD with a non-generic
+    // SLD — heuristic stops at github.io, the PSL form wins
+    assert(dom("user.github.io") === "github.io")
+    // withRegistrableDomain: per-distinct-host election joined back
+    val df = Seq((1L, "user.github.io"), (2L, "user.github.io"),
+      (3L, "a.gov.uk")).toDF("id", "h")
+    val out = PublicSuffix.withRegistrableDomain(df, "h", rules)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out === Map(1L -> "user.github.io", 2L -> "user.github.io",
+      3L -> "a.gov.uk"))
+  }
+
   test("normalizeUrl is stateless and runs unchanged under readStream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
