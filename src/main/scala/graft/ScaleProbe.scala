@@ -230,6 +230,44 @@ object ScaleProbe {
           graft.operators.Dedup.simhashNearDupPairs(
             graft.sources.Tables(s, d).documents, "text", "doc_id",
             maxHamming = 3, minTokens = 25)
+        } else if (name == "c17_lsh_500k") { (s, d) =>
+          // contrastive mining at 500k docs through the LSH-bucket block:
+          // the whole pipeline (tokenize -> md5 band buckets -> skew-
+          // guarded candidates -> unigram-Jaccard verify -> elections),
+          // aggregated to the triplet count
+          graft.operators.Corpus.contrastivePairsLsh(
+            graft.sources.Tables(s, d).documents, "doc_id", "text")
+            .agg(count(lit(1)).as("n_triplets"))
+        } else if (name == "c17_block_census") { (s, d) =>
+          // why lang-blocking cannot scale: candidate-pair totals per
+          // blocking scheme computed ARITHMETICALLY (sum of n*(n-1)/2
+          // over blocks) — no pair formation. lang yields a handful of
+          // giant blocks; the md5-band buckets are shingle-fine and
+          // capped by the maxBucket guard.
+          import graft.functions.TextFunctions.{tokens, normalizeText, shingles}
+          val docs = graft.sources.Tables(s, d).documents
+          val lang = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+            .agg(sum(col("n") * (col("n") - 1) / 2).as("cand_pairs"),
+              max(col("n")).as("max_block"))
+            .select(lit("lang").as("scheme"), col("cand_pairs"), col("max_block"))
+          val toksDf = docs
+            .select(col("doc_id").as("id"),
+              tokens(normalizeText(col("text"))).as("toks"))
+          def bandCensus(k: Int) = toksDf
+            .select(col("id"),
+              array_distinct(shingles(col("toks"), k)).as("sh"))
+            .filter(size(col("sh")) > 0)
+            .select(col("id"),
+              explode(transform(sequence(lit(0), lit(3)),
+                b => array_min(transform(col("sh"),
+                  x => md5(concat(b.cast("string"), lit("|"), x)))))).as("bucket"))
+            .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+            .agg(sum(when(col("n") <= 1000, col("n") * (col("n") - 1) / 2)
+                .otherwise(0)).as("cand_pairs"),
+              max(col("n")).as("max_block"))
+            .select(lit(s"md5_bands_k$k").as("scheme"), col("cand_pairs"),
+              col("max_block"))
+          lang.unionByName(bandCensus(2)).unionByName(bandCensus(3))
         } else if (name == "d05_pipeline") { (s, d) =>
           // the complete user-facing near-dup pipeline at corpus scale:
           // MinHash signatures -> banded candidates -> exact-Jaccard

@@ -721,10 +721,16 @@ object Corpus {
     * degenerate buckets (boilerplate-dominated shingles) BEFORE the
     * self-join — the standard LSH skew guard, making within-bucket cost
     * O(maxBucket²) per bucket regardless of corpus size. Verification and
-    * elections are candidate-sized.
+    * elections are candidate-sized — which makes CANDIDATE VOLUME the
+    * cost driver, and shingleK the knob that controls it: measured at
+    * 500k docs (SCALE.md §21), k=2 buckets admit 1.3e8 candidates (706 s,
+    * and the verify stage strains an 8g heap) while k=3 buckets admit
+    * ~200x fewer. The default is therefore k=3 (the deployment rule
+    * encoded in the API, the s-family discipline); drop to k=2 only on
+    * small curated sets where recall-richness matters more than volume.
     */
   def contrastivePairsLsh(docs: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 2, bands: Int = 4, maxBucket: Int = 1000,
+      shingleK: Int = 3, bands: Int = 4, maxBucket: Int = 1000,
       posMin: Double = 0.95, negMax: Double = 0.5): DataFrame = {
     require(posMin > negMax,
       s"posMin ($posMin) must exceed negMax ($negMax) — an overlapping " +
