@@ -83,6 +83,14 @@ object PublicSuffix {
     parseRules(lines).toDF("kind", "key", "pub")
   }
 
+  /** Rules from a PSL text file — the production path (the real list
+    * updates monthly and ships as a data file, not code). Reads through
+    * Spark so any filesystem works; the collect is bounded by the list
+    * itself (~10k lines).
+    */
+  def rulesFromFile(spark: SparkSession, path: String): DataFrame =
+    rules(spark, spark.read.textFile(path).collect().toSeq)
+
   private val Ipv4 = "^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$"
 
   /** (host, domain) mapping for every distinct host in `hosts` (which must
