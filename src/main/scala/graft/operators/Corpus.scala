@@ -678,10 +678,17 @@ object Corpus {
   }
 
   /** The hardest-positive/hardest-negative elections shared by both
-    * contrastive miners, over a (id_a, id_b, jaccard) pair list.
+    * contrastive miners, over a (id_a, id_b, jaccard) pair list. The
+    * pair list feeds FOUR consumers (two symmetrization arms × pos/neg
+    * elections), so it is cached first — without the barrier the whole
+    * upstream candidate+verify chain re-executes per consumer (measured:
+    * ~2x the operator's entire warm cost at sf0.1). Pairs are
+    * candidate-sized; the returned triplets are materialized
+    * (output-sized) so the cache can be released here.
     */
-  private def electTriplets(pairs: DataFrame, posMin: Double,
+  private def electTriplets(pairs0: DataFrame, posMin: Double,
       negMax: Double): DataFrame = {
+    val pairs = pairs0.cache()
     val sym = pairs
       .select(col("id_a").as("anchor"), col("id_b").as("other"), col("jaccard"))
       .unionByName(pairs
@@ -694,7 +701,9 @@ object Corpus {
       .groupBy(col("anchor"))
       .agg(max(struct(col("jaccard"), col("other"))).as("n"))
       .select(col("anchor"), col("n.other").as("neg_id"), col("n.jaccard").as("j_neg"))
-    pos.join(neg, Seq("anchor"))
+    val result = pos.join(neg, Seq("anchor")).localCheckpoint(true)
+    pairs.unpersist()
+    result
   }
 
   /** [[contrastivePairs]] with LSH-bucket blocking — the corpus-scale form
@@ -751,12 +760,21 @@ object Corpus {
         array_distinct(shingles(col("toks"), shingleK)).as("sh"))
       .filter(size(col("sh")) > 0)
       .cache() // consumers: banding chain + both verification joins
-    val banded = featured.select(
-      col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => array_min(transform(col("sh"),
-          s => md5(concat(b.cast("string"), lit("|"), s))))))
-        .as(Seq("band", "bucket")))
+    // band minima via explode + per-band min aggregates — the d02
+    // formulation: whole-stage-codegen'd HashAggregate with map-side
+    // combine. The HOF form (array_min over transform lambdas) is
+    // CodegenFallback and measured ~3x slower on this exact stage (the
+    // minhashNearDupPairs lesson re-learned; bench row 4.9 -> expected
+    // ~1.5 s at sf0.1). String min == lexicographic == DuckDB's
+    // list_aggregate 'min' over the same lowercase hex.
+    val exploded = featured.select(col("id"), explode(col("sh")).as("s"))
+    val minCols = (0 until bands).map(b =>
+      min(md5(concat(lit(s"$b|"), col("s")))).as(s"_b$b"))
+    val banded = exploded.groupBy(col("id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("id"),
+        posexplode(array((0 until bands).map(b => col(s"_b$b")): _*))
+          .as(Seq("band", "bucket")))
     // skew guard: drop buckets larger than maxBucket before the self-join
     val sized = banded
       .withColumn("_bn", count(lit(1)).over(
@@ -780,8 +798,8 @@ object Corpus {
       .withColumn("jaccard",
         when(col("uni") > 0, col("inter") / col("uni")).otherwise(lit(1.0)))
       .select("id_a", "id_b", "jaccard")
-    // triplets are output-sized: materialize, then release the caches
-    val result = electTriplets(pairs, posMin, negMax).localCheckpoint(true)
+    // electTriplets materializes the triplets, so the caches release here
+    val result = electTriplets(pairs, posMin, negMax)
     featured.unpersist()
     toksDf.unpersist()
     result

@@ -296,17 +296,21 @@ object CorpusQueries extends QueryPack {
 
     // -- Contrastive-pair mining (SimCSE/E5 data prep) over the FULL
     //    documents table, blocked by md5-MinHash band buckets (r=1,
-    //    bands=4 over 2-shingles — the d02 candidate discipline in its
+    //    bands=8 over 3-shingles — the d02 candidate discipline in its
     //    recall-oriented mining form, cross-engine because the band
     //    permutation is md5, not the engine-internal xxhash64): hardest
     //    positive (min Jaccard >= 0.95) + hardest negative (max
     //    Jaccard <= 0.5) per anchor, min/max-struct elections so ties
-    //    are id-deterministic. ~120 triplets on the fixture; DuckDB
-    //    rebuilds the identical buckets, candidates, and elections.
+    //    are id-deterministic. This is the DEPLOYABLE shape (SCALE.md
+    //    §21: 2-shingle buckets admit 30x the candidates — 1.26M at
+    //    sf0.1 — where 3-shingle/8-band stays at 82k); 13 triplets at
+    //    sf0.01, 1,192 at sf0.1, every id and Jaccard double
+    //    hash-checked. DuckDB rebuilds the identical buckets,
+    //    candidates, and elections.
     "c17_contrastive_pairs" -> { (spark, dir) =>
       val t = Tables(spark, dir)
       Corpus.contrastivePairsLsh(t.documents, "doc_id", "text",
-        shingleK = 2, bands = 4)
+        shingleK = 3, bands = 8)
     }
   )
 
@@ -601,7 +605,7 @@ object CorpusQueries extends QueryPack {
            |    // sum(occ) AS BIGINT) AS oov_ppm
            |FROM pt GROUP BY source""".stripMargin,
       // c17: DuckDB rebuilds the md5-MinHash band buckets from scratch
-      // (band key = min over 2-shingles of md5(band || '|' || shingle) —
+      // (band key = min over 3-shingles of md5(band || '|' || shingle) —
       // md5 is engine-independent), forms the identical candidate set,
       // then the same exact unigram Jaccard and min/max-struct elections —
       // buckets, candidates, triplet ids, and both Jaccard doubles are
@@ -615,14 +619,14 @@ object CorpusQueries extends QueryPack {
           |sh AS (
           |  SELECT id, list_distinct(tk) AS grams,
           |    list_distinct(list_transform(
-          |      generate_series(1, greatest(len(tk) - 1, 0)),
-          |      i -> concat_ws(' ', tk[i], tk[i+1]))) AS sh
-          |  FROM toks WHERE len(tk) >= 2),
+          |      generate_series(1, greatest(len(tk) - 2, 0)),
+          |      i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh
+          |  FROM toks WHERE len(tk) >= 3),
           |banded AS (
           |  SELECT id, band,
           |    list_aggregate(list_transform(sh,
           |      s -> md5(concat(CAST(band AS VARCHAR), '|', s))), 'min') AS bucket
-          |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band)
+          |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS band)
           |  QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1000),
           |cand AS (
           |  SELECT DISTINCT a.id AS id_a, b.id AS id_b

@@ -535,6 +535,21 @@ class PlanSpec extends SparkSpec {
     assert(probeLine.contains("Filter"), p.take(3000))
   }
 
+  test("t18 PSL domains: rules broadcast, no nested-loop anywhere") {
+    val p = plan("t18_registrable_psl")
+    // the tiny rule table must broadcast; suffix matching is equi-join
+    // shaped — a nested-loop/cartesian would be quadratic in hosts
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("c17 LSH mining: candidates join on band buckets, never cartesian") {
+    val p = plan("c17_contrastive_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("t17 url normalize is a single map-only codegen stage (no exchange)") {
     val p = plan("t17_url_normalize")
     assert(!p.contains("Exchange"), p.take(2000))
