@@ -470,6 +470,35 @@ object EventQueries extends QueryPack {
         col("user_id"), col("event_id"), col("ts"), col("event_type"),
         col("value"), col("props"),
         col("bucket").cast("int").as("bucket"))
+    },
+
+    // -- Change-data-capture over the GenTable commit history: three
+    //    commits (early-window upsert with a held-out late-user cohort,
+    //    the remaining events, a takedown delete of click-latest rows),
+    //    then `changesBetween(1, 3)` — keyed full-outer diff of the two
+    //    archived snapshots, read PRUNED to partitions whose generation
+    //    moved. All three change classes are data-populated (inserts =
+    //    the held-out cohort, deletes = users whose latest event is the
+    //    deleted type, updates = everyone whose latest row moved).
+    //    The oracle rebuilds both snapshots with window SQL and diffs
+    //    them null-safely — ids, images, and classes all hash-checked.
+    "e22_gentable_cdc" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e22_").toString
+      val slice = t.events.filter(col("user_id") % 5 === 1)
+        .withColumn("bucket", pmod(col("user_id"), lit(8)).cast("int"))
+      val early = slice.filter(col("ts") < lit("2024-01-08").cast("timestamp") &&
+        col("user_id") % 20 =!= 1)
+      graft.sources.GenTable.upsertBatch(early, tmp, "user_id",
+        Seq("ts", "event_id"), "bucket")                        // commit 1
+      graft.sources.GenTable.upsertBatch(slice.exceptAll(early), tmp, "user_id",
+        Seq("ts", "event_id"), "bucket")                        // commit 2
+      graft.sources.GenTable.deleteWhere(spark, tmp,
+        col("event_type") === "click")                          // commit 3
+      graft.sources.GenTable.changesBetween(spark, tmp, 1L, 3L, "user_id")
+        .select(col("user_id"), col("_change"), col("event_id"), col("ts"),
+          col("event_type"), col("value"), col("props"),
+          col("bucket").cast("int").as("bucket"))
     }
   )
 
@@ -741,6 +770,48 @@ object EventQueries extends QueryPack {
         |      PARTITION BY user_id
         |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
         |  FROM events WHERE user_id % 5 = 0)
-        |WHERE rn = 1""".stripMargin
+        |WHERE rn = 1""".stripMargin,
+    // e22: the CDC diff re-derived from first principles — snapshot 1
+    // (early window, late-user cohort held out, latest-per-user) vs
+    // snapshot 3 (full slice latest-per-user minus click-latest rows),
+    // full-outer joined on the key, null-safe column compare, post-image
+    // for insert/update and pre-image for delete.
+    "e22_gentable_cdc" ->
+      """WITH slice AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |    value, props, CAST(user_id % 8 AS INT) AS bucket
+        |  FROM events WHERE user_id % 5 = 1),
+        |s1 AS (
+        |  SELECT user_id, event_id, ts, event_type, value, props, bucket FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM slice
+        |    WHERE ts < TIMESTAMP '2024-01-08' AND user_id % 20 != 1)
+        |  WHERE rn = 1),
+        |s2 AS (
+        |  SELECT user_id, event_id, ts, event_type, value, props, bucket FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM slice)
+        |  WHERE rn = 1),
+        |s3 AS (SELECT * FROM s2 WHERE event_type IS DISTINCT FROM 'click')
+        |SELECT coalesce(n.user_id, o.user_id) AS user_id,
+        |  CASE WHEN o.user_id IS NULL THEN 'insert'
+        |       WHEN n.user_id IS NULL THEN 'delete'
+        |       ELSE 'update' END AS _change,
+        |  CASE WHEN n.user_id IS NULL THEN o.event_id ELSE n.event_id END AS event_id,
+        |  CASE WHEN n.user_id IS NULL THEN o.ts ELSE n.ts END AS ts,
+        |  CASE WHEN n.user_id IS NULL THEN o.event_type ELSE n.event_type END AS event_type,
+        |  CASE WHEN n.user_id IS NULL THEN o.value ELSE n.value END AS value,
+        |  CASE WHEN n.user_id IS NULL THEN o.props ELSE n.props END AS props,
+        |  CASE WHEN n.user_id IS NULL THEN o.bucket ELSE n.bucket END AS bucket
+        |FROM s1 o FULL OUTER JOIN s3 n ON o.user_id = n.user_id
+        |WHERE o.user_id IS NULL OR n.user_id IS NULL OR NOT (
+        |  o.event_id IS NOT DISTINCT FROM n.event_id AND
+        |  o.ts IS NOT DISTINCT FROM n.ts AND
+        |  o.event_type IS NOT DISTINCT FROM n.event_type AND
+        |  o.value IS NOT DISTINCT FROM n.value AND
+        |  o.props IS NOT DISTINCT FROM n.props AND
+        |  o.bucket IS NOT DISTINCT FROM n.bucket)""".stripMargin
   )
 }

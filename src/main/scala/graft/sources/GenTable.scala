@@ -53,10 +53,16 @@ import org.apache.spark.sql.functions._
 object GenTable {
 
   /** A committed table state: each partition VALUE (its string form, as
-    * in the directory name) maps to its committed generation.
+    * in the directory name) maps to its committed generation. `minGen`
+    * floors [[tableGen]] so commit ids stay strictly increasing even
+    * when a commit removes the highest-generation partitions entirely
+    * (a [[deleteWhere]] that empties them) — without it the next commit
+    * id could collide with an archived one.
     */
-  final case class Commit(partitionCol: String, gens: Map[String, Long]) {
-    def tableGen: Long = if (gens.isEmpty) 0L else gens.values.max
+  final case class Commit(partitionCol: String, gens: Map[String, Long],
+      minGen: Long = 0L) {
+    def tableGen: Long =
+      if (gens.isEmpty) minGen else math.max(minGen, gens.values.max)
   }
 
   private def commitPath(dir: String): Path = localPath(dir).resolve("_commit")
@@ -91,32 +97,81 @@ object GenTable {
   /** Reads the committed state; None for a table that has never published. */
   def readCommit(dir: String): Option[Commit] = {
     val p = commitPath(dir)
-    if (!Files.exists(p)) None
-    else {
-      val lines = Files.readAllLines(p, StandardCharsets.UTF_8)
-      require(lines.size >= 1 && lines.get(0).startsWith("pcol="),
-        s"malformed manifest $p")
-      val pcol = dec(lines.get(0).stripPrefix("pcol="))
-      val gens = (1 until lines.size).map { i =>
-        val line = lines.get(i)
-        val eq = line.lastIndexOf('=')
-        require(eq > 0, s"malformed manifest line: $line")
-        dec(line.substring(0, eq)) -> line.substring(eq + 1).toLong
-      }.toMap
-      Some(Commit(pcol, gens))
-    }
+    if (!Files.exists(p)) None else Some(parseCommit(p))
   }
 
-  /** PUBLISH: atomically replace the manifest (temp write + ATOMIC_MOVE). */
+  /** PUBLISH: atomically replace the manifest (temp write + ATOMIC_MOVE),
+    * and archive the commit under `_commits/ct_<tableGen>` for time
+    * travel ([[readAt]]). The archive write happens BEFORE the swap: a
+    * crash between them leaves a never-current archive, which is
+    * harmless (vacuum retention is keyed off the newest archives, and
+    * the next successful publish at that tableGen overwrites it with
+    * identical-or-newer state). tableGen strictly increases through
+    * [[upsertBatch]]/[[compact]], so it doubles as the commit id.
+    */
   def publish(dir: String, commit: Commit): Unit = {
     Files.createDirectories(localPath(dir))
+    // `#tgen` cannot collide with a partition line: URL encoding never
+    // emits '#' (a literal '#' in a value encodes as %23)
     val body = (s"pcol=${enc(commit.partitionCol)}" +:
+      s"#tgen=${commit.tableGen}" +:
       commit.gens.toSeq.sortBy(_._1).map { case (v, g) => s"${enc(v)}=$g" })
       .mkString("", "\n", "\n")
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    val archiveDir = localPath(dir).resolve("_commits")
+    Files.createDirectories(archiveDir)
+    Files.write(archiveDir.resolve(f"ct_${commit.tableGen}%020d"), bytes)
     val tmp = localPath(dir).resolve(s"_commit.tmp.${java.util.UUID.randomUUID()}")
-    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.write(tmp, bytes)
     Files.move(tmp, commitPath(dir), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Archived commit ids (tableGens), oldest first. */
+  def commits(dir: String): Seq[Long] = {
+    val archiveDir = localPath(dir).resolve("_commits")
+    if (!Files.exists(archiveDir)) Seq.empty
+    else listDir(archiveDir).map(_.getFileName.toString)
+      .filter(_.startsWith("ct_")).map(_.stripPrefix("ct_").toLong).sorted
+  }
+
+  private def parseCommit(p: Path): Commit = {
+    val lines = Files.readAllLines(p, StandardCharsets.UTF_8)
+    require(lines.size >= 1 && lines.get(0).startsWith("pcol="),
+      s"malformed manifest $p")
+    val pcol = dec(lines.get(0).stripPrefix("pcol="))
+    var minGen = 0L
+    val gens = (1 until lines.size).flatMap { i =>
+      val line = lines.get(i)
+      if (line.startsWith("#tgen=")) {
+        minGen = line.stripPrefix("#tgen=").toLong
+        None
+      } else {
+        val eq = line.lastIndexOf('=')
+        require(eq > 0, s"malformed manifest line: $line")
+        Some(dec(line.substring(0, eq)) -> line.substring(eq + 1).toLong)
+      }
+    }.toMap
+    Commit(pcol, gens, minGen)
+  }
+
+  /** Time travel: the table as of an archived commit id (from
+    * [[commits]]). Generations are immutable, so the snapshot is exact —
+    * readable until [[vacuum]]'s retention drops it.
+    */
+  def readAt(spark: SparkSession, dir: String, commitId: Long): Option[DataFrame] = {
+    val p = localPath(dir).resolve("_commits").resolve(f"ct_$commitId%020d")
+    if (!Files.exists(p)) None
+    else {
+      val c = parseCommit(p)
+      if (c.gens.isEmpty) None
+      else {
+        val paths = c.gens.toSeq.sortBy(_._1).map { case (v, g) =>
+          s"$dir/${c.partitionCol}=$v/gen=$g"
+        }
+        Some(spark.read.option("basePath", dir).parquet(paths: _*).drop("gen"))
+      }
+    }
   }
 
   /** The committed view: concrete `pcol=v/gen=n` leaf paths resolved from
@@ -235,30 +290,159 @@ object GenTable {
     (before, committedFiles(next))
   }
 
-  /** Deletes every generation directory the current manifest does not
-    * reference — superseded generations AND orphans from crashed stages.
-    * Single-writer assumption: never run concurrently with a stage, and
-    * respect reader retention (a reader that resolved paths from an older
-    * manifest must finish before its generations are vacuumed).
-    * Returns the number of directories removed.
+  /** Atomic predicate delete — the takedown / right-to-be-forgotten path
+    * a training-data lake needs as a first-class operation. Finding the
+    * matches costs one scan of the committed view (arbitrary predicates
+    * can't be pruned without column stats, which are orthogonal to this
+    * protocol), but the REWRITE is bounded by the partitions that
+    * actually contain matches: only those are re-read and re-staged at
+    * the next generation; a partition left empty by the delete is
+    * dropped from the manifest. One atomic publish — a crash anywhere
+    * leaves every deleted row still committed. Rows delete when the
+    * predicate is TRUE; NULL predicate rows survive (SQL DELETE
+    * semantics). Returns the number of rows deleted (0 = no commit was
+    * made).
     */
-  def vacuum(dir: String): Long = {
+  def deleteWhere(spark: SparkSession, dir: String, predicate: org.apache.spark.sql.Column): Long = {
+    val c = readCommit(dir).getOrElse(return 0L)
+    if (c.gens.isEmpty) return 0L
+    val full = read(spark, dir).get
+    // touched partitions + per-partition match counts in one bounded collect
+    val touchedRows = full.filter(predicate)
+      .groupBy(col(c.partitionCol).cast("string").as("_v"))
+      .agg(count(lit(1)).as("_n")).collect()
+    if (touchedRows.isEmpty) return 0L
+    val deleted = touchedRows.map(_.getLong(1)).sum
+    val touchedVals = touchedRows.map(_.getString(0)).toSet
+    val touchedPaths = c.gens.filter { case (v, _) => touchedVals(v) }
+      .toSeq.sortBy(_._1)
+      .map { case (v, g) => s"$dir/${c.partitionCol}=$v/gen=$g" }
+    val survivors = spark.read.option("basePath", dir)
+      .parquet(touchedPaths: _*).drop("gen")
+      .filter(!coalesce(predicate, lit(false)))
+    // freeze before staging: the survivor frame lazily reads committed
+    // files of the same table (same discipline as upsertBatch)
+    val frozen = survivors.localCheckpoint(true)
+    try {
+      val newGen = c.tableGen + 1
+      val survivorVals = frozen.select(col(c.partitionCol).cast("string"))
+        .distinct().collect().map(_.getString(0)).toSet
+      touchedVals.foreach { v =>
+        val orphan = localPath(dir).resolve(s"${c.partitionCol}=$v").resolve(s"gen=$newGen")
+        if (Files.exists(orphan)) deleteRecursively(orphan)
+      }
+      if (survivorVals.nonEmpty) {
+        frozen.withColumn("gen", lit(newGen))
+          .write.mode(SaveMode.Append)
+          .partitionBy(c.partitionCol, "gen")
+          .parquet(dir)
+      }
+      val emptied = touchedVals -- survivorVals
+      publish(dir, Commit(c.partitionCol,
+        (c.gens -- emptied) ++ survivorVals.map(_ -> newGen), newGen))
+      deleted
+    } finally frozen.unpersist()
+  }
+
+  /** Change-data-capture between two archived commits (ids from
+    * [[commits]]; `fromId = 0` = the empty table). Immutable generations
+    * make the diff both exact and PRUNED: a partition whose committed
+    * generation is identical in both commits is never read — IO follows
+    * the churn between the snapshots, not table size. Rows are matched
+    * on `keyCol` (the upsert key — unique per committed state) and
+    * compared null-safely across all other columns; unchanged rows are
+    * absent from the output. Returns the table's columns plus `_change`
+    * (`insert` / `update` / `delete`), carrying the post-image for
+    * insert/update and the pre-image for delete.
+    */
+  def changesBetween(spark: SparkSession, dir: String, fromId: Long,
+      toId: Long, keyCol: String): DataFrame = {
+    def resolve(id: Long): Commit = {
+      if (id == 0L) return Commit("", Map.empty)
+      val p = localPath(dir).resolve("_commits").resolve(f"ct_$id%020d")
+      require(Files.exists(p), s"no archived commit $id under $dir (vacuumed?)")
+      parseCommit(p)
+    }
+    val cFrom = resolve(fromId)
+    val cTo = resolve(toId)
+    val pcol = if (cTo.gens.nonEmpty || cTo.partitionCol.nonEmpty)
+      cTo.partitionCol else cFrom.partitionCol
+    // only partitions whose generation moved participate in the diff
+    val changed = (cFrom.gens.keySet ++ cTo.gens.keySet)
+      .filter(v => cFrom.gens.get(v) != cTo.gens.get(v)).toSeq.sorted
+    def side(c: Commit): Option[DataFrame] = {
+      val paths = changed.flatMap(v => c.gens.get(v).map(g =>
+        s"$dir/$pcol=$v/gen=$g"))
+      if (paths.isEmpty) None
+      else Some(spark.read.option("basePath", dir).parquet(paths: _*).drop("gen"))
+    }
+    val template = side(cTo).orElse(side(cFrom)).getOrElse(
+      return spark.emptyDataFrame)
+    val dataCols = template.columns.filterNot(_ == keyCol)
+    def packed(df: Option[DataFrame], as: String): DataFrame = df match {
+      case Some(d) => d.select(col(keyCol),
+        struct(dataCols.map(col): _*).as(as))
+      case None => template.select(col(keyCol),
+        struct(dataCols.map(col): _*).as(as)).limit(0)
+    }
+    packed(side(cFrom), "_old").join(packed(side(cTo), "_new"),
+        Seq(keyCol), "full_outer")
+      .filter(!(col("_old") <=> col("_new")))
+      .withColumn("_change",
+        when(col("_old").isNull, lit("insert"))
+          .when(col("_new").isNull, lit("delete"))
+          .otherwise(lit("update")))
+      .withColumn("_img", coalesce(col("_new"), col("_old")))
+      .select(col(keyCol) +: col("_change") +:
+        dataCols.map(f => col(s"_img.$f").as(f)): _*)
+  }
+
+  /** Deletes every generation directory the RETAINED commits do not
+    * reference — superseded generations AND orphans from crashed stages —
+    * plus commit archives older than the retention window. Retention:
+    * the current manifest and the newest `keepCommits` archived commits
+    * stay readable ([[readAt]]); everything older goes. Single-writer
+    * assumption: never run concurrently with a stage, and a reader that
+    * resolved paths from a retained commit must finish before a LATER
+    * vacuum drops that commit. Returns the number of generation
+    * directories removed.
+    */
+  def vacuum(dir: String, keepCommits: Int = 1): Long = {
+    require(keepCommits >= 1, "keepCommits must be >= 1")
     val c = readCommit(dir).getOrElse(return 0L)
     val root = localPath(dir)
     if (!Files.exists(root)) return 0L
+    val retainedIds = commits(dir).takeRight(keepCommits)
+    val retained = retainedIds.flatMap { id =>
+      val p = root.resolve("_commits").resolve(f"ct_$id%020d")
+      if (Files.exists(p)) Some(parseCommit(p)) else None
+    } :+ c
+    // per partition value, the set of generations any retained commit pins
+    val keep: Map[String, Set[Long]] = retained
+      .flatMap(_.gens.toSeq).groupBy(_._1)
+      .map { case (v, gs) => v -> gs.map(_._2).toSet }
     var removed = 0L
     listDir(root).filter(p => Files.isDirectory(p) &&
       p.getFileName.toString.startsWith(s"${c.partitionCol}=")).foreach { pdir =>
       val v = pdir.getFileName.toString.stripPrefix(s"${c.partitionCol}=")
-      val keep = c.gens.get(v)
+      val pinned = keep.getOrElse(v, Set.empty)
       listDir(pdir).filter(p => Files.isDirectory(p) &&
         p.getFileName.toString.startsWith("gen=")).foreach { gdir =>
         val g = gdir.getFileName.toString.stripPrefix("gen=").toLong
-        if (!keep.contains(g)) {
+        if (!pinned.contains(g)) {
           deleteRecursively(gdir)
           removed += 1
         }
       }
+    }
+    // drop archives outside the retention window
+    val archiveDir = root.resolve("_commits")
+    if (Files.exists(archiveDir)) {
+      val keepNames = retainedIds.map(id => f"ct_$id%020d").toSet
+      listDir(archiveDir).filter(p =>
+        p.getFileName.toString.startsWith("ct_") &&
+          !keepNames.contains(p.getFileName.toString))
+        .foreach(Files.delete)
     }
     removed
   }

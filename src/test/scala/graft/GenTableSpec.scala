@@ -90,6 +90,109 @@ class GenTableSpec extends SparkSpec {
       "vacuum touched a committed generation")
   }
 
+  test("time travel: archived commits stay readable within retention") {
+    val dir = tmp()
+    GenTable.upsertBatch(batch((1L, 10L, 1.0), (2L, 10L, 2.0)),
+      dir, "user_id", Seq("ts"), "bucket")
+    GenTable.upsertBatch(batch((1L, 20L, 1.5), (3L, 20L, 3.0)),
+      dir, "user_id", Seq("ts"), "bucket")
+    GenTable.upsertBatch(batch((2L, 30L, 2.9)),
+      dir, "user_id", Seq("ts"), "bucket")
+    val ids = GenTable.commits(dir)
+    assert(ids === Seq(1L, 2L, 3L))
+    // every snapshot is exact — generations are immutable
+    assert(rows(GenTable.readAt(spark, dir, 1L).get) === Set(
+      (1L, 10L, 1.0, 1), (2L, 10L, 2.0, 2)))
+    assert(rows(GenTable.readAt(spark, dir, 2L).get) === Set(
+      (1L, 20L, 1.5, 1), (2L, 10L, 2.0, 2), (3L, 20L, 3.0, 3)))
+    assert(rows(GenTable.readAt(spark, dir, 3L).get) ===
+      rows(GenTable.read(spark, dir).get))
+    // retention: keep the 2 newest commits — snapshot 2 survives vacuum,
+    // snapshot 1 is dropped (archive AND its unreferenced generations)
+    GenTable.vacuum(dir, keepCommits = 2)
+    assert(GenTable.commits(dir) === Seq(2L, 3L))
+    assert(rows(GenTable.readAt(spark, dir, 2L).get) === Set(
+      (1L, 20L, 1.5, 1), (2L, 10L, 2.0, 2), (3L, 20L, 3.0, 3)))
+    assert(GenTable.readAt(spark, dir, 1L).isEmpty)
+    // current view untouched by retention trimming
+    assert(rows(GenTable.read(spark, dir).get) === Set(
+      (1L, 20L, 1.5, 1), (2L, 30L, 2.9, 2), (3L, 20L, 3.0, 3)))
+  }
+
+  test("deleteWhere: bounded rewrite, emptied partitions leave the manifest") {
+    val dir = tmp()
+    GenTable.upsertBatch(
+      batch((1L, 10L, 1.0), (2L, 10L, 2.0), (5L, 10L, 5.0), (3L, 10L, 3.0)),
+      dir, "user_id", Seq("ts"), "bucket")
+    val c1 = GenTable.readCommit(dir).get
+    // deletes users 2 (bucket 2 -> emptied) and 5 (bucket 1 -> rewritten);
+    // bucket 3 has no matches and must keep its committed generation
+    val n = GenTable.deleteWhere(spark, dir,
+      col("value") >= 2.0 && col("bucket") =!= 3)
+    assert(n === 2L)
+    val c2 = GenTable.readCommit(dir).get
+    assert(!c2.gens.contains("2"), "emptied partition still in manifest")
+    assert(c2.gens("3") === c1.gens("3"), "untouched partition was rewritten")
+    assert(c2.gens("1") === c1.tableGen + 1)
+    assert(rows(GenTable.read(spark, dir).get) ===
+      Set((1L, 10L, 1.0, 1), (3L, 10L, 3.0, 3)))
+    // a no-match delete makes no commit
+    assert(GenTable.deleteWhere(spark, dir, col("value") > 100.0) === 0L)
+    assert(GenTable.readCommit(dir).get === c2)
+  }
+
+  test("delete emptying the newest generation keeps commit ids monotonic") {
+    val dir = tmp()
+    GenTable.upsertBatch(batch((2L, 10L, 2.0)), dir, "user_id", Seq("ts"), "bucket")
+    GenTable.upsertBatch(batch((1L, 20L, 1.0)), dir, "user_id", Seq("ts"), "bucket")
+    // empties bucket 1 — the ONLY gen=2 partition; without the manifest's
+    // explicit table generation the next commit id would collide with
+    // archive 2 and corrupt time travel
+    assert(GenTable.deleteWhere(spark, dir, col("user_id") === 1L) === 1L)
+    assert(GenTable.commits(dir) === Seq(1L, 2L, 3L))
+    GenTable.upsertBatch(batch((3L, 30L, 3.0)), dir, "user_id", Seq("ts"), "bucket")
+    assert(GenTable.commits(dir) === Seq(1L, 2L, 3L, 4L))
+    assert(rows(GenTable.read(spark, dir).get) ===
+      Set((2L, 10L, 2.0, 2), (3L, 30L, 3.0, 3)))
+    // snapshots on both sides of the delete stay exact
+    assert(rows(GenTable.readAt(spark, dir, 2L).get) ===
+      Set((1L, 20L, 1.0, 1), (2L, 10L, 2.0, 2)))
+    assert(rows(GenTable.readAt(spark, dir, 3L).get) === Set((2L, 10L, 2.0, 2)))
+  }
+
+  test("changesBetween: keyed insert/update/delete; unchanged partitions pruned") {
+    val dir = tmp()
+    GenTable.upsertBatch(
+      batch((1L, 10L, 1.0), (2L, 10L, 2.0), (3L, 10L, 3.0)),
+      dir, "user_id", Seq("ts"), "bucket")                    // commit 1
+    GenTable.upsertBatch(batch((1L, 20L, 1.5), (5L, 20L, 5.0)),
+      dir, "user_id", Seq("ts"), "bucket")                    // commit 2 (bucket 1)
+    assert(GenTable.deleteWhere(spark, dir, col("user_id") === 2L) === 1L) // commit 3
+    def ch(from: Long, to: Long): (Set[(Long, String, Long, Double)], Seq[String]) = {
+      val df = GenTable.changesBetween(spark, dir, from, to, "user_id")
+      (df.select(col("user_id"), col("_change"), col("ts"), col("value"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet,
+        df.inputFiles.toSeq)
+    }
+    val (got13, files13) = ch(1L, 3L)
+    assert(got13 === Set(
+      (1L, "update", 20L, 1.5),   // post-image
+      (5L, "insert", 20L, 5.0),
+      (2L, "delete", 10L, 2.0)))  // pre-image
+    // bucket 3's generation is identical in both commits: never read
+    assert(!files13.exists(_.contains("bucket=3")),
+      s"unchanged partition was scanned: $files13")
+    // one-commit step: only the delete
+    assert(ch(2L, 3L)._1 === Set((2L, "delete", 10L, 2.0)))
+    // from the empty table, everything is an insert
+    val (got01, _) = ch(0L, 1L)
+    assert(got01 === Set((1L, "insert", 10L, 1.0), (2L, "insert", 10L, 2.0),
+      (3L, "insert", 10L, 3.0)))
+    // identical snapshots diff to nothing
+    assert(GenTable.changesBetween(spark, dir, 3L, 3L, "user_id").count() === 0L)
+  }
+
   test("streaming atomic upsert sink == batch latest-per-key") {
     val dir = tmp()
     val in = s"$dir/in"; val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
