@@ -60,9 +60,12 @@ object GenTable {
     * id could collide with an archived one.
     */
   final case class Commit(partitionCol: String, gens: Map[String, Long],
-      minGen: Long = 0L) {
+      minGen: Long = 0L,
+      stats: Map[String, Map[String, (Long, Long)]] = Map.empty) {
     def tableGen: Long =
       if (gens.isEmpty) minGen else math.max(minGen, gens.values.max)
+    /** Columns any partition tracks min/max for (the sticky stats set). */
+    def trackedStatsCols: Set[String] = stats.values.flatMap(_.keys).toSet
   }
 
   private def commitPath(dir: String): Path = localPath(dir).resolve("_commit")
@@ -111,12 +114,17 @@ object GenTable {
     */
   def publish(dir: String, commit: Commit): Unit = {
     Files.createDirectories(localPath(dir))
-    // `#tgen` cannot collide with a partition line: URL encoding never
-    // emits '#' (a literal '#' in a value encodes as %23)
+    // `#tgen`/`#stat` cannot collide with a partition line: URL encoding
+    // never emits '#' (a literal '#' in a value encodes as %23)
+    val statLines = commit.stats.toSeq.sortBy(_._1).flatMap { case (v, cols) =>
+      cols.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+        s"#stat=${enc(v)}|${enc(c)}|$mn|$mx"
+      }
+    }
     val body = (s"pcol=${enc(commit.partitionCol)}" +:
       s"#tgen=${commit.tableGen}" +:
-      commit.gens.toSeq.sortBy(_._1).map { case (v, g) => s"${enc(v)}=$g" })
-      .mkString("", "\n", "\n")
+      (commit.gens.toSeq.sortBy(_._1).map { case (v, g) => s"${enc(v)}=$g" } ++
+        statLines)).mkString("", "\n", "\n")
     val bytes = body.getBytes(StandardCharsets.UTF_8)
     val archiveDir = localPath(dir).resolve("_commits")
     Files.createDirectories(archiveDir)
@@ -141,10 +149,17 @@ object GenTable {
       s"malformed manifest $p")
     val pcol = dec(lines.get(0).stripPrefix("pcol="))
     var minGen = 0L
+    val statBuf = Seq.newBuilder[(String, String, Long, Long)]
     val gens = (1 until lines.size).flatMap { i =>
       val line = lines.get(i)
       if (line.startsWith("#tgen=")) {
         minGen = line.stripPrefix("#tgen=").toLong
+        None
+      } else if (line.startsWith("#stat=")) {
+        val parts = line.stripPrefix("#stat=").split('|')
+        require(parts.length == 4, s"malformed stat line: $line")
+        statBuf += ((dec(parts(0)), dec(parts(1)),
+          parts(2).toLong, parts(3).toLong))
         None
       } else {
         val eq = line.lastIndexOf('=')
@@ -152,7 +167,10 @@ object GenTable {
         Some(dec(line.substring(0, eq)) -> line.substring(eq + 1).toLong)
       }
     }.toMap
-    Commit(pcol, gens, minGen)
+    val stats = statBuf.result().groupBy(_._1).map { case (v, rows) =>
+      v -> rows.map(r => r._2 -> (r._3, r._4)).toMap
+    }
+    Commit(pcol, gens, minGen, stats)
   }
 
   /** Time travel: the table as of an archived commit id (from
@@ -199,7 +217,8 @@ object GenTable {
     * Spark's path escaping would diverge between the manifest and the
     * directory layout.
     */
-  def stage(rows: DataFrame, dir: String, partitionCol: String): Commit = {
+  def stage(rows: DataFrame, dir: String, partitionCol: String,
+      statsCols: Seq[String] = Nil): Commit = {
     val prev = readCommit(dir).getOrElse(Commit(partitionCol, Map.empty))
     require(prev.partitionCol == partitionCol,
       s"table is partitioned by ${prev.partitionCol}, not $partitionCol")
@@ -214,8 +233,66 @@ object GenTable {
       .write.mode(SaveMode.Append)
       .partitionBy(partitionCol, "gen")
       .parquet(dir)
-    Commit(partitionCol, prev.gens ++ touched.map(_ -> newGen))
+    // stats are STICKY: once a column is tracked anywhere, every rewrite
+    // of a touched partition re-derives it, so skipping keeps working
+    // without each writer re-declaring the column set
+    val track = (statsCols ++ prev.trackedStatsCols).distinct
+      .filter(rows.columns.contains)
+    val newStats = computeStats(rows, partitionCol, track)
+    Commit(partitionCol, prev.gens ++ touched.map(_ -> newGen),
+      stats = (prev.stats -- touched) ++ newStats)
   }
+
+  /** Per-partition min/max of `track` columns over `rows` in one
+    * map-side-combined aggregate; bounded by partitions-per-batch ×
+    * tracked columns. Values are `cast("long")` (integral semantics —
+    * timestamps compare as epoch seconds); all-null partitions get no
+    * entry (read conservatively by [[readRange]]).
+    */
+  private def computeStats(rows: DataFrame, partitionCol: String,
+      track: Seq[String]): Map[String, Map[String, (Long, Long)]] = {
+    if (track.isEmpty) return Map.empty
+    val aggs = track.flatMap(c => Seq(
+      min(col(c).cast("long")).as(s"_mn_$c"),
+      max(col(c).cast("long")).as(s"_mx_$c")))
+    rows.groupBy(col(partitionCol).cast("string").as("_v"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().map { r =>
+        r.getString(0) -> track.flatMap { c =>
+          val mn = r.getAs[Any](s"_mn_$c")
+          val mx = r.getAs[Any](s"_mx_$c")
+          if (mn == null || mx == null) None
+          else Some(c -> (mn.asInstanceOf[Long], mx.asInstanceOf[Long]))
+        }.toMap
+      }.toMap
+  }
+
+  /** Stats-pruned range read: partitions whose tracked `[min, max]` for
+    * `statsCol` cannot intersect `[lo, hi]` are never opened (manifest
+    * metadata only — the Iceberg-style skip on a NON-partition column);
+    * partitions without stats for the column are read conservatively.
+    * The residual filter is always applied, so the result equals
+    * `read(...).filter(statsCol.cast("long") between lo and hi)` exactly.
+    */
+  def readRange(spark: SparkSession, dir: String, statsCol: String,
+      lo: Long, hi: Long): Option[DataFrame] =
+    readCommit(dir).filter(_.gens.nonEmpty).map { c =>
+      val resid = (df: DataFrame) =>
+        df.filter(col(statsCol).cast("long").between(lo, hi))
+      val keep = c.gens.toSeq.filter { case (v, _) =>
+        c.stats.get(v).flatMap(_.get(statsCol)) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None => true
+        }
+      }.sortBy(_._1)
+      if (keep.isEmpty) {
+        // everything pruned: schema-correct empty frame off the full view
+        resid(read(spark, dir).get).limit(0)
+      } else {
+        val paths = keep.map { case (v, g) => s"$dir/${c.partitionCol}=$v/gen=$g" }
+        resid(spark.read.option("basePath", dir).parquet(paths: _*).drop("gen"))
+      }
+    }
 
   /** Atomic upsert of one batch: merge latest-per-key into the touched
     * partitions and commit. This is the transactional replacement for the
@@ -226,7 +303,8 @@ object GenTable {
     * the committed view byte-identical to the pre-batch state.
     */
   def upsertBatch(batch: DataFrame, dir: String, keyCol: String,
-      orderCols: Seq[String], partitionCol: String): Unit = {
+      orderCols: Seq[String], partitionCol: String,
+      statsCols: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
     val prev = readCommit(dir).getOrElse(Commit(partitionCol, Map.empty))
     val touchedVals = batch.select(col(partitionCol).cast("string")).distinct()
@@ -250,7 +328,7 @@ object GenTable {
     // overwrite sink nothing is overwritten — but freezing the merge keeps
     // the read set independent of writer progress. Release after commit.
     val frozen = merged.localCheckpoint(true)
-    try publish(dir, stage(frozen, dir, partitionCol))
+    try publish(dir, stage(frozen, dir, partitionCol, statsCols))
     finally frozen.unpersist()
   }
 
@@ -285,7 +363,9 @@ object GenTable {
       .option("maxRecordsPerFile", targetRecordsPerFile)
       .partitionBy(c.partitionCol, "gen")
       .parquet(dir)
-    val next = Commit(c.partitionCol, c.gens.map { case (v, _) => v -> newGen })
+    // contents are unchanged by compaction, so stats carry over as-is
+    val next = Commit(c.partitionCol,
+      c.gens.map { case (v, _) => v -> newGen }, stats = c.stats)
     publish(dir, next)
     (before, committedFiles(next))
   }
@@ -320,6 +400,51 @@ object GenTable {
     val survivors = spark.read.option("basePath", dir)
       .parquet(touchedPaths: _*).drop("gen")
       .filter(!coalesce(predicate, lit(false)))
+    commitRewrite(spark, dir, c, touchedVals, survivors)
+    deleted
+  }
+
+  /** Atomic delete by key list — the shape real takedown requests
+    * arrive in (a bounded list of user/doc ids). Unlike [[deleteWhere]]
+    * there is NO full-table find-scan: the stable key→partition
+    * contract (`partitionExpr`, the same mapping the writer used)
+    * derives the touched partitions directly from the keys, so both the
+    * scan and the rewrite are bounded by the partitions the keys map
+    * to — at 100 TB a thousand-user takedown reads a handful of
+    * buckets, never the table. `keys` is broadcast into the anti-join
+    * (takedown lists are small by nature). Keys mapping to absent
+    * partitions, or absent from their partition, delete nothing.
+    * Returns rows deleted (0 = no commit).
+    */
+  def deleteKeys(keys: DataFrame, dir: String, keyCol: String,
+      partitionExpr: org.apache.spark.sql.Column): Long = {
+    val spark = keys.sparkSession
+    val c = readCommit(dir).getOrElse(return 0L)
+    if (c.gens.isEmpty) return 0L
+    val k = keys.select(col(keyCol)).distinct()
+    val touchedVals = k.select(partitionExpr.cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+      .filter(c.gens.contains) // bounded: partitions the key list maps to
+    if (touchedVals.isEmpty) return 0L
+    val touchedPaths = c.gens.filter { case (v, _) => touchedVals(v) }
+      .toSeq.sortBy(_._1)
+      .map { case (v, g) => s"$dir/${c.partitionCol}=$v/gen=$g" }
+    val part = spark.read.option("basePath", dir)
+      .parquet(touchedPaths: _*).drop("gen")
+    val deleted = part.join(broadcast(k), Seq(keyCol), "left_semi").count()
+    if (deleted == 0L) return 0L
+    commitRewrite(spark, dir, c, touchedVals,
+      part.join(broadcast(k), Seq(keyCol), "left_anti"))
+    deleted
+  }
+
+  /** Shared delete tail: stage the survivors of the touched partitions
+    * at the next generation, drop partitions the rewrite emptied, and
+    * publish once. `minGen` pins the commit id even when the rewrite
+    * removes every max-generation partition.
+    */
+  private def commitRewrite(spark: SparkSession, dir: String, c: Commit,
+      touchedVals: Set[String], survivors: DataFrame): Unit = {
     // freeze before staging: the survivor frame lazily reads committed
     // files of the same table (same discipline as upsertBatch)
     val frozen = survivors.localCheckpoint(true)
@@ -338,9 +463,12 @@ object GenTable {
           .parquet(dir)
       }
       val emptied = touchedVals -- survivorVals
+      // rewritten partitions re-derive their tracked stats off the
+      // survivors; emptied ones drop theirs with the partition
+      val track = c.trackedStatsCols.toSeq.filter(frozen.columns.contains)
       publish(dir, Commit(c.partitionCol,
-        (c.gens -- emptied) ++ survivorVals.map(_ -> newGen), newGen))
-      deleted
+        (c.gens -- emptied) ++ survivorVals.map(_ -> newGen), newGen,
+        (c.stats -- touchedVals) ++ computeStats(frozen, c.partitionCol, track)))
     } finally frozen.unpersist()
   }
 

@@ -160,6 +160,30 @@ class GenTableSpec extends SparkSpec {
     assert(rows(GenTable.readAt(spark, dir, 3L).get) === Set((2L, 10L, 2.0, 2)))
   }
 
+  test("deleteKeys: key-list takedown touches only the keys' partitions") {
+    val dir = tmp()
+    GenTable.upsertBatch(
+      batch((1L, 10L, 1.0), (2L, 10L, 2.0), (3L, 10L, 3.0), (5L, 10L, 5.0)),
+      dir, "user_id", Seq("ts"), "bucket")
+    val c1 = GenTable.readCommit(dir).get
+    // key 1 deletes; key 9 maps to bucket 1 too but is absent (no-op);
+    // user 5 shares bucket 1 and must survive the rewrite
+    val n = GenTable.deleteKeys(Seq(1L, 9L).toDF("user_id"), dir,
+      "user_id", pmod(col("user_id"), lit(4)))
+    assert(n === 1L)
+    val c2 = GenTable.readCommit(dir).get
+    assert(rows(GenTable.read(spark, dir).get) ===
+      Set((2L, 10L, 2.0, 2), (3L, 10L, 3.0, 3), (5L, 10L, 5.0, 1)))
+    // partitions no key maps to keep their committed generation (never read)
+    assert(c2.gens("2") === c1.gens("2"))
+    assert(c2.gens("3") === c1.gens("3"))
+    assert(c2.gens("1") === c1.tableGen + 1)
+    // keys present in mapped partitions but absent from the table: no commit
+    assert(GenTable.deleteKeys(Seq(13L).toDF("user_id"), dir,
+      "user_id", pmod(col("user_id"), lit(4))) === 0L)
+    assert(GenTable.readCommit(dir).get === c2)
+  }
+
   test("changesBetween: keyed insert/update/delete; unchanged partitions pruned") {
     val dir = tmp()
     GenTable.upsertBatch(
@@ -191,6 +215,39 @@ class GenTableSpec extends SparkSpec {
       (3L, "insert", 10L, 3.0)))
     // identical snapshots diff to nothing
     assert(GenTable.changesBetween(spark, dir, 3L, 3L, "user_id").count() === 0L)
+  }
+
+  test("readRange: manifest column stats skip partitions; sticky across rewrites") {
+    val dir = tmp()
+    // disjoint ts ranges per bucket so the skip is observable
+    GenTable.upsertBatch(batch((1L, 10L, 1.0), (5L, 20L, 5.0)),
+      dir, "user_id", Seq("ts"), "bucket", statsCols = Seq("ts"))  // bucket 1
+    // later writers do NOT re-declare the stats column — it is sticky
+    GenTable.upsertBatch(batch((2L, 100L, 2.0), (6L, 110L, 6.0)),
+      dir, "user_id", Seq("ts"), "bucket")                         // bucket 2
+    GenTable.upsertBatch(batch((3L, 1000L, 3.0)),
+      dir, "user_id", Seq("ts"), "bucket")                         // bucket 3
+    val df = GenTable.readRange(spark, dir, "ts", 90L, 200L).get
+    assert(rows(df) === Set((2L, 100L, 2.0, 2), (6L, 110L, 6.0, 2)))
+    val files = df.inputFiles.toSeq
+    assert(!files.exists(_.contains("bucket=1")) &&
+      !files.exists(_.contains("bucket=3")),
+      s"stats-pruned partitions were opened: $files")
+    // the residual filter still applies inside a kept partition
+    assert(rows(GenTable.readRange(spark, dir, "ts", 105L, 200L).get) ===
+      Set((6L, 110L, 6.0, 2)))
+    // a delete rewrite re-derives the touched partition's stats:
+    // bucket 2 collapses to [110, 110]
+    assert(GenTable.deleteKeys(Seq(2L).toDF("user_id"), dir, "user_id",
+      pmod(col("user_id"), lit(4))) === 1L)
+    assert(GenTable.readRange(spark, dir, "ts", 90L, 105L).get.count() === 0L)
+    val df2 = GenTable.readRange(spark, dir, "ts", 105L, 200L).get
+    assert(rows(df2) === Set((6L, 110L, 6.0, 2)))
+    assert(df2.inputFiles.forall(_.contains("bucket=2")),
+      "refreshed stats failed to prune after the rewrite")
+    // everything-pruned still returns a schema-correct (empty) frame
+    assert(GenTable.readRange(spark, dir, "ts", 5000L, 6000L).get
+      .columns.toSet === Set("user_id", "ts", "value", "bucket"))
   }
 
   test("streaming atomic upsert sink == batch latest-per-key") {
