@@ -72,4 +72,48 @@ object RollupStore {
       .withColumn("value_sum", col("value_sum_dec").cast("double"))
       .withColumn("n_users_est", hll_sketch_estimate(col("users_hll")))
       .drop("value_sum_dec", "users_hll")
+
+  /** Incremental refresh of a grouped count/sum view from a CDC frame —
+    * the RETRACTION complement of [[merge]]'s append-only algebra.
+    * [[merge]] can only ADD batches; a keyed table whose rows UPDATE or
+    * DELETE (the [[graft.sources.GenTable]] upsert shape) needs signed
+    * deltas: each pre-image retracts its old contribution (`-1`,
+    * `-value`), each post-image adds its new one, so an update that moves
+    * a row between groups decrements one group and increments the other.
+    *
+    * `view` has columns (`groupCol`, `n_rows`, `value_sum_dec`) — the
+    * count/sum subset of [[partials]]; `changes` is
+    * [[graft.sources.GenTable.changesWithImages]] output (`_pre`/`_post`
+    * structs containing `groupCol` and `valueCol`). Sums stay on the
+    * exact decimal grid, so refresh equals recompute to the bit, in any
+    * batch order. Groups whose count reaches zero leave the view.
+    *
+    * 100 TB shape: cost scales with the CHURN (one map-side-combined
+    * aggregate over 2×|changes| delta rows, one store-sized keyed merge)
+    * — the history is never re-read. Min/max and HLL state are NOT
+    * retractable; maintain those with [[merge]] on append-only feeds, or
+    * recompute just the groups the CDC frame names.
+    */
+  def applyCdcDeltas(view: DataFrame, changes: DataFrame, groupCol: String,
+      valueCol: String, scale: Int = 10): DataFrame = {
+    val dec = s"decimal(28,$scale)"
+    val dec38 = s"decimal(38,$scale)"
+    def img(side: String, sign: Int): DataFrame =
+      changes.filter(col(side).isNotNull).select(
+        col(s"$side.$groupCol").as(groupCol),
+        lit(sign.toLong).as("_dn"),
+        (col(s"$side.$valueCol").cast(dec) * sign).cast(dec38).as("_dv"))
+    val delta = img("_pre", -1).unionByName(img("_post", 1))
+      .groupBy(col(groupCol))
+      .agg(sum(col("_dn")).cast("long").as("_dn"),
+        sum(col("_dv")).cast(dec38).as("_dv"))
+    view.join(delta, Seq(groupCol), "full_outer")
+      .select(col(groupCol),
+        (coalesce(col("n_rows"), lit(0L)) + coalesce(col("_dn"), lit(0L)))
+          .cast("long").as("n_rows"),
+        (coalesce(col("value_sum_dec"), lit(0).cast(dec38)) +
+          coalesce(col("_dv"), lit(0).cast(dec38)))
+          .cast(dec38).as("value_sum_dec"))
+      .filter(col("n_rows") > 0)
+  }
 }

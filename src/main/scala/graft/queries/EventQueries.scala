@@ -499,6 +499,60 @@ object EventQueries extends QueryPack {
         .select(col("user_id"), col("_change"), col("event_id"), col("ts"),
           col("event_type"), col("value"), col("props"),
           col("bucket").cast("int").as("bucket"))
+    },
+
+    // -- Manifest column-stats skip (the Iceberg-style metadata read):
+    //    the events slice lands in a GenTable partitioned by DAY with
+    //    min/max tracked on event_id — a column the fixture assigns in
+    //    arrival order, so each day covers a near-disjoint id band (the
+    //    ingestion-time correlation real lakes exploit for file skipping
+    //    on non-partition columns). readRange resolves the id window
+    //    [100, 700] to the few days whose tracked band intersects it —
+    //    partitions outside are never opened (inputFiles-pinned in
+    //    GenTableSpec) — then applies the residual filter, so the result
+    //    equals a plain range filter, which is what the oracle replays.
+    "e23_stats_skip_read" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e23_").toString
+      val slice = t.events.filter(col("user_id") % 5 === 2)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      graft.sources.GenTable.upsertBatch(slice, tmp, "event_id",
+        Seq("ts"), "day", statsCols = Seq("event_id"))
+      graft.sources.GenTable.readRange(spark, tmp, "event_id", 100L, 700L).get
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"), col("props"), col("day").cast("string").as("day"))
+    },
+
+    // -- Incremental view maintenance from CDC (the retraction algebra):
+    //    a per-event-type count/sum view over the latest-per-user table
+    //    is refreshed from the pre/post images of the commit-1 → commit-2
+    //    diff — every pre-image retracts, every post-image adds, so
+    //    users whose latest row MOVED between types decrement one group
+    //    and increment the other, on the exact decimal grid. The oracle
+    //    recomputes the view from scratch at snapshot 2: refresh ==
+    //    recompute, bit-for-bit, while the refresh itself reads only the
+    //    churn (changed partitions + store-sized merge), never history.
+    "e24_cdc_view_refresh" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e24_").toString
+      val slice = t.events.filter(col("user_id") % 5 === 4)
+        .withColumn("bucket", pmod(col("user_id"), lit(8)).cast("int"))
+      val early = slice.filter(col("ts") < lit("2024-01-11").cast("timestamp"))
+      graft.sources.GenTable.upsertBatch(early, tmp, "user_id",
+        Seq("ts", "event_id"), "bucket")                        // commit 1
+      graft.sources.GenTable.upsertBatch(slice.exceptAll(early), tmp, "user_id",
+        Seq("ts", "event_id"), "bucket")                        // commit 2
+      val view1 = graft.sources.GenTable.readAt(spark, tmp, 1L).get
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("value").cast("decimal(28,10)"))
+            .cast("decimal(38,10)").as("value_sum_dec"))
+      val changes = graft.sources.GenTable.changesWithImages(
+        spark, tmp, 1L, 2L, "user_id")
+      graft.operators.RollupStore
+        .applyCdcDeltas(view1, changes, "event_type", "value")
+        .select(col("event_type"), col("n_rows"),
+          col("value_sum_dec").cast("double").as("total_value"))
     }
   )
 
@@ -812,6 +866,26 @@ object EventQueries extends QueryPack {
         |  o.event_type IS NOT DISTINCT FROM n.event_type AND
         |  o.value IS NOT DISTINCT FROM n.value AND
         |  o.props IS NOT DISTINCT FROM n.props AND
-        |  o.bucket IS NOT DISTINCT FROM n.bucket)""".stripMargin
+        |  o.bucket IS NOT DISTINCT FROM n.bucket)""".stripMargin,
+    // e23: the stats-pruned range read must equal a plain range filter
+    // over the slice — the skip is a pure read-path optimization.
+    "e23_stats_skip_read" ->
+      """SELECT event_id, ts, user_id, event_type, value, props,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day
+        |FROM events
+        |WHERE user_id % 5 = 2 AND event_id BETWEEN 100 AND 700""".stripMargin,
+    // e24: refresh == recompute — the CDC-refreshed view must equal the
+    // view recomputed from scratch over snapshot 2 (the full slice's
+    // latest-per-user rows), on the same decimal grid.
+    "e24_cdc_view_refresh" ->
+      """WITH s2 AS (
+        |  SELECT event_type, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |    FROM events WHERE user_id % 5 = 4)
+        |  WHERE rn = 1)
+        |SELECT event_type, count(*) AS n_rows,
+        |  CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total_value
+        |FROM s2 GROUP BY 1""".stripMargin
   )
 }

@@ -337,9 +337,21 @@ object GenTable {
     * manifest swap. Readers see the old file set or the new one, never a
     * mix — the transactional replacement for compact-by-overwrite.
     * Returns (filesBefore, filesAfter) over committed generations.
+    *
+    * `clusterBy` (optional) sorts rows by the given columns within each
+    * rewritten partition, so consecutive output files — and their parquet
+    * row groups — cover disjoint value bands. A later range scan on a
+    * clustered column then prunes row groups via the pushed filter's
+    * footer min/max check, the file-level complement of the manifest's
+    * partition-level [[readRange]] skip (OPTIMIZE-style clustering; for
+    * multi-dimensional locality pass one interleaved key, e.g.
+    * `functions.ZOrder`, instead of several columns). Clustered rewrites
+    * shuffle by the table partition column (not round-robin), so one
+    * task writes each partition's sorted run; skewed partitions bound
+    * task size by their own row count — same bound as the upsert path.
     */
-  def compact(spark: SparkSession, dir: String,
-      targetRecordsPerFile: Long): (Long, Long) = {
+  def compact(spark: SparkSession, dir: String, targetRecordsPerFile: Long,
+      clusterBy: Seq[String] = Nil): (Long, Long) = {
     require(targetRecordsPerFile > 0, "targetRecordsPerFile must be positive")
     val c = readCommit(dir).getOrElse(
       throw new IllegalStateException(s"no committed generation under $dir"))
@@ -357,8 +369,16 @@ object GenTable {
       val orphan = localPath(dir).resolve(s"${c.partitionCol}=$v").resolve(s"gen=$newGen")
       if (Files.exists(orphan)) deleteRecursively(orphan)
     }
-    df.repartition(files.toInt)
-      .withColumn("gen", lit(newGen))
+    // gen is added BEFORE the cluster sort so the writer's required
+    // ordering (partitionCol, gen) is already satisfied and it does not
+    // re-sort — a writer-side re-sort would destroy the cluster order
+    val base = df.withColumn("gen", lit(newGen))
+    val staged =
+      if (clusterBy.isEmpty) base.repartition(files.toInt)
+      else base.repartition(files.toInt, col(c.partitionCol))
+        .sortWithinPartitions(
+          (Seq(c.partitionCol, "gen") ++ clusterBy).map(col): _*)
+    staged
       .write.mode(SaveMode.Append)
       .option("maxRecordsPerFile", targetRecordsPerFile)
       .partitionBy(c.partitionCol, "gen")
@@ -485,6 +505,29 @@ object GenTable {
     */
   def changesBetween(spark: SparkSession, dir: String, fromId: Long,
       toId: Long, keyCol: String): DataFrame = {
+    val diff = changeImages(spark, dir, fromId, toId, keyCol)
+    if (diff.columns.isEmpty) return diff
+    val dataCols = diff.schema("_post").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
+    diff.withColumn("_img", coalesce(col("_post"), col("_pre")))
+      .select(col(keyCol) +: col("_change") +:
+        dataCols.toSeq.map(f => col(s"_img.$f").as(f)): _*)
+  }
+
+  /** [[changesBetween]] with BOTH row images: `_pre` (the `fromId` row,
+    * null for inserts) and `_post` (the `toId` row, null for deletes) as
+    * structs of the non-key columns. This is the shape incremental view
+    * maintenance needs — an update's effect on a downstream aggregate is
+    * `-f(pre) + f(post)`, which the single-image form cannot express
+    * (see [[graft.operators.RollupStore.applyCdcDeltas]]). Same pruning:
+    * only partitions whose generation moved are read.
+    */
+  def changesWithImages(spark: SparkSession, dir: String, fromId: Long,
+      toId: Long, keyCol: String): DataFrame =
+    changeImages(spark, dir, fromId, toId, keyCol)
+
+  private def changeImages(spark: SparkSession, dir: String, fromId: Long,
+      toId: Long, keyCol: String): DataFrame = {
     def resolve(id: Long): Commit = {
       if (id == 0L) return Commit("", Map.empty)
       val p = localPath(dir).resolve("_commits").resolve(f"ct_$id%020d")
@@ -513,16 +556,13 @@ object GenTable {
       case None => template.select(col(keyCol),
         struct(dataCols.map(col): _*).as(as)).limit(0)
     }
-    packed(side(cFrom), "_old").join(packed(side(cTo), "_new"),
+    packed(side(cFrom), "_pre").join(packed(side(cTo), "_post"),
         Seq(keyCol), "full_outer")
-      .filter(!(col("_old") <=> col("_new")))
+      .filter(!(col("_pre") <=> col("_post")))
       .withColumn("_change",
-        when(col("_old").isNull, lit("insert"))
-          .when(col("_new").isNull, lit("delete"))
+        when(col("_pre").isNull, lit("insert"))
+          .when(col("_post").isNull, lit("delete"))
           .otherwise(lit("update")))
-      .withColumn("_img", coalesce(col("_new"), col("_old")))
-      .select(col(keyCol) +: col("_change") +:
-        dataCols.map(f => col(s"_img.$f").as(f)): _*)
   }
 
   /** Deletes every generation directory the RETAINED commits do not

@@ -49,6 +49,38 @@ object ProbeGenTable {
     time("vacuum superseded generations") {
       out.println(s"  removed dirs: ${GenTable.vacuum(table)}")
     }
+    // -- stats-skip arm: day-partitioned table with event_id tracked.
+    //    event_id is assigned in arrival order, so each day holds a
+    //    near-disjoint id band — the ingestion-time correlation
+    //    readRange's manifest min/max skip exploits on a NON-partition
+    //    column. The claim: a narrow id-range read costs one partition's
+    //    scan, not the table's.
+    val statsTable = java.nio.file.Files.createTempDirectory("graft_gt_stats_").toString
+    val byDay = events.drop("bucket")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    time("seed: day-partitioned table, event_id stats") {
+      GenTable.upsertBatch(byDay, statsTable, "event_id", Seq("ts"), "day",
+        statsCols = Seq("event_id"))
+    }
+    val maxId = events.agg(max("event_id")).head().getLong(0)
+    val lo = maxId * 3 / 10
+    val hi = lo + math.max(1L, maxId / 100)
+    val c = GenTable.readCommit(statsTable).get
+    val kept = c.gens.keys.count { v =>
+      c.stats.get(v).flatMap(_.get("event_id"))
+        .forall { case (mn, mx) => mx >= lo && mn <= hi }
+    }
+    out.println(s"range [$lo, $hi]: manifest keeps $kept/${c.gens.size} partitions")
+    for (round <- Seq("cold", "warm")) {
+      time(s"range count: full-scan filter ($round)") {
+        out.println(s"  rows=${GenTable.read(spark, statsTable).get
+          .filter(col("event_id").between(lo, hi)).count()}")
+      }
+      time(s"range count: stats-pruned readRange ($round)") {
+        out.println(s"  rows=${GenTable.readRange(spark, statsTable, "event_id", lo, hi)
+          .get.count()}")
+      }
+    }
     out.close()
     spark.stop()
   }

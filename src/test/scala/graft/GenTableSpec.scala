@@ -250,6 +250,69 @@ class GenTableSpec extends SparkSpec {
       .columns.toSet === Set("user_id", "ts", "value", "bucket"))
   }
 
+  test("applyCdcDeltas: CDC refresh == recompute across insert/update/delete") {
+    val dir = tmp()
+    GenTable.upsertBatch(
+      batch((1L, 10L, 1.0), (2L, 10L, 2.0), (3L, 10L, 3.0), (5L, 10L, 5.0)),
+      dir, "user_id", Seq("ts"), "bucket")                      // commit 1
+    GenTable.upsertBatch(batch((1L, 20L, 1.5), (4L, 20L, 4.0)),
+      dir, "user_id", Seq("ts"), "bucket")                      // commit 2
+    assert(GenTable.deleteWhere(spark, dir, col("user_id") === 3L) === 1L) // 3
+    def viewOf(df: DataFrame): DataFrame = df.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("value").cast("decimal(28,10)"))
+          .cast("decimal(38,10)").as("value_sum_dec"))
+    val refreshed = graft.operators.RollupStore.applyCdcDeltas(
+      viewOf(GenTable.readAt(spark, dir, 1L).get),
+      GenTable.changesWithImages(spark, dir, 1L, 3L, "user_id"),
+      "bucket", "value")
+    def asSet(df: DataFrame): Set[(Int, Long, BigDecimal)] =
+      df.collect().map(r => (r.getAs[Number]("bucket").intValue(),
+        r.getAs[Long]("n_rows"),
+        BigDecimal(r.getAs[java.math.BigDecimal]("value_sum_dec")))).toSet
+    // delete emptied bucket 3's group: it must leave the view entirely
+    assert(asSet(refreshed) === asSet(viewOf(GenTable.read(spark, dir).get)))
+    assert(!refreshed.collect().map(_.getAs[Number]("bucket").intValue())
+      .contains(3))
+  }
+
+  test("compact(clusterBy): range scans prune row groups of non-covering files") {
+    val dir = tmp()
+    // 4000 keys in one table partition; committed file order is the
+    // window-merge shuffle order, i.e. unclustered
+    val df = spark.range(4000).select(
+        col("id").as("user_id"), lit(0L).as("ts"),
+        col("id").cast("double").as("value"))
+      .withColumn("bucket", lit(0).cast("int"))
+    GenTable.upsertBatch(df, dir, "user_id", Seq("ts"), "bucket")
+
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scanned(d: DataFrame): Long = {
+      d.collect()
+      def walk(p: SparkPlan): Long = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case s: FileSourceScanExec => s.metrics("numOutputRows").value
+        case other => other.children.map(walk).sum
+      }
+      walk(d.queryExecution.executedPlan)
+    }
+    def rangeQ = GenTable.read(spark, dir).get
+      .filter(col("user_id").between(1000, 1199))
+
+    GenTable.compact(spark, dir, 500L) // every 500-row file spans the id range
+    assert(rangeQ.count() === 200L)
+    val unclustered = scanned(rangeQ)
+    GenTable.compact(spark, dir, 500L, clusterBy = Seq("user_id"))
+    assert(rangeQ.count() === 200L)
+    val clustered = scanned(rangeQ)
+    // clustered: the pushed range filter's footer min/max check keeps a
+    // single 500-row file's row group; unclustered reads everything
+    assert(clustered <= 500L, s"clustered scan read $clustered rows")
+    assert(unclustered >= clustered * 4,
+      s"no row-group pruning: unclustered=$unclustered clustered=$clustered")
+  }
+
   test("streaming atomic upsert sink == batch latest-per-key") {
     val dir = tmp()
     val in = s"$dir/in"; val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
