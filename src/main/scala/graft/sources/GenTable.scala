@@ -514,6 +514,25 @@ object GenTable {
         dataCols.toSeq.map(f => col(s"_img.$f").as(f)): _*)
   }
 
+  /** Incremental CDC consumption: the pre/post-image changes between the
+    * consumer's last-seen commit id (0 = never consumed) and the current
+    * head, plus the head id to checkpoint for the next poll. `None` when
+    * nothing new committed. Feeding each poll's frame to
+    * [[graft.operators.RollupStore.applyCdcDeltas]] maintains a
+    * downstream view that equals a from-scratch recompute after every
+    * poll, whatever the poll-to-commit interleaving — the lake-to-view
+    * pipeline loop (spec-pinned). Retention contract: the consumer must
+    * poll within `keepCommits` of [[vacuum]], or its `lastSeenId`
+    * snapshot is gone and the diff fails fast rather than silently
+    * dropping changes.
+    */
+  def changesSince(spark: SparkSession, dir: String, lastSeenId: Long,
+      keyCol: String): Option[(Long, DataFrame)] = {
+    val head = commits(dir).lastOption.getOrElse(return None)
+    if (head <= lastSeenId) None
+    else Some((head, changesWithImages(spark, dir, lastSeenId, head, keyCol)))
+  }
+
   /** [[changesBetween]] with BOTH row images: `_pre` (the `fromId` row,
     * null for inserts) and `_post` (the `toId` row, null for deletes) as
     * structs of the non-key columns. This is the shape incremental view

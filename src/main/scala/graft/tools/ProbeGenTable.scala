@@ -49,38 +49,54 @@ object ProbeGenTable {
     time("vacuum superseded generations") {
       out.println(s"  removed dirs: ${GenTable.vacuum(table)}")
     }
-    // -- stats-skip arm: day-partitioned table with event_id tracked.
-    //    event_id is assigned in arrival order, so each day holds a
-    //    near-disjoint id band — the ingestion-time correlation
-    //    readRange's manifest min/max skip exploits on a NON-partition
-    //    column. The claim: a narrow id-range read costs one partition's
-    //    scan, not the table's.
-    val statsTable = java.nio.file.Files.createTempDirectory("graft_gt_stats_").toString
-    val byDay = events.drop("bucket")
-      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
-    time("seed: day-partitioned table, event_id stats") {
-      GenTable.upsertBatch(byDay, statsTable, "event_id", Seq("ts"), "day",
-        statsCols = Seq("event_id"))
-    }
-    val maxId = events.agg(max("event_id")).head().getLong(0)
-    val lo = maxId * 3 / 10
-    val hi = lo + math.max(1L, maxId / 100)
-    val c = GenTable.readCommit(statsTable).get
-    val kept = c.gens.keys.count { v =>
-      c.stats.get(v).flatMap(_.get("event_id"))
-        .forall { case (mn, mx) => mx >= lo && mn <= hi }
-    }
-    out.println(s"range [$lo, $hi]: manifest keeps $kept/${c.gens.size} partitions")
-    for (round <- Seq("cold", "warm")) {
-      time(s"range count: full-scan filter ($round)") {
-        out.println(s"  rows=${GenTable.read(spark, statsTable).get
-          .filter(col("event_id").between(lo, hi)).count()}")
+    // -- stats-skip arms: day-partitioned tables, a range read on a
+    //    tracked NON-partition column. Skip is a DATA property — the
+    //    manifest can only prune what the per-partition bands separate:
+    //    arm A tracks this fixture's event_id (tiled generation: every
+    //    day spans the full id space — zero skip possible; measures the
+    //    graceful-degradation floor), arm B tracks a synthesized
+    //    ingestion-order id (rows numbered in ts order — what file
+    //    arrival gives a real lake; near-total skip).
+    def statsArm(label: String, src: org.apache.spark.sql.DataFrame,
+        statCol: String): Unit = {
+      val table = java.nio.file.Files.createTempDirectory("graft_gt_stats_").toString
+      val byDay = src.withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      time(s"[$label] seed: day-partitioned, $statCol stats") {
+        GenTable.upsertBatch(byDay, table, "event_id", Seq("ts"), "day",
+          statsCols = Seq(statCol))
       }
-      time(s"range count: stats-pruned readRange ($round)") {
-        out.println(s"  rows=${GenTable.readRange(spark, statsTable, "event_id", lo, hi)
-          .get.count()}")
+      val maxId = src.agg(max(statCol)).head().getLong(0)
+      val lo = maxId * 3 / 10
+      val hi = lo + math.max(1L, maxId / 100)
+      val c = GenTable.readCommit(table).get
+      val kept = c.gens.keys.count { v =>
+        c.stats.get(v).flatMap(_.get(statCol))
+          .forall { case (mn, mx) => mx >= lo && mn <= hi }
+      }
+      out.println(s"[$label] range [$lo, $hi]: manifest keeps $kept/${c.gens.size} partitions")
+      for (round <- Seq("cold", "warm")) {
+        time(s"[$label] range count: full-scan filter ($round)") {
+          out.println(s"  rows=${GenTable.read(spark, table).get
+            .filter(col(statCol).between(lo, hi)).count()}")
+        }
+        time(s"[$label] range count: stats-pruned readRange ($round)") {
+          out.println(s"  rows=${GenTable.readRange(spark, table, statCol, lo, hi)
+            .get.count()}")
+        }
       }
     }
+    statsArm("uncorrelated", events.drop("bucket"), "event_id")
+    // ingestion order: number rows by arrival (ts) — probe-only RDD use;
+    // a real pipeline gets this for free from its arrival sequence
+    val schema = org.apache.spark.sql.types.StructType(
+      events.drop("bucket").schema.fields :+
+        org.apache.spark.sql.types.StructField("ingest_id",
+          org.apache.spark.sql.types.LongType, nullable = false))
+    val ordered = spark.createDataFrame(
+      events.drop("bucket").orderBy("ts").rdd.zipWithIndex().map {
+        case (r, i) => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+      }, schema).localCheckpoint(true)
+    statsArm("ingest-ordered", ordered, "ingest_id")
     out.close()
     spark.stop()
   }

@@ -276,6 +276,48 @@ class GenTableSpec extends SparkSpec {
       .contains(3))
   }
 
+  test("changesSince + applyCdcDeltas: polled view == recompute at every poll") {
+    val dir = tmp()
+    def viewOf(df: DataFrame): DataFrame = df.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("value").cast("decimal(28,10)"))
+          .cast("decimal(38,10)").as("value_sum_dec"))
+    def asSet(df: DataFrame): Set[(Int, Long, BigDecimal)] =
+      df.collect().map(r => (r.getAs[Number]("bucket").intValue(),
+        r.getAs[Long]("n_rows"),
+        BigDecimal(r.getAs[java.math.BigDecimal]("value_sum_dec")))).toSet
+
+    assert(GenTable.changesSince(spark, dir, 0L, "user_id").isEmpty)
+    var seen = 0L
+    var view = viewOf(spark.range(0).selectExpr("int(id) bucket",
+      "double(id) value")) // empty view, right schema
+    def poll(): Unit = GenTable.changesSince(spark, dir, seen, "user_id")
+      .foreach { case (head, changes) =>
+        view = graft.operators.RollupStore
+          .applyCdcDeltas(view, changes, "bucket", "value")
+          .localCheckpoint(true)
+        seen = head
+      }
+
+    GenTable.upsertBatch(batch((1L, 10L, 1.0), (2L, 10L, 2.0)),
+      dir, "user_id", Seq("ts"), "bucket")
+    poll()
+    assert(asSet(view) === asSet(viewOf(GenTable.read(spark, dir).get)))
+    // two commits between polls: one diff must cover both
+    GenTable.upsertBatch(batch((1L, 20L, 1.5), (3L, 20L, 3.0)),
+      dir, "user_id", Seq("ts"), "bucket")
+    GenTable.upsertBatch(batch((6L, 30L, 6.0)),
+      dir, "user_id", Seq("ts"), "bucket")
+    poll()
+    assert(asSet(view) === asSet(viewOf(GenTable.read(spark, dir).get)))
+    // idle poll: no new commit, no state change
+    assert(GenTable.changesSince(spark, dir, seen, "user_id").isEmpty)
+    // a delete commit retracts through the same loop
+    GenTable.deleteWhere(spark, dir, col("user_id") === 2L)
+    poll()
+    assert(asSet(view) === asSet(viewOf(GenTable.read(spark, dir).get)))
+  }
+
   test("compact(clusterBy): range scans prune row groups of non-covering files") {
     val dir = tmp()
     // 4000 keys in one table partition; committed file order is the
