@@ -250,6 +250,28 @@ class GenTableSpec extends SparkSpec {
       .columns.toSet === Set("user_id", "ts", "value", "bucket"))
   }
 
+  test("readRange: partitions committed before tracking read conservatively") {
+    val dir = tmp()
+    // bucket 1 commits BEFORE any stats tracking exists
+    GenTable.upsertBatch(batch((1L, 10L, 1.0)), dir, "user_id", Seq("ts"),
+      "bucket")
+    // tracking starts later; bucket 2 gets a ts band, bucket 1 has none
+    GenTable.upsertBatch(batch((2L, 1000L, 2.0)), dir, "user_id", Seq("ts"),
+      "bucket", statsCols = Seq("ts"))
+    // the range excludes bucket 2's tracked band — but bucket 1 is
+    // UNTRACKED, so it must be opened (and its row found), never skipped
+    assert(rows(GenTable.readRange(spark, dir, "ts", 0L, 100L).get) ===
+      Set((1L, 10L, 1.0, 1)))
+    // once a rewrite touches bucket 1, the sticky set covers it and the
+    // same range now prunes nothing incorrectly (row still found via stats)
+    GenTable.upsertBatch(batch((5L, 20L, 5.0)), dir, "user_id", Seq("ts"),
+      "bucket")
+    assert(rows(GenTable.readRange(spark, dir, "ts", 0L, 100L).get) ===
+      Set((1L, 10L, 1.0, 1), (5L, 20L, 5.0, 1)))
+    assert(GenTable.readCommit(dir).get.stats.contains("1"),
+      "rewrite of an untracked partition must derive the sticky stats set")
+  }
+
   test("applyCdcDeltas: CDC refresh == recompute across insert/update/delete") {
     val dir = tmp()
     GenTable.upsertBatch(
