@@ -49,6 +49,20 @@ import org.apache.spark.sql.functions._
   * orthogonal to this protocol). Old generations stay on disk until
   * [[vacuum]], giving readers snapshot isolation for the retention
   * window.
+  *
+  * Design boundary — SINGLE WRITER, deliberately: two concurrent writers
+  * from the same head would allocate the same next generation and APPEND
+  * into the same `pcol=v/gen=n` directories during STAGE, so the winner's
+  * commit could reference the loser's files — a torn state no
+  * publish-time compare-and-swap can repair, because the damage lands
+  * before either publish runs. Directory-granular manifests cannot close
+  * that hole: safe multi-writer needs file-granular commits (the
+  * manifest lists files, staged under unique names, as Delta's
+  * transaction log does) or an external lease/lock service (the
+  * DynamoDB-style coordinator S3 deployments use), both of which replace
+  * this protocol rather than extend it. Serialize writers externally
+  * (one maintenance scheduler per table — the reference's Step Functions
+  * shape); readers need no coordination at any count.
   */
 object GenTable {
 
@@ -276,13 +290,29 @@ object GenTable {
     */
   def readRange(spark: SparkSession, dir: String, statsCol: String,
       lo: Long, hi: Long): Option[DataFrame] =
+    readRanges(spark, dir, Map(statsCol -> (lo, hi)))
+
+  /** Conjunctive multi-column form of [[readRange]]: a partition is
+    * opened only if EVERY given range can intersect its tracked band
+    * (columns without stats in a partition are conservative — they never
+    * prune it), and the residual is the AND of all the range predicates,
+    * so the result equals filtering the full view by the conjunction.
+    * Ranges compose multiplicatively when the tracked columns separate
+    * partitions along different axes (e.g. ingest order AND event time).
+    */
+  def readRanges(spark: SparkSession, dir: String,
+      ranges: Map[String, (Long, Long)]): Option[DataFrame] = {
+    require(ranges.nonEmpty, "need at least one (column, range)")
     readCommit(dir).filter(_.gens.nonEmpty).map { c =>
-      val resid = (df: DataFrame) =>
-        df.filter(col(statsCol).cast("long").between(lo, hi))
+      val resid = (df: DataFrame) => ranges.foldLeft(df) {
+        case (d, (sc, (lo, hi))) => d.filter(col(sc).cast("long").between(lo, hi))
+      }
       val keep = c.gens.toSeq.filter { case (v, _) =>
-        c.stats.get(v).flatMap(_.get(statsCol)) match {
-          case Some((mn, mx)) => mx >= lo && mn <= hi
-          case None => true
+        ranges.forall { case (sc, (lo, hi)) =>
+          c.stats.get(v).flatMap(_.get(sc)) match {
+            case Some((mn, mx)) => mx >= lo && mn <= hi
+            case None => true
+          }
         }
       }.sortBy(_._1)
       if (keep.isEmpty) {
@@ -293,6 +323,7 @@ object GenTable {
         resid(spark.read.option("basePath", dir).parquet(paths: _*).drop("gen"))
       }
     }
+  }
 
   /** Atomic upsert of one batch: merge latest-per-key into the touched
     * partitions and commit. This is the transactional replacement for the

@@ -97,6 +97,52 @@ object ProbeGenTable {
         case (r, i) => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
       }, schema).localCheckpoint(true)
     statsArm("ingest-ordered", ordered, "ingest_id")
+    // -- CDC view-refresh economics: the IVM claim is that refresh cost
+    //    follows CHURN while recompute follows TABLE SIZE. Production
+    //    churn is partition-local (new data lands in the newest day), so
+    //    the diff reads one day; recompute reads thirty. Run the same
+    //    fixed-churn lifecycle at two table sizes: refresh should stay
+    //    flat, recompute should scale with the table.
+    def cdcArm(label: String, base: org.apache.spark.sql.DataFrame,
+        churn: org.apache.spark.sql.DataFrame): Unit = {
+      import graft.operators.RollupStore
+      val table = java.nio.file.Files.createTempDirectory("graft_gt_cdc_").toString
+      GenTable.upsertBatch(base, table, "event_id", Seq("ts"), "day") // commit 1
+      def viewOf(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("value").cast("decimal(28,10)"))
+            .cast("decimal(38,10)").as("value_sum_dec"))
+      // the stored view: maintained state, materialized like production
+      val view1 = viewOf(GenTable.readAt(spark, table, 1L).get)
+        .localCheckpoint(true)
+      out.println(s"[$label] table=${GenTable.read(spark, table).get.count()} " +
+        s"churn=${churn.count()}")
+      time(s"[$label] commit churn batch (1/30 days)") {
+        GenTable.upsertBatch(churn, table, "event_id", Seq("ts"), "day")
+      }
+      time(s"[$label] view refresh from CDC (churn-bounded)") {
+        val (_, ch) = GenTable.changesSince(spark, table, 1L, "event_id").get
+        out.println(s"  groups=${RollupStore
+          .applyCdcDeltas(view1, ch, "event_type", "value").collect().length}")
+      }
+      time(s"[$label] view recompute from scratch (table-bounded)") {
+        out.println(s"  groups=${viewOf(GenTable.read(spark, table).get)
+          .collect().length}")
+      }
+    }
+    // FIXED churn across both table sizes (the 1-in-10 sample of the last
+    // day, ~35k rows) so the measurement isolates table size: refresh
+    // should stay flat, recompute should grow with the table.
+    val allDays = events.drop("bucket")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    val lastDay = allDays.agg(max("day")).head().getString(0)
+    val fixedChurn = allDays
+      .filter(col("day") === lastDay && col("user_id") % 10 === 0)
+      .localCheckpoint(true)
+    cdcArm("10M", allDays.filter(col("day") < lastDay), fixedChurn)
+    cdcArm("1M", allDays.filter(col("day") < lastDay &&
+      col("user_id") % 10 === 0), fixedChurn)
     out.close()
     spark.stop()
   }

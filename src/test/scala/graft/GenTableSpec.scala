@@ -250,6 +250,23 @@ class GenTableSpec extends SparkSpec {
       .columns.toSet === Set("user_id", "ts", "value", "bucket"))
   }
 
+  test("readRanges: conjunction prunes where each single range keeps") {
+    val dir = tmp()
+    // three partitions with bands: bucket 1 (ts 10-20, value 1-2),
+    // bucket 2 (ts 100-110, value 1-2), bucket 3 (ts 10-20, value 9)
+    GenTable.upsertBatch(
+      batch((1L, 10L, 1.0), (5L, 20L, 2.0), (2L, 100L, 1.0), (6L, 110L, 2.0),
+        (3L, 10L, 9.0)),
+      dir, "user_id", Seq("ts"), "bucket", statsCols = Seq("ts", "value"))
+    // ts<=50 alone keeps buckets 1,3; value<=5 alone keeps 1,2; the
+    // conjunction must open ONLY bucket 1
+    val df = GenTable.readRanges(spark, dir,
+      Map("ts" -> (0L, 50L), "value" -> (0L, 5L))).get
+    assert(rows(df) === Set((1L, 10L, 1.0, 1), (5L, 20L, 2.0, 1)))
+    assert(df.inputFiles.forall(_.contains("bucket=1")),
+      s"conjunction failed to prune: ${df.inputFiles.toSeq}")
+  }
+
   test("readRange: partitions committed before tracking read conservatively") {
     val dir = tmp()
     // bucket 1 commits BEFORE any stats tracking exists
