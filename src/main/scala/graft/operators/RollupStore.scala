@@ -116,4 +116,81 @@ object RollupStore {
           .cast(dec38).as("value_sum_dec"))
       .filter(col("n_rows") > 0)
   }
+
+  // NOT underscore-prefixed: `_x=...` directories are hidden from
+  // Spark's file listing, which would blank the stored view
+  private val ViewPartition = "vpart"
+  private val ConsumedKey = "consumed_commit"
+  // the served schema rides the commit meta so an EMPTY view (every
+  // group retracted — there are no parquet files to infer from) still
+  // reads back as a schema-correct empty frame, not None
+  private val SchemaKey = "view_schema"
+
+  /** EXACTLY-ONCE incremental materialized view over a
+    * [[graft.sources.GenTable]]: maintain a per-`groupCol` count/sum view
+    * of `tableDir` inside its own GenTable at `viewDir`. Each call polls
+    * the source head; if it moved, the view refreshes — a full compute
+    * of the pinned head snapshot on first run, [[applyCdcDeltas]] over
+    * the commit diff afterwards — and is REPLACED in one commit whose
+    * metadata records the consumed source commit id. Marker and data
+    * ride the same atomic manifest swap, so a refresh that crashes
+    * anywhere re-runs from the old (view, marker) pair and re-applies
+    * the same diff — never half, never twice (the double-application a
+    * sidecar marker file would allow is impossible by construction).
+    * Returns the consumed source commit id when a refresh happened.
+    *
+    * Read the served view with [[readView]]. Retention contract: refresh
+    * within the source's `vacuum(keepCommits)` window, or the diff's
+    * base snapshot is gone and the poll fails fast. `groupCol` must be
+    * non-null (null groups would not join across refreshes).
+    */
+  def maintainView(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, viewDir: String, keyCol: String, groupCol: String,
+      valueCol: String, scale: Int = 10): Option[Long] = {
+    import graft.sources.GenTable
+    require(groupCol != ViewPartition && valueCol != ViewPartition,
+      s"'$ViewPartition' is reserved for the view's storage partition")
+    val head = GenTable.commits(tableDir).lastOption.getOrElse(return None)
+    val seen = GenTable.readCommit(viewDir)
+      .flatMap(_.meta.get(ConsumedKey)).map(_.toLong).getOrElse(0L)
+    if (head <= seen) return None
+    def viewOf(df: DataFrame): DataFrame = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col(valueCol).cast(s"decimal(28,$scale)"))
+          .cast(s"decimal(38,$scale)").as("value_sum_dec"))
+    // pin the HEAD snapshot (not the live view) so the recorded marker
+    // matches what was actually aggregated even if the source commits
+    // again mid-refresh
+    val stored = readView(spark, viewDir)
+    val snap = GenTable.readAt(spark, tableDir, head)
+    val refreshed = (stored, snap) match {
+      // first refresh, or an all-groups-retracted (empty, manifest-less
+      // view) state: full compute of the pinned snapshot
+      case (s, Some(sn)) if seen == 0L || s.isEmpty => viewOf(sn)
+      case (Some(st), Some(_)) => applyCdcDeltas(st,
+        GenTable.changesWithImages(spark, tableDir, seen, head, keyCol),
+        groupCol, valueCol, scale)
+      case (Some(st), None) => st.limit(0) // source emptied: view empties
+      case (None, None) => return None // nothing to aggregate or serve yet
+    }
+    GenTable.replaceAll(refreshed.withColumn(ViewPartition, lit("all")),
+      viewDir, ViewPartition,
+      meta = Map(ConsumedKey -> head.toString,
+        SchemaKey -> refreshed.schema.json))
+    Some(head)
+  }
+
+  /** The committed materialized view at `viewDir` (None before the first
+    * [[maintainView]] refresh lands; an empty-but-refreshed view reads
+    * back as a schema-correct empty frame via the meta-carried schema).
+    */
+  def readView(spark: org.apache.spark.sql.SparkSession,
+      viewDir: String): Option[DataFrame] =
+    graft.sources.GenTable.read(spark, viewDir).map(_.drop(ViewPartition))
+      .orElse(graft.sources.GenTable.readCommit(viewDir)
+        .flatMap(_.meta.get(SchemaKey)).map { j =>
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.DataType.fromJson(j)
+              .asInstanceOf[org.apache.spark.sql.types.StructType])
+        })
 }

@@ -553,6 +553,56 @@ object EventQueries extends QueryPack {
         .applyCdcDeltas(view1, changes, "event_type", "value")
         .select(col("event_type"), col("n_rows"),
           col("value_sum_dec").cast("double").as("total_value"))
+    },
+
+    // -- Conjunctive manifest skip (e23's multi-column form): the table
+    //    tracks BOTH event_id (ingestion order — near-disjoint per day)
+    //    and user_id (spans the full space every day). The user_id range
+    //    alone prunes nothing; ANDed with the event_id band the read
+    //    opens only the id-band days and pushes both residuals, so the
+    //    result equals the two-predicate filter the oracle replays.
+    "e25_multi_range_read" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e25_").toString
+      val slice = t.events.filter(col("user_id") % 5 === 3)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      graft.sources.GenTable.upsertBatch(slice, tmp, "event_id",
+        Seq("ts"), "day", statsCols = Seq("event_id", "user_id"))
+      graft.sources.GenTable.readRanges(spark, tmp,
+        Map("event_id" -> (100L, 800L), "user_id" -> (0L, 400L))).get
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"), col("props"), col("day").cast("string").as("day"))
+    },
+
+    // -- Exactly-once materialized view (the full lake-to-serving loop):
+    //    a per-event-type count/sum view maintained over a GenTable by
+    //    polling — bootstrap full-compute at commit 1, then ONE
+    //    incremental refresh covering BOTH an upsert (updates + inserts)
+    //    and a takedown delete that retracts the 'error' group to zero.
+    //    The refreshed view and its consumed-commit marker commit in one
+    //    manifest swap (crash-safe exactly-once, spec-pinned); the
+    //    oracle recomputes the view from scratch at the final snapshot,
+    //    so refresh == recompute is hash-checked end-to-end.
+    "e26_materialized_view" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e26_").toString
+      val tableDir = s"$tmp/table"; val viewDir = s"$tmp/view"
+      val slice = t.events.filter(col("user_id") % 7 === 3)
+        .withColumn("bucket", pmod(col("user_id"), lit(8)).cast("int"))
+      val early = slice.filter(col("ts") < lit("2024-01-16").cast("timestamp"))
+      graft.sources.GenTable.upsertBatch(early, tableDir, "user_id",
+        Seq("ts", "event_id"), "bucket")                        // commit 1
+      graft.operators.RollupStore.maintainView(spark, tableDir, viewDir,
+        "user_id", "event_type", "value")                       // bootstrap
+      graft.sources.GenTable.upsertBatch(slice.exceptAll(early), tableDir,
+        "user_id", Seq("ts", "event_id"), "bucket")             // commit 2
+      graft.sources.GenTable.deleteWhere(spark, tableDir,
+        col("event_type") === "error")                          // commit 3
+      graft.operators.RollupStore.maintainView(spark, tableDir, viewDir,
+        "user_id", "event_type", "value")                       // incremental
+      graft.operators.RollupStore.readView(spark, viewDir).get
+        .select(col("event_type"), col("n_rows"),
+          col("value_sum_dec").cast("double").as("total_value"))
     }
   )
 
@@ -886,6 +936,25 @@ object EventQueries extends QueryPack {
         |  WHERE rn = 1)
         |SELECT event_type, count(*) AS n_rows,
         |  CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total_value
-        |FROM s2 GROUP BY 1""".stripMargin
+        |FROM s2 GROUP BY 1""".stripMargin,
+    // e25: the conjunctive stats read must equal the two-predicate filter.
+    "e25_multi_range_read" ->
+      """SELECT event_id, ts, user_id, event_type, value, props,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day
+        |FROM events
+        |WHERE user_id % 5 = 3 AND event_id BETWEEN 100 AND 800
+        |  AND user_id BETWEEN 0 AND 400""".stripMargin,
+    // e26: the maintained view must equal the from-scratch view at the
+    // final snapshot (full slice latest-per-user minus 'error' rows).
+    "e26_materialized_view" ->
+      """WITH s AS (
+        |  SELECT event_type, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |    FROM events WHERE user_id % 7 = 3)
+        |  WHERE rn = 1 AND event_type IS DISTINCT FROM 'error')
+        |SELECT event_type, count(*) AS n_rows,
+        |  CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total_value
+        |FROM s GROUP BY 1""".stripMargin
   )
 }

@@ -75,7 +75,8 @@ object GenTable {
     */
   final case class Commit(partitionCol: String, gens: Map[String, Long],
       minGen: Long = 0L,
-      stats: Map[String, Map[String, (Long, Long)]] = Map.empty) {
+      stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
+      meta: Map[String, String] = Map.empty) {
     def tableGen: Long =
       if (gens.isEmpty) minGen else math.max(minGen, gens.values.max)
     /** Columns any partition tracks min/max for (the sticky stats set). */
@@ -135,10 +136,13 @@ object GenTable {
         s"#stat=${enc(v)}|${enc(c)}|$mn|$mx"
       }
     }
+    val metaLines = commit.meta.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"#meta=${enc(k)}|${enc(v)}"
+    }
     val body = (s"pcol=${enc(commit.partitionCol)}" +:
       s"#tgen=${commit.tableGen}" +:
       (commit.gens.toSeq.sortBy(_._1).map { case (v, g) => s"${enc(v)}=$g" } ++
-        statLines)).mkString("", "\n", "\n")
+        statLines ++ metaLines)).mkString("", "\n", "\n")
     val bytes = body.getBytes(StandardCharsets.UTF_8)
     val archiveDir = localPath(dir).resolve("_commits")
     Files.createDirectories(archiveDir)
@@ -164,6 +168,7 @@ object GenTable {
     val pcol = dec(lines.get(0).stripPrefix("pcol="))
     var minGen = 0L
     val statBuf = Seq.newBuilder[(String, String, Long, Long)]
+    val metaBuf = Map.newBuilder[String, String]
     val gens = (1 until lines.size).flatMap { i =>
       val line = lines.get(i)
       if (line.startsWith("#tgen=")) {
@@ -175,6 +180,12 @@ object GenTable {
         statBuf += ((dec(parts(0)), dec(parts(1)),
           parts(2).toLong, parts(3).toLong))
         None
+      } else if (line.startsWith("#meta=")) {
+        // enc() never emits '|' (percent-encoded), so split is unambiguous
+        val parts = line.stripPrefix("#meta=").split('|')
+        require(parts.length == 2, s"malformed meta line: $line")
+        metaBuf += dec(parts(0)) -> dec(parts(1))
+        None
       } else {
         val eq = line.lastIndexOf('=')
         require(eq > 0, s"malformed manifest line: $line")
@@ -184,7 +195,7 @@ object GenTable {
     val stats = statBuf.result().groupBy(_._1).map { case (v, rows) =>
       v -> rows.map(r => r._2 -> (r._3, r._4)).toMap
     }
-    Commit(pcol, gens, minGen, stats)
+    Commit(pcol, gens, minGen, stats, metaBuf.result())
   }
 
   /** Time travel: the table as of an archived commit id (from
@@ -254,7 +265,8 @@ object GenTable {
       .filter(rows.columns.contains)
     val newStats = computeStats(rows, partitionCol, track)
     Commit(partitionCol, prev.gens ++ touched.map(_ -> newGen),
-      stats = (prev.stats -- touched) ++ newStats)
+      stats = (prev.stats -- touched) ++ newStats,
+      meta = prev.meta) // metadata persists until a commit changes it
   }
 
   /** Per-partition min/max of `track` columns over `rows` in one
@@ -363,6 +375,36 @@ object GenTable {
     finally frozen.unpersist()
   }
 
+  /** Atomic whole-table replace: ONE commit after which the content is
+    * exactly `rows` — partitions absent from `rows` leave the manifest
+    * (deletion by omission), and the commit's `meta` rides the same
+    * atomic swap as the data. This is the storage shape incremental
+    * materialized views need ([[graft.operators.RollupStore.maintainView]]):
+    * the refreshed view and its consumed-source marker become visible
+    * together or not at all, which is what makes re-running a crashed
+    * refresh safe. `rows` may read this table's own committed files (a
+    * refresh does) — it is frozen before staging. Intended for
+    * view-sized tables; a replace stages every partition of `rows`.
+    */
+  def replaceAll(rows: DataFrame, dir: String, partitionCol: String,
+      meta: Map[String, String] = Map.empty,
+      statsCols: Seq[String] = Nil): Unit = {
+    val frozen = rows.localCheckpoint(true)
+    try {
+      val prevGen = readCommit(dir).map(_.tableGen).getOrElse(0L)
+      val touched = frozen.select(col(partitionCol).cast("string")).distinct()
+        .collect().map(_.getString(0)).toSet
+      val staged = stage(frozen, dir, partitionCol, statsCols)
+      // an empty replace still commits (meta-only, e.g. an empty view's
+      // marker) — minGen forces a fresh commit id in that case
+      publish(dir, Commit(partitionCol,
+        staged.gens.filter { case (v, _) => touched(v) },
+        math.max(staged.tableGen, prevGen + 1),
+        staged.stats.filter { case (v, _) => touched(v) },
+        meta))
+    } finally frozen.unpersist()
+  }
+
   /** Atomic compaction: rewrite every committed partition's rows into
     * ~`targetRecordsPerFile`-row files at the next generation, then one
     * manifest swap. Readers see the old file set or the new one, never a
@@ -414,9 +456,10 @@ object GenTable {
       .option("maxRecordsPerFile", targetRecordsPerFile)
       .partitionBy(c.partitionCol, "gen")
       .parquet(dir)
-    // contents are unchanged by compaction, so stats carry over as-is
+    // contents are unchanged by compaction, so stats/meta carry over as-is
     val next = Commit(c.partitionCol,
-      c.gens.map { case (v, _) => v -> newGen }, stats = c.stats)
+      c.gens.map { case (v, _) => v -> newGen }, stats = c.stats,
+      meta = c.meta)
     publish(dir, next)
     (before, committedFiles(next))
   }
@@ -519,7 +562,8 @@ object GenTable {
       val track = c.trackedStatsCols.toSeq.filter(frozen.columns.contains)
       publish(dir, Commit(c.partitionCol,
         (c.gens -- emptied) ++ survivorVals.map(_ -> newGen), newGen,
-        (c.stats -- touchedVals) ++ computeStats(frozen, c.partitionCol, track)))
+        (c.stats -- touchedVals) ++ computeStats(frozen, c.partitionCol, track),
+        c.meta))
     } finally frozen.unpersist()
   }
 

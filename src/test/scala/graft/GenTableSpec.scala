@@ -250,6 +250,56 @@ class GenTableSpec extends SparkSpec {
       .columns.toSet === Set("user_id", "ts", "value", "bucket"))
   }
 
+  test("maintainView: exactly-once materialized view across source commits") {
+    import graft.operators.RollupStore
+    val table = tmp(); val viewDir = tmp()
+    def refresh() = RollupStore.maintainView(
+      spark, table, viewDir, "user_id", "bucket", "value")
+    def asView(df: DataFrame): Set[(Int, Long, BigDecimal)] =
+      df.collect().map(r => (r.getAs[Number]("bucket").intValue(),
+        r.getAs[Long]("n_rows"),
+        BigDecimal(r.getAs[java.math.BigDecimal]("value_sum_dec")))).toSet
+    def recompute(): Set[(Int, Long, BigDecimal)] =
+      asView(GenTable.read(spark, table).get.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("value").cast("decimal(28,10)"))
+            .cast("decimal(38,10)").as("value_sum_dec")))
+
+    assert(refresh().isEmpty, "no source commits: nothing to refresh")
+    GenTable.upsertBatch(batch((1L, 10L, 1.0), (2L, 10L, 2.0), (5L, 10L, 5.0)),
+      table, "user_id", Seq("ts"), "bucket")
+    assert(refresh() === Some(1L))
+    assert(asView(RollupStore.readView(spark, viewDir).get) === recompute())
+    // idle poll: no source movement, no view commit, NO double-count
+    val markerAfterFirst = GenTable.readCommit(viewDir).get
+    assert(refresh().isEmpty)
+    assert(GenTable.readCommit(viewDir).get === markerAfterFirst)
+    // two source commits between polls — one refresh must cover both:
+    // an update (user 1) + insert (user 3), then a delete emptying the
+    // bucket-2 group
+    GenTable.upsertBatch(batch((1L, 20L, 1.5), (3L, 20L, 3.0)),
+      table, "user_id", Seq("ts"), "bucket")
+    GenTable.deleteWhere(spark, table, col("user_id") === 2L)
+    assert(refresh() === Some(3L))
+    val served = RollupStore.readView(spark, viewDir).get
+    assert(asView(served) === recompute())
+    assert(!served.collect().map(_.getAs[Number]("bucket").intValue())
+      .contains(2), "retracted-to-zero group must leave the stored view")
+    assert(refresh().isEmpty)
+    // retract EVERYTHING: the view empties but stays served with the
+    // schema carried in commit meta (no parquet files left to infer from)
+    assert(GenTable.deleteWhere(spark, table, lit(true)) === 3L)
+    assert(refresh() === Some(4L))
+    val empty = RollupStore.readView(spark, viewDir).get
+    assert(empty.count() === 0L)
+    assert(empty.columns.toSet === Set("bucket", "n_rows", "value_sum_dec"))
+    // and the loop recovers from the empty state on the next commit
+    GenTable.upsertBatch(batch((8L, 30L, 8.0)), table, "user_id", Seq("ts"),
+      "bucket")
+    assert(refresh() === Some(5L))
+    assert(asView(RollupStore.readView(spark, viewDir).get) === recompute())
+  }
+
   test("readRanges: conjunction prunes where each single range keeps") {
     val dir = tmp()
     // three partitions with bands: bucket 1 (ts 10-20, value 1-2),
