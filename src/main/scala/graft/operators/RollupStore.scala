@@ -180,6 +180,62 @@ object RollupStore {
     Some(head)
   }
 
+  /** Exactly-once incremental materialized view for NON-RETRACTABLE
+    * aggregates — min/max/approx-distinct/percentiles, where signed
+    * deltas cannot work (deleting the max row tells you nothing about
+    * the new max). Instead of delta math, the groups the CDC frame
+    * names are RECOMPUTED from the pinned head snapshot and SPLICED
+    * over the stored view; untouched groups carry over unread.
+    * `viewOf` is the arbitrary aggregate spec: it must group by
+    * `groupCol` and may emit any aggregate columns (schema rides the
+    * commit meta like [[maintainView]]).
+    *
+    * Cost: one commit diff (churn-bounded, partition-pruned) + one scan
+    * of the snapshot semi-joined to the changed-group list (broadcast —
+    * the list is bounded by 2x the changed rows) + a store-sized
+    * anti-join splice. The group-filtered scan reads the whole table's
+    * FILES unless groups correlate with partitions or cluster order
+    * (see [[graft.sources.GenTable.compact]]'s clusterBy) — the honest
+    * tradeoff vs [[maintainView]]'s pure-delta math, which is why BOTH
+    * modes exist. Same exactly-once discipline: refreshed rows and the
+    * consumed-commit marker land in one manifest swap.
+    */
+  def maintainViewByGroups(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, viewDir: String, keyCol: String, groupCol: String,
+      viewOf: DataFrame => DataFrame): Option[Long] = {
+    import graft.sources.GenTable
+    require(groupCol != ViewPartition,
+      s"'$ViewPartition' is reserved for the view's storage partition")
+    val head = GenTable.commits(tableDir).lastOption.getOrElse(return None)
+    val seen = GenTable.readCommit(viewDir)
+      .flatMap(_.meta.get(ConsumedKey)).map(_.toLong).getOrElse(0L)
+    if (head <= seen) return None
+    val stored = readView(spark, viewDir)
+    val snap = GenTable.readAt(spark, tableDir, head)
+    val refreshed = (stored, snap) match {
+      case (s, Some(sn)) if seen == 0L || s.isEmpty => viewOf(sn)
+      case (Some(st), snapOpt) =>
+        val ch = GenTable.changesWithImages(spark, tableDir, seen, head, keyCol)
+        // an update can MOVE a row between groups: both sides recompute
+        val changedGroups = ch.select(explode(array(
+            col(s"_pre.$groupCol"), col(s"_post.$groupCol"))).as(groupCol))
+          .filter(col(groupCol).isNotNull).distinct()
+        val recomputed = snapOpt match {
+          case Some(sn) => viewOf(sn.join(broadcast(changedGroups),
+            Seq(groupCol), "left_semi"))
+          case None => st.limit(0) // source emptied: nothing recomputes
+        }
+        st.join(broadcast(changedGroups), Seq(groupCol), "left_anti")
+          .unionByName(recomputed)
+      case (None, None) => return None
+    }
+    GenTable.replaceAll(refreshed.withColumn(ViewPartition, lit("all")),
+      viewDir, ViewPartition,
+      meta = Map(ConsumedKey -> head.toString,
+        SchemaKey -> refreshed.schema.json))
+    Some(head)
+  }
+
   /** The committed materialized view at `viewDir` (None before the first
     * [[maintainView]] refresh lands; an empty-but-refreshed view reads
     * back as a schema-correct empty frame via the meta-carried schema).

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, MapType, StringType}
 import graft.sources.Tables
@@ -603,6 +604,39 @@ object EventQueries extends QueryPack {
       graft.operators.RollupStore.readView(spark, viewDir).get
         .select(col("event_type"), col("n_rows"),
           col("value_sum_dec").cast("double").as("total_value"))
+    },
+
+    // -- Non-retractable materialized view (min/max): deleting a group's
+    //    MAX row defeats delta math — you learn nothing about the new
+    //    max — so this view refreshes by PARTIAL RECOMPUTE: the commit
+    //    diff names the changed groups, only those groups' rows are
+    //    re-aggregated from the pinned snapshot (broadcast semi-join),
+    //    untouched groups splice over unread. The takedown here deletes
+    //    every row with value > 50, dropping several groups' maxima at
+    //    once. Same exactly-once manifest discipline as e26; the oracle
+    //    recomputes min/max/count from scratch at the final snapshot.
+    "e27_minmax_view_refresh" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e27_").toString
+      val tableDir = s"$tmp/table"; val viewDir = s"$tmp/view"
+      val slice = t.events.filter(col("user_id") % 7 === 5)
+        .withColumn("bucket", pmod(col("user_id"), lit(8)).cast("int"))
+      val early = slice.filter(col("ts") < lit("2024-01-16").cast("timestamp"))
+      def viewOf(df: DataFrame): DataFrame = df.groupBy(col("event_type"))
+        .agg(min(col("value")).as("v_min"), max(col("value")).as("v_max"),
+          count(lit(1)).as("n_rows"))
+      graft.sources.GenTable.upsertBatch(early, tableDir, "user_id",
+        Seq("ts", "event_id"), "bucket")                        // commit 1
+      graft.operators.RollupStore.maintainViewByGroups(spark, tableDir,
+        viewDir, "user_id", "event_type", viewOf)               // bootstrap
+      graft.sources.GenTable.upsertBatch(slice.exceptAll(early), tableDir,
+        "user_id", Seq("ts", "event_id"), "bucket")             // commit 2
+      graft.sources.GenTable.deleteWhere(spark, tableDir,
+        col("value") > 50)                                      // commit 3
+      graft.operators.RollupStore.maintainViewByGroups(spark, tableDir,
+        viewDir, "user_id", "event_type", viewOf)               // incremental
+      graft.operators.RollupStore.readView(spark, viewDir).get
+        .select(col("event_type"), col("v_min"), col("v_max"), col("n_rows"))
     }
   )
 
@@ -955,6 +989,20 @@ object EventQueries extends QueryPack {
         |  WHERE rn = 1 AND event_type IS DISTINCT FROM 'error')
         |SELECT event_type, count(*) AS n_rows,
         |  CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total_value
+        |FROM s GROUP BY 1""".stripMargin,
+    // e27: the partially-recomputed min/max view must equal the view
+    // recomputed from scratch at the final snapshot (latest-per-user
+    // rows surviving the value>50 takedown; NULL values survive — SQL
+    // DELETE semantics).
+    "e27_minmax_view_refresh" ->
+      """WITH s AS (
+        |  SELECT event_type, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |    FROM events WHERE user_id % 7 = 5)
+        |  WHERE rn = 1 AND NOT coalesce(value > 50, FALSE))
+        |SELECT event_type, min(value) AS v_min, max(value) AS v_max,
+        |  count(*) AS n_rows
         |FROM s GROUP BY 1""".stripMargin
   )
 }

@@ -300,6 +300,39 @@ class GenTableSpec extends SparkSpec {
     assert(asView(RollupStore.readView(spark, viewDir).get) === recompute())
   }
 
+  test("maintainViewByGroups: max-delete recomputes changed groups only") {
+    import graft.operators.RollupStore
+    val table = tmp(); val viewDir = tmp()
+    def viewOf(df: DataFrame): DataFrame = df.groupBy(col("bucket"))
+      .agg(max(col("value")).as("v_max"), count(lit(1)).as("n_rows"))
+    def refresh() = RollupStore.maintainViewByGroups(
+      spark, table, viewDir, "user_id", "bucket", viewOf)
+    def asView(df: DataFrame): Set[(Int, Double, Long)] =
+      df.collect().map(r => (r.getAs[Number]("bucket").intValue(),
+        r.getAs[Double]("v_max"), r.getAs[Long]("n_rows"))).toSet
+
+    // bucket 1 holds users 1 (max, 5.0) and 5 (2.0); bucket 2 user 2
+    GenTable.upsertBatch(
+      batch((1L, 10L, 5.0), (5L, 10L, 2.0), (2L, 10L, 7.0)),
+      table, "user_id", Seq("ts"), "bucket")
+    assert(refresh() === Some(1L))
+    assert(asView(RollupStore.readView(spark, viewDir).get) ===
+      Set((1, 5.0, 2L), (2, 7.0, 1L)))
+    assert(refresh().isEmpty, "idle poll must not commit")
+    // delete the bucket-1 MAX row: retraction cannot derive the new max;
+    // the group recomputes and lands on the surviving 2.0
+    assert(GenTable.deleteWhere(spark, table, col("user_id") === 1L) === 1L)
+    assert(refresh() === Some(2L))
+    assert(asView(RollupStore.readView(spark, viewDir).get) ===
+      Set((1, 2.0, 1L), (2, 7.0, 1L)))
+    // a group deleted outright leaves the view on the next refresh
+    assert(GenTable.deleteWhere(spark, table, col("user_id") === 2L) === 1L)
+    assert(refresh() === Some(3L))
+    assert(asView(RollupStore.readView(spark, viewDir).get) ===
+      Set((1, 2.0, 1L)))
+    assert(refresh().isEmpty)
+  }
+
   test("readRanges: conjunction prunes where each single range keeps") {
     val dir = tmp()
     // three partitions with bands: bucket 1 (ts 10-20, value 1-2),
