@@ -540,6 +540,36 @@ object EventStreams {
       .start()
       .awaitTermination()
 
+  /** The atomic upsert sink with a SERVED materialized view: after each
+    * micro-batch's commit, the count/sum view at `viewDir` refreshes via
+    * [[graft.operators.RollupStore.maintainView]] — readers of the view
+    * lag the lake by at most one micro-batch. Safety needs no extra
+    * machinery because both halves are idempotent at their own layer: a
+    * crash-replayed micro-batch re-merges to the same latest-per-key
+    * state, and the view refresh is exactly-once per consumed commit id
+    * (marker and rows in one manifest swap), so a replayed batch at most
+    * triggers a refresh that re-derives the same view. A refresh that
+    * never ran (crash between upsert and refresh) is absorbed by the
+    * NEXT batch's refresh — the diff covers every commit since the
+    * marker, not just the latest.
+    */
+  def upsertForeachBatchAvailableNowAtomicWithView(df: DataFrame,
+      outDir: String, viewDir: String, checkpointDir: String, keyCol: String,
+      orderCols: Seq[String], partitionCol: String, groupCol: String,
+      valueCol: String): Unit =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.GenTable.upsertBatch(
+          batch, outDir, keyCol, orderCols, partitionCol)
+        graft.operators.RollupStore.maintainView(batch.sparkSession,
+          outDir, viewDir, keyCol, groupCol, valueCol)
+        ()
+      }
+      .start()
+      .awaitTermination()
+
   /** Streaming rollup maintenance — the incremental complement of the
     * batch `x07_incremental_rollup` lifecycle: each micro-batch's
     * [[graft.operators.RollupStore.partials]] fold into the persisted

@@ -493,4 +493,32 @@ class GenTableSpec extends SparkSpec {
     assert(rows(GenTable.read(spark, out).get) === Set(
       (1L, 30L, 1.9, 1), (2L, 15L, 8.8, 2), (3L, 20L, 3.0, 3)))
   }
+
+  test("streaming sink with served view: view == batch recompute at close") {
+    import graft.operators.RollupStore
+    val dir = tmp()
+    val in = s"$dir/in"; val out = s"$dir/out"; val viewDir = s"$dir/view"
+    val all = batch(
+      (1L, 10L, 1.0), (2L, 10L, 2.0), (1L, 20L, 1.5),
+      (3L, 20L, 3.0), (2L, 15L, 8.8), (1L, 30L, 1.9))
+    all.repartitionByRange(3, col("ts")).write.parquet(in)
+    graft.streaming.EventStreams.upsertForeachBatchAvailableNowAtomicWithView(
+      spark.readStream.schema(all.schema)
+        .option("maxFilesPerTrigger", "1").parquet(in),
+      out, viewDir, s"$dir/ckpt", keyCol = "user_id", orderCols = Seq("ts"),
+      partitionCol = "bucket", groupCol = "bucket", valueCol = "value")
+    // the served view equals a from-scratch recompute of the final lake
+    def asView(df: DataFrame): Set[(Int, Long, BigDecimal)] =
+      df.collect().map(r => (r.getAs[Number]("bucket").intValue(),
+        r.getAs[Long]("n_rows"),
+        BigDecimal(r.getAs[java.math.BigDecimal]("value_sum_dec")))).toSet
+    val expect = asView(GenTable.read(spark, out).get.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("value").cast("decimal(28,10)"))
+          .cast("decimal(38,10)").as("value_sum_dec")))
+    assert(asView(RollupStore.readView(spark, viewDir).get) === expect)
+    // the view consumed every commit the stream made (one per micro-batch)
+    assert(GenTable.readCommit(viewDir).get.meta("consumed_commit") ===
+      GenTable.commits(out).last.toString)
+  }
 }
