@@ -99,8 +99,12 @@ object PublicSuffix {
     * domain. One narrow shuffle (the election groupBy on host).
     */
   def registrableDomains(hosts: DataFrame, ruleTable: DataFrame): DataFrame = {
+    // the PSL algorithm compares case-insensitively and the rule table is
+    // lowercased at parse — fold hosts the same way (the ORIGINAL host is
+    // kept for the output mapping; the derived domain is canonical
+    // lowercase, as the published algorithm specifies)
     val lab = hosts.select(col("host")).where(col("host").isNotNull).distinct()
-      .withColumn("ls", split(col("host"), "\\."))
+      .withColumn("ls", split(lower(col("host")), "\\."))
       .withColumn("n", size(col("ls")))
     val cand = lab.select(
       col("host"),

@@ -150,7 +150,11 @@ object RollupStore {
     import graft.sources.GenTable
     require(groupCol != ViewPartition && valueCol != ViewPartition,
       s"'$ViewPartition' is reserved for the view's storage partition")
-    val head = GenTable.commits(tableDir).lastOption.getOrElse(return None)
+    // head = the committed MANIFEST id, never the archive listing: an
+    // archive may only lag the manifest (GenTable.publish writes it after
+    // the swap), so a consumed id always names final content
+    val head = GenTable.readCommit(tableDir).map(_.tableGen)
+      .filter(_ > 0L).getOrElse(return None)
     val seen = GenTable.readCommit(viewDir)
       .flatMap(_.meta.get(ConsumedKey)).map(_.toLong).getOrElse(0L)
     if (head <= seen) return None
@@ -167,9 +171,13 @@ object RollupStore {
       // first refresh, or an all-groups-retracted (empty, manifest-less
       // view) state: full compute of the pinned snapshot
       case (s, Some(sn)) if seen == 0L || s.isEmpty => viewOf(sn)
-      case (Some(st), Some(_)) => applyCdcDeltas(st,
-        GenTable.changesWithImages(spark, tableDir, seen, head, keyCol),
-        groupCol, valueCol, scale)
+      case (Some(st), Some(_)) =>
+        val ch = GenTable.changesWithImages(spark, tableDir, seen, head, keyCol)
+        // a zero-column diff (pre-schema-tracking table with no churn
+        // between the commits) is an empty diff: the view is unchanged,
+        // only the consumed marker advances
+        if (ch.columns.isEmpty) st
+        else applyCdcDeltas(st, ch, groupCol, valueCol, scale)
       case (Some(st), None) => st.limit(0) // source emptied: view empties
       case (None, None) => return None // nothing to aggregate or serve yet
     }
@@ -206,7 +214,8 @@ object RollupStore {
     import graft.sources.GenTable
     require(groupCol != ViewPartition,
       s"'$ViewPartition' is reserved for the view's storage partition")
-    val head = GenTable.commits(tableDir).lastOption.getOrElse(return None)
+    val head = GenTable.readCommit(tableDir).map(_.tableGen)
+      .filter(_ > 0L).getOrElse(return None)
     val seen = GenTable.readCommit(viewDir)
       .flatMap(_.meta.get(ConsumedKey)).map(_.toLong).getOrElse(0L)
     if (head <= seen) return None
@@ -216,6 +225,8 @@ object RollupStore {
       case (s, Some(sn)) if seen == 0L || s.isEmpty => viewOf(sn)
       case (Some(st), snapOpt) =>
         val ch = GenTable.changesWithImages(spark, tableDir, seen, head, keyCol)
+        if (ch.columns.isEmpty) st // empty diff: marker-only advance
+        else {
         // an update can MOVE a row between groups: both sides recompute
         val changedGroups = ch.select(explode(array(
             col(s"_pre.$groupCol"), col(s"_post.$groupCol"))).as(groupCol))
@@ -227,6 +238,7 @@ object RollupStore {
         }
         st.join(broadcast(changedGroups), Seq(groupCol), "left_anti")
           .unionByName(recomputed)
+        }
       case (None, None) => return None
     }
     GenTable.replaceAll(refreshed.withColumn(ViewPartition, lit("all")),

@@ -341,7 +341,7 @@ object EventQueries extends QueryPack {
     //    identical no matter how the input splits into micro-batches.
     "e11_streaming_upsert" -> { (spark, dir) =>
       val t = Tables(spark, dir)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_e11_").toString
+      TempWork.scoped("graft_e11_") { tmp =>
       val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
       // 1-in-7 users keeps the replay cheap at bench scale; the oracle
       // filters identically. The table partitions by a KEY bucket (the
@@ -364,6 +364,7 @@ object EventQueries extends QueryPack {
         col("value"), col("props"),
         // partition-value inference is config-dependent; pin the type
         col("bucket").cast("int").as("bucket"))
+      }
     },
 
     // -- Streaming near-dup detection (L2 × T6, the d09 shape under
@@ -384,7 +385,7 @@ object EventQueries extends QueryPack {
     //    spec-pinned in StreamingSpec.
     "e12_streaming_neardup" -> { (spark, dir) =>
       val t = Tables(spark, dir)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_e12_").toString
+      TempWork.scoped("graft_e12_") { tmp =>
       val inDir = s"$tmp/in"; val store = s"$tmp/store"
       val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
       val history = t.documents.filter(col("doc_id") < 250)
@@ -412,6 +413,7 @@ object EventQueries extends QueryPack {
           least(col("new_id"), col("seen_id")).as("id_a"),
           greatest(col("new_id"), col("seen_id")).as("id_b"),
           col("est_jaccard"))
+      }
     },
 
     // -- Cohort retention: users grouped by first-seen day, activity
@@ -457,7 +459,7 @@ object EventQueries extends QueryPack {
     //    crash-points of the protocol are spec-pinned in GenTableSpec.
     "e21_atomic_upsert" -> { (spark, dir) =>
       val t = Tables(spark, dir)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_e21_").toString
+      TempWork.scoped("graft_e21_") { tmp =>
       val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
       val slice = t.events.filter(col("user_id") % 5 === 0)
         .withColumn("bucket", pmod(col("user_id"), lit(8)).cast("int"))
@@ -471,6 +473,7 @@ object EventQueries extends QueryPack {
         col("user_id"), col("event_id"), col("ts"), col("event_type"),
         col("value"), col("props"),
         col("bucket").cast("int").as("bucket"))
+      }
     },
 
     // -- Change-data-capture over the GenTable commit history: three
@@ -485,7 +488,7 @@ object EventQueries extends QueryPack {
     //    them null-safely — ids, images, and classes all hash-checked.
     "e22_gentable_cdc" -> { (spark, dir) =>
       val t = Tables(spark, dir)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_e22_").toString
+      TempWork.scoped("graft_e22_") { tmp =>
       val slice = t.events.filter(col("user_id") % 5 === 1)
         .withColumn("bucket", pmod(col("user_id"), lit(8)).cast("int"))
       val early = slice.filter(col("ts") < lit("2024-01-08").cast("timestamp") &&
@@ -500,6 +503,7 @@ object EventQueries extends QueryPack {
         .select(col("user_id"), col("_change"), col("event_id"), col("ts"),
           col("event_type"), col("value"), col("props"),
           col("bucket").cast("int").as("bucket"))
+      }
     },
 
     // -- Manifest column-stats skip (the Iceberg-style metadata read):
@@ -514,7 +518,7 @@ object EventQueries extends QueryPack {
     //    equals a plain range filter, which is what the oracle replays.
     "e23_stats_skip_read" -> { (spark, dir) =>
       val t = Tables(spark, dir)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_e23_").toString
+      TempWork.scoped("graft_e23_") { tmp =>
       val slice = t.events.filter(col("user_id") % 5 === 2)
         .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
       graft.sources.GenTable.upsertBatch(slice, tmp, "event_id",
@@ -522,6 +526,7 @@ object EventQueries extends QueryPack {
       graft.sources.GenTable.readRange(spark, tmp, "event_id", 100L, 700L).get
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
           col("value"), col("props"), col("day").cast("string").as("day"))
+      }
     },
 
     // -- Incremental view maintenance from CDC (the retraction algebra):
@@ -535,7 +540,7 @@ object EventQueries extends QueryPack {
     //    churn (changed partitions + store-sized merge), never history.
     "e24_cdc_view_refresh" -> { (spark, dir) =>
       val t = Tables(spark, dir)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_e24_").toString
+      TempWork.scoped("graft_e24_") { tmp =>
       val slice = t.events.filter(col("user_id") % 5 === 4)
         .withColumn("bucket", pmod(col("user_id"), lit(8)).cast("int"))
       val early = slice.filter(col("ts") < lit("2024-01-11").cast("timestamp"))
@@ -554,6 +559,7 @@ object EventQueries extends QueryPack {
         .applyCdcDeltas(view1, changes, "event_type", "value")
         .select(col("event_type"), col("n_rows"),
           col("value_sum_dec").cast("double").as("total_value"))
+      }
     },
 
     // -- Conjunctive manifest skip (e23's multi-column form): the table
@@ -564,7 +570,7 @@ object EventQueries extends QueryPack {
     //    result equals the two-predicate filter the oracle replays.
     "e25_multi_range_read" -> { (spark, dir) =>
       val t = Tables(spark, dir)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_e25_").toString
+      TempWork.scoped("graft_e25_") { tmp =>
       val slice = t.events.filter(col("user_id") % 5 === 3)
         .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
       graft.sources.GenTable.upsertBatch(slice, tmp, "event_id",
@@ -573,6 +579,7 @@ object EventQueries extends QueryPack {
         Map("event_id" -> (100L, 800L), "user_id" -> (0L, 400L))).get
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
           col("value"), col("props"), col("day").cast("string").as("day"))
+      }
     },
 
     // -- Exactly-once materialized view (the full lake-to-serving loop):
@@ -586,7 +593,7 @@ object EventQueries extends QueryPack {
     //    so refresh == recompute is hash-checked end-to-end.
     "e26_materialized_view" -> { (spark, dir) =>
       val t = Tables(spark, dir)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_e26_").toString
+      TempWork.scoped("graft_e26_") { tmp =>
       val tableDir = s"$tmp/table"; val viewDir = s"$tmp/view"
       val slice = t.events.filter(col("user_id") % 7 === 3)
         .withColumn("bucket", pmod(col("user_id"), lit(8)).cast("int"))
@@ -604,6 +611,7 @@ object EventQueries extends QueryPack {
       graft.operators.RollupStore.readView(spark, viewDir).get
         .select(col("event_type"), col("n_rows"),
           col("value_sum_dec").cast("double").as("total_value"))
+      }
     },
 
     // -- Non-retractable materialized view (min/max): deleting a group's
@@ -617,7 +625,7 @@ object EventQueries extends QueryPack {
     //    recomputes min/max/count from scratch at the final snapshot.
     "e27_minmax_view_refresh" -> { (spark, dir) =>
       val t = Tables(spark, dir)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_e27_").toString
+      TempWork.scoped("graft_e27_") { tmp =>
       val tableDir = s"$tmp/table"; val viewDir = s"$tmp/view"
       val slice = t.events.filter(col("user_id") % 7 === 5)
         .withColumn("bucket", pmod(col("user_id"), lit(8)).cast("int"))
@@ -637,6 +645,7 @@ object EventQueries extends QueryPack {
         viewDir, "user_id", "event_type", viewOf)               // incremental
       graft.operators.RollupStore.readView(spark, viewDir).get
         .select(col("event_type"), col("v_min"), col("v_max"), col("n_rows"))
+      }
     }
   )
 

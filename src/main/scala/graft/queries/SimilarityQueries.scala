@@ -291,15 +291,16 @@ object SimilarityQueries extends QueryPack {
       val t = Tables(spark, dir)
       val emb = t.embeddings
       val q = emb.filter(col("vec_id") < 5)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_s14_").toString
-      val codebooks = SimilaritySearch.buildPqIndex(
-        emb, "vec_id", "embedding", s"$tmp/codes", m = 16, ksub = 64)
-      val codes = spark.read.parquet(s"$tmp/codes")
-      val truth = SimilaritySearch.bruteForceTopK(
-        q, emb, "vec_id", "embedding", k = 5, rankPrecision = Some(6))
-      val ann = SimilaritySearch.pqServeTopK(
-        q, codes, emb, "vec_id", "embedding", codebooks, k = 5)
-      annRecallReport(truth, ann, minHits = 4)
+      TempWork.scoped("graft_s14_") { tmp =>
+        val codebooks = SimilaritySearch.buildPqIndex(
+          emb, "vec_id", "embedding", s"$tmp/codes", m = 16, ksub = 64)
+        val codes = spark.read.parquet(s"$tmp/codes")
+        val truth = SimilaritySearch.bruteForceTopK(
+          q, emb, "vec_id", "embedding", k = 5, rankPrecision = Some(6))
+        val ann = SimilaritySearch.pqServeTopK(
+          q, codes, emb, "vec_id", "embedding", codebooks, k = 5)
+        annRecallReport(truth, ann, minHits = 4)
+      }
     }
   )
 

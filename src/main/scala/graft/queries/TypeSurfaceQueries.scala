@@ -174,17 +174,18 @@ object TypeSurfaceQueries extends QueryPack {
     //    The oracle re-derives both generations from documents directly.
     "x08_schema_evolution" -> { (spark, dir) =>
       val t = Tables(spark, dir)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_x08_").toString
-      t.documents.filter(col("doc_id") % 2 === 0)
-        .select(col("doc_id"), col("lang"))
-        .write.mode("overwrite").parquet(s"$tmp/gen=1")
-      t.documents.filter(col("doc_id") % 2 =!= 0)
-        .select(col("doc_id"), col("lang"), col("n_chars"))
-        .write.mode("overwrite").parquet(s"$tmp/gen=2")
-      graft.sources.Ingest.readEvolved(spark, tmp)
-        .select(col("doc_id"), col("lang"),
-          col("n_chars").cast("long").as("n_chars"),
-          col("gen").cast("int").as("gen"))
+      TempWork.scoped("graft_x08_") { tmp =>
+        t.documents.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("lang"))
+          .write.mode("overwrite").parquet(s"$tmp/gen=1")
+        t.documents.filter(col("doc_id") % 2 =!= 0)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .write.mode("overwrite").parquet(s"$tmp/gen=2")
+        graft.sources.Ingest.readEvolved(spark, tmp)
+          .select(col("doc_id"), col("lang"),
+            col("n_chars").cast("long").as("n_chars"),
+            col("gen").cast("int").as("gen"))
+      }
     }
   )
 

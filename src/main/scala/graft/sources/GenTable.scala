@@ -1,9 +1,13 @@
 package graft.sources
 
+import java.io.ByteArrayOutputStream
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.UUID
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, FileSystem, LocalFileSystem, Options, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Generational table commits — the minimal ACID protocol for the lake
   * maintenance paths (streaming upsert, compaction) that previously relied
@@ -19,6 +23,7 @@ import org.apache.spark.sql.functions._
   * Layout:
   * {{{
   *   table/_commit                          <- the ONLY mutable object
+  *   table/_commits/ct_<id>                 <- immutable commit archive
   *   table/<pcol>=<v>/gen=<n>/part-....parquet  <- immutable once written
   * }}}
   *
@@ -26,13 +31,24 @@ import org.apache.spark.sql.functions._
   *  1. STAGE: write the new rows of each touched partition under that
   *     partition's NEXT generation directory (append-only paths no
   *     manifest references yet — invisible to every reader).
-  *  2. PUBLISH: rewrite the manifest to point the touched partitions at
-  *     their new generations, as ONE atomic replace (java.nio
-  *     ATOMIC_MOVE here; on S3 the manifest is a single-object PUT,
-  *     which replaces atomically; on HDFS a rename). Readers resolve
-  *     concrete `pcol=v/gen=n` paths from whichever manifest version
-  *     they read — they see the table entirely before or entirely after
-  *     a commit, never a torn mix.
+  *  2. PUBLISH: replace the manifest with ONE atomic operation per the
+  *     target store's strongest primitive (see [[SwapMode]]). Readers
+  *     resolve concrete `pcol=v/gen=n` paths from whichever manifest
+  *     version they read — they see the table entirely before or entirely
+  *     after a commit, never a torn mix.
+  *
+  * All metadata I/O goes through the Hadoop `FileSystem` API resolved from
+  * the table path's scheme (the active session's hadoopConfiguration), so
+  * the same table code runs on `file:`, HDFS, and s3a/abfs/gs — the data
+  * files already did (Spark's parquet reader/writer is scheme-agnostic).
+  * The atomic swap is scheme-dispatched:
+  *  - local `file:` — temp write + java.nio ATOMIC_MOVE (POSIX rename);
+  *  - HDFS-like stores — temp write + rename-with-overwrite
+  *    (`FileContext.rename(OVERWRITE)`, atomic on HDFS);
+  *  - object stores (s3a, gs, abfs, ...) — a SINGLE-OBJECT PUT: S3-class
+  *    stores replace an object atomically on PUT (strong read-after-write
+  *    since 2020), while a "rename" there is a non-atomic copy+delete —
+  *    so the manifest is simply overwritten in place, no temp file.
   *
   * Crash analysis: a crash during STAGE leaves orphan files in an
   * uncommitted generation directory; the manifest is untouched, readers
@@ -40,7 +56,13 @@ import org.apache.spark.sql.functions._
   * before re-staging (generation numbers are allocated from the committed
   * manifest, so a retry targets the same directory). A crash between
   * STAGE and PUBLISH is the same case. PUBLISH itself is a single atomic
-  * rename — it either happened or it didn't.
+  * manifest replace — it either happened or it didn't. The time-travel
+  * archive is written strictly AFTER the swap (an archive must never
+  * exist for a state that was not committed — readers and CDC consumers
+  * derive the head from the manifest, so a crash between swap and archive
+  * exposes nothing); a missing head archive is backfilled from the
+  * manifest by the next publish. Temp manifests a crash strands are swept
+  * by [[vacuum]].
   *
   * Scale: staging cost is bounded by the partitions a batch touches
   * (the upsert contract), never table size; the manifest is one small
@@ -49,6 +71,15 @@ import org.apache.spark.sql.functions._
   * orthogonal to this protocol). Old generations stay on disk until
   * [[vacuum]], giving readers snapshot isolation for the retention
   * window.
+  *
+  * Schema evolution: the table schema rides the manifest
+  * (`#meta=table_schema`). A batch may ADD columns — the committed schema
+  * is the running union, untouched old generations read through it with
+  * the missing columns null, and no footer-merge pass is ever needed
+  * (at 100 TB, `mergeSchema` is a driver-side scan of every committed
+  * file's footer; carrying the schema in the one manifest object makes
+  * evolved reads free). Type changes are rejected. Time travel reads an
+  * archived commit with the schema AS OF that commit.
   *
   * Design boundary — SINGLE WRITER, deliberately: two concurrent writers
   * from the same head would allocate the same next generation and APPEND
@@ -62,7 +93,10 @@ import org.apache.spark.sql.functions._
   * DynamoDB-style coordinator S3 deployments use), both of which replace
   * this protocol rather than extend it. Serialize writers externally
   * (one maintenance scheduler per table — the reference's Step Functions
-  * shape); readers need no coordination at any count.
+  * shape); readers need no coordination at any count. [[publish]] FAILS
+  * LOUD when it can detect the violation: the committed head must be the
+  * staged commit's predecessor, so the second of two interleaved writers
+  * throws instead of committing a mixed-generation manifest.
   */
 object GenTable {
 
@@ -83,28 +117,94 @@ object GenTable {
     def trackedStatsCols: Set[String] = stats.values.flatMap(_.keys).toSet
   }
 
-  private def commitPath(dir: String): Path = localPath(dir).resolve("_commit")
+  /** Reserved meta key carrying the committed schema (see object doc). */
+  private val SchemaMetaKey = "table_schema"
 
-  private def localPath(dir: String): Path = Paths.get(dir.stripPrefix("file:"))
+  // ---------------------------------------------------------------- I/O
 
-  /** Children of a directory, with the stream closed (Files.list leaks a
-    * file descriptor otherwise — this runs inside long-lived sessions).
+  private def hadoopConf: Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration).getOrElse(new Configuration())
+
+  /** FileSystem + fully-qualified root for `dir`. Local paths go through
+    * RawLocalFileSystem: the checksummed LocalFileSystem writes `.crc`
+    * sidecars that a rename-based manifest swap would orphan, and the
+    * manifest carries its own integrity (require-validated parse).
     */
-  private def listDir(p: Path): Seq[Path] = {
-    val s = Files.list(p)
-    try {
-      val it = s.iterator()
-      val buf = Seq.newBuilder[Path]
-      while (it.hasNext) buf += it.next()
-      buf.result()
-    } finally s.close()
+  private def fsRoot(dir: String): (FileSystem, HPath) = {
+    val p = new HPath(dir)
+    val f = p.getFileSystem(hadoopConf) match {
+      case l: LocalFileSystem => l.getRawFileSystem
+      case o => o
+    }
+    (f, f.makeQualified(p))
   }
 
-  private def deleteRecursively(p: Path): Unit = {
-    val s = Files.walk(p)
-    try s.sorted(java.util.Comparator.reverseOrder()).forEach(f => Files.delete(f))
-    finally s.close()
+  private def listDir(f: FileSystem, p: HPath): Seq[HPath] =
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq.map(_.getPath)
+
+  private def readString(f: FileSystem, p: HPath): String = {
+    val in = f.open(p)
+    try {
+      val out = new ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
   }
+
+  private def writeBytes(f: FileSystem, p: HPath, bytes: Array[Byte]): Unit = {
+    val out = f.create(p, true)
+    try out.write(bytes) finally out.close()
+  }
+
+  /** How [[publish]] makes the new manifest current (see object doc). */
+  private[graft] sealed trait SwapMode
+  private[graft] case object NioAtomicMove extends SwapMode
+  private[graft] case object HadoopRename extends SwapMode
+  private[graft] case object SingleObjectPut extends SwapMode
+
+  /** Test hook: force a swap arm regardless of scheme, so GenTableSpec
+    * exercises the HDFS-rename and object-store-PUT paths on `file:`
+    * URIs (no HDFS/S3 endpoint exists in the test environment).
+    */
+  @volatile private[graft] var swapModeOverride: Option[SwapMode] = None
+
+  private val ObjectStoreSchemes =
+    Set("s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs", "oss", "cos")
+
+  private def swapModeFor(p: HPath): SwapMode = swapModeOverride.getOrElse {
+    Option(p.toUri.getScheme).getOrElse("file") match {
+      case "file" => NioAtomicMove
+      case s if ObjectStoreSchemes(s) => SingleObjectPut
+      case _ => HadoopRename
+    }
+  }
+
+  /** Atomically replace `dst` with `bytes`, per the store's strongest
+    * primitive (the swap-mode dispatch in the object doc).
+    */
+  private def swapIn(f: FileSystem, root: HPath, dst: HPath,
+      bytes: Array[Byte]): Unit =
+    swapModeFor(dst) match {
+      case SingleObjectPut =>
+        writeBytes(f, dst, bytes)
+      case NioAtomicMove =>
+        val tmp = new HPath(root, s"_commit.tmp.${UUID.randomUUID()}")
+        writeBytes(f, tmp, bytes)
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(tmp.toUri.getPath),
+          java.nio.file.Paths.get(dst.toUri.getPath),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      case HadoopRename =>
+        val tmp = new HPath(root, s"_commit.tmp.${UUID.randomUUID()}")
+        writeBytes(f, tmp, bytes)
+        FileContext.getFileContext(dst.toUri, hadoopConf)
+          .rename(tmp, dst, Options.Rename.OVERWRITE)
+    }
 
   private def enc(v: String): String =
     java.net.URLEncoder.encode(v, StandardCharsets.UTF_8)
@@ -112,23 +212,16 @@ object GenTable {
   private def dec(v: String): String =
     java.net.URLDecoder.decode(v, StandardCharsets.UTF_8)
 
+  // ------------------------------------------------------ commit codec
+
   /** Reads the committed state; None for a table that has never published. */
   def readCommit(dir: String): Option[Commit] = {
-    val p = commitPath(dir)
-    if (!Files.exists(p)) None else Some(parseCommit(p))
+    val (f, root) = fsRoot(dir)
+    val p = new HPath(root, "_commit")
+    if (!f.exists(p)) None else Some(parseCommit(readString(f, p)))
   }
 
-  /** PUBLISH: atomically replace the manifest (temp write + ATOMIC_MOVE),
-    * and archive the commit under `_commits/ct_<tableGen>` for time
-    * travel ([[readAt]]). The archive write happens BEFORE the swap: a
-    * crash between them leaves a never-current archive, which is
-    * harmless (vacuum retention is keyed off the newest archives, and
-    * the next successful publish at that tableGen overwrites it with
-    * identical-or-newer state). tableGen strictly increases through
-    * [[upsertBatch]]/[[compact]], so it doubles as the commit id.
-    */
-  def publish(dir: String, commit: Commit): Unit = {
-    Files.createDirectories(localPath(dir))
+  private def render(commit: Commit): Array[Byte] = {
     // `#tgen`/`#stat` cannot collide with a partition line: URL encoding
     // never emits '#' (a literal '#' in a value encodes as %23)
     val statLines = commit.stats.toSeq.sortBy(_._1).flatMap { case (v, cols) =>
@@ -143,34 +236,19 @@ object GenTable {
       s"#tgen=${commit.tableGen}" +:
       (commit.gens.toSeq.sortBy(_._1).map { case (v, g) => s"${enc(v)}=$g" } ++
         statLines ++ metaLines)).mkString("", "\n", "\n")
-    val bytes = body.getBytes(StandardCharsets.UTF_8)
-    val archiveDir = localPath(dir).resolve("_commits")
-    Files.createDirectories(archiveDir)
-    Files.write(archiveDir.resolve(f"ct_${commit.tableGen}%020d"), bytes)
-    val tmp = localPath(dir).resolve(s"_commit.tmp.${java.util.UUID.randomUUID()}")
-    Files.write(tmp, bytes)
-    Files.move(tmp, commitPath(dir), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    body.getBytes(StandardCharsets.UTF_8)
   }
 
-  /** Archived commit ids (tableGens), oldest first. */
-  def commits(dir: String): Seq[Long] = {
-    val archiveDir = localPath(dir).resolve("_commits")
-    if (!Files.exists(archiveDir)) Seq.empty
-    else listDir(archiveDir).map(_.getFileName.toString)
-      .filter(_.startsWith("ct_")).map(_.stripPrefix("ct_").toLong).sorted
-  }
-
-  private def parseCommit(p: Path): Commit = {
-    val lines = Files.readAllLines(p, StandardCharsets.UTF_8)
-    require(lines.size >= 1 && lines.get(0).startsWith("pcol="),
-      s"malformed manifest $p")
-    val pcol = dec(lines.get(0).stripPrefix("pcol="))
+  private def parseCommit(body: String): Commit = {
+    val lines = body.split('\n').filter(_.nonEmpty)
+    require(lines.length >= 1 && lines(0).startsWith("pcol="),
+      s"malformed manifest: ${body.take(80)}")
+    val pcol = dec(lines(0).stripPrefix("pcol="))
     var minGen = 0L
     val statBuf = Seq.newBuilder[(String, String, Long, Long)]
     val metaBuf = Map.newBuilder[String, String]
-    val gens = (1 until lines.size).flatMap { i =>
-      val line = lines.get(i)
+    val gens = (1 until lines.length).flatMap { i =>
+      val line = lines(i)
       if (line.startsWith("#tgen=")) {
         minGen = line.stripPrefix("#tgen=").toLong
         None
@@ -198,24 +276,105 @@ object GenTable {
     Commit(pcol, gens, minGen, stats, metaBuf.result())
   }
 
-  /** Time travel: the table as of an archived commit id (from
-    * [[commits]]). Generations are immutable, so the snapshot is exact —
-    * readable until [[vacuum]]'s retention drops it.
+  // --------------------------------------------------------- publish
+
+  /** PUBLISH: atomically replace the manifest ([[swapIn]]), then archive
+    * the commit under `_commits/ct_<tableGen>` for time travel
+    * ([[readAt]]) and CDC ([[changesBetween]]). Order matters for
+    * exactly-once CDC: the SWAP is the commit point, and the archive
+    * lands only after it — an archive can never name a state that was
+    * not committed, so a CDC consumer that checkpoints a head id is
+    * guaranteed the content behind that id is final (the
+    * archive-before-swap order would let a crash expose id N against
+    * content a retry later replaces). A crash between swap and archive
+    * leaves the head unarchived; the next publish backfills it from the
+    * manifest it replaces, so every committed state is archived before
+    * being superseded. tableGen strictly increases through
+    * [[upsertBatch]]/[[compact]], so it doubles as the commit id.
+    *
+    * FAILS LOUD on the detectable concurrent-writer violation: the
+    * committed head must be exactly the staged commit's predecessor
+    * (every staging path allocates `tableGen = head + 1`).
     */
-  def readAt(spark: SparkSession, dir: String, commitId: Long): Option[DataFrame] = {
-    val p = localPath(dir).resolve("_commits").resolve(f"ct_$commitId%020d")
-    if (!Files.exists(p)) None
-    else {
-      val c = parseCommit(p)
-      if (c.gens.isEmpty) None
-      else {
-        val paths = c.gens.toSeq.sortBy(_._1).map { case (v, g) =>
-          s"$dir/${c.partitionCol}=$v/gen=$g"
-        }
-        Some(spark.read.option("basePath", dir).parquet(paths: _*).drop("gen"))
+  def publish(dir: String, commit: Commit): Unit = {
+    val (f, root) = fsRoot(dir)
+    f.mkdirs(root)
+    val commitP = new HPath(root, "_commit")
+    val curBody = if (f.exists(commitP)) Some(readString(f, commitP)) else None
+    val curGen = curBody.map(parseCommit(_).tableGen).getOrElse(0L)
+    require(curGen == commit.tableGen - 1,
+      s"concurrent writer detected on $dir: staged commit " +
+        s"${commit.tableGen} expects committed head ${commit.tableGen - 1} " +
+        s"but found $curGen — the protocol is single-writer (serialize " +
+        s"maintenance jobs per table); re-stage from the current head")
+    val archiveDir = new HPath(root, "_commits")
+    f.mkdirs(archiveDir)
+    // backfill a head archive a previous crash (between swap and archive
+    // write) left missing — BEFORE this swap supersedes that state
+    curBody.foreach { body =>
+      if (curGen > 0) {
+        val prevArch = new HPath(archiveDir, f"ct_$curGen%020d")
+        if (!f.exists(prevArch))
+          writeBytes(f, prevArch, body.getBytes(StandardCharsets.UTF_8))
       }
     }
+    val bytes = render(commit)
+    swapIn(f, root, commitP, bytes) // the commit point
+    writeBytes(f, new HPath(archiveDir, f"ct_${commit.tableGen}%020d"), bytes)
   }
+
+  /** Committed commit ids, oldest first: the archives plus the manifest
+    * head (which may not be archived yet if the last publish crashed
+    * between swap and archive — the manifest is authoritative).
+    */
+  def commits(dir: String): Seq[Long] = {
+    val (f, root) = fsRoot(dir)
+    val archived = listDir(f, new HPath(root, "_commits"))
+      .map(_.getName).filter(_.startsWith("ct_"))
+      .map(_.stripPrefix("ct_").toLong)
+    val head = readCommit(dir).map(_.tableGen).filter(_ > 0L)
+    (archived ++ head).distinct.sorted
+  }
+
+  /** The state as of archived commit `id`; falls back to the manifest
+    * when `id` is the (possibly not-yet-archived) head.
+    */
+  private def commitAt(dir: String, id: Long): Option[Commit] = {
+    val (f, root) = fsRoot(dir)
+    val p = new HPath(new HPath(root, "_commits"), f"ct_$id%020d")
+    if (f.exists(p)) Some(parseCommit(readString(f, p)))
+    else readCommit(dir).filter(_.tableGen == id)
+  }
+
+  // ----------------------------------------------------------- reads
+
+  private def pathsOf(dir: String, c: Commit): Seq[String] =
+    c.gens.toSeq.sortBy(_._1).map { case (v, g) =>
+      s"$dir/${c.partitionCol}=$v/gen=$g"
+    }
+
+  private def schemaOf(c: Commit): Option[StructType] =
+    c.meta.get(SchemaMetaKey).map(DataType.fromJson(_).asInstanceOf[StructType])
+
+  /** Read committed generation paths with the commit's recorded schema
+    * (evolved tables: old generations' missing columns come back null;
+    * the partition column types from the schema, not inference). Tables
+    * predating schema tracking fall back to inference.
+    */
+  private def readPaths(spark: SparkSession, dir: String, c: Commit,
+      paths: Seq[String]): DataFrame = {
+    val r0 = spark.read.option("basePath", dir)
+    schemaOf(c).fold(r0)(s => r0.schema(s)).parquet(paths: _*).drop("gen")
+  }
+
+  /** Time travel: the table as of an archived commit id (from
+    * [[commits]]), read with the schema AS OF that commit. Generations
+    * are immutable, so the snapshot is exact — readable until
+    * [[vacuum]]'s retention drops it.
+    */
+  def readAt(spark: SparkSession, dir: String, commitId: Long): Option[DataFrame] =
+    commitAt(dir, commitId).filter(_.gens.nonEmpty)
+      .map(c => readPaths(spark, dir, c, pathsOf(dir, c)))
 
   /** The committed view: concrete `pcol=v/gen=n` leaf paths resolved from
     * the manifest, read with `basePath` so the partition column is
@@ -223,18 +382,34 @@ object GenTable {
     * has never published (or has no partitions).
     */
   def read(spark: SparkSession, dir: String): Option[DataFrame] =
-    readCommit(dir).filter(_.gens.nonEmpty).map { c =>
-      val paths = c.gens.toSeq.sortBy(_._1).map { case (v, g) =>
-        s"$dir/${c.partitionCol}=$v/gen=$g"
+    readCommit(dir).filter(_.gens.nonEmpty)
+      .map(c => readPaths(spark, dir, c, pathsOf(dir, c)))
+
+  // ----------------------------------------------------------- stage
+
+  /** Running-union schema evolution: `next` may ADD columns; a column
+    * present in both must keep its type (nullability-insensitive).
+    */
+  private def mergeSchemas(prev: StructType, next: StructType): StructType = {
+    val prevNames = prev.fieldNames.toSet
+    prev.fields.foreach { pf =>
+      next.fields.find(_.name == pf.name).foreach { nf =>
+        // catalogString comparison: type equality modulo nullability
+        require(pf.dataType.catalogString == nf.dataType.catalogString,
+          s"schema evolution supports ADDED columns only: '${pf.name}' " +
+            s"would change ${pf.dataType.simpleString} -> " +
+            nf.dataType.simpleString)
       }
-      spark.read.option("basePath", dir).parquet(paths: _*).drop("gen")
     }
+    StructType(prev.fields ++ next.fields.filterNot(f => prevNames(f.name)))
+  }
 
   /** STAGE: write `rows` (which must carry `partitionCol`) under the next
     * generation of each touched partition. Deletes orphan directories a
     * crashed previous attempt may have left at the same generation before
     * writing. Returns the Commit that [[publish]] would make current —
-    * the caller (or a crash-injection test) decides when to publish.
+    * the caller (or a crash-injection test) decides when to publish. The
+    * returned commit's meta carries the evolved (union) table schema.
     *
     * Partition values must be path-safe (their `cast("string")` form must
     * equal Spark's partition directory rendering — true for the intended
@@ -244,15 +419,24 @@ object GenTable {
     */
   def stage(rows: DataFrame, dir: String, partitionCol: String,
       statsCols: Seq[String] = Nil): Commit = {
+    val (f, root) = fsRoot(dir)
     val prev = readCommit(dir).getOrElse(Commit(partitionCol, Map.empty))
     require(prev.partitionCol == partitionCol,
       s"table is partitioned by ${prev.partitionCol}, not $partitionCol")
+    // legacy tables (no recorded schema) derive it from the committed
+    // files once; from then on it rides the manifest
+    val prevSchema: Option[StructType] = schemaOf(prev).orElse {
+      if (prev.gens.isEmpty) None
+      else Some(readPaths(rows.sparkSession, dir, prev,
+        pathsOf(dir, prev)).schema)
+    }
+    val merged = prevSchema.fold(rows.schema)(p => mergeSchemas(p, rows.schema))
     val newGen = prev.tableGen + 1
     val touched = rows.select(col(partitionCol).cast("string")).distinct()
       .collect().map(_.getString(0)) // bounded: partitions per batch
     touched.foreach { v =>
-      val orphan = localPath(dir).resolve(s"$partitionCol=$v").resolve(s"gen=$newGen")
-      if (Files.exists(orphan)) deleteRecursively(orphan)
+      val orphan = new HPath(new HPath(root, s"$partitionCol=$v"), s"gen=$newGen")
+      if (f.exists(orphan)) f.delete(orphan, true)
     }
     rows.withColumn("gen", lit(newGen))
       .write.mode(SaveMode.Append)
@@ -266,7 +450,7 @@ object GenTable {
     val newStats = computeStats(rows, partitionCol, track)
     Commit(partitionCol, prev.gens ++ touched.map(_ -> newGen),
       stats = (prev.stats -- touched) ++ newStats,
-      meta = prev.meta) // metadata persists until a commit changes it
+      meta = prev.meta + (SchemaMetaKey -> merged.json))
   }
 
   /** Per-partition min/max of `track` columns over `rows` in one
@@ -332,7 +516,7 @@ object GenTable {
         resid(read(spark, dir).get).limit(0)
       } else {
         val paths = keep.map { case (v, g) => s"$dir/${c.partitionCol}=$v/gen=$g" }
-        resid(spark.read.option("basePath", dir).parquet(paths: _*).drop("gen"))
+        resid(readPaths(spark, dir, c, paths))
       }
     }
   }
@@ -343,11 +527,16 @@ object GenTable {
     * [[graft.streaming.EventStreams.upsertForeachBatchAvailableNow]]:
     * identical semantics (latest row per `keyCol` by `orderCols` desc;
     * `partitionCol` must be stable per key), but a crash anywhere leaves
-    * the committed view byte-identical to the pre-batch state.
+    * the committed view byte-identical to the pre-batch state. A batch
+    * may ADD columns (schema evolution): existing rows carry null there,
+    * and the key/order/partition columns must be present in every batch.
     */
   def upsertBatch(batch: DataFrame, dir: String, keyCol: String,
       orderCols: Seq[String], partitionCol: String,
       statsCols: Seq[String] = Nil): Unit = {
+    (keyCol +: partitionCol +: orderCols).foreach(c =>
+      require(batch.columns.contains(c),
+        s"upsert batch must carry key/order/partition column '$c'"))
     val spark = batch.sparkSession
     val prev = readCommit(dir).getOrElse(Commit(partitionCol, Map.empty))
     val touchedVals = batch.select(col(partitionCol).cast("string")).distinct()
@@ -358,12 +547,12 @@ object GenTable {
       .map { case (v, g) => s"$dir/$partitionCol=$v/gen=$g" }
     val existing =
       if (existingPaths.isEmpty) None
-      else Some(spark.read.option("basePath", dir)
-        .parquet(existingPaths: _*).drop("gen"))
+      else Some(readPaths(spark, dir, prev, existingPaths))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(keyCol))
       .orderBy(orderCols.map(col(_).desc): _*)
-    val merged = existing.fold(batch)(_.unionByName(batch))
+    val merged = existing
+      .fold(batch)(_.unionByName(batch, allowMissingColumns = true))
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
     // materialize before staging: `merged` lazily reads committed files of
@@ -389,6 +578,8 @@ object GenTable {
   def replaceAll(rows: DataFrame, dir: String, partitionCol: String,
       meta: Map[String, String] = Map.empty,
       statsCols: Seq[String] = Nil): Unit = {
+    require(!meta.contains(SchemaMetaKey),
+      s"'$SchemaMetaKey' is reserved (the schema is derived from rows)")
     val frozen = rows.localCheckpoint(true)
     try {
       val prevGen = readCommit(dir).map(_.tableGen).getOrElse(0L)
@@ -396,12 +587,14 @@ object GenTable {
         .collect().map(_.getString(0)).toSet
       val staged = stage(frozen, dir, partitionCol, statsCols)
       // an empty replace still commits (meta-only, e.g. an empty view's
-      // marker) — minGen forces a fresh commit id in that case
+      // marker) — minGen forces a fresh commit id in that case. Replace
+      // semantics: the schema is exactly `rows`' (no union with history —
+      // every surviving partition was rewritten from `rows`).
       publish(dir, Commit(partitionCol,
         staged.gens.filter { case (v, _) => touched(v) },
         math.max(staged.tableGen, prevGen + 1),
         staged.stats.filter { case (v, _) => touched(v) },
-        meta))
+        meta + (SchemaMetaKey -> frozen.schema.json)))
     } finally frozen.unpersist()
   }
 
@@ -426,12 +619,12 @@ object GenTable {
   def compact(spark: SparkSession, dir: String, targetRecordsPerFile: Long,
       clusterBy: Seq[String] = Nil): (Long, Long) = {
     require(targetRecordsPerFile > 0, "targetRecordsPerFile must be positive")
+    val (fsys, root) = fsRoot(dir)
     val c = readCommit(dir).getOrElse(
       throw new IllegalStateException(s"no committed generation under $dir"))
     def committedFiles(cm: Commit): Long = cm.gens.map { case (v, g) =>
-      val d = localPath(dir).resolve(s"${cm.partitionCol}=$v").resolve(s"gen=$g")
-      if (!Files.exists(d)) 0L
-      else listDir(d).count(_.toString.endsWith(".parquet")).toLong
+      val d = new HPath(new HPath(root, s"${cm.partitionCol}=$v"), s"gen=$g")
+      listDir(fsys, d).count(_.getName.endsWith(".parquet")).toLong
     }.sum
     val before = committedFiles(c)
     val df = read(spark, dir).get
@@ -439,8 +632,8 @@ object GenTable {
     val files = math.max(1L, (n + targetRecordsPerFile - 1) / targetRecordsPerFile)
     val newGen = c.tableGen + 1
     c.gens.keys.foreach { v =>
-      val orphan = localPath(dir).resolve(s"${c.partitionCol}=$v").resolve(s"gen=$newGen")
-      if (Files.exists(orphan)) deleteRecursively(orphan)
+      val orphan = new HPath(new HPath(root, s"${c.partitionCol}=$v"), s"gen=$newGen")
+      if (fsys.exists(orphan)) fsys.delete(orphan, true)
     }
     // gen is added BEFORE the cluster sort so the writer's required
     // ordering (partitionCol, gen) is already satisfied and it does not
@@ -456,10 +649,11 @@ object GenTable {
       .option("maxRecordsPerFile", targetRecordsPerFile)
       .partitionBy(c.partitionCol, "gen")
       .parquet(dir)
-    // contents are unchanged by compaction, so stats/meta carry over as-is
+    // contents are unchanged by compaction, so stats/meta carry over
+    // (plus the schema, derived once here for legacy tables)
     val next = Commit(c.partitionCol,
       c.gens.map { case (v, _) => v -> newGen }, stats = c.stats,
-      meta = c.meta)
+      meta = c.meta + (SchemaMetaKey -> df.schema.json))
     publish(dir, next)
     (before, committedFiles(next))
   }
@@ -491,8 +685,7 @@ object GenTable {
     val touchedPaths = c.gens.filter { case (v, _) => touchedVals(v) }
       .toSeq.sortBy(_._1)
       .map { case (v, g) => s"$dir/${c.partitionCol}=$v/gen=$g" }
-    val survivors = spark.read.option("basePath", dir)
-      .parquet(touchedPaths: _*).drop("gen")
+    val survivors = readPaths(spark, dir, c, touchedPaths)
       .filter(!coalesce(predicate, lit(false)))
     commitRewrite(spark, dir, c, touchedVals, survivors)
     deleted
@@ -523,8 +716,7 @@ object GenTable {
     val touchedPaths = c.gens.filter { case (v, _) => touchedVals(v) }
       .toSeq.sortBy(_._1)
       .map { case (v, g) => s"$dir/${c.partitionCol}=$v/gen=$g" }
-    val part = spark.read.option("basePath", dir)
-      .parquet(touchedPaths: _*).drop("gen")
+    val part = readPaths(spark, dir, c, touchedPaths)
     val deleted = part.join(broadcast(k), Seq(keyCol), "left_semi").count()
     if (deleted == 0L) return 0L
     commitRewrite(spark, dir, c, touchedVals,
@@ -539,6 +731,7 @@ object GenTable {
     */
   private def commitRewrite(spark: SparkSession, dir: String, c: Commit,
       touchedVals: Set[String], survivors: DataFrame): Unit = {
+    val (fsys, root) = fsRoot(dir)
     // freeze before staging: the survivor frame lazily reads committed
     // files of the same table (same discipline as upsertBatch)
     val frozen = survivors.localCheckpoint(true)
@@ -547,8 +740,8 @@ object GenTable {
       val survivorVals = frozen.select(col(c.partitionCol).cast("string"))
         .distinct().collect().map(_.getString(0)).toSet
       touchedVals.foreach { v =>
-        val orphan = localPath(dir).resolve(s"${c.partitionCol}=$v").resolve(s"gen=$newGen")
-        if (Files.exists(orphan)) deleteRecursively(orphan)
+        val orphan = new HPath(new HPath(root, s"${c.partitionCol}=$v"), s"gen=$newGen")
+        if (fsys.exists(orphan)) fsys.delete(orphan, true)
       }
       if (survivorVals.nonEmpty) {
         frozen.withColumn("gen", lit(newGen))
@@ -563,7 +756,7 @@ object GenTable {
       publish(dir, Commit(c.partitionCol,
         (c.gens -- emptied) ++ survivorVals.map(_ -> newGen), newGen,
         (c.stats -- touchedVals) ++ computeStats(frozen, c.partitionCol, track),
-        c.meta))
+        c.meta + (SchemaMetaKey -> frozen.schema.json)))
     } finally frozen.unpersist()
   }
 
@@ -591,19 +784,22 @@ object GenTable {
 
   /** Incremental CDC consumption: the pre/post-image changes between the
     * consumer's last-seen commit id (0 = never consumed) and the current
-    * head, plus the head id to checkpoint for the next poll. `None` when
-    * nothing new committed. Feeding each poll's frame to
-    * [[graft.operators.RollupStore.applyCdcDeltas]] maintains a
-    * downstream view that equals a from-scratch recompute after every
-    * poll, whatever the poll-to-commit interleaving — the lake-to-view
-    * pipeline loop (spec-pinned). Retention contract: the consumer must
-    * poll within `keepCommits` of [[vacuum]], or its `lastSeenId`
-    * snapshot is gone and the diff fails fast rather than silently
-    * dropping changes.
+    * head, plus the head id to checkpoint for the next poll. The head is
+    * the COMMITTED MANIFEST's id (never the archive listing — see
+    * [[publish]]'s ordering contract), so a checkpointed id always names
+    * final content. `None` when nothing new committed. Feeding each
+    * poll's frame to [[graft.operators.RollupStore.applyCdcDeltas]]
+    * maintains a downstream view that equals a from-scratch recompute
+    * after every poll, whatever the poll-to-commit interleaving — the
+    * lake-to-view pipeline loop (spec-pinned). Retention contract: the
+    * consumer must poll within `keepCommits` of [[vacuum]], or its
+    * `lastSeenId` snapshot is gone and the diff fails fast rather than
+    * silently dropping changes.
     */
   def changesSince(spark: SparkSession, dir: String, lastSeenId: Long,
       keyCol: String): Option[(Long, DataFrame)] = {
-    val head = commits(dir).lastOption.getOrElse(return None)
+    val head = readCommit(dir).map(_.tableGen).filter(_ > 0L)
+      .getOrElse(return None)
     if (head <= lastSeenId) None
     else Some((head, changesWithImages(spark, dir, lastSeenId, head, keyCol)))
   }
@@ -614,7 +810,9 @@ object GenTable {
     * maintenance needs — an update's effect on a downstream aggregate is
     * `-f(pre) + f(post)`, which the single-image form cannot express
     * (see [[graft.operators.RollupStore.applyCdcDeltas]]). Same pruning:
-    * only partitions whose generation moved are read.
+    * only partitions whose generation moved are read. Across a schema
+    * evolution boundary both images read through the `toId` schema
+    * (pre-evolution rows show null in added columns).
     */
   def changesWithImages(spark: SparkSession, dir: String, fromId: Long,
       toId: Long, keyCol: String): DataFrame =
@@ -624,14 +822,21 @@ object GenTable {
       toId: Long, keyCol: String): DataFrame = {
     def resolve(id: Long): Commit = {
       if (id == 0L) return Commit("", Map.empty)
-      val p = localPath(dir).resolve("_commits").resolve(f"ct_$id%020d")
-      require(Files.exists(p), s"no archived commit $id under $dir (vacuumed?)")
-      parseCommit(p)
+      commitAt(dir, id).getOrElse(
+        throw new IllegalArgumentException(
+          s"no archived commit $id under $dir (vacuumed?)"))
     }
     val cFrom = resolve(fromId)
     val cTo = resolve(toId)
     val pcol = if (cTo.gens.nonEmpty || cTo.partitionCol.nonEmpty)
       cTo.partitionCol else cFrom.partitionCol
+    // both sides read through the TO-side schema so the packed _pre/_post
+    // structs are the same type across an evolution boundary
+    val align: Option[StructType] = schemaOf(cTo).orElse(schemaOf(cFrom))
+    def reader = {
+      val r0 = spark.read.option("basePath", dir)
+      align.fold(r0)(s => r0.schema(s))
+    }
     // only partitions whose generation moved participate in the diff
     val changed = (cFrom.gens.keySet ++ cTo.gens.keySet)
       .filter(v => cFrom.gens.get(v) != cTo.gens.get(v)).toSeq.sorted
@@ -639,10 +844,22 @@ object GenTable {
       val paths = changed.flatMap(v => c.gens.get(v).map(g =>
         s"$dir/$pcol=$v/gen=$g"))
       if (paths.isEmpty) None
-      else Some(spark.read.option("basePath", dir).parquet(paths: _*).drop("gen"))
+      else Some(reader.parquet(paths: _*).drop("gen"))
     }
-    val template = side(cTo).orElse(side(cFrom)).getOrElse(
-      return spark.emptyDataFrame)
+    // a no-churn diff (e.g. across a meta-only replace) still returns the
+    // schema-correct (keyCol, _pre, _post, _change) frame: the template
+    // falls back to any committed generation, then to the manifest schema
+    val template = side(cTo).orElse(side(cFrom)).orElse {
+      def any(c: Commit): Option[String] =
+        c.gens.toSeq.sortBy(_._1).headOption.map { case (v, g) =>
+          s"$dir/${c.partitionCol}=$v/gen=$g"
+        }
+      any(cTo).orElse(any(cFrom))
+        .map(p => reader.parquet(p).drop("gen").limit(0))
+    }.orElse {
+      align.map(s => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s))
+    }.getOrElse(return spark.emptyDataFrame) // pre-schema-tracking AND empty
     val dataCols = template.columns.filterNot(_ == keyCol)
     def packed(df: Option[DataFrame], as: String): DataFrame = df match {
       case Some(d) => d.select(col(keyCol),
@@ -661,7 +878,8 @@ object GenTable {
 
   /** Deletes every generation directory the RETAINED commits do not
     * reference — superseded generations AND orphans from crashed stages —
-    * plus commit archives older than the retention window. Retention:
+    * plus commit archives older than the retention window, plus stale
+    * `_commit.tmp.*` manifests a crashed publish stranded. Retention:
     * the current manifest and the newest `keepCommits` archived commits
     * stay readable ([[readAt]]); everything older goes. Single-writer
     * assumption: never run concurrently with a stage, and a reader that
@@ -672,40 +890,37 @@ object GenTable {
   def vacuum(dir: String, keepCommits: Int = 1): Long = {
     require(keepCommits >= 1, "keepCommits must be >= 1")
     val c = readCommit(dir).getOrElse(return 0L)
-    val root = localPath(dir)
-    if (!Files.exists(root)) return 0L
+    val (f, root) = fsRoot(dir)
+    if (!f.exists(root)) return 0L
     val retainedIds = commits(dir).takeRight(keepCommits)
-    val retained = retainedIds.flatMap { id =>
-      val p = root.resolve("_commits").resolve(f"ct_$id%020d")
-      if (Files.exists(p)) Some(parseCommit(p)) else None
-    } :+ c
+    val retained = retainedIds.flatMap(commitAt(dir, _)) :+ c
     // per partition value, the set of generations any retained commit pins
     val keep: Map[String, Set[Long]] = retained
       .flatMap(_.gens.toSeq).groupBy(_._1)
       .map { case (v, gs) => v -> gs.map(_._2).toSet }
     var removed = 0L
-    listDir(root).filter(p => Files.isDirectory(p) &&
-      p.getFileName.toString.startsWith(s"${c.partitionCol}=")).foreach { pdir =>
-      val v = pdir.getFileName.toString.stripPrefix(s"${c.partitionCol}=")
+    listDir(f, root).filter(p => f.getFileStatus(p).isDirectory &&
+      p.getName.startsWith(s"${c.partitionCol}=")).foreach { pdir =>
+      val v = pdir.getName.stripPrefix(s"${c.partitionCol}=")
       val pinned = keep.getOrElse(v, Set.empty)
-      listDir(pdir).filter(p => Files.isDirectory(p) &&
-        p.getFileName.toString.startsWith("gen=")).foreach { gdir =>
-        val g = gdir.getFileName.toString.stripPrefix("gen=").toLong
+      listDir(f, pdir).filter(p => f.getFileStatus(p).isDirectory &&
+        p.getName.startsWith("gen=")).foreach { gdir =>
+        val g = gdir.getName.stripPrefix("gen=").toLong
         if (!pinned.contains(g)) {
-          deleteRecursively(gdir)
+          f.delete(gdir, true)
           removed += 1
         }
       }
     }
     // drop archives outside the retention window
-    val archiveDir = root.resolve("_commits")
-    if (Files.exists(archiveDir)) {
-      val keepNames = retainedIds.map(id => f"ct_$id%020d").toSet
-      listDir(archiveDir).filter(p =>
-        p.getFileName.toString.startsWith("ct_") &&
-          !keepNames.contains(p.getFileName.toString))
-        .foreach(Files.delete)
-    }
+    val archiveDir = new HPath(root, "_commits")
+    val keepNames = retainedIds.map(id => f"ct_$id%020d").toSet
+    listDir(f, archiveDir).filter(p =>
+      p.getName.startsWith("ct_") && !keepNames.contains(p.getName))
+      .foreach(p => f.delete(p, false))
+    // sweep temp manifests stranded by a crash between write and swap
+    listDir(f, root).filter(_.getName.startsWith("_commit.tmp."))
+      .foreach(p => f.delete(p, false))
     removed
   }
 }

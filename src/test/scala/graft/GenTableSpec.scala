@@ -521,4 +521,152 @@ class GenTableSpec extends SparkSpec {
     assert(GenTable.readCommit(viewDir).get.meta("consumed_commit") ===
       GenTable.commits(out).last.toString)
   }
+
+  test("publish fails loud on a concurrent writer (stale staged head)") {
+    val dir = tmp()
+    GenTable.upsertBatch(batch((1L, 10L, 1.0)), dir, "user_id", Seq("ts"),
+      "bucket")
+    // writer A stages from head 1...
+    val stagedA = GenTable.stage(batch((2L, 20L, 2.0)), dir, "bucket")
+    // ...writer B commits first — the head moves under A (disjoint
+    // partitions, so the stage-level append hazard doesn't fire here;
+    // the publish-time guard is what must catch the interleave)
+    GenTable.upsertBatch(batch((5L, 30L, 5.0)), dir, "user_id", Seq("ts"),
+      "bucket")
+    val before = rows(GenTable.read(spark, dir).get)
+    val ex = intercept[IllegalArgumentException] {
+      GenTable.publish(dir, stagedA)
+    }
+    assert(ex.getMessage.contains("concurrent writer"))
+    // B's committed state is untouched by A's failed publish
+    assert(rows(GenTable.read(spark, dir).get) === before)
+    assert(GenTable.readCommit(dir).get.tableGen === 2L)
+  }
+
+  test("swap arms: lifecycle green through HDFS-rename and object-PUT paths") {
+    for (mode <- Seq(GenTable.HadoopRename, GenTable.SingleObjectPut)) {
+      GenTable.swapModeOverride = Some(mode)
+      try {
+        val dir = tmp()
+        GenTable.upsertBatch(batch((1L, 10L, 1.0), (2L, 10L, 2.0)),
+          dir, "user_id", Seq("ts"), "bucket")
+        GenTable.upsertBatch(batch((1L, 20L, 1.5), (3L, 20L, 3.0)),
+          dir, "user_id", Seq("ts"), "bucket")
+        assert(rows(GenTable.read(spark, dir).get) === Set(
+          (1L, 20L, 1.5, 1), (2L, 10L, 2.0, 2), (3L, 20L, 3.0, 3)),
+          s"swap mode $mode broke the committed view")
+        assert(GenTable.commits(dir) === Seq(1L, 2L))
+        assert(rows(GenTable.readAt(spark, dir, 1L).get) === Set(
+          (1L, 10L, 1.0, 1), (2L, 10L, 2.0, 2)))
+        assert(GenTable.deleteWhere(spark, dir, col("user_id") === 2L) === 1L)
+        GenTable.vacuum(dir)
+        // neither arm strands a temp manifest
+        assert(!new java.io.File(dir).listFiles()
+          .exists(_.getName.startsWith("_commit.tmp.")),
+          s"swap mode $mode stranded a temp manifest")
+      } finally GenTable.swapModeOverride = None
+    }
+  }
+
+  test("crash between swap and archive: manifest rules; next publish backfills") {
+    val dir = tmp()
+    GenTable.upsertBatch(batch((1L, 10L, 1.0)), dir, "user_id", Seq("ts"),
+      "bucket")
+    GenTable.upsertBatch(batch((2L, 20L, 2.0)), dir, "user_id", Seq("ts"),
+      "bucket")
+    // simulate a publish that died after its manifest swap but before the
+    // archive write: the head archive is missing
+    val headArch = Paths.get(s"$dir/_commits/" + f"ct_${2L}%020d")
+    Files.delete(headArch)
+    // the head stays fully visible — commits/readAt/changesSince all
+    // derive it from the committed manifest, never the archive listing
+    assert(GenTable.commits(dir) === Seq(1L, 2L))
+    assert(rows(GenTable.readAt(spark, dir, 2L).get) ===
+      rows(GenTable.read(spark, dir).get))
+    val (head, changes) = GenTable.changesSince(spark, dir, 1L, "user_id").get
+    assert(head === 2L)
+    assert(changes.count() === 1L)
+    // the next publish backfills the missing archive BEFORE superseding it
+    GenTable.upsertBatch(batch((3L, 30L, 3.0)), dir, "user_id", Seq("ts"),
+      "bucket")
+    assert(Files.exists(headArch), "superseded commit lost its archive")
+    assert(rows(GenTable.readAt(spark, dir, 2L).get) === Set(
+      (1L, 10L, 1.0, 1), (2L, 20L, 2.0, 2)))
+  }
+
+  test("schema evolution: added column nulls old rows; old snapshots keep old schema") {
+    val dir = tmp()
+    GenTable.upsertBatch(batch((1L, 10L, 1.0), (2L, 10L, 2.0)),
+      dir, "user_id", Seq("ts"), "bucket")                     // commit 1
+    // commit 2 ADDS a column; bucket 1 (user 1) is untouched
+    val evolved = batch((2L, 20L, 2.5), (3L, 20L, 3.0))
+      .withColumn("tag", concat(lit("u"), col("user_id")))
+    GenTable.upsertBatch(evolved, dir, "user_id", Seq("ts"), "bucket")
+    val cur = GenTable.read(spark, dir).get
+    assert(cur.columns.contains("tag"))
+    val tags = cur.select(col("user_id"), col("tag")).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    // old-generation rows read through the evolved schema as null
+    assert(tags === Map(1L -> None, 2L -> Some("u2"), 3L -> Some("u3")))
+    // time travel reads the schema AS OF the archived commit
+    assert(!GenTable.readAt(spark, dir, 1L).get.columns.contains("tag"))
+    // CDC across the boundary: both images through the TO-side schema
+    val ch = GenTable.changesBetween(spark, dir, 1L, 2L, "user_id")
+    assert(ch.columns.contains("tag"))
+    val byKey = ch.collect().map(r => r.getAs[Long]("user_id") ->
+      (r.getAs[String]("_change"), Option(r.getAs[String]("tag")))).toMap
+    assert(byKey === Map(2L -> ("update", Some("u2")),
+      3L -> ("insert", Some("u3"))))
+    // later batches may omit the added column (null-filled), but a TYPE
+    // change is rejected before anything is staged
+    GenTable.upsertBatch(batch((5L, 30L, 5.0)), dir, "user_id", Seq("ts"),
+      "bucket")
+    assert(GenTable.read(spark, dir).get.filter(col("user_id") === 5L)
+      .select(col("tag")).collect().head.isNullAt(0))
+    val before = GenTable.readCommit(dir).get
+    intercept[IllegalArgumentException] {
+      GenTable.upsertBatch(
+        batch((6L, 40L, 6.0)).withColumn("tag", lit(1)),
+        dir, "user_id", Seq("ts"), "bucket")
+    }
+    assert(GenTable.readCommit(dir).get === before,
+      "rejected type change must not commit")
+  }
+
+  test("no-churn diff returns a schema-correct empty change set") {
+    val dir = tmp()
+    def viewRows(n: Int): DataFrame =
+      (1 to n).map(i => (i.toLong, i.toDouble)).toDF("user_id", "value")
+        .withColumn("vp", lit("all")).limit(0) // meta-only: zero rows
+    GenTable.replaceAll(viewRows(1), dir, "vp", meta = Map("marker" -> "1"))
+    GenTable.replaceAll(viewRows(1), dir, "vp", meta = Map("marker" -> "2"))
+    assert(GenTable.commits(dir) === Seq(1L, 2L))
+    // two distinct genless commits: no partition moved, but the diff is
+    // still the schema-correct empty frame (ADVICE r11: a zero-column
+    // frame here breaks every downstream image consumer)
+    val imgs = GenTable.changesWithImages(spark, dir, 1L, 2L, "user_id")
+    assert(imgs.columns.toSet === Set("user_id", "_pre", "_post", "_change"))
+    assert(imgs.count() === 0L)
+    val flat = GenTable.changesBetween(spark, dir, 1L, 2L, "user_id")
+    assert(flat.columns.toSet === Set("user_id", "_change", "value", "vp"))
+    assert(flat.count() === 0L)
+    // and the empty diff flows through the view-maintenance delta math
+    val emptyView = spark.range(0).selectExpr("cast(id as string) vp",
+      "id as n_rows", "cast(id as decimal(38,10)) value_sum_dec")
+    val refreshed = graft.operators.RollupStore.applyCdcDeltas(
+      emptyView, imgs, "vp", "value")
+    assert(refreshed.count() === 0L)
+  }
+
+  test("vacuum sweeps stranded temp manifests") {
+    val dir = tmp()
+    GenTable.upsertBatch(batch((1L, 10L, 1.0)), dir, "user_id", Seq("ts"),
+      "bucket")
+    Files.write(Paths.get(s"$dir/_commit.tmp.deadbeef"),
+      "junk".getBytes("UTF-8"))
+    GenTable.vacuum(dir)
+    assert(!Files.exists(Paths.get(s"$dir/_commit.tmp.deadbeef")),
+      "stranded temp manifest survived vacuum")
+    assert(rows(GenTable.read(spark, dir).get) === Set((1L, 10L, 1.0, 1)))
+  }
 }

@@ -216,6 +216,23 @@ class WebOpsSpec extends SparkSpec {
       3L -> "a.gov.uk"))
   }
 
+  test("PSL election is case-insensitive (hosts fold like the rule table)") {
+    import graft.functions.PublicSuffix
+    val rules = PublicSuffix.rules(spark)
+    // the published algorithm compares case-insensitively; before the
+    // round-12 fix a mixed-case host matched no rule, fell to the default
+    // pub=1, and elected the wrong (too-short) registrable domain
+    val got = PublicSuffix.registrableDomains(
+      Seq("Foo.Co.UK", "WWW.Cabinet-Office.GOV.UK", "User.GitHub.IO",
+        "Shop.WWW.CK").toDF("host"), rules)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // original host keys the mapping; the domain is canonical lowercase
+    assert(got("Foo.Co.UK") === "foo.co.uk")
+    assert(got("WWW.Cabinet-Office.GOV.UK") === "cabinet-office.gov.uk")
+    assert(got("User.GitHub.IO") === "user.github.io")
+    assert(got("Shop.WWW.CK") === "www.ck")
+  }
+
   test("normalizeUrl is stateless and runs unchanged under readStream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
