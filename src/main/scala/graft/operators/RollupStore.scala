@@ -248,6 +248,97 @@ object RollupStore {
     Some(head)
   }
 
+  /** ONE viewDir serving BOTH algebra classes in a single exactly-once
+    * refresh — the composite the round-11 design split across two tables
+    * (count/sum via [[maintainView]]'s signed deltas, min/max via
+    * [[maintainViewByGroups]]' partial recompute). Columns: (`groupCol`,
+    * `n_rows`, `value_sum_dec`, `v_min`, `v_max`). Each refresh:
+    *  - the RETRACTABLE half applies [[applyCdcDeltas]] to the stored
+    *    count/sum columns — pure churn-bounded delta math;
+    *  - the NON-RETRACTABLE half recomputes min/max for only the groups
+    *    the SAME commit diff names (broadcast semi-join against the
+    *    pinned snapshot) and splices them over the stored rows;
+    *  - the halves join on `groupCol` — total by construction, because
+    *    count survivorship (`n_rows > 0`, exact) decides group existence
+    *    and every surviving group's min/max is either untouched (stored)
+    *    or recomputed (it was named by the diff);
+    * and the result replaces the view in ONE commit with the consumed
+    * marker — the same crash-safe exactly-once discipline, now for a
+    * mixed-aggregate view with no second table and no second diff scan.
+    */
+  def maintainViewMixed(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, viewDir: String, keyCol: String, groupCol: String,
+      valueCol: String, scale: Int = 10): Option[Long] = {
+    import graft.sources.GenTable
+    require(groupCol != ViewPartition && valueCol != ViewPartition,
+      s"'$ViewPartition' is reserved for the view's storage partition")
+    val head = GenTable.readCommit(tableDir).map(_.tableGen)
+      .filter(_ > 0L).getOrElse(return None)
+    val seen = GenTable.readCommit(viewDir)
+      .flatMap(_.meta.get(ConsumedKey)).map(_.toLong).getOrElse(0L)
+    if (head <= seen) return None
+    def viewOf(df: DataFrame): DataFrame = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col(valueCol).cast(s"decimal(28,$scale)"))
+          .cast(s"decimal(38,$scale)").as("value_sum_dec"),
+        min(col(valueCol)).as("v_min"),
+        max(col(valueCol)).as("v_max"))
+    val stored = readView(spark, viewDir)
+    val snap = GenTable.readAt(spark, tableDir, head)
+    val refreshed = (stored, snap) match {
+      case (s, Some(sn)) if seen == 0L || s.isEmpty => viewOf(sn)
+      case (Some(st), snapOpt) =>
+        val ch = GenTable.changesWithImages(spark, tableDir, seen, head, keyCol)
+        if (ch.columns.isEmpty) st // empty diff: marker-only advance
+        else {
+          val counts = applyCdcDeltas(
+            st.select(col(groupCol), col("n_rows"), col("value_sum_dec")),
+            ch, groupCol, valueCol, scale)
+          val changedGroups = ch.select(explode(array(
+              col(s"_pre.$groupCol"), col(s"_post.$groupCol"))).as(groupCol))
+            .filter(col(groupCol).isNotNull).distinct()
+          val recomputedMM = snapOpt match {
+            case Some(sn) => sn.join(broadcast(changedGroups),
+                Seq(groupCol), "left_semi")
+              .groupBy(col(groupCol))
+              .agg(min(col(valueCol)).as("v_min"),
+                max(col(valueCol)).as("v_max"))
+            case None => st.select(col(groupCol), col("v_min"),
+              col("v_max")).limit(0)
+          }
+          val minmax = st.select(col(groupCol), col("v_min"), col("v_max"))
+            .join(broadcast(changedGroups), Seq(groupCol), "left_anti")
+            .unionByName(recomputedMM)
+          counts.join(minmax, Seq(groupCol))
+        }
+      case (None, None) => return None
+    }
+    GenTable.replaceAll(refreshed.withColumn(ViewPartition, lit("all")),
+      viewDir, ViewPartition,
+      meta = Map(ConsumedKey -> head.toString,
+        SchemaKey -> refreshed.schema.json))
+    Some(head)
+  }
+
+  /** AvailableNow drain for a maintained view: refresh until the source
+    * head stops moving — the batch-driver face of a streaming CDC feed.
+    * Each iteration is one micro-batch whose "offset" is the consumed
+    * commit id, checkpointed transactionally inside the view's own
+    * commit (no sidecar offset log to drift from the data). With a
+    * concurrent writer the loop chases the head and exits when a poll
+    * finds it unchanged; exactly-once holds at any interleaving because
+    * every refresh is (spec-pinned in GenTableSpec). Returns the number
+    * of refreshes applied.
+    */
+  def maintainViewAvailableNow(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, viewDir: String, keyCol: String, groupCol: String,
+      valueCol: String, scale: Int = 10): Int = {
+    var n = 0
+    while (maintainView(spark, tableDir, viewDir, keyCol, groupCol,
+        valueCol, scale).isDefined) n += 1
+    n
+  }
+
   /** The committed materialized view at `viewDir` (None before the first
     * [[maintainView]] refresh lands; an empty-but-refreshed view reads
     * back as a schema-correct empty frame via the meta-carried schema).

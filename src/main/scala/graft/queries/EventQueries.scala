@@ -646,6 +646,68 @@ object EventQueries extends QueryPack {
       graft.operators.RollupStore.readView(spark, viewDir).get
         .select(col("event_type"), col("v_min"), col("v_max"), col("n_rows"))
       }
+    },
+
+    // -- Schema evolution ON the lake tier (x08's additive-column
+    //    contract through the GenTable protocol): commit 1 lands the
+    //    early slice; commit 2's batch ADDS value_eur. The committed
+    //    schema is the running union carried in the MANIFEST — untouched
+    //    old generations read through it with the column null and no
+    //    mergeSchema footer scan is ever issued (at 100 TB that scan
+    //    reads every committed file's footer on the driver) — so the
+    //    final view surfaces value_eur exactly where a late row won the
+    //    latest-per-user merge. The oracle re-derives that frame from
+    //    window SQL: the winner's ts decides whether the column is null.
+    "e28_evolved_lake" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      TempWork.scoped("graft_e28_") { tmp =>
+        val slice = t.events.filter(col("user_id") % 9 === 2)
+          .withColumn("bucket", pmod(col("user_id"), lit(8)).cast("int"))
+        val cut = lit("2024-01-16").cast("timestamp")
+        graft.sources.GenTable.upsertBatch(slice.filter(col("ts") < cut),
+          tmp, "user_id", Seq("ts", "event_id"), "bucket")      // commit 1
+        graft.sources.GenTable.upsertBatch(
+          slice.filter(col("ts") >= cut)
+            .withColumn("value_eur", col("value") * 0.9),
+          tmp, "user_id", Seq("ts", "event_id"), "bucket")      // commit 2
+        graft.sources.GenTable.read(spark, tmp).get.select(
+          col("user_id"), col("event_id"), col("ts"), col("event_type"),
+          col("value"), col("value_eur"),
+          col("bucket").cast("int").as("bucket"))
+      }
+    },
+
+    // -- Mixed-algebra materialized view (e26 + e27 in ONE viewDir and
+    //    ONE exactly-once refresh): count/sum maintain by signed CDC
+    //    deltas, min/max by partial recompute of the diff-named groups —
+    //    both halves off the same commit diff, spliced and committed with
+    //    the consumed marker in a single manifest swap. The takedown
+    //    deletes every value > 150 row, dropping several groups' maxima
+    //    at once (the non-retractable case) while the count/sum half
+    //    retracts the same rows by delta math. The oracle recomputes all
+    //    five aggregates from scratch at the final snapshot.
+    "e29_mixed_view" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      TempWork.scoped("graft_e29_") { tmp =>
+        val tableDir = s"$tmp/table"; val viewDir = s"$tmp/view"
+        val slice = t.events.filter(col("user_id") % 9 === 4)
+          .withColumn("bucket", pmod(col("user_id"), lit(8)).cast("int"))
+        val early = slice.filter(col("ts") < lit("2024-01-16").cast("timestamp"))
+        graft.sources.GenTable.upsertBatch(early, tableDir, "user_id",
+          Seq("ts", "event_id"), "bucket")                      // commit 1
+        graft.operators.RollupStore.maintainViewMixed(spark, tableDir,
+          viewDir, "user_id", "event_type", "value")            // bootstrap
+        graft.sources.GenTable.upsertBatch(slice.exceptAll(early), tableDir,
+          "user_id", Seq("ts", "event_id"), "bucket")           // commit 2
+        graft.sources.GenTable.deleteWhere(spark, tableDir,
+          col("value") > 150)                                   // commit 3
+        graft.operators.RollupStore.maintainViewMixed(spark, tableDir,
+          viewDir, "user_id", "event_type", "value")            // incremental
+        graft.operators.RollupStore.readView(spark, viewDir).get
+          .select(col("event_type"), col("n_rows"),
+            col("value_sum_dec").cast("double").as("total_value"),
+            col("v_min"), col("v_max"))
+      }
     }
   )
 
@@ -1012,6 +1074,36 @@ object EventQueries extends QueryPack {
         |  WHERE rn = 1 AND NOT coalesce(value > 50, FALSE))
         |SELECT event_type, min(value) AS v_min, max(value) AS v_max,
         |  count(*) AS n_rows
+        |FROM s GROUP BY 1""".stripMargin,
+    // e28: the evolved lake view from first principles — the
+    // latest-per-user winner's ts decides whether the post-evolution
+    // column carries the derived value or null (old-generation rows and
+    // re-staged early rows both surface null; IEEE double * 0.9 is
+    // bit-identical across engines).
+    "e28_evolved_lake" ->
+      """SELECT user_id, event_id, ts, event_type, value,
+        |  CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16'
+        |    THEN value * 0.9 END AS value_eur,
+        |  CAST(user_id % 8 AS INT) AS bucket
+        |FROM (
+        |  SELECT *, row_number() OVER (
+        |      PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |  FROM events WHERE user_id % 9 = 2)
+        |WHERE rn = 1""".stripMargin,
+    // e29: the mixed view must equal all five aggregates recomputed from
+    // scratch at the final snapshot (latest-per-user rows surviving the
+    // value>150 takedown; NULL values survive — SQL DELETE semantics).
+    "e29_mixed_view" ->
+      """WITH s AS (
+        |  SELECT event_type, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |    FROM events WHERE user_id % 9 = 4)
+        |  WHERE rn = 1 AND NOT coalesce(value > 150, FALSE))
+        |SELECT event_type, count(*) AS n_rows,
+        |  CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total_value,
+        |  min(value) AS v_min, max(value) AS v_max
         |FROM s GROUP BY 1""".stripMargin
   )
 }

@@ -539,6 +539,10 @@ object GenTable {
         s"upsert batch must carry key/order/partition column '$c'"))
     val spark = batch.sparkSession
     val prev = readCommit(dir).getOrElse(Commit(partitionCol, Map.empty))
+    // reject a type change HERE, before the merge union executes — the
+    // union would otherwise coerce compatible types (int->bigint) or die
+    // mid-job on a runtime cast, both worse than a clean refusal
+    schemaOf(prev).foreach(p => mergeSchemas(p, batch.schema))
     val touchedVals = batch.select(col(partitionCol).cast("string")).distinct()
       .collect().map(_.getString(0)).toSet
     if (touchedVals.isEmpty) return
@@ -802,6 +806,33 @@ object GenTable {
       .getOrElse(return None)
     if (head <= lastSeenId) None
     else Some((head, changesWithImages(spark, dir, lastSeenId, head, keyCol)))
+  }
+
+  /** AvailableNow CDC feed: drains the commit history through
+    * `onBatch(head, changes)` one poll at a time until the head stops
+    * moving — the micro-batch driver a streaming CDC source reduces to
+    * when offsets are commit ids. Each poll's diff covers EVERY commit
+    * since the last consumed id (so a slow consumer coalesces, it never
+    * falls behind the protocol), and `startAfter` is the consumer's
+    * durable checkpoint from a previous run (0 = from the beginning).
+    * Exactly-once is the CONSUMER's half of the contract: `onBatch` must
+    * persist its effects and the head id transactionally (the
+    * [[graft.operators.RollupStore.maintainView]] pattern — marker and
+    * data in one commit); this driver then never replays a consumed diff
+    * and never skips one, at any writer interleaving. Returns the last
+    * consumed head (== `startAfter` when nothing new committed).
+    */
+  def followChanges(spark: SparkSession, dir: String, keyCol: String,
+      startAfter: Long)(onBatch: (Long, DataFrame) => Unit): Long = {
+    var seen = startAfter
+    var more = true
+    while (more) {
+      changesSince(spark, dir, seen, keyCol) match {
+        case Some((head, ch)) => onBatch(head, ch); seen = head
+        case None => more = false
+      }
+    }
+    seen
   }
 
   /** [[changesBetween]] with BOTH row images: `_pre` (the `fromId` row,

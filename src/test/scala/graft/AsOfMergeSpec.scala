@@ -136,7 +136,7 @@ class AsOfMergeSpec extends SparkSpec {
     // enrich-at-ingest: each micro-batch as-of joins a frozen reference
     // dimension — run through the CUSTOM plan inside foreachBatch, proving
     // the injected strategy serves streaming micro-batches too
-    val tmp = java.nio.file.Files.createTempDirectory("graft_asofstream").toString
+    val tmp = tempDir("graft_asofstream")
     val dim = Seq((10L, "2024-01-01 08:00:00", "old"),
       (10L, "2024-01-01 11:00:00", "new"), (20L, "2024-01-01 09:00:00", "only"))
       .toDF("k", "rts", "v").withColumn("rts", col("rts").cast("timestamp"))
@@ -175,7 +175,7 @@ class AsOfMergeSpec extends SparkSpec {
     // composed union-window degrades with carried width and OOMs the
     // driver at 64 columns) — pin micro-batch == batch for a 4-column
     // mixed-type carry through the custom exec
-    val tmp = java.nio.file.Files.createTempDirectory("graft_asofwide").toString
+    val tmp = tempDir("graft_asofwide")
     val dim = Seq(
       (10L, "2024-01-01 08:00:00", "old", 1L, 0.5, "2023-12-31 00:00:00"),
       (10L, "2024-01-01 11:00:00", "new", 2L, 1.5, "2024-01-01 00:00:00"),

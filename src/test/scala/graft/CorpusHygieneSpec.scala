@@ -174,7 +174,7 @@ class CorpusHygieneSpec extends SparkSpec {
     def store(ev: org.apache.spark.sql.DataFrame) =
       Corpus.contaminationStore(ev, "doc_id", "text", n = 3, capacity = 1024)
     // the store survives a parquet round trip (it IS a table)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_c08_").toString
+    val tmp = tempDir("graft_c08_")
     store(evalA).write.parquet(s"$tmp/storeA")
     val storeA = spark.read.parquet(s"$tmp/storeA")
     val merged = Corpus.mergeContaminationStores(storeA, store(evalB))

@@ -54,7 +54,7 @@ class CorpusPrepSpec extends SparkSpec {
     // classify-at-ingest: the model trains once offline, persists, and
     // each micro-batch scores against the SAME frozen LLR table — exact
     // integer sums make this a strict equality with the batch run
-    val tmp = java.nio.file.Files.createTempDirectory("graft_clfstream").toString
+    val tmp = tempDir("graft_clfstream")
     val corpus = Seq((1L, "good prose text", true), (2L, "bad spam spam", false),
       (3L, "prose spam text good", true), (4L, "spam bad", false))
       .toDF("doc_id", "text", "is_pos")

@@ -30,7 +30,7 @@ class FixtureEncodingSpec extends SparkSpec {
 
   private def writeFixture(enc: String): String = {
     val base = Tables(spark, sf).events // already normalized TimestampType
-    val dir = java.nio.file.Files.createTempDirectory(s"graft_enc_${enc}_").toString
+    val dir = tempDir(s"graft_enc_${enc}_")
     val variant = enc match {
       case "utc"  => base
       case "ntz"  => base.withColumn("ts", col("ts").cast(TimestampNTZType))
@@ -79,7 +79,7 @@ class FixtureEncodingSpec extends SparkSpec {
     // fixture widening to double must not crash the similarity operators
     import org.apache.spark.sql.types.{ArrayType, FloatType}
     val base = Tables(spark, sf).embeddings
-    val dir = java.nio.file.Files.createTempDirectory("graft_enc_f64_").toString
+    val dir = tempDir("graft_enc_f64_")
     base.withColumn("embedding", col("embedding").cast("array<double>"))
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val t = Tables(spark, dir)

@@ -14,7 +14,7 @@ class GenTableSpec extends SparkSpec {
   import spark.implicits._
 
   private def tmp(): String =
-    Files.createTempDirectory("graft_gentable_").toString
+    tempDir("graft_gentable_")
 
   private def rows(df: DataFrame): Set[(Long, Long, Double, Int)] =
     df.select(col("user_id"), col("ts"), col("value"),
@@ -656,6 +656,109 @@ class GenTableSpec extends SparkSpec {
     val refreshed = graft.operators.RollupStore.applyCdcDeltas(
       emptyView, imgs, "vp", "value")
     assert(refreshed.count() === 0L)
+  }
+
+  test("maintainViewMixed: one refresh serves both algebra classes") {
+    import graft.operators.RollupStore
+    val table = tmp(); val viewDir = tmp()
+    def refresh() = RollupStore.maintainViewMixed(
+      spark, table, viewDir, "user_id", "bucket", "value")
+    def asView(df: DataFrame): Set[(Int, Long, BigDecimal, Double, Double)] =
+      df.collect().map(r => (r.getAs[Number]("bucket").intValue(),
+        r.getAs[Long]("n_rows"),
+        BigDecimal(r.getAs[java.math.BigDecimal]("value_sum_dec")),
+        r.getAs[Double]("v_min"), r.getAs[Double]("v_max"))).toSet
+    def recompute(): Set[(Int, Long, BigDecimal, Double, Double)] =
+      asView(GenTable.read(spark, table).get.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("value").cast("decimal(28,10)"))
+            .cast("decimal(38,10)").as("value_sum_dec"),
+          min(col("value")).as("v_min"), max(col("value")).as("v_max")))
+
+    // bucket 1: users 1 (max 5.0) and 5 (2.0); bucket 2: user 2 (7.0)
+    GenTable.upsertBatch(
+      batch((1L, 10L, 5.0), (5L, 10L, 2.0), (2L, 10L, 7.0)),
+      table, "user_id", Seq("ts"), "bucket")
+    assert(refresh() === Some(1L))
+    assert(asView(RollupStore.readView(spark, viewDir).get) === recompute())
+    assert(refresh().isEmpty, "idle poll must not commit")
+    // two commits between polls: a max-row delete (non-retractable case)
+    // AND an update+insert — ONE refresh must cover both halves
+    GenTable.deleteWhere(spark, table, col("user_id") === 1L)    // commit 2
+    GenTable.upsertBatch(batch((2L, 20L, 6.0), (3L, 20L, 3.0)),
+      table, "user_id", Seq("ts"), "bucket")                     // commit 3
+    assert(refresh() === Some(3L))
+    assert(asView(RollupStore.readView(spark, viewDir).get) === recompute())
+    // a group deleted outright leaves all five aggregates
+    GenTable.deleteWhere(spark, table, col("bucket") === 2)      // commit 4
+    assert(refresh() === Some(4L))
+    assert(asView(RollupStore.readView(spark, viewDir).get) === recompute())
+    assert(refresh().isEmpty)
+  }
+
+  test("followChanges drains multi-commit history with durable resume") {
+    val dir = tmp()
+    GenTable.upsertBatch(batch((1L, 10L, 1.0)), dir, "user_id", Seq("ts"),
+      "bucket")
+    GenTable.upsertBatch(batch((2L, 20L, 2.0)), dir, "user_id", Seq("ts"),
+      "bucket")
+    var heads = Seq.empty[Long]; var n = 0L
+    val last = GenTable.followChanges(spark, dir, "user_id", 0L) {
+      (head, ch) => heads :+= head; n += ch.count()
+    }
+    assert(last === 2L)
+    assert(heads === Seq(2L), "a poll must coalesce all pending commits")
+    assert(n === 2L)
+    // resume from the consumer's checkpoint: only the new commit flows
+    GenTable.upsertBatch(batch((3L, 30L, 3.0)), dir, "user_id", Seq("ts"),
+      "bucket")
+    val last2 = GenTable.followChanges(spark, dir, "user_id", last) {
+      (head, ch) => heads :+= head; n += ch.count()
+    }
+    assert(last2 === 3L && heads === Seq(2L, 3L) && n === 3L)
+    // an idle follow consumes nothing and returns the same checkpoint
+    assert(GenTable.followChanges(spark, dir, "user_id", last2) {
+      (_, _) => fail("idle follow must not deliver a batch")
+    } === last2)
+  }
+
+  test("streamed view == batch recompute across interleaved live commits") {
+    import graft.operators.RollupStore
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val table = tmp(); val viewDir = tmp()
+    def drain(): Int = RollupStore.maintainViewAvailableNow(
+      spark, table, viewDir, "user_id", "bucket", "value")
+    // a live writer lands 3 commits while the follower drains concurrently
+    // (single writer, single follower — the protocol's contract; the
+    // follower's reads and view commits interleave freely with the writes)
+    val writer = Future {
+      GenTable.upsertBatch(batch((1L, 10L, 1.0), (2L, 10L, 2.0)),
+        table, "user_id", Seq("ts"), "bucket")
+      Thread.sleep(100)
+      GenTable.upsertBatch(batch((1L, 20L, 1.5), (3L, 20L, 3.0)),
+        table, "user_id", Seq("ts"), "bucket")
+      Thread.sleep(100)
+      GenTable.deleteWhere(spark, table, col("user_id") === 2L)
+      ()
+    }
+    while (!writer.isCompleted) { drain(); Thread.sleep(20) }
+    Await.result(writer, 60.seconds)
+    drain() // catch a final commit that landed after the last poll
+    // whatever the interleaving, the served view equals a from-scratch
+    // recompute of the final table and the marker names the final head
+    def asView(df: DataFrame): Set[(Int, Long, BigDecimal)] =
+      df.collect().map(r => (r.getAs[Number]("bucket").intValue(),
+        r.getAs[Long]("n_rows"),
+        BigDecimal(r.getAs[java.math.BigDecimal]("value_sum_dec")))).toSet
+    val expect = asView(GenTable.read(spark, table).get.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("value").cast("decimal(28,10)"))
+          .cast("decimal(38,10)").as("value_sum_dec")))
+    assert(asView(RollupStore.readView(spark, viewDir).get) === expect)
+    assert(GenTable.readCommit(viewDir).get.meta("consumed_commit") ===
+      GenTable.readCommit(table).get.tableGen.toString)
   }
 
   test("vacuum sweeps stranded temp manifests") {

@@ -66,7 +66,7 @@ class IngestSpec extends SparkSpec {
   }
 
   test("csv round trip with explicit schema") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val tmp = tempDir("graft_csv")
     val df = graft.sources.Tables(spark, sf).nation
     Ingest.writeCsv(df, s"$tmp/nation")
     val back = Ingest.readCsv(spark, s"$tmp/nation", Some(df.schema))
@@ -75,7 +75,7 @@ class IngestSpec extends SparkSpec {
   }
 
   test("json round trip preserves rows") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_json").toString
+    val tmp = tempDir("graft_json")
     val df = graft.sources.Tables(spark, sf).region
     Ingest.writeJson(df, s"$tmp/region")
     val back = spark.read.schema(df.schema).json(s"$tmp/region")
@@ -84,7 +84,7 @@ class IngestSpec extends SparkSpec {
   }
 
   test("partitioned write + dynamic overwrite replaces only touched partitions") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val tmp = tempDir("graft_part")
     val t = graft.sources.Tables(spark, sf)
     val orders = t.orders.withColumn("yr", year(col("o_orderdate")))
     Ingest.writePartitioned(orders, s"$tmp/orders", Seq("yr"))
@@ -104,7 +104,7 @@ class IngestSpec extends SparkSpec {
   }
 
   test("orc round trip preserves rows and pushes filters") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val tmp = tempDir("graft_orc")
     val df = graft.sources.Tables(spark, sf).orders
     Ingest.writeOrc(df, s"$tmp/orders")
     val back = Ingest.readOrc(spark, s"$tmp/orders")
@@ -115,7 +115,7 @@ class IngestSpec extends SparkSpec {
   }
 
   test("text source reads raw lines") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_txt")
+    val tmp = java.nio.file.Paths.get(tempDir("graft_txt"))
     java.nio.file.Files.write(tmp.resolve("log.txt"),
       java.util.Arrays.asList("line one", "line two", "line three"))
     val df = Ingest.readText(spark, tmp.toString)
@@ -124,7 +124,7 @@ class IngestSpec extends SparkSpec {
   }
 
   test("xml round trip on FHIR-shaped observations") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_xml").toString
+    val tmp = tempDir("graft_xml")
     import spark.implicits._
     val obs = Seq(
       ("o1", "mmHg", 120.5), ("o2", "mmHg", 80.0), ("o3", "F", 98.6)
@@ -147,7 +147,7 @@ class IngestSpec extends SparkSpec {
 
   test("schema evolution: additive column reads as null for old files; backfill migrates") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_evolve_").toString
+    val dir = tempDir("graft_evolve_")
     Seq((1L, "a"), (2L, "b")).toDF("id", "s")
       .write.parquet(s"$dir/gen=1")
     Seq((3L, "c", 9.5)).toDF("id", "s", "score")
@@ -173,7 +173,7 @@ class IngestSpec extends SparkSpec {
 
   test("compact rewrites a fragmented directory into target-sized files") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_compact_").toString
+    val dir = tempDir("graft_compact_")
     // 40 tiny files of 5 rows each
     (1L to 200L).map(i => (i, i % 7)).toDF("id", "m")
       .repartition(40).write.parquet(s"$dir/in")

@@ -246,7 +246,7 @@ class LlmOpsSpec extends SparkSpec {
   test("persisted PQ index: probe-only serve == inline pqTopK, bit-equal") {
     val emb = graft.sources.Tables(spark, sf).embeddings
     val queries = emb.filter(col("vec_id") < 10)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_pqserve").toString
+    val tmp = tempDir("graft_pqserve")
     // build writes (neighbor_id, codes) parquet once — the serving tier
     // then never reads the float vectors for the corpus scan
     val cb = SimilaritySearch.buildPqIndex(
@@ -436,7 +436,7 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("binaryFile source reads payloads with metadata and prunes content") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_bin")
+    val tmp = java.nio.file.Paths.get(tempDir("graft_bin"))
     java.nio.file.Files.write(tmp.resolve("a.img"), Array[Byte](1, 2, 3, 4))
     java.nio.file.Files.write(tmp.resolve("b.img"), Array[Byte](5, 6))
     java.nio.file.Files.write(tmp.resolve("skip.txt"), Array[Byte](9))
@@ -742,7 +742,7 @@ class LlmOpsSpec extends SparkSpec {
     import graft.operators.LanguageModel._
     val a = Seq((1L, "a a b"), (2L, "c b a")).toDF("doc_id", "text")
     val b = Seq((3L, "b c c d"), (4L, "a d")).toDF("doc_id", "text")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_lmstore").toString
+    val tmp = tempDir("graft_lmstore")
     // batch 1 trains and persists its store; batch 2 merges into it
     tokenCounts(a, "text").write.parquet(s"$tmp/store")
     val merged = mergeTokenCounts(
@@ -833,7 +833,7 @@ class LlmOpsSpec extends SparkSpec {
       (2L, "a a a a"),                // 4 tokens, 1 type, 0 hapax
       (3L, "  !!  ")                  // normalizes to empty -> no output row
     ).toDF("doc_id", "text")
-    val dir = java.nio.file.Files.createTempDirectory("graft_t16_").toString
+    val dir = tempDir("graft_t16_")
     docs.write.parquet(s"$dir/documents.parquet")
     val got = SparkEntry.queries("t16_lexical_diversity")(spark, dir)
       .collect().map(r => r.getLong(0) ->

@@ -7,7 +7,7 @@ import graft.runner.PipelineRunner.{EngineConfig, StageResult}
 class PipelineRunnerSpec extends SparkSpec {
 
   test("ordersJob runs all stages and writes a manifest") {
-    val out = java.nio.file.Files.createTempDirectory("graft_run").toString
+    val out = tempDir("graft_run")
     val results = PipelineRunner.run(spark,
       EngineConfig("dev", sf, out), PipelineRunner.ordersJobStages)
     assert(results.map(_.status) === Seq("ok", "ok", "ok", "ok", "ok"))
@@ -22,7 +22,7 @@ class PipelineRunnerSpec extends SparkSpec {
   }
 
   test("corpus preparation pipeline runs end to end and shrinks monotonically") {
-    val out = java.nio.file.Files.createTempDirectory("graft_corpus").toString
+    val out = tempDir("graft_corpus")
     val results = PipelineRunner.run(spark,
       EngineConfig("dev", sf, out), PipelineRunner.corpusPrepStages())
     assert(results.map(_.status).forall(_ == "ok"), results.mkString(", "))
@@ -85,8 +85,8 @@ class PipelineRunnerSpec extends SparkSpec {
   test("promote: smoke tier gates the full tier (E1 lifecycle)") {
     // happy path: the orders job validates at the sf0.001 smoke tier and
     // only then executes at the sf0.01 full tier
-    val smokeOut = java.nio.file.Files.createTempDirectory("graft_smoke").toString
-    val fullOut = java.nio.file.Files.createTempDirectory("graft_full").toString
+    val smokeOut = tempDir("graft_smoke")
+    val fullOut = tempDir("graft_full")
     val r = PipelineRunner.promote(spark,
       EngineConfig("dev", sf, smokeOut),
       EngineConfig("test", sf01, fullOut),
@@ -98,9 +98,9 @@ class PipelineRunnerSpec extends SparkSpec {
 
   test("promote: a seeded violation at smoke BLOCKS the full run") {
     import spark.implicits._
-    val smokeIn = java.nio.file.Files.createTempDirectory("graft_badin").toString
-    val smokeOut = java.nio.file.Files.createTempDirectory("graft_smoke2").toString
-    val fullOut = java.nio.file.Files.createTempDirectory("graft_full2").toString
+    val smokeIn = tempDir("graft_badin")
+    val smokeOut = tempDir("graft_smoke2")
+    val fullOut = tempDir("graft_full2")
     // seed a constraint violation into the smoke input: a null custkey
     Seq((Some(1L), 10.0), (None: Option[Long], 20.0))
       .toDF("o_custkey", "o_totalprice")
@@ -136,7 +136,7 @@ class PipelineRunnerSpec extends SparkSpec {
   }
 
   test("a failing stage stops the run and marks the rest skipped") {
-    val out = java.nio.file.Files.createTempDirectory("graft_run_fail").toString
+    val out = tempDir("graft_run_fail")
     val stages: Seq[PipelineRunner.Stage] = Seq(
       "ok_stage" -> ((s, cfg) => graft.sources.Tables(s, cfg.inputDir).region),
       "boom" -> ((s, _) => s.read.parquet("/nonexistent/path")),

@@ -84,7 +84,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("dynamic partition pruning fires on a partitioned fact join") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    val tmp = tempDir("graft_dpp")
     val t = Tables(spark, sf)
     t.orders.withColumn("yr", year(col("o_orderdate")))
       .write.partitionBy("yr").parquet(s"$tmp/orders_part")
@@ -375,7 +375,7 @@ class PlanSpec extends SparkSpec {
     // what carries a left-side predicate/projection below AsOfJoinPlan,
     // where FileSourceStrategy folds them into the parquet scan. Without
     // it this plan reads every user's events and all columns.
-    val tmp = java.nio.file.Files.createTempDirectory("graft_asofpush").toString
+    val tmp = tempDir("graft_asofpush")
     val t = Tables(spark, sf)
     t.events.select("event_id", "user_id", "ts", "event_type", "value")
       .write.parquet(s"$tmp/events")

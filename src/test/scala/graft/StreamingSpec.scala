@@ -238,7 +238,7 @@ class StreamingSpec extends SparkSpec {
 
   test("rollupForeachBatchAvailableNow: streamed generations equal the batch build") {
     import spark.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_rollup_").toString
+    val tmp = tempDir("graft_rollup_")
     val rows = (1L to 240L)
       .map(i => (i, s"t${i % 3}", (i % 7).toDouble + 0.5, i % 29))
       .toDF("event_id", "etype", "value", "user_id")
@@ -404,7 +404,7 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming near-dup detection probes and grows the persisted signature store") {
     import spark.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_e12_").toString
+    val tmp = tempDir("graft_e12_")
     val inDir = s"$tmp/in"; val store = s"$tmp/store"
     val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
     val base = "the quick brown fox jumps over the lazy dog again and again " +
@@ -460,7 +460,7 @@ class StreamingSpec extends SparkSpec {
     // each micro-batch then scores against the SAME frozen model — the
     // stateless score-at-ingest shape (exact bigint sums make this a
     // strict equality with the batch run, not a property bound)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_lmstream").toString
+    val tmp = tempDir("graft_lmstream")
     val corpus = Seq((1L, "a a b c"), (2L, "b a a"), (3L, "c c a b a"))
       .toDF("doc_id", "text")
     val (lm, oov) = LanguageModel.unigramLm(corpus, "text")
@@ -492,7 +492,7 @@ class StreamingSpec extends SparkSpec {
     // the LM training-state twin of the dedup stores: each micro-batch
     // merges its counts into the persisted store (vocab-sized rewrite —
     // counts merge exactly, so the result is order-independent)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_cntstream").toString
+    val tmp = tempDir("graft_cntstream")
     val corpus = Seq((1L, "a a b"), (2L, "c b a"), (3L, "b c c d"), (4L, "a d"))
       .toDF("doc_id", "text")
     corpus.filter($"doc_id" <= 2).coalesce(1).write.mode("append").parquet(s"$tmp/in")
@@ -525,7 +525,7 @@ class StreamingSpec extends SparkSpec {
 
   test("foreachBatch upsert keeps the latest row per key across micro-batches") {
     import spark.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val tmp = tempDir("graft_upsert")
     val inDir = s"$tmp/in"; val outDir = s"$tmp/out"
     def writeBatch(sub: String, rows: Seq[(Long, String, Double)]): Unit =
       rows.toDF("user_id", "day", "score").write.parquet(s"$inDir/$sub")
@@ -567,7 +567,7 @@ class StreamingSpec extends SparkSpec {
     // update arrives on a LATER day — with day partitioning the stale
     // day-1 row would survive in an untouched partition, with a key
     // bucket it cannot.
-    val tmp = java.nio.file.Files.createTempDirectory("graft_upsert_bkt").toString
+    val tmp = tempDir("graft_upsert_bkt")
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("day", org.apache.spark.sql.types.StringType),
@@ -594,7 +594,7 @@ class StreamingSpec extends SparkSpec {
 
   test("file-source stream with AvailableNow writes a parquet sink end to end") {
     import spark.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val tmp = tempDir("graft_stream")
     val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
     graft.sources.Tables(spark, sf).events.limit(100)
       .write.parquet(inDir)
@@ -611,7 +611,7 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming dedup against a persisted fingerprint store survives across runs") {
     import spark.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_fpdedup").toString
+    val tmp = tempDir("graft_fpdedup")
     val inDir = s"$tmp/in"; val outDir = s"$tmp/out"
     val fpDir = s"$tmp/fp"; val ckpt = s"$tmp/ckpt"
     val schema = org.apache.spark.sql.types.StructType(Seq(

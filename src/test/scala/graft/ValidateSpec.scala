@@ -134,7 +134,7 @@ class ValidateSpec extends SparkSpec {
     // micro-batch is drift-scored against the SAME reference — exact
     // integer quantization makes each batch's report a strict equality
     // with the batch-mode computation on that slice
-    val tmp = java.nio.file.Files.createTempDirectory("graft_driftstream").toString
+    val tmp = tempDir("graft_driftstream")
     val ref = Seq("a", "a", "a", "b", "c").toDF("k")
     ref.write.parquet(s"$tmp/ref")
     val frozenRef = spark.read.parquet(s"$tmp/ref")

@@ -46,7 +46,7 @@ class ZOrderSpec extends SparkSpec {
       .toDF("a", "b", "ga", "gb")
       .withColumn("z", ZOrder.zorder2(col("a"), col("b")))
       .withColumn("zb", ZOrder.zbucket(col("z"), 2))
-    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val dir = tempDir("zorder")
     pts.write.partitionBy("zb").mode("overwrite").parquet(dir)
 
     // rectangle query: a in [0, 15*scale] (top bits 00), b unconstrained
