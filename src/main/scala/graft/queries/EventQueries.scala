@@ -708,6 +708,30 @@ object EventQueries extends QueryPack {
             col("value_sum_dec").cast("double").as("total_value"),
             col("v_min"), col("v_max"))
       }
+    },
+
+    // -- Bloom-pruned point lookup (e23's metadata skip for the shape
+    //    min/max bands CANNOT express): the table partitions by day and
+    //    users occur on scattered days, so every day's user_id band
+    //    spans the whole space and range stats keep everything — but the
+    //    per-(day, column) Bloom sidecars written at stage time know
+    //    which days might hold each user, and `readEquals` opens only
+    //    those (false positives cost extra reads; false negatives are
+    //    impossible, so the result equals the plain IN-filter the oracle
+    //    runs). Per-day skipping is inputFiles-pinned in GenTableSpec.
+    "e30_bloom_lookup" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      TempWork.scoped("graft_e30_") { tmp =>
+        val ev = t.events
+          .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        graft.sources.GenTable.upsertBatch(ev, tmp, "event_id", Seq("ts"),
+          "day", statsCols = Seq("user_id"), bloomCols = Seq("user_id"))
+        graft.sources.GenTable
+          .readEquals(spark, tmp, "user_id", Seq(1L, 4L, 8L)).get
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"), col("props"),
+            col("day").cast("string").as("day"))
+      }
     }
   )
 
@@ -1104,6 +1128,13 @@ object EventQueries extends QueryPack {
         |SELECT event_type, count(*) AS n_rows,
         |  CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total_value,
         |  min(value) AS v_min, max(value) AS v_max
-        |FROM s GROUP BY 1""".stripMargin
+        |FROM s GROUP BY 1""".stripMargin,
+    // e30: bloom pruning is pure metadata — the result must equal the
+    // plain IN-filter over the raw events.
+    "e30_bloom_lookup" ->
+      """SELECT event_id, ts, user_id, event_type, value, props,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day
+        |FROM events
+        |WHERE user_id IN (1, 4, 8)""".stripMargin
   )
 }

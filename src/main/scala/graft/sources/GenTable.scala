@@ -120,6 +120,12 @@ object GenTable {
   /** Reserved meta key carrying the committed schema (see object doc). */
   private val SchemaMetaKey = "table_schema"
 
+  /** Reserved meta keys for the sticky Bloom-filter column set and its
+    * sizing (see [[readEquals]]).
+    */
+  private val BloomColsKey = "bloom_cols"
+  private val BloomItemsKey = "bloom_items"
+
   // ---------------------------------------------------------------- I/O
 
   private def hadoopConf: Configuration =
@@ -144,16 +150,19 @@ object GenTable {
     if (!f.exists(p)) Seq.empty
     else f.listStatus(p).toSeq.map(_.getPath)
 
-  private def readString(f: FileSystem, p: HPath): String = {
+  private def readRaw(f: FileSystem, p: HPath): Array[Byte] = {
     val in = f.open(p)
     try {
       val out = new ByteArrayOutputStream()
       val buf = new Array[Byte](8192)
       var n = in.read(buf)
       while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-      new String(out.toByteArray, StandardCharsets.UTF_8)
+      out.toByteArray
     } finally in.close()
   }
+
+  private def readString(f: FileSystem, p: HPath): String =
+    new String(readRaw(f, p), StandardCharsets.UTF_8)
 
   private def writeBytes(f: FileSystem, p: HPath, bytes: Array[Byte]): Unit = {
     val out = f.create(p, true)
@@ -418,7 +427,8 @@ object GenTable {
     * directory layout.
     */
   def stage(rows: DataFrame, dir: String, partitionCol: String,
-      statsCols: Seq[String] = Nil): Commit = {
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+      bloomExpectedItems: Long = 50000L): Commit = {
     val (f, root) = fsRoot(dir)
     val prev = readCommit(dir).getOrElse(Commit(partitionCol, Map.empty))
     require(prev.partitionCol == partitionCol,
@@ -448,9 +458,60 @@ object GenTable {
     val track = (statsCols ++ prev.trackedStatsCols).distinct
       .filter(rows.columns.contains)
     val newStats = computeStats(rows, partitionCol, track)
+    // bloom sidecars follow the same sticky discipline (column set and
+    // sizing ride the manifest meta; the filters themselves are gen-named
+    // immutable sidecars, so they need no extra atomicity)
+    val items = prev.meta.get(BloomItemsKey).map(_.toLong)
+      .getOrElse(bloomExpectedItems)
+    val bloomTrack = (bloomCols ++ bloomTrackOf(prev)).distinct
+      .filter(rows.columns.contains)
+    if (bloomTrack.nonEmpty)
+      writeBlooms(rows, dir, partitionCol, newGen, bloomTrack, items)
+    val bloomMeta =
+      if (bloomTrack.isEmpty) Map.empty[String, String]
+      else Map(BloomColsKey -> bloomTrack.mkString(","),
+        BloomItemsKey -> items.toString)
     Commit(partitionCol, prev.gens ++ touched.map(_ -> newGen),
       stats = (prev.stats -- touched) ++ newStats,
-      meta = prev.meta + (SchemaMetaKey -> merged.json))
+      meta = prev.meta + (SchemaMetaKey -> merged.json) ++ bloomMeta)
+  }
+
+  private def bloomTrackOf(c: Commit): Seq[String] =
+    c.meta.get(BloomColsKey)
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+
+  private def bloomPath(root: HPath, v: String, c: String, g: Long): HPath =
+    new HPath(new HPath(root, "_filters"), s"${enc(v)}~${enc(c)}~$g.bloom")
+
+  /** Per-(partition, column) Bloom sidecars at generation `gen`, built in
+    * ONE grouped aggregate over `rows` (bounded by partitions-per-batch ×
+    * tracked columns, like [[computeStats]]). Values insert as longs (the
+    * stats tier's integral semantics); an over-filled filter degrades
+    * toward more false positives — weaker skipping, never a wrong result,
+    * because Bloom filters have no false negatives at any fill. Sized for
+    * `expectedItems` distinct values at 1% fpp (~60 KB per sidecar at the
+    * 50k default).
+    */
+  private def writeBlooms(rows: DataFrame, dir: String, partitionCol: String,
+      gen: Long, track: Seq[String], expectedItems: Long): Unit = {
+    if (track.isEmpty) return
+    val (f, root) = fsRoot(dir)
+    f.mkdirs(new HPath(root, "_filters"))
+    graft.plans.GraftExtensions.register(rows.sparkSession)
+    val numBits = math.max(64L, math.ceil(
+      -expectedItems * math.log(0.01) / (math.log(2) * math.log(2))).toLong)
+    val aggs = track.map(c => call_function("bloom_agg",
+      col(c).cast("long"), lit(expectedItems), lit(numBits)).as(s"_bf_$c"))
+    rows.groupBy(col(partitionCol).cast("string").as("_v"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().foreach { r => // bounded: partitions per batch
+        val v = r.getString(0)
+        track.foreach { c =>
+          val bytes = r.getAs[Array[Byte]](s"_bf_$c")
+          // all-null group aggregates to null: no sidecar, read conservatively
+          if (bytes != null) writeBytes(f, bloomPath(root, v, c, gen), bytes)
+        }
+      }
   }
 
   /** Per-partition min/max of `track` columns over `rows` in one
@@ -521,6 +582,53 @@ object GenTable {
     }
   }
 
+  /** Bloom-pruned point lookup — the skip [[readRange]]'s min/max bands
+    * CANNOT express: a high-cardinality key scattered across partitions
+    * (a user active on 3 of 300 ingestion days) spans every partition's
+    * [min, max], so range stats keep everything, but each partition's
+    * Bloom sidecar knows whether the key MIGHT be there. A partition is
+    * opened only if it survives the min/max check AND some looked-up key
+    * might be in its filter; partitions without a sidecar for the column
+    * read conservatively. The residual `IN` filter always applies, so the
+    * result equals `read(...).filter(col.cast("long").isin(keys))`
+    * exactly — false positives cost extra partition reads, and false
+    * negatives are impossible at any filter fill.
+    *
+    * Planning cost: one ~60 KB sidecar read per min/max-surviving
+    * partition — metadata IO proportional to the candidate set, never
+    * data IO; the pruned alternative is opening the partition's parquet.
+    */
+  def readEquals(spark: SparkSession, dir: String, column: String,
+      keys: Seq[Long]): Option[DataFrame] = {
+    require(keys.nonEmpty, "need at least one key")
+    readCommit(dir).filter(_.gens.nonEmpty).map { c =>
+      val (f, root) = fsRoot(dir)
+      val resid = (df: DataFrame) =>
+        df.filter(col(column).cast("long").isin(keys: _*))
+      val keep = c.gens.toSeq.filter { case (v, g) =>
+        val mmKeep = c.stats.get(v).flatMap(_.get(column)) match {
+          case Some((mn, mx)) => keys.exists(k => k >= mn && k <= mx)
+          case None => true
+        }
+        mmKeep && {
+          val p = bloomPath(root, v, column, g)
+          if (!f.exists(p)) true // no sidecar: conservative
+          else {
+            val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+              new java.io.ByteArrayInputStream(readRaw(f, p)))
+            keys.exists(bf.mightContainLong)
+          }
+        }
+      }.sortBy(_._1)
+      if (keep.isEmpty) {
+        resid(read(spark, dir).get).limit(0)
+      } else {
+        val paths = keep.map { case (v, g) => s"$dir/${c.partitionCol}=$v/gen=$g" }
+        resid(readPaths(spark, dir, c, paths))
+      }
+    }
+  }
+
   /** Atomic upsert of one batch: merge latest-per-key into the touched
     * partitions and commit. This is the transactional replacement for the
     * read-union-dedup-dynamic-overwrite merge in
@@ -533,7 +641,8 @@ object GenTable {
     */
   def upsertBatch(batch: DataFrame, dir: String, keyCol: String,
       orderCols: Seq[String], partitionCol: String,
-      statsCols: Seq[String] = Nil): Unit = {
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+      bloomExpectedItems: Long = 50000L): Unit = {
     (keyCol +: partitionCol +: orderCols).foreach(c =>
       require(batch.columns.contains(c),
         s"upsert batch must carry key/order/partition column '$c'"))
@@ -564,7 +673,8 @@ object GenTable {
     // overwrite sink nothing is overwritten — but freezing the merge keeps
     // the read set independent of writer progress. Release after commit.
     val frozen = merged.localCheckpoint(true)
-    try publish(dir, stage(frozen, dir, partitionCol, statsCols))
+    try publish(dir, stage(frozen, dir, partitionCol, statsCols, bloomCols,
+      bloomExpectedItems))
     finally frozen.unpersist()
   }
 
@@ -598,7 +708,9 @@ object GenTable {
         staged.gens.filter { case (v, _) => touched(v) },
         math.max(staged.tableGen, prevGen + 1),
         staged.stats.filter { case (v, _) => touched(v) },
-        meta + (SchemaMetaKey -> frozen.schema.json)))
+        meta + (SchemaMetaKey -> frozen.schema.json) ++
+          staged.meta.view.filterKeys(
+            k => k == BloomColsKey || k == BloomItemsKey).toMap))
     } finally frozen.unpersist()
   }
 
@@ -654,7 +766,12 @@ object GenTable {
       .partitionBy(c.partitionCol, "gen")
       .parquet(dir)
     // contents are unchanged by compaction, so stats/meta carry over
-    // (plus the schema, derived once here for legacy tables)
+    // (plus the schema, derived once here for legacy tables); bloom
+    // sidecars regenerate at the new generation — skipping survives the
+    // rewrite
+    writeBlooms(df, dir, c.partitionCol, newGen,
+      bloomTrackOf(c).filter(df.columns.contains),
+      c.meta.get(BloomItemsKey).map(_.toLong).getOrElse(50000L))
     val next = Commit(c.partitionCol,
       c.gens.map { case (v, _) => v -> newGen }, stats = c.stats,
       meta = c.meta + (SchemaMetaKey -> df.schema.json))
@@ -755,7 +872,11 @@ object GenTable {
       }
       val emptied = touchedVals -- survivorVals
       // rewritten partitions re-derive their tracked stats off the
-      // survivors; emptied ones drop theirs with the partition
+      // survivors; emptied ones drop theirs with the partition; bloom
+      // sidecars regenerate for the surviving rewritten partitions
+      writeBlooms(frozen, dir, c.partitionCol, newGen,
+        bloomTrackOf(c).filter(frozen.columns.contains),
+        c.meta.get(BloomItemsKey).map(_.toLong).getOrElse(50000L))
       val track = c.trackedStatsCols.toSeq.filter(frozen.columns.contains)
       publish(dir, Commit(c.partitionCol,
         (c.gens -- emptied) ++ survivorVals.map(_ -> newGen), newGen,
@@ -952,6 +1073,16 @@ object GenTable {
     // sweep temp manifests stranded by a crash between write and swap
     listDir(f, root).filter(_.getName.startsWith("_commit.tmp."))
       .foreach(p => f.delete(p, false))
+    // drop bloom sidecars for unpinned generations (same retention rule
+    // as the generation directories they describe)
+    listDir(f, new HPath(root, "_filters")).foreach { p =>
+      p.getName.stripSuffix(".bloom").split('~') match {
+        case Array(ev, _, g) if g.forall(_.isDigit) =>
+          val pinned = keep.getOrElse(dec(ev), Set.empty)
+          if (!pinned.contains(g.toLong)) f.delete(p, false)
+        case _ => ()
+      }
+    }
     removed
   }
 }

@@ -761,6 +761,52 @@ class GenTableSpec extends SparkSpec {
       GenTable.readCommit(table).get.tableGen.toString)
   }
 
+  test("readEquals: bloom sidecars prune where min/max bands cannot") {
+    val dir = tmp()
+    // interleaved user ids: every bucket's [min, max] user band contains
+    // every looked-up key, so range stats can never prune — the bloom
+    // sidecar is what knows which bucket actually holds a user
+    val b = batch((1L, 10L, 1.0), (5L, 20L, 5.0), (9L, 30L, 9.0),
+      (2L, 10L, 2.0), (6L, 20L, 6.0), (10L, 30L, 10.0),
+      (3L, 10L, 3.0), (7L, 20L, 7.0), (11L, 30L, 11.0))
+    GenTable.upsertBatch(b, dir, "user_id", Seq("ts"), "bucket",
+      statsCols = Seq("user_id"), bloomCols = Seq("user_id"))
+    val one = GenTable.readEquals(spark, dir, "user_id", Seq(5L)).get
+    assert(rows(one) === Set((5L, 20L, 5.0, 1)))
+    assert(one.inputFiles.nonEmpty &&
+      one.inputFiles.forall(_.contains("bucket=1")),
+      s"bloom failed to prune: ${one.inputFiles.toSeq}")
+    // a multi-key lookup keeps the union of the keys' partitions
+    val two = GenTable.readEquals(spark, dir, "user_id", Seq(6L, 7L)).get
+    assert(rows(two) === Set((6L, 20L, 6.0, 2), (7L, 20L, 7.0, 3)))
+    assert(!two.inputFiles.exists(_.contains("bucket=1")))
+    // a key inside every band but present nowhere: blooms prune all
+    // partitions (mod a 1% false positive, which the residual absorbs)
+    val none = GenTable.readEquals(spark, dir, "user_id", Seq(4L)).get
+    assert(none.count() === 0L)
+    assert(none.columns.toSet === Set("user_id", "ts", "value", "bucket"))
+    // a delete rewrite regenerates the touched partition's sidecars —
+    // skipping survives the generation move
+    GenTable.deleteKeys(Seq(5L).toDF("user_id"), dir, "user_id",
+      pmod(col("user_id"), lit(4)))
+    val after = GenTable.readEquals(spark, dir, "user_id", Seq(9L)).get
+    assert(rows(after) === Set((9L, 30L, 9.0, 1)))
+    assert(after.inputFiles.nonEmpty &&
+      after.inputFiles.forall(_.contains("bucket=1")))
+    assert(GenTable.readEquals(spark, dir, "user_id", Seq(5L)).get
+      .count() === 0L)
+    // vacuum drops sidecars with their unpinned generations, keeps current
+    GenTable.vacuum(dir)
+    val names = new java.io.File(s"$dir/_filters").listFiles()
+      .map(_.getName).toSet
+    assert(names.contains("1~user_id~2.bloom"), s"sidecars: $names")
+    assert(!names.contains("1~user_id~1.bloom"), s"sidecars: $names")
+    // missing sidecars: conservative read, identical result
+    new java.io.File(s"$dir/_filters").listFiles().foreach(_.delete())
+    assert(rows(GenTable.readEquals(spark, dir, "user_id", Seq(9L)).get) ===
+      Set((9L, 30L, 9.0, 1)))
+  }
+
   test("vacuum sweeps stranded temp manifests") {
     val dir = tmp()
     GenTable.upsertBatch(batch((1L, 10L, 1.0)), dir, "user_id", Seq("ts"),
