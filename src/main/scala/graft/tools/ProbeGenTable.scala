@@ -8,12 +8,27 @@ import org.apache.spark.sql.functions._
   * /tmp/graft_probe_100x for the 10M-event measurement in SCALE.md §21.
   */
 object ProbeGenTable {
+  private val madeDirs = scala.collection.mutable.Buffer[java.nio.file.Path]()
+  private def tmpDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    madeDirs += p
+    p.toString
+  }
+  private def cleanup(): Unit = madeDirs.foreach { d =>
+    try {
+      val s = java.nio.file.Files.walk(d)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+      finally s.close()
+    } catch { case _: java.io.IOException => () }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = graft.Sessions.local("probe-gentable", 32)
     val out = new java.io.PrintWriter("/tmp/probe_gentable.out")
     val dir = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
-    val table = java.nio.file.Files.createTempDirectory("graft_gt_probe_").toString
+    val table = tmpDir("graft_gt_probe_")
     import graft.sources.GenTable
     def time[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime()
@@ -59,7 +74,7 @@ object ProbeGenTable {
     //    arrival gives a real lake; near-total skip).
     def statsArm(label: String, src: org.apache.spark.sql.DataFrame,
         statCol: String): Unit = {
-      val table = java.nio.file.Files.createTempDirectory("graft_gt_stats_").toString
+      val table = tmpDir("graft_gt_stats_")
       val byDay = src.withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
       time(s"[$label] seed: day-partitioned, $statCol stats") {
         GenTable.upsertBatch(byDay, table, "event_id", Seq("ts"), "day",
@@ -106,7 +121,7 @@ object ProbeGenTable {
     def cdcArm(label: String, base: org.apache.spark.sql.DataFrame,
         churn: org.apache.spark.sql.DataFrame): Unit = {
       import graft.operators.RollupStore
-      val table = java.nio.file.Files.createTempDirectory("graft_gt_cdc_").toString
+      val table = tmpDir("graft_gt_cdc_")
       GenTable.upsertBatch(base, table, "event_id", Seq("ts"), "day") // commit 1
       def viewOf(df: org.apache.spark.sql.DataFrame) = df
         .groupBy(col("event_type"))
@@ -143,7 +158,75 @@ object ProbeGenTable {
     cdcArm("10M", allDays.filter(col("day") < lastDay), fixedChurn)
     cdcArm("1M", allDays.filter(col("day") < lastDay &&
       col("user_id") % 10 === 0), fixedChurn)
+
+    // -- bloom point-lookup arm: THIS fixture's tiled event_ids are the
+    //    bands-can't-prune case (every day spans the full id space —
+    //    readRange's manifest check keeps 30/30), but each id lives in
+    //    exactly one day, so the per-day bloom sidecar prunes a k-id
+    //    lookup to <=k days. Measures the full-scan filter vs the
+    //    bloom-pruned readEquals on identical results.
+    {
+      val bloomTable = tmpDir("graft_gt_bloom_")
+      val byDay = events.drop("bucket")
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      time("[bloom] seed: day-partitioned, event_id stats+blooms") {
+        GenTable.upsertBatch(byDay, bloomTable, "event_id", Seq("ts"), "day",
+          statsCols = Seq("event_id"), bloomCols = Seq("event_id"),
+          bloomExpectedItems = 500000L)
+      }
+      val maxId = events.agg(max("event_id")).head().getLong(0)
+      val keys = (1 to 10).map(i => maxId * i / 11)
+      val c = GenTable.readCommit(bloomTable).get
+      val mmKept = c.gens.keys.count { v =>
+        c.stats.get(v).flatMap(_.get("event_id"))
+          .forall { case (mn, mx) => keys.exists(k => k >= mn && k <= mx) }
+      }
+      out.println(s"[bloom] 10-key lookup: min/max keeps $mmKept/${c.gens.size} partitions")
+      for (round <- Seq("cold", "warm")) {
+        time(s"[bloom] lookup: full-scan IN filter ($round)") {
+          out.println(s"  rows=${GenTable.read(spark, bloomTable).get
+            .filter(col("event_id").isin(keys: _*)).count()}")
+        }
+        time(s"[bloom] lookup: bloom-pruned readEquals ($round)") {
+          val df = GenTable.readEquals(spark, bloomTable, "event_id",
+            keys.map(_.toLong)).get
+          out.println(s"  rows=${df.count()} files=${df.inputFiles.length}")
+        }
+      }
+
+      // -- evolution-read arm on the same table: a commit adds a column,
+      //    then the SAME committed file set is read (a) with the
+      //    manifest-carried schema (GenTable.read) vs (b) with
+      //    mergeSchema=true, the footer-union alternative a format
+      //    without a schema-bearing manifest is forced into. Compact to
+      //    many small files first so the footer pass is visible — file
+      //    COUNT, not table bytes, is what mergeSchema scales with.
+      time("[evolve] compact to ~20k-row files") {
+        val (b, a) = GenTable.compact(spark, bloomTable, 20000L)
+        out.println(s"  files $b -> $a")
+      }
+      time("[evolve] commit a batch adding a column") {
+        GenTable.upsertBatch(
+          byDay.filter(col("day") === lastDay).limit(10000)
+            .withColumn("value_eur", col("value") * 0.9)
+            .localCheckpoint(true),
+          bloomTable, "event_id", Seq("ts"), "day")
+      }
+      val cm = GenTable.readCommit(bloomTable).get
+      val paths = cm.gens.toSeq.sortBy(_._1).map { case (v, g) =>
+        s"$bloomTable/day=$v/gen=$g" }
+      for (round <- Seq("cold", "warm")) {
+        time(s"[evolve] read via manifest schema ($round)") {
+          out.println(s"  rows=${GenTable.read(spark, bloomTable).get.count()}")
+        }
+        time(s"[evolve] read via mergeSchema footer union ($round)") {
+          out.println(s"  rows=${spark.read.option("mergeSchema", "true")
+            .option("basePath", bloomTable).parquet(paths: _*).count()}")
+        }
+      }
+    }
     out.close()
+    cleanup()
     spark.stop()
   }
 }
