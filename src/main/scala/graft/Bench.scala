@@ -32,11 +32,22 @@ object Bench {
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 } catch {
+      val out = try {
+        fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9
+      } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           -1.0 // a crashed query reports -1, never a normal-looking duration
       }
+      // lifecycle queries return a localCheckpoint; once counted, its
+      // blocks are dead weight — left cached they accumulate across the
+      // pass and the block-manager residue drags LATER queries' medians
+      // (measured: d04's pass-min stayed at its round-11 value while its
+      // median tripled). Cleanup runs OUTSIDE the timer: harness hygiene,
+      // not query cost.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      out
     }
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     // load anchor: a fixed cheap calibration query timed immediately before

@@ -30,6 +30,10 @@ object Verify {
         failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // drop lifecycle queries' checkpoint blocks once dumped (see Bench:
+      // left cached they accumulate for the whole 199-query run)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -110,11 +110,21 @@ object GenTable {
   final case class Commit(partitionCol: String, gens: Map[String, Long],
       minGen: Long = 0L,
       stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
-      meta: Map[String, String] = Map.empty) {
+      meta: Map[String, String] = Map.empty,
+      sizes: Map[String, Long] = Map.empty) {
     def tableGen: Long =
       if (gens.isEmpty) minGen else math.max(minGen, gens.values.max)
     /** Columns any partition tracks min/max for (the sticky stats set). */
     def trackedStatsCols: Set[String] = stats.values.flatMap(_.keys).toSet
+    /** Total committed bytes, when every partition recorded its size at
+      * commit time (tables written since size tracking) — the Iceberg-style
+      * statistic that lets the optimizer cost a scan (broadcast decisions)
+      * WITHOUT listing a single file. None forces the reader to list.
+      */
+    def totalBytes: Option[Long] =
+      if (gens.nonEmpty && gens.keySet.forall(sizes.contains))
+        Some(sizes.values.sum)
+      else None
   }
 
   /** Reserved meta key carrying the committed schema (see object doc). */
@@ -137,7 +147,7 @@ object GenTable {
     * sidecars that a rename-based manifest swap would orphan, and the
     * manifest carries its own integrity (require-validated parse).
     */
-  private def fsRoot(dir: String): (FileSystem, HPath) = {
+  private[sources] def fsRoot(dir: String): (FileSystem, HPath) = {
     val p = new HPath(dir)
     val f = p.getFileSystem(hadoopConf) match {
       case l: LocalFileSystem => l.getRawFileSystem
@@ -241,10 +251,13 @@ object GenTable {
     val metaLines = commit.meta.toSeq.sortBy(_._1).map { case (k, v) =>
       s"#meta=${enc(k)}|${enc(v)}"
     }
+    val sizeLines = commit.sizes.toSeq.sortBy(_._1).map { case (v, b) =>
+      s"#size=${enc(v)}|$b"
+    }
     val body = (s"pcol=${enc(commit.partitionCol)}" +:
       s"#tgen=${commit.tableGen}" +:
       (commit.gens.toSeq.sortBy(_._1).map { case (v, g) => s"${enc(v)}=$g" } ++
-        statLines ++ metaLines)).mkString("", "\n", "\n")
+        statLines ++ metaLines ++ sizeLines)).mkString("", "\n", "\n")
     body.getBytes(StandardCharsets.UTF_8)
   }
 
@@ -256,10 +269,16 @@ object GenTable {
     var minGen = 0L
     val statBuf = Seq.newBuilder[(String, String, Long, Long)]
     val metaBuf = Map.newBuilder[String, String]
+    val sizeBuf = Map.newBuilder[String, Long]
     val gens = (1 until lines.length).flatMap { i =>
       val line = lines(i)
       if (line.startsWith("#tgen=")) {
         minGen = line.stripPrefix("#tgen=").toLong
+        None
+      } else if (line.startsWith("#size=")) {
+        val parts = line.stripPrefix("#size=").split('|')
+        require(parts.length == 2, s"malformed size line: $line")
+        sizeBuf += dec(parts(0)) -> parts(1).toLong
         None
       } else if (line.startsWith("#stat=")) {
         val parts = line.stripPrefix("#stat=").split('|')
@@ -282,7 +301,7 @@ object GenTable {
     val stats = statBuf.result().groupBy(_._1).map { case (v, rows) =>
       v -> rows.map(r => r._2 -> (r._3, r._4)).toMap
     }
-    Commit(pcol, gens, minGen, stats, metaBuf.result())
+    Commit(pcol, gens, minGen, stats, metaBuf.result(), sizeBuf.result())
   }
 
   // --------------------------------------------------------- publish
@@ -348,7 +367,7 @@ object GenTable {
   /** The state as of archived commit `id`; falls back to the manifest
     * when `id` is the (possibly not-yet-archived) head.
     */
-  private def commitAt(dir: String, id: Long): Option[Commit] = {
+  private[sources] def commitAt(dir: String, id: Long): Option[Commit] = {
     val (f, root) = fsRoot(dir)
     val p = new HPath(new HPath(root, "_commits"), f"ct_$id%020d")
     if (f.exists(p)) Some(parseCommit(readString(f, p)))
@@ -362,7 +381,7 @@ object GenTable {
       s"$dir/${c.partitionCol}=$v/gen=$g"
     }
 
-  private def schemaOf(c: Commit): Option[StructType] =
+  private[sources] def schemaOf(c: Commit): Option[StructType] =
     c.meta.get(SchemaMetaKey).map(DataType.fromJson(_).asInstanceOf[StructType])
 
   /** Read committed generation paths with the commit's recorded schema
@@ -393,6 +412,46 @@ object GenTable {
   def read(spark: SparkSession, dir: String): Option[DataFrame] =
     readCommit(dir).filter(_.gens.nonEmpty)
       .map(c => readPaths(spark, dir, c, pathsOf(dir, c)))
+
+  /** The committed view behind a manifest-driven [[GenTableFileIndex]] —
+    * the CATALYST-INTEGRATED read: a plain `.filter(...)` on the returned
+    * frame reaches the index as pushed partition/data filters at planning
+    * time, where the manifest's min/max bands and the Bloom sidecars prune
+    * whole partitions — the skipping [[readRange]] / [[readEquals]] expose
+    * as explicit APIs, triggered instead by ordinary Catalyst predicate
+    * pushdown (the Delta/Iceberg integration shape). Same rows, types,
+    * and column order (partition column last, like every partitioned read)
+    * as [[read]]; the scan stays a vectorized whole-stage-codegen parquet
+    * scan because the relation is a standard `HadoopFsRelation` — only the
+    * file LISTING is ours. Pinned to the commit at call time (snapshot
+    * isolation for the frame's lifetime, like every other read here).
+    * `spark.read.format("gentable").load(dir)` is the DataSource shape of
+    * the same relation (partition column last, Spark's convention).
+    */
+  def readIndexed(spark: SparkSession, dir: String): Option[DataFrame] =
+    readCommit(dir).filter(_.gens.nonEmpty).map { c =>
+      val schema = schemaOf(c).getOrElse(
+        readPaths(spark, dir, c, pathsOf(dir, c)).schema)
+      GenTableFileIndex.frame(spark, dir, c, schema)
+    }
+
+  /** Test/diagnostic hook: the manifest-driven index pinned to the
+    * current commit ([[readIndexed]]'s listing, callable directly).
+    */
+  private[graft] def indexFor(spark: SparkSession,
+      dir: String): GenTableFileIndex = {
+    val (c, s) = indexedRelationParts(spark, dir)
+    new GenTableFileIndex(spark, dir, c, s)
+  }
+
+  /** [[readIndexed]]'s commit resolution for the DataSource provider. */
+  private[sources] def indexedRelationParts(spark: SparkSession,
+      dir: String): (Commit, StructType) = {
+    val c = readCommit(dir).filter(_.gens.nonEmpty).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed GenTable under $dir"))
+    (c, schemaOf(c).getOrElse(readPaths(spark, dir, c, pathsOf(dir, c)).schema))
+  }
 
   // ----------------------------------------------------------- stage
 
@@ -471,17 +530,55 @@ object GenTable {
       if (bloomTrack.isEmpty) Map.empty[String, String]
       else Map(BloomColsKey -> bloomTrack.mkString(","),
         BloomItemsKey -> items.toString)
+    val newSizes = touched.map(v =>
+      v -> genBytes(f, root, partitionCol, v, newGen)).toMap
     Commit(partitionCol, prev.gens ++ touched.map(_ -> newGen),
       stats = (prev.stats -- touched) ++ newStats,
-      meta = prev.meta + (SchemaMetaKey -> merged.json) ++ bloomMeta)
+      meta = prev.meta + (SchemaMetaKey -> merged.json) ++ bloomMeta,
+      sizes = (prev.sizes -- touched) ++ newSizes)
   }
 
-  private def bloomTrackOf(c: Commit): Seq[String] =
+  /** Bytes of the data files under one generation directory — recorded in
+    * the manifest at commit time (bounded by partitions-per-batch, and the
+    * listing covers only directories this writer just wrote), so readers
+    * can cost a full-table scan from the ONE manifest object instead of
+    * listing every partition (see [[Commit.totalBytes]] /
+    * [[GenTableFileIndex]]).
+    */
+  private def genBytes(f: FileSystem, root: HPath, pcol: String,
+      v: String, g: Long): Long = {
+    val d = new HPath(new HPath(root, s"$pcol=$v"), s"gen=$g")
+    if (!f.exists(d)) 0L
+    else f.listStatus(d).filter { s =>
+      // data files only — same visibility rule as the scan (a local
+      // committer can leave .crc sidecars the parquet reader never opens)
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }.map(_.getLen).sum
+  }
+
+  private[sources] def bloomTrackOf(c: Commit): Seq[String] =
     c.meta.get(BloomColsKey)
       .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
 
   private def bloomPath(root: HPath, v: String, c: String, g: Long): HPath =
     new HPath(new HPath(root, "_filters"), s"${enc(v)}~${enc(c)}~$g.bloom")
+
+  /** Might ANY of `keys` be present in partition `v`'s sidecar for
+    * `column` at generation `g`? Missing sidecar reads conservatively
+    * (true). Shared by [[readEquals]] and the Catalyst-integrated scan
+    * ([[GenTableFileIndex]]) so both prune identically.
+    */
+  private[sources] def bloomSurvives(f: FileSystem, root: HPath, v: String,
+      column: String, g: Long, keys: Seq[Long]): Boolean = {
+    val p = bloomPath(root, v, column, g)
+    if (!f.exists(p)) true // no sidecar: conservative
+    else {
+      val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(readRaw(f, p)))
+      keys.exists(bf.mightContainLong)
+    }
+  }
 
   /** Per-(partition, column) Bloom sidecars at generation `gen`, built in
     * ONE grouped aggregate over `rows` (bounded by partitions-per-batch ×
@@ -610,15 +707,7 @@ object GenTable {
           case Some((mn, mx)) => keys.exists(k => k >= mn && k <= mx)
           case None => true
         }
-        mmKeep && {
-          val p = bloomPath(root, v, column, g)
-          if (!f.exists(p)) true // no sidecar: conservative
-          else {
-            val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
-              new java.io.ByteArrayInputStream(readRaw(f, p)))
-            keys.exists(bf.mightContainLong)
-          }
-        }
+        mmKeep && bloomSurvives(f, root, v, column, g, keys)
       }.sortBy(_._1)
       if (keep.isEmpty) {
         resid(read(spark, dir).get).limit(0)
@@ -710,7 +799,8 @@ object GenTable {
         staged.stats.filter { case (v, _) => touched(v) },
         meta + (SchemaMetaKey -> frozen.schema.json) ++
           staged.meta.view.filterKeys(
-            k => k == BloomColsKey || k == BloomItemsKey).toMap))
+            k => k == BloomColsKey || k == BloomItemsKey).toMap,
+        staged.sizes.filter { case (v, _) => touched(v) }))
     } finally frozen.unpersist()
   }
 
@@ -774,7 +864,9 @@ object GenTable {
       c.meta.get(BloomItemsKey).map(_.toLong).getOrElse(50000L))
     val next = Commit(c.partitionCol,
       c.gens.map { case (v, _) => v -> newGen }, stats = c.stats,
-      meta = c.meta + (SchemaMetaKey -> df.schema.json))
+      meta = c.meta + (SchemaMetaKey -> df.schema.json),
+      sizes = c.gens.keys.map(v =>
+        v -> genBytes(fsys, root, c.partitionCol, v, newGen)).toMap)
     publish(dir, next)
     (before, committedFiles(next))
   }
@@ -881,7 +973,9 @@ object GenTable {
       publish(dir, Commit(c.partitionCol,
         (c.gens -- emptied) ++ survivorVals.map(_ -> newGen), newGen,
         (c.stats -- touchedVals) ++ computeStats(frozen, c.partitionCol, track),
-        c.meta + (SchemaMetaKey -> frozen.schema.json)))
+        c.meta + (SchemaMetaKey -> frozen.schema.json),
+        (c.sizes -- touchedVals) ++ survivorVals.map(v =>
+          v -> genBytes(fsys, root, c.partitionCol, v, newGen)).toMap))
     } finally frozen.unpersist()
   }
 

@@ -1,0 +1,275 @@
+package graft.sources
+
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession, SQLContext}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Manifest-driven [[FileIndex]] over one committed [[GenTable.Commit]] —
+  * the piece that plugs the lake tier into Catalyst's own scan planning
+  * (the Delta `TahoeFileIndex` / Iceberg integration shape, built from
+  * scratch on the public `FileIndex` contract).
+  *
+  * What Spark hands `listFiles` at planning time is exactly the metadata
+  * the manifest can act on:
+  *  - `partitionFilters` — predicates on the partition column, evaluated
+  *    here against each committed partition VALUE (no directory listing,
+  *    no path parsing: the values come from the manifest, typed through
+  *    the recorded schema);
+  *  - `dataFilters` — predicates on data columns; conjuncts of the shape
+  *    `col (=|<|<=|>|>=|IN) literal` on integral/date/timestamp columns
+  *    are checked against the manifest's per-partition min/max bands
+  *    ([[GenTable.readRanges]]' skip) and, for (=|IN), against the
+  *    per-partition Bloom sidecars ([[GenTable.readEquals]]' skip).
+  *
+  * So a plain `.filter($"event_id" between (lo, hi))` or
+  * `.filter($"user_id".isin(ks: _*))` on [[GenTable.readIndexed]]'s frame
+  * prunes partitions WITHOUT the caller knowing the explicit skip APIs
+  * exist. Extraction is strictly conservative: any conjunct it cannot
+  * decide keeps the partition, and Spark always re-applies the full
+  * predicate to the rows it reads, so wrong-but-conservative can cost IO,
+  * never rows. Long semantics mirror the stats writer (`cast("long")`):
+  * timestamps compare as epoch seconds (floor — monotone, hence exact for
+  * band checks), dates as epoch days, integers as themselves; a Cast the
+  * writer's semantics can't follow disqualifies the conjunct.
+  *
+  * `sizeInBytes` comes from the manifest's `#size` lines when every
+  * partition recorded one (writes since size tracking) — the optimizer's
+  * broadcast decision then costs NOTHING in file-listing RPCs, the term
+  * that dominates object-store planning at 100 TB. Tables predating size
+  * tracking fall back to one listing, memoized. File statuses for kept
+  * partitions are listed lazily per partition and memoized, so a pruned
+  * query never lists the partitions it skipped.
+  */
+final class GenTableFileIndex(
+    spark: SparkSession,
+    dir: String,
+    commit: GenTable.Commit,
+    tableSchema: StructType) extends FileIndex {
+
+  private val (fs, root) = GenTable.fsRoot(dir)
+  private val pcol = commit.partitionCol
+  private val pField = tableSchema.fields.find(_.name == pcol).getOrElse(
+    throw new IllegalArgumentException(
+      s"partition column '$pcol' missing from table schema"))
+  private val bloomCols = GenTable.bloomTrackOf(commit).toSet
+
+  override val rootPaths: Seq[HPath] = Seq(root)
+
+  override def partitionSchema: StructType = StructType(Seq(pField))
+
+  /** Data schema (files' own columns): the recorded schema minus the
+    * partition column, everything nullable (old generations may predate
+    * an added column).
+    */
+  def dataSchema: StructType =
+    StructType(tableSchema.fields.filterNot(_.name == pcol).map(_.copy(nullable = true)))
+
+  // partition value string -> typed internal value (manifest values were
+  // rendered by cast-to-string of the typed column; Cast is its inverse)
+  private def typedValue(v: String): Any =
+    Cast(Literal(UTF8String.fromString(v), StringType), pField.dataType,
+      Option(java.util.TimeZone.getDefault.getID)).eval(InternalRow.empty)
+
+  private val partitionRows: Map[String, InternalRow] =
+    commit.gens.keys.map(v => v -> InternalRow(typedValue(v))).toMap
+
+  private val statusCache = mutable.Map.empty[String, Array[FileStatus]]
+
+  private def filesOf(v: String, g: Long): Array[FileStatus] =
+    statusCache.getOrElseUpdate(v, {
+      val d = new HPath(new HPath(root, s"$pcol=$v"), s"gen=$g")
+      fs.listStatus(d).filter { s =>
+        val n = s.getPath.getName
+        s.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+    })
+
+  // ---------------------------------------------------- filter extraction
+
+  /** One prunable conjunct: a range band or a key set on a data column. */
+  private sealed trait Skip
+  private case class RangeSkip(col: String, lo: Long, hi: Long) extends Skip
+  private case class KeySkip(col: String, keys: Seq[Long]) extends Skip
+
+  /** Column reference in the stats writer's long semantics; integral
+    * widening casts are transparent (same long value), anything else is
+    * not ours to decide.
+    */
+  private object ColRef {
+    private def integral(t: DataType): Boolean = t match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    def unapply(e: Expression): Option[(String, DataType)] = e match {
+      case a: AttributeReference => Some((a.name, a.dataType))
+      case c: Cast if integral(c.dataType) => c.child match {
+        case a: AttributeReference if integral(a.dataType) =>
+          Some((a.name, c.dataType))
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** A literal (or internal value) in the stats writer's long semantics. */
+  private def asLong(value: Any, t: DataType): Option[Long] = value match {
+    case null => None
+    case v => t match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some(v.asInstanceOf[Number].longValue)
+      case DateType => Some(v.asInstanceOf[Number].longValue) // epoch days
+      case TimestampType => // micros -> seconds, floor (monotone)
+        Some(Math.floorDiv(v.asInstanceOf[Number].longValue, 1000000L))
+      case _ => None
+    }
+  }
+
+  private def skipsOf(e: Expression): Seq[Skip] = e match {
+    case And(l, r) => skipsOf(l) ++ skipsOf(r)
+    case EqualTo(ColRef((c, _)), Literal(v, t)) =>
+      asLong(v, t).map(k => KeySkip(c, Seq(k))).toSeq
+    case EqualTo(Literal(v, t), ColRef((c, _))) =>
+      asLong(v, t).map(k => KeySkip(c, Seq(k))).toSeq
+    case EqualNullSafe(ColRef((c, _)), Literal(v, t)) =>
+      asLong(v, t).map(k => KeySkip(c, Seq(k))).toSeq
+    case EqualNullSafe(Literal(v, t), ColRef((c, _))) =>
+      asLong(v, t).map(k => KeySkip(c, Seq(k))).toSeq
+    case GreaterThan(ColRef((c, _)), Literal(v, t)) => // conservative: >=
+      asLong(v, t).map(lo => RangeSkip(c, lo, Long.MaxValue)).toSeq
+    case GreaterThanOrEqual(ColRef((c, _)), Literal(v, t)) =>
+      asLong(v, t).map(lo => RangeSkip(c, lo, Long.MaxValue)).toSeq
+    case LessThan(ColRef((c, _)), Literal(v, t)) => // conservative: <=
+      asLong(v, t).map(hi => RangeSkip(c, Long.MinValue, hi)).toSeq
+    case LessThanOrEqual(ColRef((c, _)), Literal(v, t)) =>
+      asLong(v, t).map(hi => RangeSkip(c, Long.MinValue, hi)).toSeq
+    // literal-on-left comparisons, mirrored
+    case GreaterThan(Literal(v, t), ColRef((c, _))) =>
+      asLong(v, t).map(hi => RangeSkip(c, Long.MinValue, hi)).toSeq
+    case GreaterThanOrEqual(Literal(v, t), ColRef((c, _))) =>
+      asLong(v, t).map(hi => RangeSkip(c, Long.MinValue, hi)).toSeq
+    case LessThan(Literal(v, t), ColRef((c, _))) =>
+      asLong(v, t).map(lo => RangeSkip(c, lo, Long.MaxValue)).toSeq
+    case LessThanOrEqual(Literal(v, t), ColRef((c, _))) =>
+      asLong(v, t).map(lo => RangeSkip(c, lo, Long.MaxValue)).toSeq
+    case In(ColRef((c, _)), vs) if vs.forall(_.isInstanceOf[Literal]) =>
+      val ks = vs.map { case Literal(v, t) => asLong(v, t) }
+      // a single un-convertible element disqualifies the whole IN
+      // (it might match a partition the convertible keys would skip)
+      if (ks.forall(_.isDefined)) Seq(KeySkip(c, ks.flatten))
+      else Nil
+    case InSet(e @ ColRef((c, _)), hset) =>
+      val ks = hset.toSeq.map(asLong(_, e.dataType))
+      if (ks.forall(_.isDefined)) Seq(KeySkip(c, ks.flatten))
+      else Nil
+    case _ => Nil // unknown shape: decides nothing, prunes nothing
+  }
+
+  private def survives(v: String, g: Long, s: Skip): Boolean = s match {
+    case RangeSkip(c, lo, hi) =>
+      commit.stats.get(v).flatMap(_.get(c)) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true // untracked here: conservative
+      }
+    case KeySkip(c, keys) =>
+      val band = commit.stats.get(v).flatMap(_.get(c)) match {
+        case Some((mn, mx)) => keys.exists(k => k >= mn && k <= mx)
+        case None => true
+      }
+      band && (!bloomCols(c) || GenTable.bloomSurvives(fs, root, v, c, g, keys))
+  }
+
+  private def evalPartitionFilter(f: Expression, row: InternalRow): Boolean = {
+    val bound = f.transform {
+      case a: AttributeReference =>
+        BoundReference(0, pField.dataType, nullable = true)
+    }
+    java.lang.Boolean.TRUE.equals(bound.eval(row))
+  }
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val skips = dataFilters.flatMap(skipsOf)
+    commit.gens.toSeq.sortBy(_._1).flatMap { case (v, g) =>
+      val row = partitionRows(v)
+      val keep = partitionFilters.forall(evalPartitionFilter(_, row)) &&
+        skips.forall(survives(v, g, _))
+      if (keep) Some(PartitionDirectory(row, filesOf(v, g))) else None
+    }
+  }
+
+  override def inputFiles: Array[String] =
+    commit.gens.toSeq.sortBy(_._1).flatMap { case (v, g) =>
+      filesOf(v, g).map(_.getPath.toString)
+    }.toArray
+
+  override def refresh(): Unit = statusCache.clear()
+
+  override lazy val sizeInBytes: Long = commit.totalBytes.getOrElse {
+    // pre-size-tracking table: one full listing, memoized in statusCache
+    commit.gens.toSeq.map { case (v, g) => filesOf(v, g).map(_.getLen).sum }.sum
+  }
+}
+
+object GenTableFileIndex {
+
+  /** [[GenTable.readIndexed]]'s relation: a standard parquet
+    * `HadoopFsRelation` whose file listing is the manifest-driven index —
+    * everything downstream (vectorized reader, codegen, AQE) is stock
+    * Spark. Column order follows Spark's partitioned-read convention
+    * (data columns, then the partition column).
+    */
+  private[sources] def frame(spark: SparkSession, dir: String,
+      commit: GenTable.Commit, tableSchema: StructType): DataFrame = {
+    val index = new GenTableFileIndex(spark, dir, commit, tableSchema)
+    val relation = HadoopFsRelation(
+      location = index,
+      partitionSchema = index.partitionSchema,
+      dataSchema = index.dataSchema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat(),
+      options = Map.empty)(spark)
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .baseRelationToDataFrame(relation)
+  }
+}
+
+/** `spark.read.format("gentable").load(dir)` — the DataSource doorway to
+  * the same manifest-indexed relation (registered via META-INF services;
+  * `option("versionAsOf", id)` time-travels to an archived commit).
+  */
+final class GenTableSourceProvider extends RelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "gentable"
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val dir = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "gentable requires a path: spark.read.format(\"gentable\").load(dir)"))
+    val (head, headSchema) = GenTable.indexedRelationParts(spark, dir)
+    val (commit, schema) = parameters.get("versionAsOf") match {
+      case None => (head, headSchema)
+      case Some(v) =>
+        val c = GenTable.commitAt(dir, v.toLong).getOrElse(
+          throw new IllegalArgumentException(
+            s"no archived commit $v under $dir (vacuumed?)"))
+        (c, GenTable.schemaOf(c).getOrElse(headSchema))
+    }
+    val index = new GenTableFileIndex(spark, dir, commit, schema)
+    HadoopFsRelation(
+      location = index,
+      partitionSchema = index.partitionSchema,
+      dataSchema = index.dataSchema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat(),
+      options = Map.empty)(spark)
+  }
+}

@@ -17,4 +17,18 @@ object GraftSqlShim {
     * off the public Column API into `classic.ExpressionUtils`. */
   def expr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** A batch frame re-wrapped with `isStreaming = true` — what a DSv1
+    * streaming [[org.apache.spark.sql.execution.streaming.Source]] must
+    * return from `getBatch` (the engine asserts it), and exactly the
+    * `internalCreateDataFrame(..., isStreaming = true)` call Spark's own
+    * v1 sources (FileStreamSource, KafkaSource) make. Second and last
+    * `private[sql]` doorway this library takes.
+    */
+  def asStreamingFrame(spark: SparkSession, df: DataFrame): DataFrame = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val cd = df.asInstanceOf[classic.Dataset[Row]]
+    cs.internalCreateDataFrame(cd.queryExecution.toRdd, df.schema,
+      isStreaming = true)
+  }
 }
