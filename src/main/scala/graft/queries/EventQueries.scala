@@ -732,6 +732,85 @@ object EventQueries extends QueryPack {
             col("event_type"), col("value"), col("props"),
             col("day").cast("string").as("day"))
       }
+    },
+
+    // -- Catalyst-integrated metadata skip: the SAME pruning e23 (stats
+    //    bands) and e30 (bloom sidecars) reach through explicit APIs,
+    //    triggered here by a plain `.filter` on `readIndexed`'s frame —
+    //    the manifest-driven FileIndex receives the pushed partition/data
+    //    filters at planning time and skips partitions the day predicate,
+    //    the event_id band, or the user_id blooms rule out. Extraction is
+    //    conservative and Spark re-applies every predicate, so the result
+    //    equals the plain conjunctive filter the oracle runs (pruning
+    //    itself is metrics-pinned in GenTableIndexSpec).
+    "e31_indexed_scan" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      TempWork.scoped("graft_e31_") { tmp =>
+        val ev = t.events
+          .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        graft.sources.GenTable.upsertBatch(ev, tmp, "event_id", Seq("ts"),
+          "day", statsCols = Seq("event_id"), bloomCols = Seq("user_id"))
+        graft.sources.GenTable.readIndexed(spark, tmp).get
+          .filter(col("day") >= "2024-01-10" &&
+            col("event_id") >= 500L &&
+            col("user_id").isin(3L, 7L, 11L, 42L, 57L, 101L))
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"), col("props"),
+            col("day").cast("string").as("day"))
+      }
+    },
+
+    // -- CDC replication through the STREAMING source: a replica GenTable
+    //    is maintained purely from `readStream.format("gentable-cdc")`
+    //    micro-batches (offsets = commit ids, batches = keyed commit
+    //    diffs). Drain 1 replicates the early-window snapshot; commits 2
+    //    (the rest) and 3 (click takedown) land while the stream is DOWN,
+    //    then drain 2 resumes from the engine's offset log and coalesces
+    //    both into one diff — post-images upsert ordered by batch sequence
+    //    (NOT event time: a takedown can move a user's latest EARLIER),
+    //    delete pre-images drop by key. The replica must equal the final
+    //    source snapshot, which the oracle rebuilds with window SQL.
+    "e32_cdc_replica" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      TempWork.scoped("graft_e32_") { tmp =>
+        val src = s"$tmp/src"; val rep = s"$tmp/replica"
+        val ckpt = s"$tmp/ckpt"
+        val slice = t.events.filter(col("user_id") % 9 === 7)
+          .withColumn("bucket", pmod(col("user_id"), lit(8)).cast("int"))
+        val cut = lit("2024-01-16").cast("timestamp")
+        def drain(): Unit = {
+          val q = spark.readStream.format("gentable-cdc")
+            .option("keyCol", "user_id").load(src)
+            .writeStream.option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch { (diff: DataFrame, batchId: Long) =>
+              val ups = diff.filter(col("_change") =!= "delete")
+                .drop("_change").withColumn("_seq", lit(batchId))
+              if (!ups.isEmpty)
+                graft.sources.GenTable.upsertBatch(ups, rep, "user_id",
+                  Seq("_seq"), "bucket")
+              val dels = diff.filter(col("_change") === "delete")
+                .select("user_id")
+              if (!dels.isEmpty)
+                graft.sources.GenTable.deleteKeys(dels, rep, "user_id",
+                  pmod(col("user_id"), lit(8)).cast("int"))
+              ()
+            }.start()
+          q.awaitTermination()
+        }
+        graft.sources.GenTable.upsertBatch(slice.filter(col("ts") < cut),
+          src, "user_id", Seq("ts", "event_id"), "bucket")      // commit 1
+        drain()                                  // replicates the snapshot
+        graft.sources.GenTable.upsertBatch(slice.filter(col("ts") >= cut),
+          src, "user_id", Seq("ts", "event_id"), "bucket")      // commit 2
+        graft.sources.GenTable.deleteWhere(spark, src,
+          col("event_type") === "click")                        // commit 3
+        drain()                                  // resumes, coalesces 2+3
+        graft.sources.GenTable.read(spark, rep).get.select(
+          col("user_id"), col("event_id"), col("ts"), col("event_type"),
+          col("value"), col("props"),
+          col("bucket").cast("int").as("bucket"))
+      }
     }
   )
 
@@ -1135,6 +1214,31 @@ object EventQueries extends QueryPack {
       """SELECT event_id, ts, user_id, event_type, value, props,
         |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day
         |FROM events
-        |WHERE user_id IN (1, 4, 8)""".stripMargin
+        |WHERE user_id IN (1, 4, 8)""".stripMargin,
+    // e31: the FileIndex-pruned scan is a pure read-path optimization —
+    // the result must equal the plain conjunctive filter.
+    "e31_indexed_scan" ->
+      """SELECT event_id, ts, user_id, event_type, value, props,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day
+        |FROM events
+        |WHERE strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') >= '2024-01-10'
+        |  AND event_id >= 500
+        |  AND user_id IN (3, 7, 11, 42, 57, 101)""".stripMargin,
+    // e32: the streamed CDC replica must equal the final source snapshot —
+    // latest-per-user over the slice, minus users whose latest is a click
+    // (the takedown), exactly e22's s3 frame on the 1-in-9(=7) slice.
+    "e32_cdc_replica" ->
+      """WITH slice AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |    value, props, CAST(user_id % 8 AS INT) AS bucket
+        |  FROM events WHERE user_id % 9 = 7),
+        |s2 AS (
+        |  SELECT user_id, event_id, ts, event_type, value, props, bucket FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM slice)
+        |  WHERE rn = 1)
+        |SELECT user_id, event_id, ts, event_type, value, props, bucket
+        |FROM s2 WHERE event_type IS DISTINCT FROM 'click'""".stripMargin
   )
 }
