@@ -811,6 +811,48 @@ object EventQueries extends QueryPack {
           col("value"), col("props"),
           col("bucket").cast("int").as("bucket"))
       }
+    },
+
+    // -- The same replication as ONE declarative pipeline — ZERO user
+    //    code between the formats: `readStream.format("gentable-cdc")`
+    //    (offsets = commit ids) into `writeStream.format("gentable")`
+    //    in cdc mode (each batch applied transactionally by
+    //    GenTable.applyCdcBatch: post-images replace, delete pre-images
+    //    drop, and the sink's batch marker rides the same manifest swap,
+    //    so engine replays after the mid-pipeline restart are no-ops).
+    //    The replica must equal the final source snapshot.
+    "e33_pipeline_replica" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      TempWork.scoped("graft_e33_") { tmp =>
+        val src = s"$tmp/src"; val rep = s"$tmp/replica"
+        val ckpt = s"$tmp/ckpt"
+        val slice = t.events.filter(col("user_id") % 9 === 8)
+          .withColumn("bucket", pmod(col("user_id"), lit(8)).cast("int"))
+        val cut = lit("2024-01-16").cast("timestamp")
+        def replicate(): Unit = {
+          val q = spark.readStream.format("gentable-cdc")
+            .option("keyCol", "user_id").load(src)
+            .writeStream.format("gentable")
+            .option("mode", "cdc").option("keyCol", "user_id")
+            .option("partitionCol", "bucket")
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start(rep)
+          q.awaitTermination()
+        }
+        graft.sources.GenTable.upsertBatch(slice.filter(col("ts") < cut),
+          src, "user_id", Seq("ts", "event_id"), "bucket")      // commit 1
+        replicate()
+        graft.sources.GenTable.upsertBatch(slice.filter(col("ts") >= cut),
+          src, "user_id", Seq("ts", "event_id"), "bucket")      // commit 2
+        graft.sources.GenTable.deleteWhere(spark, src,
+          col("event_type") === "view")                         // commit 3
+        replicate()
+        graft.sources.GenTable.read(spark, rep).get.select(
+          col("user_id"), col("event_id"), col("ts"), col("event_type"),
+          col("value"), col("props"),
+          col("bucket").cast("int").as("bucket"))
+      }
     }
   )
 
@@ -1239,6 +1281,22 @@ object EventQueries extends QueryPack {
         |    FROM slice)
         |  WHERE rn = 1)
         |SELECT user_id, event_id, ts, event_type, value, props, bucket
-        |FROM s2 WHERE event_type IS DISTINCT FROM 'click'""".stripMargin
+        |FROM s2 WHERE event_type IS DISTINCT FROM 'click'""".stripMargin,
+    // e33: the declarative-pipeline replica must equal the final source
+    // snapshot — e32's frame on the 1-in-9(=8) slice with the 'view'
+    // takedown.
+    "e33_pipeline_replica" ->
+      """WITH slice AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |    value, props, CAST(user_id % 8 AS INT) AS bucket
+        |  FROM events WHERE user_id % 9 = 8),
+        |s2 AS (
+        |  SELECT user_id, event_id, ts, event_type, value, props, bucket FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM slice)
+        |  WHERE rn = 1)
+        |SELECT user_id, event_id, ts, event_type, value, props, bucket
+        |FROM s2 WHERE event_type IS DISTINCT FROM 'view'""".stripMargin
   )
 }

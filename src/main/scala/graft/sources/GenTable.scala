@@ -731,7 +731,8 @@ object GenTable {
   def upsertBatch(batch: DataFrame, dir: String, keyCol: String,
       orderCols: Seq[String], partitionCol: String,
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
-      bloomExpectedItems: Long = 50000L): Unit = {
+      bloomExpectedItems: Long = 50000L,
+      extraMeta: Map[String, String] = Map.empty): Unit = {
     (keyCol +: partitionCol +: orderCols).foreach(c =>
       require(batch.columns.contains(c),
         s"upsert batch must carry key/order/partition column '$c'"))
@@ -762,9 +763,11 @@ object GenTable {
     // overwrite sink nothing is overwritten — but freezing the merge keeps
     // the read set independent of writer progress. Release after commit.
     val frozen = merged.localCheckpoint(true)
-    try publish(dir, stage(frozen, dir, partitionCol, statsCols, bloomCols,
-      bloomExpectedItems))
-    finally frozen.unpersist()
+    try {
+      val staged = stage(frozen, dir, partitionCol, statsCols, bloomCols,
+        bloomExpectedItems)
+      publish(dir, staged.copy(meta = staged.meta ++ extraMeta))
+    } finally frozen.unpersist()
   }
 
   /** Atomic whole-table replace: ONE commit after which the content is
@@ -937,13 +940,70 @@ object GenTable {
     deleted
   }
 
+  /** Transactionally apply ONE CDC batch in [[changesBetween]]'s
+    * single-image shape (`keyCol, _change, <data columns>`): post-images
+    * (insert/update) REPLACE the key's row whatever the data columns say
+    * (arrival order is authority — a takedown can move a key's latest
+    * EARLIER in event time, which an order-column merge would lose), and
+    * delete pre-images drop the key. ONE commit for the whole batch —
+    * upserts, deletes, and `extraMeta` land in a single manifest swap, so
+    * a consumer marker in `extraMeta` (the streaming sink's batch id)
+    * makes the apply exactly-once under crash-replay: the batch either
+    * fully applied with its marker or not at all. Touched partitions =
+    * every partition a change names; cost follows the churn. Same
+    * stable-partition-per-key contract as [[upsertBatch]].
+    */
+  def applyCdcBatch(diff: DataFrame, dir: String, keyCol: String,
+      partitionCol: String, changeCol: String = "_change",
+      extraMeta: Map[String, String] = Map.empty): Unit = {
+    val spark = diff.sparkSession
+    val ups = diff.filter(col(changeCol) =!= "delete").drop(changeCol)
+    val dels = diff.filter(col(changeCol) === "delete")
+    readCommit(dir).filter(_.gens.nonEmpty) match {
+      case None =>
+        // first batch bootstraps the table: only inserts can exist
+        if (ups.isEmpty) return
+        val staged = stage(ups, dir, partitionCol)
+        publish(dir, staged.copy(meta = staged.meta ++ extraMeta))
+      case Some(c) =>
+        require(c.partitionCol == partitionCol,
+          s"table is partitioned by ${c.partitionCol}, not $partitionCol")
+        val touchedVals = diff
+          .select(col(partitionCol).cast("string")).distinct()
+          .collect().map(_.getString(0)).toSet // bounded: churn per batch
+          .filter(_ != null)
+        if (touchedVals.isEmpty) return
+        val existingPaths = c.gens
+          .filter { case (v, _) => touchedVals(v) }.toSeq.sortBy(_._1)
+          .map { case (v, g) => s"$dir/$partitionCol=$v/gen=$g" }
+        val existing =
+          if (existingPaths.isEmpty) None
+          else Some(readPaths(spark, dir, c, existingPaths))
+        // post-image beats the stored row by PRIORITY, not data order
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col(keyCol)).orderBy(col("_pri").desc)
+        val tagged = existing
+          .map(_.withColumn("_pri", lit(0))
+            .unionByName(ups.withColumn("_pri", lit(1)),
+              allowMissingColumns = true))
+          .getOrElse(ups.withColumn("_pri", lit(1)))
+        val merged = tagged
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn", "_pri")
+        val delKeys = dels.select(col(keyCol)).distinct()
+        val survivors = merged.join(broadcast(delKeys), Seq(keyCol), "left_anti")
+        commitRewrite(spark, dir, c, touchedVals, survivors, extraMeta)
+    }
+  }
+
   /** Shared delete tail: stage the survivors of the touched partitions
     * at the next generation, drop partitions the rewrite emptied, and
     * publish once. `minGen` pins the commit id even when the rewrite
     * removes every max-generation partition.
     */
   private def commitRewrite(spark: SparkSession, dir: String, c: Commit,
-      touchedVals: Set[String], survivors: DataFrame): Unit = {
+      touchedVals: Set[String], survivors: DataFrame,
+      extraMeta: Map[String, String] = Map.empty): Unit = {
     val (fsys, root) = fsRoot(dir)
     // freeze before staging: the survivor frame lazily reads committed
     // files of the same table (same discipline as upsertBatch)
@@ -973,7 +1033,7 @@ object GenTable {
       publish(dir, Commit(c.partitionCol,
         (c.gens -- emptied) ++ survivorVals.map(_ -> newGen), newGen,
         (c.stats -- touchedVals) ++ computeStats(frozen, c.partitionCol, track),
-        c.meta + (SchemaMetaKey -> frozen.schema.json),
+        c.meta + (SchemaMetaKey -> frozen.schema.json) ++ extraMeta,
         (c.sizes -- touchedVals) ++ survivorVals.map(v =>
           v -> genBytes(fsys, root, c.partitionCol, v, newGen)).toMap))
     } finally frozen.unpersist()

@@ -241,13 +241,68 @@ object GenTableFileIndex {
   }
 }
 
-/** `spark.read.format("gentable").load(dir)` — the DataSource doorway to
-  * the same manifest-indexed relation (registered via META-INF services;
-  * `option("versionAsOf", id)` time-travels to an archived commit).
+/** The `"gentable"` DataSource, both directions:
+  *
+  *  - `spark.read.format("gentable").load(dir)` — the manifest-indexed
+  *    relation ([[GenTableFileIndex]]; `option("versionAsOf", id)`
+  *    time-travels to an archived commit);
+  *  - `df.writeStream.format("gentable")` — an EXACTLY-ONCE streaming
+  *    sink over the commit protocol. Options: `keyCol`, `partitionCol`,
+  *    and either `orderCols` (comma-separated; mode `upsert`, the
+  *    default — each batch merges latest-per-key like
+  *    [[GenTable.upsertBatch]]) or `mode=cdc` (each batch is a
+  *    [[GenTable.changesBetween]]-shaped diff applied via
+  *    [[GenTable.applyCdcBatch]] — post-images replace, delete
+  *    pre-images drop). The engine's replay of a batch after a crash is
+  *    detected by the `sink_batch` marker the commit itself carries —
+  *    data and marker land in one manifest swap, so a batch applies
+  *    exactly once however the stream restarts. With the CDC SOURCE this
+  *    makes lake-to-lake replication one declarative pipeline:
+  *    {{{
+  *    spark.readStream.format("gentable-cdc")
+  *      .option("keyCol", "user_id").load(src)
+  *      .writeStream.format("gentable").option("mode", "cdc")
+  *      .option("keyCol", "user_id").option("partitionCol", "bucket")
+  *      .option("checkpointLocation", ckpt).start(replica)
+  *    }}}
   */
-final class GenTableSourceProvider extends RelationProvider with DataSourceRegister {
+final class GenTableSourceProvider extends RelationProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "gentable"
+
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    def opt(k: String): Option[String] =
+      parameters.get(k.toLowerCase).orElse(parameters.get(k))
+    val path = opt("path").getOrElse(throw new IllegalArgumentException(
+      "gentable sink requires a path: .start(dir) or .option(\"path\", dir)"))
+    val keyCol = opt("keyCol").getOrElse(throw new IllegalArgumentException(
+      "gentable sink requires .option(\"keyCol\", <upsert key column>)"))
+    val pcol = opt("partitionCol").getOrElse(
+      partitionColumns.headOption.getOrElse(
+        throw new IllegalArgumentException(
+          "gentable sink requires .option(\"partitionCol\", <column>)")))
+    val mode = opt("mode").getOrElse("upsert")
+    val orderCols = opt("orderCols").map(_.split(',').toSeq.map(_.trim)
+      .filter(_.nonEmpty)).getOrElse(Nil)
+    val statsCols = opt("statsCols").map(_.split(',').toSeq.map(_.trim)
+      .filter(_.nonEmpty)).getOrElse(Nil)
+    val bloomCols = opt("bloomCols").map(_.split(',').toSeq.map(_.trim)
+      .filter(_.nonEmpty)).getOrElse(Nil)
+    mode match {
+      case "upsert" =>
+        require(orderCols.nonEmpty, "gentable sink in upsert mode requires " +
+          ".option(\"orderCols\", \"ts,tiebreak\") — latest-per-key needs an order")
+      case "cdc" => ()
+      case other => throw new IllegalArgumentException(
+        s"gentable sink mode must be 'upsert' or 'cdc', got '$other'")
+    }
+    new GenTableSink(path, keyCol, orderCols, pcol, mode, statsCols, bloomCols)
+  }
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
@@ -272,4 +327,40 @@ final class GenTableSourceProvider extends RelationProvider with DataSourceRegis
       fileFormat = new ParquetFileFormat(),
       options = Map.empty)(spark)
   }
+}
+
+/** The exactly-once streaming sink behind `writeStream.format("gentable")`
+  * (see [[GenTableSourceProvider]]'s doc for the contract). Replay
+  * detection: every commit this sink makes carries `sink_batch=<id>` in
+  * the manifest meta, atomically with the data — `addBatch` of an id at
+  * or below the recorded one is the engine re-offering an already-applied
+  * batch after a restart, and is a no-op. Non-sink commits interleaving
+  * between batches keep the marker (manifest meta carries forward).
+  */
+final class GenTableSink(path: String, keyCol: String,
+    orderCols: Seq[String], partitionCol: String, mode: String,
+    statsCols: Seq[String], bloomCols: Seq[String])
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val last = GenTable.readCommit(path)
+      .flatMap(_.meta.get(GenTableSink.BatchKey)).map(_.toLong).getOrElse(-1L)
+    if (batchId <= last) return // replayed batch: already committed
+    val marker = Map(GenTableSink.BatchKey -> batchId.toString)
+    // the engine hands a streaming-tagged frame; the merge runs its own
+    // jobs on it, so re-wrap the planned batch RDD (ForeachBatchSink's move)
+    val batch = org.apache.spark.sql.GraftSqlShim.asBatchFrame(data)
+    mode match {
+      case "cdc" =>
+        GenTable.applyCdcBatch(batch, path, keyCol, partitionCol,
+          extraMeta = marker)
+      case _ =>
+        GenTable.upsertBatch(batch, path, keyCol, orderCols, partitionCol,
+          statsCols = statsCols, bloomCols = bloomCols, extraMeta = marker)
+    }
+  }
+}
+
+object GenTableSink {
+  private[sources] val BatchKey = "sink_batch"
 }

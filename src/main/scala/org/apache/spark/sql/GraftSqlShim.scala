@@ -22,13 +22,28 @@ object GraftSqlShim {
     * streaming [[org.apache.spark.sql.execution.streaming.Source]] must
     * return from `getBatch` (the engine asserts it), and exactly the
     * `internalCreateDataFrame(..., isStreaming = true)` call Spark's own
-    * v1 sources (FileStreamSource, KafkaSource) make. Second and last
-    * `private[sql]` doorway this library takes.
+    * v1 sources (FileStreamSource, KafkaSource) make. With [[asBatchFrame]]
+    * (its sink-side inverse), the only other `private[sql]` surface this
+    * library takes.
     */
   def asStreamingFrame(spark: SparkSession, df: DataFrame): DataFrame = {
     val cs = spark.asInstanceOf[classic.SparkSession]
     val cd = df.asInstanceOf[classic.Dataset[Row]]
     cs.internalCreateDataFrame(cd.queryExecution.toRdd, df.schema,
       isStreaming = true)
+  }
+
+  /** The inverse, for a DSv1 streaming SINK: the frame `addBatch`
+    * receives is streaming-tagged (batch actions on it throw
+    * "Queries with streaming sources must be executed with
+    * writeStream.start()"), so a sink that runs its own jobs re-wraps the
+    * batch's already-planned RDD as a batch frame — the exact move
+    * Spark's own ForeachBatchSink makes.
+    */
+  def asBatchFrame(df: DataFrame): DataFrame = {
+    val cd = df.asInstanceOf[classic.Dataset[Row]]
+    val cs = cd.sparkSession
+    cs.internalCreateDataFrame(cd.queryExecution.toRdd, df.schema,
+      isStreaming = false)
   }
 }
