@@ -73,7 +73,7 @@ object ProbeGenTable {
     //    ingestion-order id (rows numbered in ts order — what file
     //    arrival gives a real lake; near-total skip).
     def statsArm(label: String, src: org.apache.spark.sql.DataFrame,
-        statCol: String): Unit = {
+        statCol: String): String = {
       val table = tmpDir("graft_gt_stats_")
       val byDay = src.withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
       time(s"[$label] seed: day-partitioned, $statCol stats") {
@@ -98,7 +98,12 @@ object ProbeGenTable {
           out.println(s"  rows=${GenTable.readRange(spark, table, statCol, lo, hi)
             .get.count()}")
         }
+        time(s"[$label] range count: plain filter on readIndexed ($round)") {
+          out.println(s"  rows=${GenTable.readIndexed(spark, table).get
+            .filter(col(statCol).between(lo, hi)).count()}")
+        }
       }
+      table
     }
     statsArm("uncorrelated", events.drop("bucket"), "event_id")
     // ingestion order: number rows by arrival (ts) — probe-only RDD use;
@@ -223,6 +228,34 @@ object ProbeGenTable {
           out.println(s"  rows=${spark.read.option("mergeSchema", "true")
             .option("basePath", bloomTable).parquet(paths: _*).count()}")
         }
+      }
+
+      // -- FileIndex arm: the bloom skip driven by Catalyst pushdown (a
+      //    plain IN filter on readIndexed — no explicit readEquals), and
+      //    the planning cost the manifest removes: relation stats
+      //    (sizeInBytes, the broadcast-decision input) from #size lines
+      //    vs an InMemoryFileIndex that must LIST every committed file
+      //    before the first query can plan. The table here is the
+      //    compacted+evolved one: hundreds of files, post-rewrite sizes.
+      for (round <- Seq("cold", "warm")) {
+        time(s"[index] 10-key IN: full-scan filter ($round)") {
+          out.println(s"  rows=${GenTable.read(spark, bloomTable).get
+            .filter(col("event_id").isin(keys: _*)).count()}")
+        }
+        time(s"[index] 10-key IN: plain filter on readIndexed ($round)") {
+          out.println(s"  rows=${GenTable.readIndexed(spark, bloomTable).get
+            .filter(col("event_id").isin(keys: _*)).count()}")
+        }
+      }
+      time("[index] plan cost: relation stats via manifest #size") {
+        val df = spark.read.format("gentable").load(bloomTable)
+        out.println(s"  sizeInBytes=${df.queryExecution.optimizedPlan
+          .stats.sizeInBytes}")
+      }
+      time("[index] plan cost: InMemoryFileIndex full listing") {
+        val df = spark.read.option("basePath", bloomTable).parquet(paths: _*)
+        out.println(s"  sizeInBytes=${df.queryExecution.optimizedPlan
+          .stats.sizeInBytes}")
       }
     }
     out.close()
