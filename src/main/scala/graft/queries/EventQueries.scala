@@ -853,6 +853,28 @@ object EventQueries extends QueryPack {
           col("value"), col("props"),
           col("bucket").cast("int").as("bucket"))
       }
+    },
+
+    // -- Time travel through the DataSource: `versionAsOf` resolves the
+    //    archived commit-1 manifest (immutable generations make the
+    //    snapshot exact, with the schema AS OF that commit) while the
+    //    table has since advanced to commit 2 — the oracle rebuilds the
+    //    early-window latest-per-user frame the superseded commit held.
+    "e34_time_travel" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      TempWork.scoped("graft_e34_") { tmp =>
+        val slice = t.events.filter(col("user_id") % 9 === 5)
+          .withColumn("bucket", pmod(col("user_id"), lit(8)).cast("int"))
+        val cut = lit("2024-01-16").cast("timestamp")
+        graft.sources.GenTable.upsertBatch(slice.filter(col("ts") < cut),
+          tmp, "user_id", Seq("ts", "event_id"), "bucket")      // commit 1
+        graft.sources.GenTable.upsertBatch(slice.filter(col("ts") >= cut),
+          tmp, "user_id", Seq("ts", "event_id"), "bucket")      // commit 2
+        spark.read.format("gentable").option("versionAsOf", "1").load(tmp)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"), col("value"), col("props"),
+            col("bucket").cast("int").as("bucket"))
+      }
     }
   )
 
@@ -1297,6 +1319,17 @@ object EventQueries extends QueryPack {
         |    FROM slice)
         |  WHERE rn = 1)
         |SELECT user_id, event_id, ts, event_type, value, props, bucket
-        |FROM s2 WHERE event_type IS DISTINCT FROM 'view'""".stripMargin
+        |FROM s2 WHERE event_type IS DISTINCT FROM 'view'""".stripMargin,
+    // e34: versionAsOf must surface exactly the superseded commit-1 state
+    // — the early-window latest-per-user merge, whatever landed later.
+    "e34_time_travel" ->
+      """SELECT user_id, event_id, ts, event_type, value, props, bucket FROM (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |    value, props, CAST(user_id % 8 AS INT) AS bucket,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |  FROM events
+        |  WHERE user_id % 9 = 5 AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16')
+        |WHERE rn = 1""".stripMargin
   )
 }
