@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.unicodeNormalizeDescriptor)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => AsOfPushdown)
+    ext.injectOptimizerRule(_ => GenTableMetadataAggregate)
   }
 }
 
@@ -129,6 +130,11 @@ object GraftExtensions {
       exp.extraOptimizations.contains(AsOfPushdown)
     if (!ruleIn)
       exp.extraOptimizations = exp.extraOptimizations :+ AsOfPushdown
+    val metaAggIn = spark.sessionState.optimizer
+      .extendedOperatorOptimizationRules.contains(GenTableMetadataAggregate) ||
+      exp.extraOptimizations.contains(GenTableMetadataAggregate)
+    if (!metaAggIn)
+      exp.extraOptimizations = exp.extraOptimizations :+ GenTableMetadataAggregate
   }
 
   def register(spark: SparkSession): Unit = {

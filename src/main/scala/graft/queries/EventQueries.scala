@@ -875,6 +875,91 @@ object EventQueries extends QueryPack {
             col("event_type"), col("value"), col("props"),
             col("bucket").cast("int").as("bucket"))
       }
+    },
+
+    // -- Metadata-only aggregates: per-bucket count/min/max over a
+    //    three-commit lifecycle (upserts + takedown delete) answered by
+    //    the GenTableMetadataAggregate rule from the manifest's `#rows`
+    //    and `#stat` lines — the optimized plan is a LocalRelation, no
+    //    scan runs (plan-pinned in GenTableStatsAggSpec). The oracle
+    //    recomputes the same aggregates FROM THE DATA, so the manifest's
+    //    footer-derived counts and rewrite-maintained bands are checked
+    //    against ground truth through every commit shape.
+    "e35_metadata_agg" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      TempWork.scoped("graft_e35_") { tmp =>
+        val slice = t.events.filter(col("user_id") % 5 === 3)
+          .withColumn("bucket", pmod(col("user_id"), lit(8)).cast("int"))
+        val cut = lit("2024-01-12").cast("timestamp")
+        graft.sources.GenTable.upsertBatch(slice.filter(col("ts") < cut),
+          tmp, "user_id", Seq("ts", "event_id"), "bucket",
+          statsCols = Seq("event_id"))                          // commit 1
+        graft.sources.GenTable.upsertBatch(slice.filter(col("ts") >= cut),
+          tmp, "user_id", Seq("ts", "event_id"), "bucket")      // commit 2
+        graft.sources.GenTable.deleteWhere(spark, tmp,
+          col("event_type") === "click")                        // commit 3
+        graft.sources.GenTable.readIndexed(spark, tmp).get
+          .groupBy(col("bucket").cast("int").as("bucket"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("event_id")).as("min_event_id"),
+            max(col("event_id")).as("max_event_id"))
+      }
+    },
+
+    // -- RESTORE (rollback as a forward commit): after an upsert and a
+    //    takedown delete advance the table to commit 3, restore(1)
+    //    republishes the commit-1 manifest as commit 4 with ZERO data
+    //    IO (the original generation directories are referenced again —
+    //    inputFiles-pinned in GenTableRestoreSpec). The committed view
+    //    must be byte-equal to the superseded snapshot, which the oracle
+    //    rebuilds from first principles.
+    "e36_restore" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      TempWork.scoped("graft_e36_") { tmp =>
+        val slice = t.events.filter(col("user_id") % 7 === 3)
+          .withColumn("bucket", pmod(col("user_id"), lit(8)).cast("int"))
+        val cut = lit("2024-01-14").cast("timestamp")
+        graft.sources.GenTable.upsertBatch(slice.filter(col("ts") < cut),
+          tmp, "user_id", Seq("ts", "event_id"), "bucket")      // commit 1
+        graft.sources.GenTable.upsertBatch(slice.filter(col("ts") >= cut),
+          tmp, "user_id", Seq("ts", "event_id"), "bucket")      // commit 2
+        graft.sources.GenTable.deleteWhere(spark, tmp,
+          col("event_type") === "view")                         // commit 3
+        graft.sources.GenTable.restore(tmp, 1L)                 // commit 4
+        graft.sources.GenTable.read(spark, tmp).get
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"), col("value"), col("props"),
+            col("bucket").cast("int").as("bucket"))
+      }
+    },
+
+    // -- Commit-time expectations (write-path quality gates): two
+    //    upsert batches pass through a two-gate check (drop mode) before
+    //    staging — rows failing either gate never become committed
+    //    state. The gates are row-local, so batch-sequential enforcement
+    //    equals filtering the whole slice first, which is exactly what
+    //    the oracle does: latest-per-user over the PASSING rows only.
+    //    FAIL/quarantine arms are spec-pinned in ExpectationsSpec.
+    "e37_expectations" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      TempWork.scoped("graft_e37_") { tmp =>
+        val slice = t.events.filter(col("user_id") % 7 === 5)
+          .withColumn("bucket", pmod(col("user_id"), lit(8)).cast("int"))
+        val gates = Seq(
+          "event_id_not_mod10" -> (pmod(col("event_id"), lit(10)) =!= 0),
+          "not_click" -> (col("event_type") =!= "click"))
+        val cut = lit("2024-01-14").cast("timestamp")
+        graft.sources.GenTable.upsertBatchExpect(
+          slice.filter(col("ts") < cut), tmp, "user_id",
+          Seq("ts", "event_id"), "bucket", gates)               // commit 1
+        graft.sources.GenTable.upsertBatchExpect(
+          slice.filter(col("ts") >= cut), tmp, "user_id",
+          Seq("ts", "event_id"), "bucket", gates)               // commit 2
+        graft.sources.GenTable.read(spark, tmp).get
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"), col("value"), col("props"),
+            col("bucket").cast("int").as("bucket"))
+      }
     }
   )
 
@@ -1330,6 +1415,52 @@ object EventQueries extends QueryPack {
         |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
         |  FROM events
         |  WHERE user_id % 9 = 5 AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16')
+        |WHERE rn = 1""".stripMargin,
+    // e35: ground truth for the manifest-answered aggregates — the
+    // lifecycle's committed state (latest-per-user, click-latest rows
+    // deleted) recomputed FROM DATA, then the same per-bucket
+    // count/min/max the metadata rewrite serves from `#rows`/`#stat`.
+    "e35_metadata_agg" ->
+      """WITH slice AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |    CAST(user_id % 8 AS INT) AS bucket
+        |  FROM events WHERE user_id % 5 = 3),
+        |latest AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM slice)
+        |  WHERE rn = 1),
+        |kept AS (SELECT * FROM latest WHERE event_type IS DISTINCT FROM 'click')
+        |SELECT bucket, count(*) AS n_rows, min(event_id) AS min_event_id,
+        |  max(event_id) AS max_event_id
+        |FROM kept GROUP BY bucket""".stripMargin,
+    // e36: restore(1) must make the committed view the commit-1 snapshot
+    // again — the early-window latest-per-user merge, with the later
+    // upsert and the takedown delete rolled back.
+    "e36_restore" ->
+      """SELECT user_id, event_id, ts, event_type, value, props, bucket FROM (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |    value, props, CAST(user_id % 8 AS INT) AS bucket,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |  FROM events
+        |  WHERE user_id % 7 = 3 AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-14')
+        |WHERE rn = 1""".stripMargin,
+    // e37: the gates are row-local, so batch-sequential enforcement ==
+    // filtering the slice first — latest-per-user over PASSING rows only
+    // (event_id not divisible by 10, event_type not 'click').
+    "e37_expectations" ->
+      """WITH passing AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |    value, props, CAST(user_id % 8 AS INT) AS bucket
+        |  FROM events
+        |  WHERE user_id % 7 = 5 AND event_id % 10 != 0
+        |    AND event_type IS DISTINCT FROM 'click')
+        |SELECT user_id, event_id, ts, event_type, value, props, bucket FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM passing)
         |WHERE rn = 1""".stripMargin
   )
 }

@@ -111,7 +111,8 @@ object GenTable {
       minGen: Long = 0L,
       stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
       meta: Map[String, String] = Map.empty,
-      sizes: Map[String, Long] = Map.empty) {
+      sizes: Map[String, Long] = Map.empty,
+      rows: Map[String, Long] = Map.empty) {
     def tableGen: Long =
       if (gens.isEmpty) minGen else math.max(minGen, gens.values.max)
     /** Columns any partition tracks min/max for (the sticky stats set). */
@@ -124,6 +125,17 @@ object GenTable {
     def totalBytes: Option[Long] =
       if (gens.nonEmpty && gens.keySet.forall(sizes.contains))
         Some(sizes.values.sum)
+      else None
+    /** Exact committed row count, when every partition recorded one at
+      * commit time (`#rows` manifest lines, read from the parquet footers
+      * the commit just wrote). Some(0) for an empty committed table —
+      * the count is still exact. None (a pre-row-tracking table) forces
+      * the reader to scan; [[GenTableMetadataAggregate]]-style rewrites
+      * must not fire.
+      */
+    def totalRows: Option[Long] =
+      if (gens.keySet.forall(rows.contains))
+        Some(gens.keySet.toSeq.map(rows).sum)
       else None
   }
 
@@ -254,10 +266,13 @@ object GenTable {
     val sizeLines = commit.sizes.toSeq.sortBy(_._1).map { case (v, b) =>
       s"#size=${enc(v)}|$b"
     }
+    val rowLines = commit.rows.toSeq.sortBy(_._1).map { case (v, n) =>
+      s"#rows=${enc(v)}|$n"
+    }
     val body = (s"pcol=${enc(commit.partitionCol)}" +:
       s"#tgen=${commit.tableGen}" +:
       (commit.gens.toSeq.sortBy(_._1).map { case (v, g) => s"${enc(v)}=$g" } ++
-        statLines ++ metaLines ++ sizeLines)).mkString("", "\n", "\n")
+        statLines ++ metaLines ++ sizeLines ++ rowLines)).mkString("", "\n", "\n")
     body.getBytes(StandardCharsets.UTF_8)
   }
 
@@ -270,6 +285,7 @@ object GenTable {
     val statBuf = Seq.newBuilder[(String, String, Long, Long)]
     val metaBuf = Map.newBuilder[String, String]
     val sizeBuf = Map.newBuilder[String, Long]
+    val rowBuf = Map.newBuilder[String, Long]
     val gens = (1 until lines.length).flatMap { i =>
       val line = lines(i)
       if (line.startsWith("#tgen=")) {
@@ -279,6 +295,11 @@ object GenTable {
         val parts = line.stripPrefix("#size=").split('|')
         require(parts.length == 2, s"malformed size line: $line")
         sizeBuf += dec(parts(0)) -> parts(1).toLong
+        None
+      } else if (line.startsWith("#rows=")) {
+        val parts = line.stripPrefix("#rows=").split('|')
+        require(parts.length == 2, s"malformed rows line: $line")
+        rowBuf += dec(parts(0)) -> parts(1).toLong
         None
       } else if (line.startsWith("#stat=")) {
         val parts = line.stripPrefix("#stat=").split('|')
@@ -301,7 +322,8 @@ object GenTable {
     val stats = statBuf.result().groupBy(_._1).map { case (v, rows) =>
       v -> rows.map(r => r._2 -> (r._3, r._4)).toMap
     }
-    Commit(pcol, gens, minGen, stats, metaBuf.result(), sizeBuf.result())
+    Commit(pcol, gens, minGen, stats, metaBuf.result(), sizeBuf.result(),
+      rowBuf.result())
   }
 
   // --------------------------------------------------------- publish
@@ -338,17 +360,22 @@ object GenTable {
     val archiveDir = new HPath(root, "_commits")
     f.mkdirs(archiveDir)
     // backfill a head archive a previous crash (between swap and archive
-    // write) left missing — BEFORE this swap supersedes that state
+    // write) left missing — BEFORE this swap supersedes that state.
+    // Archives go through the same atomic-swap primitive as the manifest:
+    // a plain create+write would let a CONCURRENT READER (commitAt during
+    // a live publish — the streamed-view maintenance path) open a
+    // half-written ct_N and fail the parse; atomically placed, an archive
+    // is either absent (reader falls back to the manifest) or complete.
     curBody.foreach { body =>
       if (curGen > 0) {
         val prevArch = new HPath(archiveDir, f"ct_$curGen%020d")
         if (!f.exists(prevArch))
-          writeBytes(f, prevArch, body.getBytes(StandardCharsets.UTF_8))
+          swapIn(f, root, prevArch, body.getBytes(StandardCharsets.UTF_8))
       }
     }
     val bytes = render(commit)
     swapIn(f, root, commitP, bytes) // the commit point
-    writeBytes(f, new HPath(archiveDir, f"ct_${commit.tableGen}%020d"), bytes)
+    swapIn(f, root, new HPath(archiveDir, f"ct_${commit.tableGen}%020d"), bytes)
   }
 
   /** Committed commit ids, oldest first: the archives plus the manifest
@@ -372,6 +399,60 @@ object GenTable {
     val p = new HPath(new HPath(root, "_commits"), f"ct_$id%020d")
     if (f.exists(p)) Some(parseCommit(readString(f, p)))
     else readCommit(dir).filter(_.tableGen == id)
+  }
+
+  /** Table-level statistics from the ONE manifest object — zero data or
+    * directory IO. `bytes`/`rowCount` are None for tables whose manifests
+    * predate size/row tracking (readers must then list/scan); for tables
+    * written since, `rowCount` is EXACT (parquet-footer truth recorded at
+    * each commit), which is what makes `count(*)` a metadata operation at
+    * any table size ([[graft.plans.GenTableMetadataAggregate]]).
+    */
+  final case class TableStats(commitId: Long, partitions: Int,
+      bytes: Option[Long], rowCount: Option[Long],
+      partitionRows: Map[String, Long])
+
+  /** [[TableStats]] of the committed head; None if never published. */
+  def tableStats(dir: String): Option[TableStats] =
+    readCommit(dir).map { c =>
+      TableStats(c.tableGen, c.gens.size, c.totalBytes, c.totalRows,
+        c.rows.view.filterKeys(c.gens.contains).toMap)
+    }
+
+  /** ROLLBACK as a forward commit: publish a new commit whose content is
+    * exactly the archived commit `commitId` — the Delta `RESTORE` shape.
+    * ZERO data IO: generations are immutable, so the restored manifest
+    * simply references the old directories again; only the manifest swap
+    * happens. History is preserved (the rolled-back commits stay archived
+    * and time-travelable until [[vacuum]] retention drops them), and CDC
+    * consumers see the restore as one ordinary diff — a consumer that
+    * already processed the bad commits converges back without replaying
+    * history. The restored commit carries the AS-OF schema and meta
+    * (including any sink replay marker — the table IS that state again;
+    * single-writer rule: never restore under a live streaming sink).
+    * Fails loud (no commit) if the target's generations were vacuumed.
+    * Returns the new head commit id.
+    */
+  def restore(dir: String, commitId: Long): Long = {
+    val (f, root) = fsRoot(dir)
+    val head = readCommit(dir).getOrElse(throw new IllegalStateException(
+      s"no committed GenTable under $dir"))
+    val target = commitAt(dir, commitId).getOrElse(
+      throw new IllegalArgumentException(
+        s"no archived commit $commitId under $dir (vacuumed?)"))
+    if (commitId == head.tableGen) return head.tableGen // already there
+    // every referenced generation must still exist — vacuum outside the
+    // retention window makes old snapshots unrestorable, loudly
+    target.gens.foreach { case (v, g) =>
+      val d = new HPath(new HPath(root, s"${target.partitionCol}=$v"), s"gen=$g")
+      require(f.exists(d),
+        s"commit $commitId is not restorable: ${target.partitionCol}=$v/gen=$g " +
+          s"was vacuumed — raise vacuum's keepCommits retention")
+    }
+    // minGen forces the NEW head id while gens reference old generations
+    val restored = target.copy(minGen = head.tableGen + 1)
+    publish(dir, restored)
+    restored.tableGen
   }
 
   // ----------------------------------------------------------- reads
@@ -530,31 +611,46 @@ object GenTable {
       if (bloomTrack.isEmpty) Map.empty[String, String]
       else Map(BloomColsKey -> bloomTrack.mkString(","),
         BloomItemsKey -> items.toString)
-    val newSizes = touched.map(v =>
-      v -> genBytes(f, root, partitionCol, v, newGen)).toMap
+    val newMeta = touched.map(v =>
+      v -> genMeta(f, root, partitionCol, v, newGen)).toMap
     Commit(partitionCol, prev.gens ++ touched.map(_ -> newGen),
       stats = (prev.stats -- touched) ++ newStats,
       meta = prev.meta + (SchemaMetaKey -> merged.json) ++ bloomMeta,
-      sizes = (prev.sizes -- touched) ++ newSizes)
+      sizes = (prev.sizes -- touched) ++ newMeta.view.mapValues(_._1).toMap,
+      rows = (prev.rows -- touched) ++ newMeta.view.mapValues(_._2).toMap)
   }
 
-  /** Bytes of the data files under one generation directory — recorded in
-    * the manifest at commit time (bounded by partitions-per-batch, and the
-    * listing covers only directories this writer just wrote), so readers
-    * can cost a full-table scan from the ONE manifest object instead of
-    * listing every partition (see [[Commit.totalBytes]] /
-    * [[GenTableFileIndex]]).
+  /** Bytes AND exact row count of the data files under one generation
+    * directory — recorded in the manifest at commit time (bounded by
+    * partitions-per-batch, and the listing covers only directories this
+    * writer just wrote). Bytes let readers cost a full-table scan from
+    * the ONE manifest object instead of listing every partition
+    * ([[Commit.totalBytes]] / [[GenTableFileIndex]]); row counts come
+    * from the parquet FOOTERS of the just-written files (one small
+    * ranged read each — the count of what actually landed, not of the
+    * input frame), and make `count(*)` / per-partition counts a
+    * manifest lookup ([[Commit.totalRows]],
+    * [[graft.plans.GenTableMetadataAggregate]]) instead of a table scan.
     */
-  private def genBytes(f: FileSystem, root: HPath, pcol: String,
-      v: String, g: Long): Long = {
+  private def genMeta(f: FileSystem, root: HPath, pcol: String,
+      v: String, g: Long): (Long, Long) = {
     val d = new HPath(new HPath(root, s"$pcol=$v"), s"gen=$g")
-    if (!f.exists(d)) 0L
-    else f.listStatus(d).filter { s =>
-      // data files only — same visibility rule as the scan (a local
-      // committer can leave .crc sidecars the parquet reader never opens)
-      val n = s.getPath.getName
-      s.isFile && !n.startsWith("_") && !n.startsWith(".")
-    }.map(_.getLen).sum
+    if (!f.exists(d)) (0L, 0L)
+    else {
+      val files = f.listStatus(d).filter { s =>
+        // data files only — same visibility rule as the scan (a local
+        // committer can leave .crc sidecars the parquet reader never opens)
+        val n = s.getPath.getName
+        s.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      val conf = hadoopConf
+      val rowCount = files.map { s =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(s, conf))
+        try reader.getRecordCount finally reader.close()
+      }.sum
+      (files.map(_.getLen).sum, rowCount)
+    }
   }
 
   private[sources] def bloomTrackOf(c: Commit): Seq[String] =
@@ -770,6 +866,53 @@ object GenTable {
     } finally frozen.unpersist()
   }
 
+  /** [[upsertBatch]] behind a write-time quality gate (see
+    * [[Expectations]]): the batch is checked BEFORE it stages, so a
+    * violating row can never become committed state. `onViolation`:
+    *  - [[Expectations.Fail]] — any violation aborts with per-expectation
+    *    counts; the manifest is untouched.
+    *  - [[Expectations.Drop]] — only passing rows merge; with
+    *    `quarantineDir`, dropped rows append there as plain parquet with
+    *    a `_violated` reason array and `_target_commit` (the commit id
+    *    they were excluded from). The table commit stays exactly-once;
+    *    the quarantine feed is at-least-once (diagnostic, dedupable on
+    *    (`_target_commit`, key)).
+    * A batch whose rows ALL violate still quarantines but publishes
+    * nothing (no empty commit). Returns the batch's [[Expectations.Report]].
+    */
+  def upsertBatchExpect(batch: DataFrame, dir: String, keyCol: String,
+      orderCols: Seq[String], partitionCol: String,
+      expectations: Seq[(String, org.apache.spark.sql.Column)],
+      onViolation: Expectations.OnViolation = Expectations.Drop,
+      quarantineDir: Option[String] = None,
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+      extraMeta: Map[String, String] = Map.empty): Expectations.Report = {
+    require(expectations.nonEmpty, "upsertBatchExpect needs expectations; " +
+      "use upsertBatch for ungated writes")
+    // freeze once: the report aggregate, the quarantine write, and the
+    // merge all read the same materialized batch (no lineage recompute)
+    val frozen = batch.localCheckpoint(true)
+    try {
+      val rep = Expectations.report(frozen, expectations)
+      if (rep.dropped > 0 && onViolation == Expectations.Fail)
+        throw new IllegalStateException(
+          s"expectation violations in batch for $dir (nothing committed): " +
+            rep.violations.toSeq.sortBy(_._1)
+              .map { case (n, k) => s"$n=$k" }.mkString(", "))
+      if (rep.dropped > 0) quarantineDir.foreach { qd =>
+        val target = readCommit(dir).map(_.tableGen).getOrElse(0L) + 1
+        Expectations.violating(frozen, expectations)
+          .withColumn("_target_commit", lit(target))
+          .write.mode(SaveMode.Append).parquet(qd)
+      }
+      if (rep.passed > 0)
+        upsertBatch(Expectations.passing(frozen, expectations), dir, keyCol,
+          orderCols, partitionCol, statsCols, bloomCols,
+          extraMeta = extraMeta)
+      rep
+    } finally frozen.unpersist()
+  }
+
   /** Atomic whole-table replace: ONE commit after which the content is
     * exactly `rows` — partitions absent from `rows` leave the manifest
     * (deletion by omission), and the commit's `meta` rides the same
@@ -803,7 +946,8 @@ object GenTable {
         meta + (SchemaMetaKey -> frozen.schema.json) ++
           staged.meta.view.filterKeys(
             k => k == BloomColsKey || k == BloomItemsKey).toMap,
-        staged.sizes.filter { case (v, _) => touched(v) }))
+        staged.sizes.filter { case (v, _) => touched(v) },
+        staged.rows.filter { case (v, _) => touched(v) }))
     } finally frozen.unpersist()
   }
 
@@ -865,11 +1009,13 @@ object GenTable {
     writeBlooms(df, dir, c.partitionCol, newGen,
       bloomTrackOf(c).filter(df.columns.contains),
       c.meta.get(BloomItemsKey).map(_.toLong).getOrElse(50000L))
+    val compactMeta = c.gens.keys.map(v =>
+      v -> genMeta(fsys, root, c.partitionCol, v, newGen)).toMap
     val next = Commit(c.partitionCol,
       c.gens.map { case (v, _) => v -> newGen }, stats = c.stats,
       meta = c.meta + (SchemaMetaKey -> df.schema.json),
-      sizes = c.gens.keys.map(v =>
-        v -> genBytes(fsys, root, c.partitionCol, v, newGen)).toMap)
+      sizes = compactMeta.view.mapValues(_._1).toMap,
+      rows = compactMeta.view.mapValues(_._2).toMap)
     publish(dir, next)
     (before, committedFiles(next))
   }
@@ -1030,12 +1176,14 @@ object GenTable {
         bloomTrackOf(c).filter(frozen.columns.contains),
         c.meta.get(BloomItemsKey).map(_.toLong).getOrElse(50000L))
       val track = c.trackedStatsCols.toSeq.filter(frozen.columns.contains)
+      val survivorMeta = survivorVals.map(v =>
+        v -> genMeta(fsys, root, c.partitionCol, v, newGen)).toMap
       publish(dir, Commit(c.partitionCol,
         (c.gens -- emptied) ++ survivorVals.map(_ -> newGen), newGen,
         (c.stats -- touchedVals) ++ computeStats(frozen, c.partitionCol, track),
         c.meta + (SchemaMetaKey -> frozen.schema.json) ++ extraMeta,
-        (c.sizes -- touchedVals) ++ survivorVals.map(v =>
-          v -> genBytes(fsys, root, c.partitionCol, v, newGen)).toMap))
+        (c.sizes -- touchedVals) ++ survivorMeta.view.mapValues(_._1).toMap,
+        (c.rows -- touchedVals) ++ survivorMeta.view.mapValues(_._2).toMap))
     } finally frozen.unpersist()
   }
 

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, GraftSqlShim, SparkSession, SQLContext}
+import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions._
@@ -36,7 +37,12 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   *
   * Options: `path` (table dir), `keyCol` (the upsert key),
   * `startingCommit` (default 0 = replay from the beginning; the head id
-  * at stream creation = new changes only).
+  * at stream creation = new changes only), `maxCommitsPerTrigger`
+  * (admission control: cap how many source commits one micro-batch may
+  * coalesce — bounds batch size when a consumer starts far behind a
+  * busy table; implemented on the public `SupportsAdmissionControl` /
+  * `SupportsTriggerAvailableNow` contracts, so the cap holds under
+  * `Trigger.AvailableNow` too, which then drains in multiple batches).
   */
 final class GenTableCdcProvider extends StreamSourceProvider with DataSourceRegister {
 
@@ -55,13 +61,27 @@ final class GenTableCdcProvider extends StreamSourceProvider with DataSourceRegi
     new GenTableCdcSource(sqlContext.sparkSession,
       GenTableCdcSource.pathOf(parameters),
       GenTableCdcSource.keyColOf(parameters),
-      parameters.get("startingCommit").map(_.toLong).getOrElse(0L))
+      parameters.get("startingCommit").map(_.toLong).getOrElse(0L),
+      parameters.get("maxcommitspertrigger")
+        .orElse(parameters.get("maxCommitsPerTrigger")).map(_.toLong))
 }
 
 final class GenTableCdcSource(spark: SparkSession, dir: String,
-    keyCol: String, startingCommit: Long) extends Source {
+    keyCol: String, startingCommit: Long,
+    maxCommitsPerTrigger: Option[Long] = None)
+    extends SupportsAdmissionControl with SupportsTriggerAvailableNow
+    with Source {
+
+  maxCommitsPerTrigger.foreach(m => require(m > 0,
+    s"maxCommitsPerTrigger must be positive, got $m"))
 
   private val schema0 = GenTableCdcSource.cdcSchema(dir, keyCol)
+
+  /** AvailableNow target: the head pinned when the trigger starts, so the
+    * run drains exactly what existed then and terminates even if a live
+    * writer keeps committing.
+    */
+  @volatile private var availableNowTarget: Option[Long] = None
 
   override def schema: StructType = schema0
 
@@ -69,11 +89,42 @@ final class GenTableCdcSource(spark: SparkSession, dir: String,
     GenTable.readCommit(dir).map(_.tableGen)
       .filter(_ > startingCommit).map(LongOffset(_))
 
+  override def getDefaultReadLimit: ReadLimit =
+    // commits are this source's admission unit (ReadMaxFiles is the
+    // public carrier FileStreamSource uses for the same discrete-unit cap)
+    maxCommitsPerTrigger.map(m => ReadLimit.maxFiles(m.toInt))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = GenTable.readCommit(dir).map(_.tableGen)
+
+  /** Admission-controlled head: at most `maxCommitsPerTrigger` commits
+    * past the engine-provided start (the durable checkpoint — no source
+    * state survives restarts, so the cap needs none either), never past
+    * an AvailableNow run's pinned target.
+    */
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val base = Option(start).map(idOfV2).getOrElse(startingCommit)
+    val headNow = GenTable.readCommit(dir).map(_.tableGen).getOrElse(0L)
+    val head = availableNowTarget.fold(headNow)(math.min(headNow, _))
+    val capped = limit match {
+      case m: ReadMaxFiles => math.min(head, base + m.maxFiles())
+      case _ => head
+    }
+    val off = math.max(capped, base)
+    if (off <= startingCommit) null else LongOffset(off)
+  }
+
   /** Checkpoint-restored offsets arrive as `SerializedOffset`; `json` is
     * the id either way (LongOffset.json is the long's decimal form).
     */
   private def idOf(o: V1Offset): Long = o match {
     case LongOffset(v) => v
+    case other => other.json.trim.toLong
+  }
+
+  private def idOfV2(o: OffsetV2): Long = o match {
+    case v1: V1Offset => idOf(v1)
     case other => other.json.trim.toLong
   }
 

@@ -3,7 +3,7 @@ package graft.sources
 import scala.collection.mutable
 
 import org.apache.hadoop.fs.{FileStatus, Path => HPath}
-import org.apache.spark.sql.{DataFrame, SparkSession, SQLContext}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
@@ -56,6 +56,16 @@ final class GenTableFileIndex(
 
   private val (fs, root) = GenTable.fsRoot(dir)
   private val pcol = commit.partitionCol
+
+  /** The pinned commit — read by [[graft.plans.GenTableMetadataAggregate]]
+    * to answer counts/extrema from the manifest instead of scanning.
+    */
+  private[graft] def tableCommit: GenTable.Commit = commit
+
+  /** Partition column name (for the metadata-aggregate rule's
+    * group-by-partition match).
+    */
+  private[graft] def partitionColName: String = pcol
   private val pField = tableSchema.fields.find(_.name == pcol).getOrElse(
     throw new IllegalArgumentException(
       s"partition column '$pcol' missing from table schema"))
@@ -301,7 +311,12 @@ final class GenTableSourceProvider extends RelationProvider
       case other => throw new IllegalArgumentException(
         s"gentable sink mode must be 'upsert' or 'cdc', got '$other'")
     }
-    new GenTableSink(path, keyCol, orderCols, pcol, mode, statsCols, bloomCols)
+    val expect = opt("expect")
+    val onViolation = opt("onViolation").getOrElse("drop")
+    require(onViolation == "drop" || onViolation == "fail",
+      s"gentable sink onViolation must be 'drop' or 'fail', got '$onViolation'")
+    new GenTableSink(path, keyCol, orderCols, pcol, mode, statsCols, bloomCols,
+      expect, onViolation, opt("quarantineDir"))
   }
 
   override def createRelation(sqlContext: SQLContext,
@@ -339,7 +354,9 @@ final class GenTableSourceProvider extends RelationProvider
   */
 final class GenTableSink(path: String, keyCol: String,
     orderCols: Seq[String], partitionCol: String, mode: String,
-    statsCols: Seq[String], bloomCols: Seq[String])
+    statsCols: Seq[String], bloomCols: Seq[String],
+    expect: Option[String] = None, onViolation: String = "drop",
+    quarantineDir: Option[String] = None)
     extends org.apache.spark.sql.execution.streaming.Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
@@ -349,7 +366,38 @@ final class GenTableSink(path: String, keyCol: String,
     val marker = Map(GenTableSink.BatchKey -> batchId.toString)
     // the engine hands a streaming-tagged frame; the merge runs its own
     // jobs on it, so re-wrap the planned batch RDD (ForeachBatchSink's move)
-    val batch = org.apache.spark.sql.GraftSqlShim.asBatchFrame(data)
+    val raw = org.apache.spark.sql.GraftSqlShim.asBatchFrame(data)
+    // `.option("expect", <bool expr>)` — the declarative pipeline's
+    // quality gate ([[Expectations]] semantics: TRUE passes, NULL fails).
+    // In cdc mode the gate judges post-images only: a delete pre-image
+    // carries no quality claim and must never be blocked by one.
+    val batch = expect match {
+      case None => raw
+      case Some(e) =>
+        val pass = org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.expr(e),
+          org.apache.spark.sql.functions.lit(false))
+        val keep =
+          if (mode == "cdc")
+            (org.apache.spark.sql.functions.col("_change") === "delete") || pass
+          else pass
+        if (onViolation == "fail") {
+          val bad = raw.filter(!keep).count()
+          if (bad > 0) throw new IllegalStateException(
+            s"gentable sink batch $batchId: $bad rows violate '$e' " +
+              s"(nothing committed)")
+        }
+        quarantineDir.foreach { qd =>
+          val dropped = raw.filter(!keep)
+            .withColumn("_violated", org.apache.spark.sql.functions
+              .array(org.apache.spark.sql.functions.lit("expect")))
+            .withColumn("_sink_batch",
+              org.apache.spark.sql.functions.lit(batchId))
+          if (!dropped.isEmpty)
+            dropped.write.mode(SaveMode.Append).parquet(qd)
+        }
+        raw.filter(keep)
+    }
     mode match {
       case "cdc" =>
         GenTable.applyCdcBatch(batch, path, keyCol, partitionCol,

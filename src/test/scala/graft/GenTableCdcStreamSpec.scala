@@ -132,4 +132,38 @@ class GenTableCdcStreamSpec extends SparkSpec {
       Seq("user_id", "_change", "ts", "value", "bucket"))
     assert(s.isStreaming)
   }
+
+  test("maxCommitsPerTrigger bounds each micro-batch; AvailableNow still drains fully") {
+    val dir = tempDir("graft_cdcsrc_e_")
+    val ckpt = tempDir("graft_cdcsrc_e_ck_")
+    val sink = s"${tempDir("graft_cdcsrc_e_out_")}/rows"
+    // three commits: two upserts and a delete — a consumer starting from
+    // zero would coalesce all three without admission control
+    GenTable.upsertBatch(batch((1L, 10L, 1.0), (2L, 10L, 2.0)),
+      dir, "user_id", Seq("ts"), "bucket")
+    GenTable.upsertBatch(batch((1L, 11L, 9.0), (3L, 11L, 3.0)),
+      dir, "user_id", Seq("ts"), "bucket")
+    assert(GenTable.deleteWhere(spark, dir, col("user_id") === 2L) === 1L)
+    val q = spark.readStream.format("gentable-cdc")
+      .option("keyCol", "user_id")
+      .option("maxCommitsPerTrigger", "1")
+      .load(dir)
+      .writeStream.format("parquet")
+      .option("path", sink)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // one commit per batch: the offset log must show three batches, and
+    // the per-commit diffs must be exactly the uncoalesced ones (commit 2
+    // shows BOTH the update of key 1 and the insert of key 3; commit 3
+    // the delete pre-image of key 2)
+    val batches = new java.io.File(s"$ckpt/offsets").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(batches === 3, s"expected 3 rate-limited batches, got $batches")
+    assert(streamed(sink) === Set(
+      (1L, "insert", 10L, 1.0, 1), (2L, "insert", 10L, 2.0, 2),
+      (1L, "update", 11L, 9.0, 1), (3L, "insert", 11L, 3.0, 3),
+      (2L, "delete", 10L, 2.0, 2)))
+  }
 }
