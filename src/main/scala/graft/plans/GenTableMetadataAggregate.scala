@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types._
@@ -33,6 +33,11 @@ import graft.sources.GenTableFileIndex
   *    whose type round-trips the stats tier's long encoding EXACTLY
   *    (byte/short/int/long/date — timestamps are floored to seconds in
   *    the stats and therefore never rewritten)
+  *  - all of the above under a WHERE on the partition column alone
+  *    (deterministic, subquery-free): every row of a partition shares
+  *    its partition value, so evaluating the predicate per VALUE selects
+  *    whole partitions exactly — `count(*) WHERE day >= 'd2'` is still
+  *    one manifest read
   *
   * Strictly conservative, like every skip in this engine: the rewrite
   * fires only when EVERY output expression is answerable and the manifest
@@ -52,18 +57,23 @@ object GenTableMetadataAggregate extends Rule[LogicalPlan] {
 
   /** The manifest-driven index under `p`, looking through column-pruning
     * Projects (pure attribute selections only — an expression could
-    * change values; an Alias would change exprIds).
+    * change values; an Alias would change exprIds) and collecting Filter
+    * conditions on the way down (judged in [[rewrite]]: only
+    * partition-column-only predicates are decidable from the manifest).
     */
-  private def indexOf(p: LogicalPlan): Option[GenTableFileIndex] = p match {
+  private def indexOf(p: LogicalPlan)
+      : Option[(GenTableFileIndex, Seq[Expression])] = p match {
     case l: LogicalRelation => l.relation match {
       case h: HadoopFsRelation => h.location match {
-        case i: GenTableFileIndex => Some(i)
+        case i: GenTableFileIndex => Some((i, Nil))
         case _ => None
       }
       case _ => None
     }
     case Project(list, child) if list.forall(_.isInstanceOf[AttributeReference]) =>
       indexOf(child)
+    case Filter(cond, child) =>
+      indexOf(child).map { case (i, fs) => (i, cond +: fs) }
     case _ => None
   }
 
@@ -89,14 +99,36 @@ object GenTableMetadataAggregate extends Rule[LogicalPlan] {
   }
 
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
-    val idx = indexOf(agg.child).getOrElse(return None)
+    val (idx, filters) = indexOf(agg.child).getOrElse(return None)
     val c = idx.tableCommit
     // row tracking must be complete — it gates EVERY rewrite here (counts
     // directly; extrema too, as the marker that the manifest is from the
     // tracking era)
-    val totalRows = c.totalRows.getOrElse(return None)
-    val live = c.gens.keySet.toSeq.sorted
+    if (c.totalRows.isEmpty) return None
     val pcol = idx.partitionColName
+    val tz = Option(conf.sessionLocalTimeZone)
+
+    // a Filter is decidable iff it constrains the PARTITION COLUMN alone
+    // (every row of a partition shares the value, so a per-VALUE verdict
+    // selects whole partitions exactly); anything else keeps the scan
+    val pcolOnly = filters.forall { f =>
+      f.deterministic &&
+        f.references.forall(_.name == pcol) &&
+        !f.exists(_.isInstanceOf[PlanExpression[_]])
+    }
+    if (!pcolOnly) return None
+    val pType = idx.partitionSchema.fields.head.dataType
+    def typedPartValue(v: String): Any =
+      Cast(Literal(UTF8String.fromString(v), StringType), pType, tz)
+        .eval(InternalRow.empty)
+    def passes(v: String): Boolean = filters.forall { f =>
+      val bound = f.transform {
+        case _: AttributeReference => BoundReference(0, pType, nullable = true)
+      }
+      java.lang.Boolean.TRUE.equals(bound.eval(InternalRow(typedPartValue(v))))
+    }
+    val live = c.gens.keySet.toSeq.sorted.filter(passes)
+    val totalRows = live.map(c.rows).sum
 
     // min/max of `name` is answerable iff every live partition tracks it
     // (an all-null partition records no stat and reads conservatively)
@@ -134,15 +166,11 @@ object GenTableMetadataAggregate extends Rule[LogicalPlan] {
         case Seq(a: AttributeReference) if a.name == pcol => a
         case _ => return None
       }
-      val tz = Option(conf.sessionLocalTimeZone)
-      def typedValue(v: String): Any =
-        Cast(Literal(UTF8String.fromString(v), StringType),
-          groupAttr.dataType, tz).eval(InternalRow.empty)
       val perRow: Seq[String => Any] = agg.aggregateExpressions.map {
         case a: AttributeReference if a.semanticEquals(groupAttr) =>
-          typedValue _
+          typedPartValue _
         case Alias(a: AttributeReference, _) if a.semanticEquals(groupAttr) =>
-          typedValue _
+          typedPartValue _
         case Alias(PlainAgg(f), _) if isCountStar(f) =>
           (v: String) => c.rows(v)
         case Alias(PlainAgg(Min(a: AttributeReference)), _) =>

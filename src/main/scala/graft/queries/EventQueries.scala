@@ -960,6 +960,33 @@ object EventQueries extends QueryPack {
             col("event_type"), col("value"), col("props"),
             col("bucket").cast("int").as("bucket"))
       }
+    },
+
+    // -- Commit lineage (DESCRIBE HISTORY for the lake): every commit
+    //    carries the operation that produced it and the manifest's own
+    //    partition/row statistics — the governance audit of what changed
+    //    a table, with zero data IO. The oracle recomputes each
+    //    snapshot's partition and row counts from first principles, and
+    //    the op sequence (upsert, upsert, delete, restore) is the
+    //    lifecycle's contract. The wall-clock stamp is projected out
+    //    (nondeterministic by nature); its presence is spec-pinned.
+    "e38_history" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      TempWork.scoped("graft_e38_") { tmp =>
+        val slice = t.events.filter(col("user_id") % 9 === 7)
+          .withColumn("bucket", pmod(col("user_id"), lit(8)).cast("int"))
+        val cut = lit("2024-01-14").cast("timestamp")
+        graft.sources.GenTable.upsertBatch(slice.filter(col("ts") < cut),
+          tmp, "user_id", Seq("ts", "event_id"), "bucket")      // commit 1
+        graft.sources.GenTable.upsertBatch(slice.filter(col("ts") >= cut),
+          tmp, "user_id", Seq("ts", "event_id"), "bucket")      // commit 2
+        graft.sources.GenTable.deleteWhere(spark, tmp,
+          col("event_type") === "purchase")                     // commit 3
+        graft.sources.GenTable.restore(tmp, 2L)                 // commit 4
+        graft.sources.GenTable.history(spark, tmp)
+          .select(col("commit_id"), col("op"), col("n_partitions"),
+            col("n_rows"))
+      }
     }
   )
 
@@ -1461,6 +1488,40 @@ object EventQueries extends QueryPack {
         |  SELECT *, row_number() OVER (PARTITION BY user_id
         |      ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM passing)
-        |WHERE rn = 1""".stripMargin
+        |WHERE rn = 1""".stripMargin,
+    // e38: the lineage's statistics recomputed from data — snapshot 1 is
+    // the early-window latest-per-user merge, snapshot 2 the full slice,
+    // snapshot 3 drops purchase-latest rows, snapshot 4 restores 2. The
+    // op names are the lifecycle's contract.
+    "e38_history" ->
+      """WITH slice AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |    CAST(user_id % 8 AS INT) AS bucket
+        |  FROM events WHERE user_id % 9 = 7),
+        |s1 AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM slice WHERE ts < TIMESTAMP '2024-01-14')
+        |  WHERE rn = 1),
+        |s2 AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM slice)
+        |  WHERE rn = 1),
+        |s3 AS (SELECT * FROM s2 WHERE event_type IS DISTINCT FROM 'purchase')
+        |SELECT CAST(1 AS BIGINT) AS commit_id, 'upsert' AS op,
+        |  CAST(count(DISTINCT bucket) AS INT) AS n_partitions,
+        |  count(*) AS n_rows FROM s1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'upsert',
+        |  CAST(count(DISTINCT bucket) AS INT), count(*) FROM s2
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'delete',
+        |  CAST(count(DISTINCT bucket) AS INT), count(*) FROM s3
+        |UNION ALL
+        |SELECT CAST(4 AS BIGINT), 'restore',
+        |  CAST(count(DISTINCT bucket) AS INT), count(*) FROM s2""".stripMargin
   )
 }

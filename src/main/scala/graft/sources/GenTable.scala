@@ -148,6 +148,44 @@ object GenTable {
   private val BloomColsKey = "bloom_cols"
   private val BloomItemsKey = "bloom_items"
 
+  /** Reserved meta keys for commit lineage ([[history]]): which operation
+    * produced each commit, and when. Stamped by every public writer; meta
+    * carries forward, so each commit overwrites the previous stamp.
+    */
+  private val OpMetaKey = "commit_op"
+  private val TsMetaKey = "commit_ts"
+
+  private def opMeta(op: String): Map[String, String] =
+    Map(OpMetaKey -> op, TsMetaKey -> java.time.Instant.now().toString)
+
+  /** The commit lineage as a DataFrame — `DESCRIBE HISTORY` for the lake:
+    * one row per commit still in [[commits]] (retention-bounded), with the
+    * operation that produced it, its wall-clock stamp, and the manifest's
+    * own statistics (partitions / exact rows / bytes — no data IO; rows
+    * and bytes are null for commits predating their tracking). The audit
+    * surface a governance review reads first: what changed this table,
+    * when, and how big it was at each step.
+    */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rows = commits(dir).flatMap(id => commitAt(dir, id).map { c =>
+      Row(id, c.meta.get(OpMetaKey).orNull, c.meta.get(TsMetaKey).orNull,
+        c.gens.size, c.totalRows.map(Long.box).orNull,
+        c.totalBytes.map(Long.box).orNull)
+    })
+    val schema = StructType(Seq(
+      StructField("commit_id", LongType, nullable = false),
+      StructField("op", StringType, nullable = true),
+      StructField("committed_at", StringType, nullable = true),
+      StructField("n_partitions", IntegerType, nullable = false),
+      StructField("n_rows", LongType, nullable = true),
+      StructField("bytes", LongType, nullable = true)))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema)
+  }
+
   // ---------------------------------------------------------------- I/O
 
   private def hadoopConf: Configuration =
@@ -450,7 +488,8 @@ object GenTable {
           s"was vacuumed — raise vacuum's keepCommits retention")
     }
     // minGen forces the NEW head id while gens reference old generations
-    val restored = target.copy(minGen = head.tableGen + 1)
+    val restored = target.copy(minGen = head.tableGen + 1,
+      meta = target.meta ++ opMeta("restore"))
     publish(dir, restored)
     restored.tableGen
   }
@@ -862,7 +901,8 @@ object GenTable {
     try {
       val staged = stage(frozen, dir, partitionCol, statsCols, bloomCols,
         bloomExpectedItems)
-      publish(dir, staged.copy(meta = staged.meta ++ extraMeta))
+      publish(dir, staged.copy(meta =
+        staged.meta ++ opMeta("upsert") ++ extraMeta))
     } finally frozen.unpersist()
   }
 
@@ -943,7 +983,7 @@ object GenTable {
         staged.gens.filter { case (v, _) => touched(v) },
         math.max(staged.tableGen, prevGen + 1),
         staged.stats.filter { case (v, _) => touched(v) },
-        meta + (SchemaMetaKey -> frozen.schema.json) ++
+        meta ++ opMeta("replace") + (SchemaMetaKey -> frozen.schema.json) ++
           staged.meta.view.filterKeys(
             k => k == BloomColsKey || k == BloomItemsKey).toMap,
         staged.sizes.filter { case (v, _) => touched(v) },
@@ -1013,7 +1053,7 @@ object GenTable {
       v -> genMeta(fsys, root, c.partitionCol, v, newGen)).toMap
     val next = Commit(c.partitionCol,
       c.gens.map { case (v, _) => v -> newGen }, stats = c.stats,
-      meta = c.meta + (SchemaMetaKey -> df.schema.json),
+      meta = c.meta ++ opMeta("compact") + (SchemaMetaKey -> df.schema.json),
       sizes = compactMeta.view.mapValues(_._1).toMap,
       rows = compactMeta.view.mapValues(_._2).toMap)
     publish(dir, next)
@@ -1049,7 +1089,7 @@ object GenTable {
       .map { case (v, g) => s"$dir/${c.partitionCol}=$v/gen=$g" }
     val survivors = readPaths(spark, dir, c, touchedPaths)
       .filter(!coalesce(predicate, lit(false)))
-    commitRewrite(spark, dir, c, touchedVals, survivors)
+    commitRewrite(spark, dir, c, touchedVals, survivors, opMeta("delete"))
     deleted
   }
 
@@ -1082,7 +1122,7 @@ object GenTable {
     val deleted = part.join(broadcast(k), Seq(keyCol), "left_semi").count()
     if (deleted == 0L) return 0L
     commitRewrite(spark, dir, c, touchedVals,
-      part.join(broadcast(k), Seq(keyCol), "left_anti"))
+      part.join(broadcast(k), Seq(keyCol), "left_anti"), opMeta("delete_keys"))
     deleted
   }
 
@@ -1110,7 +1150,8 @@ object GenTable {
         // first batch bootstraps the table: only inserts can exist
         if (ups.isEmpty) return
         val staged = stage(ups, dir, partitionCol)
-        publish(dir, staged.copy(meta = staged.meta ++ extraMeta))
+        publish(dir, staged.copy(meta =
+          staged.meta ++ opMeta("cdc_apply") ++ extraMeta))
       case Some(c) =>
         require(c.partitionCol == partitionCol,
           s"table is partitioned by ${c.partitionCol}, not $partitionCol")
@@ -1138,7 +1179,8 @@ object GenTable {
           .filter(col("_rn") === 1).drop("_rn", "_pri")
         val delKeys = dels.select(col(keyCol)).distinct()
         val survivors = merged.join(broadcast(delKeys), Seq(keyCol), "left_anti")
-        commitRewrite(spark, dir, c, touchedVals, survivors, extraMeta)
+        commitRewrite(spark, dir, c, touchedVals, survivors,
+          opMeta("cdc_apply") ++ extraMeta)
     }
   }
 

@@ -132,6 +132,65 @@ class GenTableStatsAggSpec extends SparkSpec {
     assert(!isMetadataOnly(dist))
   }
 
+  test("partition-only filters stay metadata-only: whole partitions select by value") {
+    val dir = tmp()
+    seed(dir)
+    val idx = GenTable.readIndexed(spark, dir).get
+    val scan = GenTable.read(spark, dir).get
+    // range predicate on the partition column
+    val f1 = idx.filter(col("day") >= "d2").groupBy().count()
+    assert(isMetadataOnly(f1), f1.queryExecution.optimizedPlan.toString)
+    assert(f1.as[Long].collect()(0) ===
+      scan.filter(col("day") >= "d2").count())
+    // IN-set predicate, grouped output
+    val f2 = idx.filter(col("day").isin("d0", "d3")).groupBy("day").count()
+    assert(isMetadataOnly(f2))
+    assert(f2.orderBy("day").collect().toSeq ===
+      scan.filter(col("day").isin("d0", "d3")).groupBy("day").count()
+        .orderBy("day").collect().toSeq)
+    // min/max under a partition filter: extrema of the surviving partitions
+    val f3 = idx.filter(col("day") =!= "d0")
+      .agg(min("event_id").as("mn"), max("event_id").as("mx"))
+    assert(isMetadataOnly(f3))
+    assert(f3.collect()(0) === scan.filter(col("day") =!= "d0")
+      .agg(min("event_id").as("mn"), max("event_id").as("mx")).collect()(0))
+    // a filter excluding everything: count 0, null extrema — still metadata
+    val f4 = idx.filter(col("day") === "nope")
+      .agg(count(lit(1)).as("n"), min("event_id").as("mn"))
+    assert(isMetadataOnly(f4))
+    assert(f4.collect()(0) === scan.filter(col("day") === "nope")
+      .agg(count(lit(1)).as("n"), min("event_id").as("mn")).collect()(0))
+    // a filter mixing in a DATA column keeps the scan (and stays right)
+    val f5 = idx.filter(col("day") >= "d2" && col("user_id") > 5L)
+      .groupBy().count()
+    assert(!isMetadataOnly(f5))
+    assert(f5.as[Long].collect()(0) ===
+      scan.filter(col("day") >= "d2" && col("user_id") > 5L).count())
+  }
+
+  test("history records op lineage with manifest statistics") {
+    val dir = tmp()
+    seed(dir) // upsert, upsert, delete
+    GenTable.compact(spark, dir, targetRecordsPerFile = 100L)
+    GenTable.restore(dir, 3L)
+    val h = GenTable.history(spark, dir)
+      .orderBy("commit_id").collect()
+    assert(h.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+    assert(h.map(_.getString(1)).toSeq ===
+      Seq("upsert", "upsert", "delete", "compact", "restore"))
+    // every commit carries a wall-clock stamp and exact statistics
+    assert(h.forall(r => r.getString(2) != null))
+    assert(h.forall(r => !r.isNullAt(4) && !r.isNullAt(5)))
+    // restore(3) republishes commit 3's statistics verbatim
+    assert(h(4).getLong(4) === h(2).getLong(4))
+    assert(h(4).getInt(3) === h(2).getInt(3))
+    // row counts match the data at each snapshot
+    (1L to 5L).foreach { id =>
+      assert(h(id.toInt - 1).getLong(4) ===
+        GenTable.readAt(spark, dir, id).get.count(), s"commit $id")
+    }
+  }
+
   test("pre-row-tracking manifests refuse the rewrite and still answer") {
     val dir = tmp()
     seed(dir)
