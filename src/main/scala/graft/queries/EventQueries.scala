@@ -987,6 +987,34 @@ object EventQueries extends QueryPack {
           .select(col("commit_id"), col("op"), col("n_partitions"),
             col("n_rows"))
       }
+    },
+
+    // -- Partition evolution end-to-end: the lake starts DAY-partitioned
+    //    (commit 1, event_id-keyed — the append shape day layouts fit),
+    //    is atomically re-keyed onto user buckets when the layout stops
+    //    matching the workload (commit 2: repartitionTable — one rewrite,
+    //    one swap, old layout retired to history), then takes a takedown
+    //    delete under the NEW layout (commit 3, pruned by bucket). The
+    //    final committed view must be exactly the slice minus the deleted
+    //    class, whatever layout each era used — which is what the oracle
+    //    computes with no layout knowledge at all.
+    "e39_partition_evolution" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      TempWork.scoped("graft_e39_") { tmp =>
+        val slice = t.events.filter(col("user_id") % 9 === 2)
+          .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+          .withColumn("bucket", pmod(col("user_id"), lit(8)).cast("int"))
+        graft.sources.GenTable.upsertBatch(slice, tmp, "event_id",
+          Seq("ts"), "day", statsCols = Seq("event_id"))        // commit 1
+        graft.sources.GenTable.repartitionTable(spark, tmp, "bucket") // 2
+        graft.sources.GenTable.deleteWhere(spark, tmp,
+          col("event_type") === "click")                        // commit 3
+        graft.sources.GenTable.read(spark, tmp).get
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"), col("value"), col("props"),
+            col("day").cast("string").as("day"),
+            col("bucket").cast("int").as("bucket"))
+      }
     }
   )
 
@@ -1522,6 +1550,16 @@ object EventQueries extends QueryPack {
         |  CAST(count(DISTINCT bucket) AS INT), count(*) FROM s3
         |UNION ALL
         |SELECT CAST(4 AS BIGINT), 'restore',
-        |  CAST(count(DISTINCT bucket) AS INT), count(*) FROM s2""".stripMargin
+        |  CAST(count(DISTINCT bucket) AS INT), count(*) FROM s2""".stripMargin,
+    // e39: layout is a storage concern — the committed content after
+    // day-era ingest, re-partitioning, and a bucket-era takedown is just
+    // the slice minus the deleted class.
+    "e39_partition_evolution" ->
+      """SELECT user_id, event_id, ts, event_type, value, props,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |  CAST(user_id % 8 AS INT) AS bucket
+        |FROM events
+        |WHERE user_id % 9 = 2
+        |  AND event_type IS DISTINCT FROM 'click'""".stripMargin
   )
 }

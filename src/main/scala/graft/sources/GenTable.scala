@@ -524,6 +524,26 @@ object GenTable {
     commitAt(dir, commitId).filter(_.gens.nonEmpty)
       .map(c => readPaths(spark, dir, c, pathsOf(dir, c)))
 
+  /** The newest retained commit whose `commit_ts` stamp is at or before
+    * `ts` — timestamp-based time travel (the Delta `timestampAsOf`
+    * shape), resolved purely from the lineage stamps every writer
+    * records. Commits predating stamping are skipped conservatively
+    * (their wall-clock time is unknowable); None when no stamped commit
+    * is old enough. Single-writer stamps are monotone by construction.
+    */
+  def commitIdAsOf(dir: String, ts: java.time.Instant): Option[Long] =
+    commits(dir).flatMap(id => commitAt(dir, id)).filter { c =>
+      c.meta.get(TsMetaKey).exists { s =>
+        try !java.time.Instant.parse(s).isAfter(ts)
+        catch { case _: java.time.format.DateTimeParseException => false }
+      }
+    }.map(_.tableGen).maxOption
+
+  /** [[readAt]] addressed by wall-clock instant instead of commit id. */
+  def readAsOfTimestamp(spark: SparkSession, dir: String,
+      ts: java.time.Instant): Option[DataFrame] =
+    commitIdAsOf(dir, ts).flatMap(readAt(spark, dir, _))
+
   /** The committed view: concrete `pcol=v/gen=n` leaf paths resolved from
     * the manifest, read with `basePath` so the partition column is
     * recovered; the internal `gen` column is dropped. None when the table
@@ -1060,6 +1080,72 @@ object GenTable {
     (before, committedFiles(next))
   }
 
+  /** PARTITION EVOLUTION: atomically re-key the table onto a different
+    * partition column (an existing data column) — the operation a lake
+    * needs when the original layout stops matching the workload (bucket
+    * count outgrown, day-partitioning wanted bucket-partitioning). One
+    * rewrite of the committed rows under `newPartitionCol=v/gen=N+1`
+    * directories, ONE manifest swap: readers see the old layout or the
+    * new one, never a mix, and a crash anywhere leaves the old layout
+    * committed. The old partition column becomes an ordinary data column
+    * in the new files (and the new one stops being); history keeps its
+    * own layout — time travel and restore read each commit with the
+    * partition column AS OF that commit, CDC across the boundary falls
+    * back to a full keyed diff ([[changesBetween]]), and [[vacuum]]
+    * retires old-layout directories by each retained commit's own
+    * column. Tracked stats re-derive under the new partitioning; Bloom
+    * sidecars regenerate. Subsequent writers must pass the NEW column.
+    * Cost: one full-table rewrite — the same price as [[compact]], and
+    * the two compose (`clusterBy` applies within the new partitions).
+    * Returns the new head commit id.
+    */
+  def repartitionTable(spark: SparkSession, dir: String,
+      newPartitionCol: String, clusterBy: Seq[String] = Nil): Long = {
+    val (f, root) = fsRoot(dir)
+    val c = readCommit(dir).getOrElse(
+      throw new IllegalStateException(s"no committed GenTable under $dir"))
+    require(c.gens.nonEmpty, s"nothing committed under $dir")
+    require(newPartitionCol != c.partitionCol,
+      s"table is already partitioned by $newPartitionCol")
+    val df = read(spark, dir).get
+    require(df.columns.contains(newPartitionCol),
+      s"new partition column '$newPartitionCol' is not a column of $dir")
+    val frozen = df.localCheckpoint(true)
+    try {
+      val newGen = c.tableGen + 1
+      val touched = frozen.select(col(newPartitionCol).cast("string"))
+        .distinct().collect().map(_.getString(0)) // bounded: new partitions
+      touched.foreach { v =>
+        val orphan = new HPath(
+          new HPath(root, s"$newPartitionCol=$v"), s"gen=$newGen")
+        if (f.exists(orphan)) f.delete(orphan, true)
+      }
+      val base = frozen.withColumn("gen", lit(newGen))
+      val staged =
+        if (clusterBy.isEmpty) base
+        else base.repartition(col(newPartitionCol))
+          .sortWithinPartitions(
+            (Seq(newPartitionCol, "gen") ++ clusterBy).map(col): _*)
+      staged.write.mode(SaveMode.Append)
+        .partitionBy(newPartitionCol, "gen")
+        .parquet(dir)
+      val track = c.trackedStatsCols.toSeq.filter(frozen.columns.contains)
+      writeBlooms(frozen, dir, newPartitionCol, newGen,
+        bloomTrackOf(c).filter(frozen.columns.contains),
+        c.meta.get(BloomItemsKey).map(_.toLong).getOrElse(50000L))
+      val newMeta = touched.map(v =>
+        v -> genMeta(f, root, newPartitionCol, v, newGen)).toMap
+      publish(dir, Commit(newPartitionCol,
+        touched.map(_ -> newGen).toMap, newGen,
+        computeStats(frozen, newPartitionCol, track),
+        c.meta ++ opMeta("repartition") +
+          (SchemaMetaKey -> frozen.schema.json),
+        newMeta.view.mapValues(_._1).toMap,
+        newMeta.view.mapValues(_._2).toMap))
+      newGen
+    } finally frozen.unpersist()
+  }
+
   /** Atomic predicate delete — the takedown / right-to-be-forgotten path
     * a training-data lake needs as a first-class operation. Finding the
     * matches costs one scan of the committed view (arbitrary predicates
@@ -1324,21 +1410,30 @@ object GenTable {
     }
     val cFrom = resolve(fromId)
     val cTo = resolve(toId)
-    val pcol = if (cTo.gens.nonEmpty || cTo.partitionCol.nonEmpty)
-      cTo.partitionCol else cFrom.partitionCol
     // both sides read through the TO-side schema so the packed _pre/_post
-    // structs are the same type across an evolution boundary
+    // structs are the same type across an evolution boundary (a partition
+    // evolution keeps the column SET — the old partition column becomes a
+    // data column — so one schema types both layouts; each side's column
+    // resolves from its own files or its own directory names)
     val align: Option[StructType] = schemaOf(cTo).orElse(schemaOf(cFrom))
     def reader = {
       val r0 = spark.read.option("basePath", dir)
       align.fold(r0)(s => r0.schema(s))
     }
-    // only partitions whose generation moved participate in the diff
-    val changed = (cFrom.gens.keySet ++ cTo.gens.keySet)
-      .filter(v => cFrom.gens.get(v) != cTo.gens.get(v)).toSeq.sorted
+    // only partitions whose generation moved participate in the diff —
+    // except across a partition-evolution boundary, where the two value
+    // spaces are different columns' (incomparable: a coincidentally equal
+    // (value, gen) pair must not read as "unchanged") and the rewrite
+    // moved every row anyway: full keyed diff
+    val sameLayout = cFrom.gens.isEmpty || cTo.gens.isEmpty ||
+      cFrom.partitionCol == cTo.partitionCol
+    def changedOf(c: Commit): Seq[String] =
+      if (!sameLayout) c.gens.keySet.toSeq.sorted
+      else (cFrom.gens.keySet ++ cTo.gens.keySet)
+        .filter(v => cFrom.gens.get(v) != cTo.gens.get(v)).toSeq.sorted
     def side(c: Commit): Option[DataFrame] = {
-      val paths = changed.flatMap(v => c.gens.get(v).map(g =>
-        s"$dir/$pcol=$v/gen=$g"))
+      val paths = changedOf(c).flatMap(v => c.gens.get(v).map(g =>
+        s"$dir/${c.partitionCol}=$v/gen=$g"))
       if (paths.isEmpty) None
       else Some(reader.parquet(paths: _*).drop("gen"))
     }
@@ -1390,15 +1485,22 @@ object GenTable {
     if (!f.exists(root)) return 0L
     val retainedIds = commits(dir).takeRight(keepCommits)
     val retained = retainedIds.flatMap(commitAt(dir, _)) :+ c
-    // per partition value, the set of generations any retained commit pins
-    val keep: Map[String, Set[Long]] = retained
-      .flatMap(_.gens.toSeq).groupBy(_._1)
-      .map { case (v, gs) => v -> gs.map(_._2).toSet }
+    // per (partition column, value), the generations any retained commit
+    // pins — keyed by COLUMN too, because partition evolution
+    // ([[repartitionTable]]) leaves directories of several layouts and
+    // each retained commit pins only its own
+    val keep: Map[(String, String), Set[Long]] = retained
+      .flatMap(cm => cm.gens.toSeq.map { case (v, g) =>
+        (cm.partitionCol, v) -> g
+      }).groupBy(_._1)
+      .map { case (k, gs) => k -> gs.map(_._2).toSet }
     var removed = 0L
-    listDir(f, root).filter(p => f.getFileStatus(p).isDirectory &&
-      p.getName.startsWith(s"${c.partitionCol}=")).foreach { pdir =>
-      val v = pdir.getName.stripPrefix(s"${c.partitionCol}=")
-      val pinned = keep.getOrElse(v, Set.empty)
+    listDir(f, root).filter { p =>
+      val n = p.getName
+      f.getFileStatus(p).isDirectory && !n.startsWith("_") && n.contains('=')
+    }.foreach { pdir =>
+      val Array(pc, v) = pdir.getName.split("=", 2)
+      val pinned = keep.getOrElse((pc, v), Set.empty)
       listDir(f, pdir).filter(p => f.getFileStatus(p).isDirectory &&
         p.getName.startsWith("gen=")).foreach { gdir =>
         val g = gdir.getName.stripPrefix("gen=").toLong
@@ -1407,6 +1509,9 @@ object GenTable {
           removed += 1
         }
       }
+      // a partition directory emptied of every generation (a retired
+      // layout after partition evolution) goes with them
+      if (listDir(f, pdir).isEmpty) f.delete(pdir, false)
     }
     // drop archives outside the retention window
     val archiveDir = new HPath(root, "_commits")
@@ -1418,11 +1523,17 @@ object GenTable {
     listDir(f, root).filter(_.getName.startsWith("_commit.tmp."))
       .foreach(p => f.delete(p, false))
     // drop bloom sidecars for unpinned generations (same retention rule
-    // as the generation directories they describe)
+    // as the generation directories they describe). Sidecar names carry
+    // (value, column, gen) without the partition column; merge the pins
+    // across layouts — a value string shared by two layouts keeps more,
+    // never less (conservative)
+    val keepByV: Map[String, Set[Long]] = keep.toSeq
+      .map { case ((_, v), gs) => v -> gs }
+      .groupBy(_._1).map { case (v, gs) => v -> gs.flatMap(_._2).toSet }
     listDir(f, new HPath(root, "_filters")).foreach { p =>
       p.getName.stripSuffix(".bloom").split('~') match {
         case Array(ev, _, g) if g.forall(_.isDigit) =>
-          val pinned = keep.getOrElse(dec(ev), Set.empty)
+          val pinned = keepByV.getOrElse(dec(ev), Set.empty)
           if (!pinned.contains(g.toLong)) f.delete(p, false)
         case _ => ()
       }

@@ -325,13 +325,31 @@ final class GenTableSourceProvider extends RelationProvider
     val dir = parameters.getOrElse("path", throw new IllegalArgumentException(
       "gentable requires a path: spark.read.format(\"gentable\").load(dir)"))
     val (head, headSchema) = GenTable.indexedRelationParts(spark, dir)
+    def at(id: Long): (GenTable.Commit, StructType) = {
+      val c = GenTable.commitAt(dir, id).getOrElse(
+        throw new IllegalArgumentException(
+          s"no archived commit $id under $dir (vacuumed?)"))
+      (c, GenTable.schemaOf(c).getOrElse(headSchema))
+    }
+    require(!(parameters.contains("versionAsOf") &&
+      parameters.contains("timestampAsOf")),
+      "versionAsOf and timestampAsOf are mutually exclusive")
     val (commit, schema) = parameters.get("versionAsOf") match {
-      case None => (head, headSchema)
-      case Some(v) =>
-        val c = GenTable.commitAt(dir, v.toLong).getOrElse(
-          throw new IllegalArgumentException(
-            s"no archived commit $v under $dir (vacuumed?)"))
-        (c, GenTable.schemaOf(c).getOrElse(headSchema))
+      case Some(v) => at(v.toLong)
+      case None => parameters.get("timestampAsOf") match {
+        case None => (head, headSchema)
+        case Some(t) =>
+          // ISO-8601 instant, or epoch millis for programmatic callers
+          val ts = try java.time.Instant.parse(t)
+          catch {
+            case _: java.time.format.DateTimeParseException =>
+              java.time.Instant.ofEpochMilli(t.toLong)
+          }
+          at(GenTable.commitIdAsOf(dir, ts).getOrElse(
+            throw new IllegalArgumentException(
+              s"no commit at or before $t under $dir " +
+                s"(pre-stamp commits cannot be addressed by time)")))
+      }
     }
     val index = new GenTableFileIndex(spark, dir, commit, schema)
     HadoopFsRelation(
