@@ -46,6 +46,11 @@ object Expectations {
   case object Fail extends OnViolation
   /** Commit only passing rows (optionally quarantining the rest). */
   case object Drop extends OnViolation
+  /** Commit EVERYTHING; the report (and optional quarantine copies)
+    * surface the violations — the observe-first rollout mode a gate
+    * runs in before anyone trusts it enough to drop data.
+    */
+  case object Warn extends OnViolation
 
   /** TRUE iff the row passes every expectation (NULL predicate = fail). */
   private[sources] def passAll(expectations: Seq[(String, Column)]): Column =

@@ -112,7 +112,8 @@ object GenTable {
       stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
       meta: Map[String, String] = Map.empty,
       sizes: Map[String, Long] = Map.empty,
-      rows: Map[String, Long] = Map.empty) {
+      rows: Map[String, Long] = Map.empty,
+      files: Map[String, Long] = Map.empty) {
     def tableGen: Long =
       if (gens.isEmpty) minGen else math.max(minGen, gens.values.max)
     /** Columns any partition tracks min/max for (the sticky stats set). */
@@ -136,6 +137,15 @@ object GenTable {
     def totalRows: Option[Long] =
       if (gens.keySet.forall(rows.contains))
         Some(gens.keySet.toSeq.map(rows).sum)
+      else None
+    /** Committed data-file count, when every partition recorded one
+      * (`#files` lines) — the input to a METADATA-ONLY compaction
+      * decision ([[compactionAdvice]]): at scale, listing a table to
+      * decide whether to compact costs more than the decision saves.
+      */
+    def totalFiles: Option[Long] =
+      if (gens.keySet.forall(files.contains))
+        Some(gens.keySet.toSeq.map(files).sum)
       else None
   }
 
@@ -307,10 +317,14 @@ object GenTable {
     val rowLines = commit.rows.toSeq.sortBy(_._1).map { case (v, n) =>
       s"#rows=${enc(v)}|$n"
     }
+    val fileLines = commit.files.toSeq.sortBy(_._1).map { case (v, n) =>
+      s"#files=${enc(v)}|$n"
+    }
     val body = (s"pcol=${enc(commit.partitionCol)}" +:
       s"#tgen=${commit.tableGen}" +:
       (commit.gens.toSeq.sortBy(_._1).map { case (v, g) => s"${enc(v)}=$g" } ++
-        statLines ++ metaLines ++ sizeLines ++ rowLines)).mkString("", "\n", "\n")
+        statLines ++ metaLines ++ sizeLines ++ rowLines ++ fileLines))
+      .mkString("", "\n", "\n")
     body.getBytes(StandardCharsets.UTF_8)
   }
 
@@ -324,6 +338,7 @@ object GenTable {
     val metaBuf = Map.newBuilder[String, String]
     val sizeBuf = Map.newBuilder[String, Long]
     val rowBuf = Map.newBuilder[String, Long]
+    val fileBuf = Map.newBuilder[String, Long]
     val gens = (1 until lines.length).flatMap { i =>
       val line = lines(i)
       if (line.startsWith("#tgen=")) {
@@ -338,6 +353,11 @@ object GenTable {
         val parts = line.stripPrefix("#rows=").split('|')
         require(parts.length == 2, s"malformed rows line: $line")
         rowBuf += dec(parts(0)) -> parts(1).toLong
+        None
+      } else if (line.startsWith("#files=")) {
+        val parts = line.stripPrefix("#files=").split('|')
+        require(parts.length == 2, s"malformed files line: $line")
+        fileBuf += dec(parts(0)) -> parts(1).toLong
         None
       } else if (line.startsWith("#stat=")) {
         val parts = line.stripPrefix("#stat=").split('|')
@@ -361,7 +381,7 @@ object GenTable {
       v -> rows.map(r => r._2 -> (r._3, r._4)).toMap
     }
     Commit(pcol, gens, minGen, stats, metaBuf.result(), sizeBuf.result(),
-      rowBuf.result())
+      rowBuf.result(), fileBuf.result())
   }
 
   // --------------------------------------------------------- publish
@@ -448,14 +468,70 @@ object GenTable {
     */
   final case class TableStats(commitId: Long, partitions: Int,
       bytes: Option[Long], rowCount: Option[Long],
-      partitionRows: Map[String, Long])
+      partitionRows: Map[String, Long], fileCount: Option[Long] = None)
 
   /** [[TableStats]] of the committed head; None if never published. */
   def tableStats(dir: String): Option[TableStats] =
     readCommit(dir).map { c =>
       TableStats(c.tableGen, c.gens.size, c.totalBytes, c.totalRows,
-        c.rows.view.filterKeys(c.gens.contains).toMap)
+        c.rows.view.filterKeys(c.gens.contains).toMap, c.totalFiles)
     }
+
+  /** Metadata-only compaction decision. At scale, LISTING a table to
+    * decide whether to compact costs more than the decision saves — the
+    * manifest already knows the committed file count and byte size, so
+    * the decision is one object read. Advises compaction when the
+    * average committed file is under half the target AND the table has
+    * more files than partitions (a one-file-per-partition table can't
+    * be improved by this compactor, however small the files). None when
+    * the manifest predates file/size tracking (decide by listing, or
+    * just re-commit once).
+    */
+  final case class CompactionAdvice(files: Long, partitions: Int,
+      avgFileBytes: Long, advise: Boolean)
+
+  def compactionAdvice(dir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Option[CompactionAdvice] =
+    readCommit(dir).filter(_.gens.nonEmpty).flatMap { c =>
+      for (files <- c.totalFiles; bytes <- c.totalBytes) yield {
+        val avg = if (files == 0) 0L else bytes / files
+        CompactionAdvice(files, c.gens.size, avg,
+          files > c.gens.size && avg < targetFileBytes / 2)
+      }
+    }
+
+  /** The scheduled maintenance job, as one call: compact if (and only
+    * if) the manifest advises it, then vacuum to the retention window —
+    * the OPTIMIZE-then-VACUUM shape every lake deployment ends up
+    * cron-ing, with the compact decision made from ONE manifest read.
+    * `targetRecordsPerFile` sizes the rewrite like [[compact]];
+    * `targetFileBytes` calibrates the advice to the store's economics.
+    * Returns the advice that was acted on (None = pre-tracking manifest:
+    * nothing compacts, vacuum still runs).
+    */
+  def maintain(spark: SparkSession, dir: String,
+      targetRecordsPerFile: Long,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      keepCommits: Int = 1,
+      clusterBy: Seq[String] = Nil): Option[CompactionAdvice] = {
+    val advice = compactionAdvice(dir, targetFileBytes)
+    if (advice.exists(_.advise))
+      compact(spark, dir, targetRecordsPerFile, clusterBy)
+    vacuum(dir, keepCommits)
+    advice
+  }
+
+  /** Register the committed view as a temp view — the SQL doorway:
+    * `SELECT ...` over `name` plans through the manifest-driven index
+    * (Catalyst pruning, manifest `sizeInBytes`, and metadata-only
+    * aggregates all apply — `SELECT count(*) FROM name` never scans).
+    * Pinned to the commit at call time, like every read here; re-register
+    * to see later commits.
+    */
+  def createOrReplaceView(spark: SparkSession, dir: String,
+      name: String): Unit =
+    readIndexed(spark, dir).getOrElse(throw new IllegalArgumentException(
+      s"no committed GenTable under $dir")).createOrReplaceTempView(name)
 
   /** ROLLBACK as a forward commit: publish a new commit whose content is
     * exactly the archived commit `commitId` — the Delta `RESTORE` shape.
@@ -676,7 +752,8 @@ object GenTable {
       stats = (prev.stats -- touched) ++ newStats,
       meta = prev.meta + (SchemaMetaKey -> merged.json) ++ bloomMeta,
       sizes = (prev.sizes -- touched) ++ newMeta.view.mapValues(_._1).toMap,
-      rows = (prev.rows -- touched) ++ newMeta.view.mapValues(_._2).toMap)
+      rows = (prev.rows -- touched) ++ newMeta.view.mapValues(_._2).toMap,
+      files = (prev.files -- touched) ++ newMeta.view.mapValues(_._3).toMap)
   }
 
   /** Bytes AND exact row count of the data files under one generation
@@ -692,9 +769,9 @@ object GenTable {
     * [[graft.plans.GenTableMetadataAggregate]]) instead of a table scan.
     */
   private def genMeta(f: FileSystem, root: HPath, pcol: String,
-      v: String, g: Long): (Long, Long) = {
+      v: String, g: Long): (Long, Long, Long) = {
     val d = new HPath(new HPath(root, s"$pcol=$v"), s"gen=$g")
-    if (!f.exists(d)) (0L, 0L)
+    if (!f.exists(d)) (0L, 0L, 0L)
     else {
       val files = f.listStatus(d).filter { s =>
         // data files only — same visibility rule as the scan (a local
@@ -708,7 +785,7 @@ object GenTable {
           org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(s, conf))
         try reader.getRecordCount finally reader.close()
       }.sum
-      (files.map(_.getLen).sum, rowCount)
+      (files.map(_.getLen).sum, rowCount, files.length.toLong)
     }
   }
 
@@ -965,8 +1042,13 @@ object GenTable {
           .withColumn("_target_commit", lit(target))
           .write.mode(SaveMode.Append).parquet(qd)
       }
-      if (rep.passed > 0)
-        upsertBatch(Expectations.passing(frozen, expectations), dir, keyCol,
+      // Warn observes without enforcing: everything commits, the report
+      // (and quarantine copies) carry the violations
+      val warn = onViolation == Expectations.Warn
+      val toCommit =
+        if (warn) frozen else Expectations.passing(frozen, expectations)
+      if (rep.passed > 0 || (warn && rep.input > 0))
+        upsertBatch(toCommit, dir, keyCol,
           orderCols, partitionCol, statsCols, bloomCols,
           extraMeta = extraMeta)
       rep
@@ -1007,7 +1089,8 @@ object GenTable {
           staged.meta.view.filterKeys(
             k => k == BloomColsKey || k == BloomItemsKey).toMap,
         staged.sizes.filter { case (v, _) => touched(v) },
-        staged.rows.filter { case (v, _) => touched(v) }))
+        staged.rows.filter { case (v, _) => touched(v) },
+        staged.files.filter { case (v, _) => touched(v) }))
     } finally frozen.unpersist()
   }
 
@@ -1075,7 +1158,8 @@ object GenTable {
       c.gens.map { case (v, _) => v -> newGen }, stats = c.stats,
       meta = c.meta ++ opMeta("compact") + (SchemaMetaKey -> df.schema.json),
       sizes = compactMeta.view.mapValues(_._1).toMap,
-      rows = compactMeta.view.mapValues(_._2).toMap)
+      rows = compactMeta.view.mapValues(_._2).toMap,
+      files = compactMeta.view.mapValues(_._3).toMap)
     publish(dir, next)
     (before, committedFiles(next))
   }
@@ -1141,7 +1225,8 @@ object GenTable {
         c.meta ++ opMeta("repartition") +
           (SchemaMetaKey -> frozen.schema.json),
         newMeta.view.mapValues(_._1).toMap,
-        newMeta.view.mapValues(_._2).toMap))
+        newMeta.view.mapValues(_._2).toMap,
+        newMeta.view.mapValues(_._3).toMap))
       newGen
     } finally frozen.unpersist()
   }
@@ -1311,7 +1396,8 @@ object GenTable {
         (c.stats -- touchedVals) ++ computeStats(frozen, c.partitionCol, track),
         c.meta + (SchemaMetaKey -> frozen.schema.json) ++ extraMeta,
         (c.sizes -- touchedVals) ++ survivorMeta.view.mapValues(_._1).toMap,
-        (c.rows -- touchedVals) ++ survivorMeta.view.mapValues(_._2).toMap))
+        (c.rows -- touchedVals) ++ survivorMeta.view.mapValues(_._2).toMap,
+        (c.files -- touchedVals) ++ survivorMeta.view.mapValues(_._3).toMap))
     } finally frozen.unpersist()
   }
 

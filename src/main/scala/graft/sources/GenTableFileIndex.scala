@@ -313,8 +313,9 @@ final class GenTableSourceProvider extends RelationProvider
     }
     val expect = opt("expect")
     val onViolation = opt("onViolation").getOrElse("drop")
-    require(onViolation == "drop" || onViolation == "fail",
-      s"gentable sink onViolation must be 'drop' or 'fail', got '$onViolation'")
+    require(Set("drop", "fail", "warn")(onViolation),
+      s"gentable sink onViolation must be 'drop', 'fail', or 'warn', " +
+        s"got '$onViolation'")
     new GenTableSink(path, keyCol, orderCols, pcol, mode, statsCols, bloomCols,
       expect, onViolation, opt("quarantineDir"))
   }
@@ -414,7 +415,9 @@ final class GenTableSink(path: String, keyCol: String,
           if (!dropped.isEmpty)
             dropped.write.mode(SaveMode.Append).parquet(qd)
         }
-        raw.filter(keep)
+        // warn observes without enforcing (quarantine copies above still
+        // record the violations); drop filters
+        if (onViolation == "warn") raw else raw.filter(keep)
     }
     mode match {
       case "cdc" =>

@@ -84,6 +84,20 @@ class ExpectationsSpec extends SparkSpec {
     assert(GenTable.readCommit(dir).get === before)
   }
 
+  test("warn mode observes without enforcing: everything commits, the report carries the violations") {
+    val dir = tmp()
+    val qdir = tmp()
+    val rep = GenTable.upsertBatchExpect(batch(), dir, "id", Seq("ts"),
+      "bucket", gates, Expectations.Warn, quarantineDir = Some(qdir))
+    assert(rep === Expectations.Report(5L, 2L,
+      Map("amount_positive" -> 2L, "user_present" -> 2L)))
+    // all five rows committed — including the violating ones
+    assert(GenTable.read(spark, dir).get.select("id").as[Long]
+      .collect().toSet === Set(1L, 2L, 3L, 4L, 5L))
+    // the quarantine copies still record what a drop-mode gate would cut
+    assert(spark.read.parquet(qdir).count() === 3L)
+  }
+
   test("the streaming sink gates declaratively: expect option drops, deletes pass in cdc mode") {
     val src = tmp()
     val dir = tmp()
