@@ -60,6 +60,15 @@ object ProbeMetaAgg {
       }
       require(m1 == m2, s"extrema mismatch: $m1 vs $m2")
       out.println(s"tableStats=${GenTable.tableStats(table).get.rowCount}")
+      // the maintenance decision: one manifest read vs the listing a
+      // naive cron does
+      val advice = time("compactionAdvice: manifest decision") {
+        GenTable.compactionAdvice(table)
+      }
+      val listed = time("same decision via listing (inputFiles)") {
+        GenTable.read(spark, table).get.inputFiles.length
+      }
+      out.println(s"advice=$advice listedFiles=$listed")
       // restore: manifest swap only, whatever the table size
       val restoredTo = time("restore(1) on the multi-commit table") {
         GenTable.restore(table, 1L)
