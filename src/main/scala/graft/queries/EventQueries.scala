@@ -1001,7 +1001,12 @@ object EventQueries extends QueryPack {
     "e39_partition_evolution" -> { (spark, dir) =>
       val t = Tables(spark, dir)
       TempWork.scoped("graft_e39_") { tmp =>
-        val slice = t.events.filter(col("user_id") % 9 === 2)
+        // two-week window: enough day partitions (14) to make the
+        // re-layout meaningful without the gate paying for a 90-day
+        // day-partitioned first commit
+        val slice = t.events.filter(col("user_id") % 9 === 2 &&
+            col("ts") >= lit("2024-01-04").cast("timestamp") &&
+            col("ts") < lit("2024-01-18").cast("timestamp"))
           .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
           .withColumn("bucket", pmod(col("user_id"), lit(8)).cast("int"))
         graft.sources.GenTable.upsertBatch(slice, tmp, "event_id",
@@ -1560,6 +1565,8 @@ object EventQueries extends QueryPack {
         |  CAST(user_id % 8 AS INT) AS bucket
         |FROM events
         |WHERE user_id % 9 = 2
+        |  AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-04'
+        |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-18'
         |  AND event_type IS DISTINCT FROM 'click'""".stripMargin
   )
 }

@@ -780,7 +780,10 @@ object GenTable {
         s.isFile && !n.startsWith("_") && !n.startsWith(".")
       }
       val conf = hadoopConf
-      val rowCount = files.map { s =>
+      // footer opens are independent small ranged reads; a lifecycle of
+      // many commits pays this per touched partition, so read them in
+      // parallel (driver-side, bounded by files-per-batch)
+      val rowCount = java.util.Arrays.stream(files).parallel().mapToLong { s =>
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(s, conf))
         try reader.getRecordCount finally reader.close()

@@ -202,11 +202,13 @@ class WebOpsSpec extends SparkSpec {
     assert(dom("user.github.io") === "github.io")
     // the production file path parses to the identical rule table
     val f = java.nio.file.Files.createTempFile("graft_psl_", ".dat")
-    java.nio.file.Files.writeString(f,
-      graft.functions.PublicSuffix.FixtureLines.mkString("\n"))
-    val fromFile = graft.functions.PublicSuffix
-      .rulesFromFile(spark, f.toString)
-    assert(fromFile.collect().toSet === rules.collect().toSet)
+    try {
+      java.nio.file.Files.writeString(f,
+        graft.functions.PublicSuffix.FixtureLines.mkString("\n"))
+      val fromFile = graft.functions.PublicSuffix
+        .rulesFromFile(spark, f.toString)
+      assert(fromFile.collect().toSet === rules.collect().toSet)
+    } finally java.nio.file.Files.deleteIfExists(f)
     // withRegistrableDomain: per-distinct-host election joined back
     val df = Seq((1L, "user.github.io"), (2L, "user.github.io"),
       (3L, "a.gov.uk")).toDF("id", "h")
