@@ -182,7 +182,8 @@ object GenTable {
     val rows = commits(dir).flatMap(id => commitAt(dir, id).map { c =>
       Row(id, c.meta.get(OpMetaKey).orNull, c.meta.get(TsMetaKey).orNull,
         c.gens.size, c.totalRows.map(Long.box).orNull,
-        c.totalBytes.map(Long.box).orNull)
+        c.totalBytes.map(Long.box).orNull,
+        c.totalFiles.map(Long.box).orNull)
     })
     val schema = StructType(Seq(
       StructField("commit_id", LongType, nullable = false),
@@ -190,7 +191,8 @@ object GenTable {
       StructField("committed_at", StringType, nullable = true),
       StructField("n_partitions", IntegerType, nullable = false),
       StructField("n_rows", LongType, nullable = true),
-      StructField("bytes", LongType, nullable = true)))
+      StructField("bytes", LongType, nullable = true),
+      StructField("n_files", LongType, nullable = true)))
     spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters
         .SeqHasAsJava(rows).asJava), schema)

@@ -179,8 +179,14 @@ class GenTableStatsAggSpec extends SparkSpec {
     assert(h.map(_.getString(1)).toSeq ===
       Seq("upsert", "upsert", "delete", "compact", "restore"))
     // every commit carries a wall-clock stamp and exact statistics
+    // (rows, bytes, and file counts — the fragmentation trend the
+    // maintenance tier watches)
     assert(h.forall(r => r.getString(2) != null))
-    assert(h.forall(r => !r.isNullAt(4) && !r.isNullAt(5)))
+    assert(h.forall(r => !r.isNullAt(4) && !r.isNullAt(5) && !r.isNullAt(6)))
+    // the head's lineage file count is listing truth; compaction keeps rows
+    assert(h(4).getLong(6) ===
+      GenTable.read(spark, dir).get.inputFiles.length.toLong)
+    assert(h(3).getLong(4) === h(2).getLong(4))
     // restore(3) republishes commit 3's statistics verbatim
     assert(h(4).getLong(4) === h(2).getLong(4))
     assert(h(4).getInt(3) === h(2).getInt(3))
