@@ -115,8 +115,12 @@ object Bench {
     // SPARK_GRAFT_BENCH_OUT path must not crash the bench after the results
     // already printed (and must not skip spark.stop()).
     try {
+      // default filename is bench_driver.json (gitignored): the per-round
+      // driver runs on a loaded box, and its output repeatedly overwrote
+      // the committed quiet-run artifact bench_out.json — quiet runs of
+      // record set SPARK_GRAFT_BENCH_OUT=bench_out.json explicitly
       val outPath = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_driver.json"))
       java.nio.file.Files.write(outPath, (line + "\n").getBytes("UTF-8"))
     } catch {
       case e: Throwable =>

@@ -609,13 +609,27 @@ object GenTable {
     * (their wall-clock time is unknowable); None when no stamped commit
     * is old enough. Single-writer stamps are monotone by construction.
     */
-  def commitIdAsOf(dir: String, ts: java.time.Instant): Option[Long] =
-    commits(dir).flatMap(id => commitAt(dir, id)).filter { c =>
-      c.meta.get(TsMetaKey).exists { s =>
+  def commitIdAsOf(dir: String, ts: java.time.Instant): Option[Long] = {
+    def stampAtOrBefore(id: Long): Option[Boolean] =
+      commitAt(dir, id).flatMap(_.meta.get(TsMetaKey)).map { s =>
         try !java.time.Instant.parse(s).isAfter(ts)
         catch { case _: java.time.format.DateTimeParseException => false }
       }
-    }.map(_.tableGen).maxOption
+    val ids = commits(dir).toIndexedSeq
+    // single-writer stamps are monotone and stamping, once on, stays on —
+    // so over the retained ids the predicate "unstamped OR stamp<=ts" is
+    // prefix-true, and the answer is a binary search (O(log #commits)
+    // archive reads, not one per commit — long-history tables at scale)
+    // followed by a walk left past any unstamped prefix commits
+    var lo = -1
+    var hi = ids.length // ids(<=lo) satisfies the prefix predicate
+    while (hi - lo > 1) {
+      val mid = (lo + hi) >>> 1
+      if (stampAtOrBefore(ids(mid)).getOrElse(true)) lo = mid else hi = mid
+    }
+    Iterator.range(lo, -1, -1).map(i => ids(i) -> stampAtOrBefore(ids(i)))
+      .collectFirst { case (id, Some(true)) => id }
+  }
 
   /** [[readAt]] addressed by wall-clock instant instead of commit id. */
   def readAsOfTimestamp(spark: SparkSession, dir: String,
@@ -721,6 +735,12 @@ object GenTable {
     val newGen = prev.tableGen + 1
     val touched = rows.select(col(partitionCol).cast("string")).distinct()
       .collect().map(_.getString(0)) // bounded: partitions per batch
+    // a NULL partition value would render a null manifest key (NPE in
+    // enc()) and a __HIVE_DEFAULT_PARTITION__ directory the manifest
+    // could never address — fail loud before any file lands
+    require(!touched.contains(null),
+      s"partition column '$partitionCol' contains NULLs — GenTable " +
+        s"partition values must be non-null (filter or default them first)")
     touched.foreach { v =>
       val orphan = new HPath(new HPath(root, s"$partitionCol=$v"), s"gen=$newGen")
       if (f.exists(orphan)) f.delete(orphan, true)
@@ -1204,6 +1224,9 @@ object GenTable {
       val newGen = c.tableGen + 1
       val touched = frozen.select(col(newPartitionCol).cast("string"))
         .distinct().collect().map(_.getString(0)) // bounded: new partitions
+      require(!touched.contains(null),
+        s"new partition column '$newPartitionCol' contains NULLs — " +
+          s"GenTable partition values must be non-null")
       touched.foreach { v =>
         val orphan = new HPath(
           new HPath(root, s"$newPartitionCol=$v"), s"gen=$newGen")

@@ -85,14 +85,28 @@ final class GenTableCdcSource(spark: SparkSession, dir: String,
 
   override def schema: StructType = schema0
 
-  override def getOffset: Option[V1Offset] =
-    GenTable.readCommit(dir).map(_.tableGen)
+  /** Legacy V1 path — unused while MicroBatchExecution prefers the
+    * SupportsAdmissionControl `latestOffset`, and it CANNOT honor
+    * `maxCommitsPerTrigger` (no start offset to cap from), so it fails
+    * loud rather than silently dropping the cap if an engine fallback
+    * ever invokes it. The AvailableNow pin still applies.
+    */
+  override def getOffset: Option[V1Offset] = {
+    require(maxCommitsPerTrigger.isEmpty,
+      "gentable-cdc: legacy getOffset cannot apply maxCommitsPerTrigger — " +
+        "the engine is expected to use the SupportsAdmissionControl path")
+    val headNow = GenTable.readCommit(dir).map(_.tableGen)
+    headNow.map(h => availableNowTarget.fold(h)(math.min(h, _)))
       .filter(_ > startingCommit).map(LongOffset(_))
+  }
 
   override def getDefaultReadLimit: ReadLimit =
     // commits are this source's admission unit (ReadMaxFiles is the
-    // public carrier FileStreamSource uses for the same discrete-unit cap)
-    maxCommitsPerTrigger.map(m => ReadLimit.maxFiles(m.toInt))
+    // public carrier FileStreamSource uses for the same discrete-unit
+    // cap); the option is validated as a positive Long, so clamp to
+    // Int.MaxValue rather than overflowing maxFiles' int
+    maxCommitsPerTrigger
+      .map(m => ReadLimit.maxFiles(math.min(m, Int.MaxValue.toLong).toInt))
       .getOrElse(ReadLimit.allAvailable())
 
   override def prepareForTriggerAvailableNow(): Unit =

@@ -83,10 +83,13 @@ final class GenTableFileIndex(
     StructType(tableSchema.fields.filterNot(_.name == pcol).map(_.copy(nullable = true)))
 
   // partition value string -> typed internal value (manifest values were
-  // rendered by cast-to-string of the typed column; Cast is its inverse)
+  // rendered by cast-to-string of the typed column; Cast is its inverse).
+  // SESSION timezone, matching the writer's rendering and the sibling
+  // metadata-aggregate rule — the JVM default would prune wrong partitions
+  // for timestamp-typed partition values on a non-UTC box.
   private def typedValue(v: String): Any =
     Cast(Literal(UTF8String.fromString(v), StringType), pField.dataType,
-      Option(java.util.TimeZone.getDefault.getID)).eval(InternalRow.empty)
+      Option(spark.sessionState.conf.sessionLocalTimeZone)).eval(InternalRow.empty)
 
   private val partitionRows: Map[String, InternalRow] =
     commit.gens.keys.map(v => v -> InternalRow(typedValue(v))).toMap
