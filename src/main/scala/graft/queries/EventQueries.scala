@@ -1020,6 +1020,88 @@ object EventQueries extends QueryPack {
             col("day").cast("string").as("day"),
             col("bucket").cast("int").as("bucket"))
       }
+    },
+
+    // -- The standard batch write doorway: the ENTIRE write path goes
+    //    through `df.write.format("gentable")` — no bespoke API call —
+    //    and the read back through `spark.read.format("gentable")`.
+    //    Two append saves upsert (latest-per-user across both), so the
+    //    final table is the window-SQL dedup the oracle computes; the
+    //    doorway must add nothing and lose nothing vs the Scala API.
+    "e40_batch_write" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      TempWork.scoped("graft_e40_") { tmp =>
+        val slice = t.events.filter(col("user_id") % 9 === 4)
+          .withColumn("bucket", pmod(col("user_id"), lit(8)).cast("int"))
+        val cut = lit("2024-01-14").cast("timestamp")
+        def save(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("gentable")
+            .option("keyCol", "user_id")
+            .option("orderCols", "ts,event_id")
+            .option("partitionCol", "bucket")
+            .mode("append").save(tmp)
+        save(slice.filter(col("ts") < cut))   // commit 1 (creates)
+        save(slice.filter(col("ts") >= cut))  // commit 2 (upserts)
+        spark.read.format("gentable").load(tmp)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"), col("value"), col("props"),
+            col("bucket").cast("int").as("bucket"))
+      }
+    },
+
+    // -- SQL MERGE on the lake: base = each pre-cut user's latest event;
+    //    source = each post-cut user's latest PURCHASE. One merge commit:
+    //    matched users with a small purchase UPDATE to it, matched users
+    //    whose purchase exceeds the threshold DELETE (takedown arm wins
+    //    over update — SQL clause order), post-cut-only users INSERT
+    //    regardless of value (the delete arm never gates inserts). The
+    //    oracle recomputes the arm algebra from first principles.
+    "e41_merge" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      TempWork.scoped("graft_e41_") { tmp =>
+        val slice = t.events.filter(col("user_id") % 9 === 5)
+          .withColumn("bucket", pmod(col("user_id"), lit(8)).cast("int"))
+        val cut = lit("2024-01-14").cast("timestamp")
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        def latest(df: org.apache.spark.sql.DataFrame) =
+          df.withColumn("_rn", row_number().over(w))
+            .filter(col("_rn") === 1).drop("_rn")
+        graft.sources.GenTable.upsertBatch(latest(slice.filter(col("ts") < cut)),
+          tmp, "user_id", Seq("ts", "event_id"), "bucket")
+        val src = latest(slice.filter(col("ts") >= cut &&
+          col("event_type") === "purchase"))
+        graft.sources.GenTable.merge(src, tmp, "user_id",
+          deleteWhen = Some(col("value") > 450.0))
+        graft.sources.GenTable.read(spark, tmp).get
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"), col("value"), col("props"),
+            col("bucket").cast("int").as("bucket"))
+      }
+    },
+
+    // -- String-keyed point lookup: a doc-key string (source + id) is
+    //    bloom-tracked, so the xxhash64 sidecars — not min/max bands,
+    //    which cannot exist for strings — decide which lang partitions a
+    //    plain `.isin` over the Catalyst-indexed read must open (pruning
+    //    itself is metrics-pinned in GenTableIndexSpec/GenTableWriteSpec).
+    //    The result must equal the oracle's plain IN filter.
+    "e42_string_lookup" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      TempWork.scoped("graft_e42_") { tmp =>
+        val docs = t.documents
+          .withColumn("doc_key", concat(lit("doc-"), col("doc_id")))
+        docs.write.format("gentable")
+          .option("keyCol", "doc_id").option("orderCols", "doc_id")
+          .option("partitionCol", "lang").option("bloomCols", "doc_key")
+          .mode("append").save(tmp)
+        val keys = Seq("doc-3", "doc-17", "doc-41", "doc-999983")
+        graft.sources.GenTable.readIndexed(spark, tmp).get
+          .filter(col("doc_key").isin(keys: _*))
+          .select(col("doc_id"), col("doc_key"), col("text"), col("lang"),
+            col("source"), col("n_chars"))
+      }
     }
   )
 
@@ -1567,6 +1649,51 @@ object EventQueries extends QueryPack {
         |WHERE user_id % 9 = 2
         |  AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-04'
         |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-18'
-        |  AND event_type IS DISTINCT FROM 'click'""".stripMargin
+        |  AND event_type IS DISTINCT FROM 'click'""".stripMargin,
+    // e40: two appends through the format doorway = latest-per-user over
+    // the whole slice, exactly the upsert algebra.
+    "e40_batch_write" ->
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |  value, props, CAST(user_id % 8 AS INT) AS bucket
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |  FROM events WHERE user_id % 9 = 4)
+        |WHERE rn = 1""".stripMargin,
+    // e41: MERGE arm algebra from first principles — base(pre-cut latest)
+    // vs src(post-cut latest purchase): matched & big-value deletes,
+    // matched & small-value updates to the src row, unmatched src rows
+    // insert whatever their value, untouched base rows survive.
+    "e41_merge" ->
+      """WITH slice AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |    value, props, CAST(user_id % 8 AS INT) AS bucket
+        |  FROM events WHERE user_id % 9 = 5),
+        |base AS (
+        |  SELECT user_id, event_id, ts, event_type, value, props, bucket
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM slice WHERE ts < TIMESTAMP '2024-01-14') WHERE rn = 1),
+        |src AS (
+        |  SELECT user_id, event_id, ts, event_type, value, props, bucket
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM slice WHERE ts >= TIMESTAMP '2024-01-14'
+        |      AND event_type = 'purchase') WHERE rn = 1)
+        |SELECT b.* FROM base b
+        |WHERE b.user_id NOT IN (SELECT user_id FROM src)
+        |UNION ALL
+        |SELECT s.* FROM src s
+        |WHERE s.user_id IN (SELECT user_id FROM base) AND s.value <= 450.0
+        |UNION ALL
+        |SELECT s.* FROM src s
+        |WHERE s.user_id NOT IN (SELECT user_id FROM base)""".stripMargin,
+    // e42: pruning is a read-path optimization; the answer is the IN.
+    "e42_string_lookup" ->
+      """SELECT doc_id, 'doc-' || doc_id AS doc_key, text, lang, source,
+        |  n_chars
+        |FROM documents
+        |WHERE 'doc-' || doc_id IN
+        |  ('doc-3', 'doc-17', 'doc-41', 'doc-999983')""".stripMargin
   )
 }

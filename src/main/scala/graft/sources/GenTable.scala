@@ -5,7 +5,7 @@ import java.nio.charset.StandardCharsets
 import java.util.UUID
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileContext, FileSystem, LocalFileSystem, Options, Path => HPath}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
 
@@ -732,6 +732,12 @@ object GenTable {
         pathsOf(dir, prev)).schema)
     }
     val merged = prevSchema.fold(rows.schema)(p => mergeSchemas(p, rows.schema))
+    // validate skip-column encodability BEFORE any file lands: a refused
+    // write must leave no orphan generation behind
+    (statsCols ++ prev.trackedStatsCols).distinct
+      .filter(rows.columns.contains).foreach(rangeEncoded(rows.schema, _))
+    (bloomCols ++ bloomTrackOf(prev)).distinct
+      .filter(rows.columns.contains).foreach(keyEncoded(rows.schema, _))
     val newGen = prev.tableGen + 1
     val touched = rows.select(col(partitionCol).cast("string")).distinct()
       .collect().map(_.getString(0)) // bounded: partitions per batch
@@ -814,6 +820,61 @@ object GenTable {
     }
   }
 
+  // ------------------------------------------------- skip-tier encoding
+
+  /** The skip tier's LONG ENCODING of a column, shared by the stats
+    * writer, the Bloom writer, and [[GenTableFileIndex]]'s literal
+    * conversion so all three agree exactly:
+    *  - integrals as themselves; timestamps as epoch seconds (the ANSI
+    *    cast — monotone floor, exact for band checks);
+    *  - dates as epoch DAYS via an explicit `unix_date` — ANSI mode
+    *    (Spark 4's default) rejects a direct date→long cast, which made
+    *    a date statsCol an AnalysisException at write time before this;
+    *  - strings ([[keyEncoded]] only — point lookups, never range bands:
+    *    hash order is not lexicographic order) as `xxhash64`, nulls kept
+    *    null so an all-null group still aggregates to no sidecar.
+    * Anything else fails LOUD at declaration time: a silently
+    * null-encoded column would bloom nothing, skip nothing, and read as
+    * if tracked.
+    */
+  private def rangeEncoded(schema: StructType, c: String): Column = {
+    import org.apache.spark.sql.types._
+    schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType | TimestampType |
+          FloatType | DoubleType | _: DecimalType =>
+        col(c).cast("long") // fractional: truncation, monotone enough for bands
+      case DateType => unix_date(col(c)).cast("long")
+      case other => throw new IllegalArgumentException(
+        s"statsCol '$c' has type ${other.simpleString}: min/max bands " +
+          s"support numeric/date/timestamp columns (string point lookups " +
+          s"belong in bloomCols)")
+    }
+  }
+
+  private def keyEncoded(schema: StructType, c: String): Column = {
+    import org.apache.spark.sql.types._
+    schema(c).dataType match {
+      case StringType => when(col(c).isNull, lit(null).cast("long"))
+        .otherwise(xxhash64(col(c)))
+      case ByteType | ShortType | IntegerType | LongType | TimestampType |
+          DateType | FloatType | DoubleType | _: DecimalType =>
+        rangeEncoded(schema, c)
+      case other => throw new IllegalArgumentException(
+        s"bloomCol '$c' has type ${other.simpleString}: Bloom sidecars " +
+          s"support numeric/date/timestamp/string columns")
+    }
+  }
+
+  /** Driver-side twin of `xxhash64(stringCol)` (seed 42), so a point
+    * lookup can hash its probe keys to the values the sidecars indexed.
+    */
+  private[sources] def xxhash64String(s: String): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s),
+        org.apache.spark.sql.types.StringType)), 42L)
+      .eval(null).asInstanceOf[Long]
+
   private[sources] def bloomTrackOf(c: Commit): Seq[String] =
     c.meta.get(BloomColsKey)
       .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
@@ -839,8 +900,9 @@ object GenTable {
 
   /** Per-(partition, column) Bloom sidecars at generation `gen`, built in
     * ONE grouped aggregate over `rows` (bounded by partitions-per-batch ×
-    * tracked columns, like [[computeStats]]). Values insert as longs (the
-    * stats tier's integral semantics); an over-filled filter degrades
+    * tracked columns, like [[computeStats]]). Values insert as longs via
+    * [[keyEncoded]] (integrals/dates/timestamps in the stats tier's
+    * semantics; strings as `xxhash64`); an over-filled filter degrades
     * toward more false positives — weaker skipping, never a wrong result,
     * because Bloom filters have no false negatives at any fill. Sized for
     * `expectedItems` distinct values at 1% fpp (~60 KB per sidecar at the
@@ -855,7 +917,7 @@ object GenTable {
     val numBits = math.max(64L, math.ceil(
       -expectedItems * math.log(0.01) / (math.log(2) * math.log(2))).toLong)
     val aggs = track.map(c => call_function("bloom_agg",
-      col(c).cast("long"), lit(expectedItems), lit(numBits)).as(s"_bf_$c"))
+      keyEncoded(rows.schema, c), lit(expectedItems), lit(numBits)).as(s"_bf_$c"))
     rows.groupBy(col(partitionCol).cast("string").as("_v"))
       .agg(aggs.head, aggs.tail: _*)
       .collect().foreach { r => // bounded: partitions per batch
@@ -870,16 +932,16 @@ object GenTable {
 
   /** Per-partition min/max of `track` columns over `rows` in one
     * map-side-combined aggregate; bounded by partitions-per-batch ×
-    * tracked columns. Values are `cast("long")` (integral semantics —
-    * timestamps compare as epoch seconds); all-null partitions get no
+    * tracked columns. Values encode via [[rangeEncoded]] (timestamps as
+    * epoch seconds, dates as epoch days); all-null partitions get no
     * entry (read conservatively by [[readRange]]).
     */
   private def computeStats(rows: DataFrame, partitionCol: String,
       track: Seq[String]): Map[String, Map[String, (Long, Long)]] = {
     if (track.isEmpty) return Map.empty
     val aggs = track.flatMap(c => Seq(
-      min(col(c).cast("long")).as(s"_mn_$c"),
-      max(col(c).cast("long")).as(s"_mx_$c")))
+      min(rangeEncoded(rows.schema, c)).as(s"_mn_$c"),
+      max(rangeEncoded(rows.schema, c)).as(s"_mx_$c")))
     rows.groupBy(col(partitionCol).cast("string").as("_v"))
       .agg(aggs.head, aggs.tail: _*)
       .collect().map { r =>
@@ -916,7 +978,8 @@ object GenTable {
     require(ranges.nonEmpty, "need at least one (column, range)")
     readCommit(dir).filter(_.gens.nonEmpty).map { c =>
       val resid = (df: DataFrame) => ranges.foldLeft(df) {
-        case (d, (sc, (lo, hi))) => d.filter(col(sc).cast("long").between(lo, hi))
+        case (d, (sc, (lo, hi))) =>
+          d.filter(rangeEncoded(d.schema, sc).between(lo, hi))
       }
       val keep = c.gens.toSeq.filter { case (v, _) =>
         ranges.forall { case (sc, (lo, hi)) =>
@@ -955,16 +1018,35 @@ object GenTable {
   def readEquals(spark: SparkSession, dir: String, column: String,
       keys: Seq[Long]): Option[DataFrame] = {
     require(keys.nonEmpty, "need at least one key")
+    readPruned(spark, dir, column, keys,
+      df => df.filter(rangeEncoded(df.schema, column).isin(keys: _*)))
+  }
+
+  /** String form of [[readEquals]] — the web-corpus access pattern (URL /
+    * doc-hash point lookups). Probe keys hash with the writer's own
+    * `xxhash64` encoding ([[keyEncoded]]) before the sidecar check, and
+    * the residual is a plain string `IN`, so the result equals
+    * `read(...).filter(col(column).isin(keys))` exactly; hash collisions
+    * cost a false-positive partition read, never a wrong row.
+    */
+  def readEqualsStrings(spark: SparkSession, dir: String, column: String,
+      keys: Seq[String]): Option[DataFrame] = {
+    require(keys.nonEmpty, "need at least one key")
+    readPruned(spark, dir, column, keys.map(xxhash64String),
+      df => df.filter(col(column).isin(keys: _*)))
+  }
+
+  private def readPruned(spark: SparkSession, dir: String, column: String,
+      encodedKeys: Seq[Long],
+      resid: DataFrame => DataFrame): Option[DataFrame] =
     readCommit(dir).filter(_.gens.nonEmpty).map { c =>
       val (f, root) = fsRoot(dir)
-      val resid = (df: DataFrame) =>
-        df.filter(col(column).cast("long").isin(keys: _*))
       val keep = c.gens.toSeq.filter { case (v, g) =>
         val mmKeep = c.stats.get(v).flatMap(_.get(column)) match {
-          case Some((mn, mx)) => keys.exists(k => k >= mn && k <= mx)
+          case Some((mn, mx)) => encodedKeys.exists(k => k >= mn && k <= mx)
           case None => true
         }
-        mmKeep && bloomSurvives(f, root, v, column, g, keys)
+        mmKeep && bloomSurvives(f, root, v, column, g, encodedKeys)
       }.sortBy(_._1)
       if (keep.isEmpty) {
         resid(read(spark, dir).get).limit(0)
@@ -973,7 +1055,6 @@ object GenTable {
         resid(readPaths(spark, dir, c, paths))
       }
     }
-  }
 
   /** Atomic upsert of one batch: merge latest-per-key into the touched
     * partitions and commit. This is the transactional replacement for the
@@ -1093,7 +1174,7 @@ object GenTable {
     */
   def replaceAll(rows: DataFrame, dir: String, partitionCol: String,
       meta: Map[String, String] = Map.empty,
-      statsCols: Seq[String] = Nil): Unit = {
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Unit = {
     require(!meta.contains(SchemaMetaKey),
       s"'$SchemaMetaKey' is reserved (the schema is derived from rows)")
     val frozen = rows.localCheckpoint(true)
@@ -1101,7 +1182,7 @@ object GenTable {
       val prevGen = readCommit(dir).map(_.tableGen).getOrElse(0L)
       val touched = frozen.select(col(partitionCol).cast("string")).distinct()
         .collect().map(_.getString(0)).toSet
-      val staged = stage(frozen, dir, partitionCol, statsCols)
+      val staged = stage(frozen, dir, partitionCol, statsCols, bloomCols)
       // an empty replace still commits (meta-only, e.g. an empty view's
       // marker) — minGen forces a fresh commit id in that case. Replace
       // semantics: the schema is exactly `rows`' (no union with history —
@@ -1381,6 +1462,113 @@ object GenTable {
         commitRewrite(spark, dir, c, touchedVals, survivors,
           opMeta("cdc_apply") ++ extraMeta)
     }
+  }
+
+  /** What a [[merge]] did, by MERGE arm: matched-and-updated,
+    * matched-and-deleted, not-matched-and-inserted source rows.
+    */
+  final case class MergeStats(updated: Long, deleted: Long, inserted: Long) {
+    def total: Long = updated + deleted + inserted
+  }
+
+  /** SQL `MERGE INTO` for the lake tier, in ONE atomic commit:
+    * {{{
+    * MERGE INTO target USING source ON target.key = source.key
+    *   WHEN MATCHED AND <deleteWhen> THEN DELETE
+    *   WHEN MATCHED AND <updateWhen> THEN UPDATE SET *
+    *   WHEN NOT MATCHED AND <insertWhen> THEN INSERT *
+    * }}}
+    * Arm conditions are predicates over the SOURCE row's columns
+    * (`None` disables the arm; the defaults are the plain upsert-merge:
+    * update every match, insert every miss). Clause order is SQL's:
+    * a matched row tests DELETE first, then UPDATE, else stays. Updates
+    * REPLACE the target row whole (`UPDATE SET *`); the source may add
+    * columns (schema evolution — untouched rows read null there).
+    *
+    * Contracts, shared with [[upsertBatch]]/[[applyCdcBatch]]:
+    *  - the source carries the table's partition column with each key's
+    *    STABLE value (key→partition is the table's bucketing contract;
+    *    IO is bounded by the partitions the source names, never the
+    *    table);
+    *  - at most one source row per key (the SQL MERGE cardinality rule —
+    *    violated, it fails loud before anything stages);
+    *  - `extraMeta` lands in the same manifest swap as the data, so a
+    *    consumer marker makes the merge exactly-once under replay.
+    * A merge where every arm matches nothing commits nothing. Returns
+    * per-arm row counts.
+    */
+  def merge(source: DataFrame, dir: String, keyCol: String,
+      updateWhen: Option[Column] = Some(lit(true)),
+      deleteWhen: Option[Column] = None,
+      insertWhen: Option[Column] = Some(lit(true)),
+      extraMeta: Map[String, String] = Map.empty): MergeStats = {
+    val spark = source.sparkSession
+    val c = readCommit(dir).getOrElse(throw new IllegalStateException(
+      s"MERGE target $dir has no committed GenTable " +
+        s"(seed it with upsertBatch/replaceAll or a batch save first)"))
+    require(c.gens.nonEmpty, s"MERGE target $dir is empty")
+    val pcol = c.partitionCol
+    Seq(keyCol, pcol).foreach(cn => require(source.columns.contains(cn),
+      s"MERGE source must carry key/partition column '$cn'"))
+    schemaOf(c).foreach(p => mergeSchemas(p, source.schema))
+    // NULL-condition rows take no action, like SQL WHEN ... AND <cond>
+    val delCond = deleteWhen.map(coalesce(_, lit(false))).getOrElse(lit(false))
+    val updCond = updateWhen.map(coalesce(_, lit(false)))
+      .getOrElse(lit(false)) && !delCond
+    val insCond = insertWhen.map(coalesce(_, lit(false))).getOrElse(lit(false))
+    val frozenSrc = source.localCheckpoint(true)
+    try {
+      val card = frozenSrc
+        .agg(count(lit(1)).as("n"), count_distinct(col(keyCol)).as("k"),
+          count(when(col(keyCol).isNull, 1)).as("nulls")).collect()(0)
+      require(card.getLong(2) == 0L,
+        s"MERGE source has NULL '$keyCol' keys")
+      require(card.getLong(0) == card.getLong(1),
+        s"MERGE source has ${card.getLong(0) - card.getLong(1)} duplicate " +
+          s"'$keyCol' keys (SQL MERGE forbids multiple source matches per " +
+          s"target row); pre-aggregate the source")
+      val touched = frozenSrc.select(col(pcol).cast("string")).distinct()
+        .collect().map(_.getString(0)) // bounded: partitions per batch
+      require(!touched.contains(null),
+        s"partition column '$pcol' contains NULLs in the MERGE source")
+      val touchedVals = touched.toSet
+      val existingPaths = c.gens.filter { case (v, _) => touchedVals(v) }
+        .toSeq.sortBy(_._1).map { case (v, g) => s"$dir/$pcol=$v/gen=$g" }
+      val existing =
+        if (existingPaths.isEmpty) None
+        else Some(readPaths(spark, dir, c, existingPaths))
+      // one keyed probe decides matched-ness for every arm at once
+      val flagged = (existing match {
+        case Some(ex) => frozenSrc.join(
+          ex.select(col(keyCol)).distinct().withColumn("_matched", lit(true)),
+          Seq(keyCol), "left")
+          .withColumn("_matched", coalesce(col("_matched"), lit(false)))
+        case None => frozenSrc.withColumn("_matched", lit(false))
+      }).localCheckpoint(true)
+      try {
+        val armRow = flagged.agg(
+          sum(when(col("_matched") && updCond, 1L).otherwise(0L)),
+          sum(when(col("_matched") && delCond, 1L).otherwise(0L)),
+          sum(when(!col("_matched") && insCond, 1L).otherwise(0L))).collect()(0)
+        def arm(i: Int): Long = if (armRow.isNullAt(i)) 0L else armRow.getLong(i)
+        val stats = MergeStats(arm(0), arm(1), arm(2))
+        if (stats.total == 0L) return stats // all-arms-miss: no empty commit
+        val replacedKeys = flagged
+          .filter(col("_matched") && (updCond || delCond)).select(col(keyCol))
+        val updates = flagged.filter(col("_matched") && updCond).drop("_matched")
+        val inserts = flagged.filter(!col("_matched") && insCond).drop("_matched")
+        val changes = updates.unionByName(inserts)
+        val result = existing match {
+          case Some(ex) => ex
+            .join(broadcast(replacedKeys), Seq(keyCol), "left_anti")
+            .unionByName(changes, allowMissingColumns = true)
+          case None => changes
+        }
+        commitRewrite(spark, dir, c, touchedVals, result,
+          opMeta("merge") ++ extraMeta)
+        stats
+      } finally flagged.unpersist()
+    } finally frozenSrc.unpersist()
   }
 
   /** Shared delete tail: stage the survivors of the touched partitions

@@ -28,6 +28,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    are checked against the manifest's per-partition min/max bands
   *    ([[GenTable.readRanges]]' skip) and, for (=|IN), against the
   *    per-partition Bloom sidecars ([[GenTable.readEquals]]' skip).
+  *    String (=|IN) conjuncts hash their literals with the Bloom writer's
+  *    own `xxhash64` encoding, so URL/doc-hash point lookups — the
+  *    web-corpus access pattern — prune too; string RANGES never prune
+  *    (hash order is not lexicographic order).
   *
   * So a plain `.filter($"event_id" between (lo, hi))` or
   * `.filter($"user_id".isin(ks: _*))` on [[GenTable.readIndexed]]'s frame
@@ -145,16 +149,28 @@ final class GenTableFileIndex(
     }
   }
 
+  /** Literal conversion for EQUALITY/IN conjuncts only: the band types
+    * plus strings, which the Bloom writer indexes as `xxhash64` of the
+    * value ([[GenTable.keyEncoded]]). Strings never join [[asLong]]'s
+    * range arms — hash order is not lexicographic order.
+    */
+  private def asKey(value: Any, t: DataType): Option[Long] = (value, t) match {
+    case (null, _) => None
+    case (u: UTF8String, StringType) =>
+      Some(GenTable.xxhash64String(u.toString))
+    case _ => asLong(value, t)
+  }
+
   private def skipsOf(e: Expression): Seq[Skip] = e match {
     case And(l, r) => skipsOf(l) ++ skipsOf(r)
     case EqualTo(ColRef((c, _)), Literal(v, t)) =>
-      asLong(v, t).map(k => KeySkip(c, Seq(k))).toSeq
+      asKey(v, t).map(k => KeySkip(c, Seq(k))).toSeq
     case EqualTo(Literal(v, t), ColRef((c, _))) =>
-      asLong(v, t).map(k => KeySkip(c, Seq(k))).toSeq
+      asKey(v, t).map(k => KeySkip(c, Seq(k))).toSeq
     case EqualNullSafe(ColRef((c, _)), Literal(v, t)) =>
-      asLong(v, t).map(k => KeySkip(c, Seq(k))).toSeq
+      asKey(v, t).map(k => KeySkip(c, Seq(k))).toSeq
     case EqualNullSafe(Literal(v, t), ColRef((c, _))) =>
-      asLong(v, t).map(k => KeySkip(c, Seq(k))).toSeq
+      asKey(v, t).map(k => KeySkip(c, Seq(k))).toSeq
     case GreaterThan(ColRef((c, _)), Literal(v, t)) => // conservative: >=
       asLong(v, t).map(lo => RangeSkip(c, lo, Long.MaxValue)).toSeq
     case GreaterThanOrEqual(ColRef((c, _)), Literal(v, t)) =>
@@ -173,13 +189,13 @@ final class GenTableFileIndex(
     case LessThanOrEqual(Literal(v, t), ColRef((c, _))) =>
       asLong(v, t).map(lo => RangeSkip(c, lo, Long.MaxValue)).toSeq
     case In(ColRef((c, _)), vs) if vs.forall(_.isInstanceOf[Literal]) =>
-      val ks = vs.map { case Literal(v, t) => asLong(v, t) }
+      val ks = vs.map { case Literal(v, t) => asKey(v, t) }
       // a single un-convertible element disqualifies the whole IN
       // (it might match a partition the convertible keys would skip)
       if (ks.forall(_.isDefined)) Seq(KeySkip(c, ks.flatten))
       else Nil
     case InSet(e @ ColRef((c, _)), hset) =>
-      val ks = hset.toSeq.map(asLong(_, e.dataType))
+      val ks = hset.toSeq.map(asKey(_, e.dataType))
       if (ks.forall(_.isDefined)) Seq(KeySkip(c, ks.flatten))
       else Nil
     case _ => Nil // unknown shape: decides nothing, prunes nothing
@@ -254,11 +270,21 @@ object GenTableFileIndex {
   }
 }
 
-/** The `"gentable"` DataSource, both directions:
+/** The `"gentable"` DataSource, all three directions:
   *
   *  - `spark.read.format("gentable").load(dir)` — the manifest-indexed
   *    relation ([[GenTableFileIndex]]; `option("versionAsOf", id)`
   *    time-travels to an archived commit);
+  *  - `df.write.format("gentable")` — BATCH saves through the commit
+  *    protocol, the standard doorway a Spark user tries first. Modes map
+  *    onto the transactional writers:
+  *    `append` = [[GenTable.upsertBatch]] (requires `keyCol`,
+  *    `orderCols`, `partitionCol` — latest-per-key merge, one commit);
+  *    `overwrite` = [[GenTable.replaceAll]] (requires `partitionCol` —
+  *    the table becomes exactly the frame, one commit);
+  *    `errorifexists` (the DataFrameWriter default) refuses a committed
+  *    table; `ignore` no-ops on one. `statsCols`/`bloomCols` options
+  *    declare skipping columns, same as the Scala API;
   *  - `df.writeStream.format("gentable")` — an EXACTLY-ONCE streaming
   *    sink over the commit protocol. Options: `keyCol`, `partitionCol`,
   *    and either `orderCols` (comma-separated; mode `upsert`, the
@@ -280,9 +306,55 @@ object GenTableFileIndex {
   *    }}}
   */
 final class GenTableSourceProvider extends RelationProvider
+    with org.apache.spark.sql.sources.CreatableRelationProvider
     with org.apache.spark.sql.sources.StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "gentable"
+
+  /** `df.write.format("gentable").mode(...).save(dir)` — see the class
+    * doc for the mode→writer mapping. Every mode lands as ONE manifest
+    * swap (crash-atomic), and the returned relation is the post-commit
+    * manifest-indexed read.
+    */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    def opt(k: String): Option[String] =
+      parameters.get(k.toLowerCase).orElse(parameters.get(k))
+    val path = opt("path").getOrElse(throw new IllegalArgumentException(
+      "gentable batch write requires a path: .save(dir)"))
+    val pcol = opt("partitionCol").getOrElse(
+      throw new IllegalArgumentException(
+        "gentable batch write requires .option(\"partitionCol\", <column>)"))
+    def cols(k: String): Seq[String] = opt(k)
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+    val statsCols = cols("statsCols")
+    val bloomCols = cols("bloomCols")
+    val exists = GenTable.readCommit(path).isDefined
+    def replace(): Unit =
+      GenTable.replaceAll(data, path, pcol, statsCols = statsCols,
+        bloomCols = bloomCols)
+    mode match {
+      case SaveMode.Append =>
+        val keyCol = opt("keyCol").getOrElse(
+          throw new IllegalArgumentException("gentable append is an upsert " +
+            "and requires .option(\"keyCol\", <merge key column>)"))
+        val orderCols = cols("orderCols")
+        require(orderCols.nonEmpty, "gentable append requires " +
+          ".option(\"orderCols\", \"ts,tiebreak\") — latest-per-key needs " +
+          "an order")
+        GenTable.upsertBatch(data, path, keyCol, orderCols, pcol,
+          statsCols = statsCols, bloomCols = bloomCols)
+      case SaveMode.Overwrite => replace()
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalStateException(
+          s"GenTable already committed at $path (default ErrorIfExists " +
+            s"mode); use mode(\"append\") to upsert or mode(\"overwrite\") " +
+            s"to replace")
+        replace()
+      case SaveMode.Ignore => if (!exists) replace()
+    }
+    createRelation(sqlContext, Map("path" -> path))
+  }
 
   override def createSink(sqlContext: SQLContext,
       parameters: Map[String, String],

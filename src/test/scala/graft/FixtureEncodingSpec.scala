@@ -37,6 +37,10 @@ class FixtureEncodingSpec extends SparkSpec {
       case "long" => base.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
     }
     variant.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // e42's lake lifecycle reads documents too; it has no ts column, so
+    // the encoding variants don't apply — copy it through unchanged
+    Tables(spark, sf).documents.write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
     dir
   }
 

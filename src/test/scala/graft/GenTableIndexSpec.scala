@@ -102,6 +102,59 @@ class GenTableIndexSpec extends SparkSpec {
     assert(point.count() === 1L)
   }
 
+  test("string bloom skip: equality on a string bloom column prunes via xxhash64") {
+    val dir = tmp()
+    // one URL pinned to a single day; strings have no min/max bands, so
+    // only the hashed sidecar can know which partition holds it
+    val rows = (0L until 400L).map { i =>
+      (100L * (i / 100L) + (i % 100L), s"https://h${i % 20L}.example/p",
+        s"d${i / 100L}", i.toDouble)
+    }.toDF("event_id", "url", "day", "value")
+    GenTable.upsertBatch(rows, dir, "event_id", Seq("value"), "day",
+      bloomCols = Seq("url"), bloomExpectedItems = 100L)
+    // every day holds h0..h19, so an equality CAN'T prune — rewrite one
+    // day's slot to a unique URL that exists nowhere else
+    GenTable.upsertBatch(
+      Seq((150L, "https://unique.example/only", "d1", 999.0))
+        .toDF("event_id", "url", "day", "value"),
+      dir, "event_id", Seq("value"), "day")
+    val all = filesRead(GenTable.readIndexed(spark, dir).get)
+    val point = GenTable.readIndexed(spark, dir).get
+      .filter(col("url") === "https://unique.example/only")
+    val pointFiles = filesRead(point)
+    assert(pointFiles < all, s"expected string bloom skip: $pointFiles vs $all")
+    assert(point.count() === 1L)
+    // IN over string literals prunes to the union of surviving partitions
+    val in2 = GenTable.readIndexed(spark, dir).get
+      .filter(col("url").isin("https://unique.example/only",
+        "https://nowhere.example/"))
+    assert(filesRead(in2) < all)
+    assert(in2.count() === 1L)
+    // a string RANGE must not prune (hash order != lexicographic order):
+    // conservative — full read, correct rows
+    val ranged = GenTable.readIndexed(spark, dir).get
+      .filter(col("url") > "https://z")
+    assert(ranged.count() === 0L)
+    assert(filesRead(GenTable.readIndexed(spark, dir).get
+      .filter(col("url") >= "https://h0.example/p")) === all)
+  }
+
+  test("date band skip: a date range filter prunes via epoch-day stats") {
+    val dir = tmp()
+    val rows = (0L until 200L).map { i =>
+      (i, java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1)
+        .plusDays(i / 50L)), s"b${i / 50L}", i.toDouble)
+    }.toDF("event_id", "d", "bucket", "value")
+    GenTable.upsertBatch(rows, dir, "event_id", Seq("value"), "bucket",
+      statsCols = Seq("d"))
+    val all = filesRead(GenTable.readIndexed(spark, dir).get)
+    val jan2 = GenTable.readIndexed(spark, dir).get
+      .filter(col("d") === lit("2024-01-02").cast("date"))
+    val got = filesRead(jan2)
+    assert(got < all, s"expected date band skip: $got vs $all")
+    assert(jan2.count() === 50L)
+  }
+
   test("conservative: filters it cannot decide prune nothing, lose nothing") {
     val dir = tmp()
     seed(dir)

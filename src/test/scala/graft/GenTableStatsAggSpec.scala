@@ -97,6 +97,30 @@ class GenTableStatsAggSpec extends SparkSpec {
         .orderBy("day").collect().toSeq)
   }
 
+  test("min/max of a date statsCol rewrite from epoch-day stats, exactly") {
+    val dir = tmp()
+    // dates encode as epoch days in the stats tier (explicit unix_date —
+    // ANSI rejects date->long), and fromLong inverts them exactly
+    val rows = (0L until 120L).map { i =>
+      (i, java.sql.Date.valueOf(java.time.LocalDate.of(2024, 3, 1)
+        .plusDays(i % 17L)), s"b${i / 40L}", i.toDouble)
+    }.toDF("event_id", "d", "bucket", "value")
+    GenTable.upsertBatch(rows, dir, "event_id", Seq("value"), "bucket",
+      statsCols = Seq("d"))
+    val g = GenTable.readIndexed(spark, dir).get
+      .agg(min("d").as("mn"), max("d").as("mx"))
+    assert(isMetadataOnly(g), g.queryExecution.optimizedPlan.toString)
+    assert(g.collect()(0) === GenTable.read(spark, dir).get
+      .agg(min("d"), max("d")).collect()(0))
+    val grouped = GenTable.readIndexed(spark, dir).get
+      .groupBy("bucket").agg(min("d").as("mn"), max("d").as("mx"))
+    assert(isMetadataOnly(grouped))
+    assert(grouped.orderBy("bucket").collect().toSeq ===
+      GenTable.read(spark, dir).get.groupBy("bucket")
+        .agg(min("d").as("mn"), max("d").as("mx"))
+        .orderBy("bucket").collect().toSeq)
+  }
+
   test("time travel counts are metadata-only per archived commit") {
     val dir = tmp()
     seed(dir)

@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import graft.sources.GenTable
+
+/** The standard batch write doorway (`df.write.format("gentable")`) and
+  * SQL MERGE semantics ([[GenTable.merge]]): every mode/arm must land as
+  * one atomic commit with results equal to the Scala writers it maps to,
+  * and every contract violation must refuse loudly BEFORE anything
+  * commits.
+  */
+class GenTableWriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String = tempDir("graft_genwrite_")
+
+  private def batch(tuples: (Long, Long, Double)*): DataFrame =
+    tuples.toSeq.toDF("user_id", "ts", "value")
+      .withColumn("bucket", pmod(col("user_id"), lit(4)).cast("int"))
+
+  private def rows(df: DataFrame): Set[(Long, Long, Double, Int)] =
+    df.select(col("user_id"), col("ts"), col("value"),
+        col("bucket").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+
+  test("df.write append == upsertBatch; read-back through the same format") {
+    val dir = tmp()
+    batch((1L, 10L, 1.0), (2L, 10L, 2.0)).write.format("gentable")
+      .option("keyCol", "user_id").option("orderCols", "ts")
+      .option("partitionCol", "bucket").mode("append").save(dir)
+    // second batch: newer ts wins, older ts must not displace
+    batch((1L, 20L, 1.5), (2L, 5L, 9.9), (3L, 20L, 3.0)).write
+      .format("gentable")
+      .option("keyCol", "user_id").option("orderCols", "ts")
+      .option("partitionCol", "bucket").mode("append").save(dir)
+    val expect = Set((1L, 20L, 1.5, 1), (2L, 10L, 2.0, 2), (3L, 20L, 3.0, 3))
+    assert(rows(GenTable.read(spark, dir).get) === expect)
+    assert(rows(spark.read.format("gentable").load(dir)) === expect)
+    assert(GenTable.readCommit(dir).get.meta("commit_op") === "upsert")
+  }
+
+  test("df.write modes: default refuses, ignore no-ops, overwrite replaces") {
+    val dir = tmp()
+    def save(df: DataFrame, m: String): Unit =
+      df.write.format("gentable").option("partitionCol", "bucket")
+        .mode(m).save(dir)
+    save(batch((1L, 10L, 1.0)), "errorifexists") // fresh table: creates
+    assert(rows(GenTable.read(spark, dir).get) === Set((1L, 10L, 1.0, 1)))
+    val e = intercept[IllegalStateException] {
+      save(batch((2L, 10L, 2.0)), "errorifexists")
+    }
+    assert(e.getMessage.contains("already committed"))
+    save(batch((2L, 10L, 2.0)), "ignore") // committed: silently keeps
+    assert(rows(GenTable.read(spark, dir).get) === Set((1L, 10L, 1.0, 1)))
+    save(batch((5L, 30L, 5.0), (6L, 30L, 6.0)), "overwrite")
+    assert(rows(GenTable.read(spark, dir).get) ===
+      Set((5L, 30L, 5.0, 1), (6L, 30L, 6.0, 2)))
+    assert(GenTable.readCommit(dir).get.meta("commit_op") === "replace")
+    // append without the upsert contract fails loud
+    val e2 = intercept[IllegalArgumentException] {
+      batch((7L, 1L, 7.0)).write.format("gentable")
+        .option("partitionCol", "bucket").mode("append").save(dir)
+    }
+    assert(e2.getMessage.contains("keyCol"))
+  }
+
+  test("df.write declares skip columns; blooms prune the format read") {
+    val dir = tmp()
+    val b = Seq((1L, 10L, "https://a.example/"), (5L, 10L, "https://b.example/"),
+      (2L, 10L, "https://c.example/"), (6L, 10L, "https://d.example/"))
+      .toDF("user_id", "ts", "url")
+      .withColumn("bucket", pmod(col("user_id"), lit(4)).cast("int"))
+    b.write.format("gentable").option("keyCol", "user_id")
+      .option("orderCols", "ts").option("partitionCol", "bucket")
+      .option("statsCols", "ts").option("bloomCols", "url")
+      .mode("append").save(dir)
+    def filesRead(df: DataFrame): Long = {
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      df.collect()
+      def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case f: FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(scans)
+      }
+      scans(df.queryExecution.executedPlan)
+        .map(_.metrics("numFiles").value).sum
+    }
+    val all = filesRead(spark.read.format("gentable").load(dir))
+    val point = spark.read.format("gentable").load(dir)
+      .filter(col("url") === "https://b.example/")
+    val pointFiles = filesRead(point)
+    assert(pointFiles < all,
+      s"format-declared bloom failed to prune: $pointFiles vs $all")
+    assert(point.count() === 1L)
+  }
+
+  test("merge: update/delete/insert arms in one commit, SQL clause order") {
+    val dir = tmp()
+    GenTable.upsertBatch(
+      batch((1L, 10L, 1.0), (2L, 10L, 2.0), (3L, 10L, 3.0), (4L, 10L, 4.0)),
+      dir, "user_id", Seq("ts"), "bucket")
+    val src = batch(
+      (1L, 20L, -1.0), // matched, deleteWhen(value<0) → DELETE (beats update)
+      (2L, 20L, 2.5),  // matched → UPDATE
+      (9L, 20L, 9.0))  // not matched → INSERT
+    val st = GenTable.merge(src, dir, "user_id",
+      deleteWhen = Some(col("value") < 0))
+    assert(st === GenTable.MergeStats(updated = 1L, deleted = 1L,
+      inserted = 1L))
+    assert(rows(GenTable.read(spark, dir).get) === Set(
+      (2L, 20L, 2.5, 2), (3L, 10L, 3.0, 3), (4L, 10L, 4.0, 0),
+      (9L, 20L, 9.0, 1)))
+    val c = GenTable.readCommit(dir).get
+    assert(c.meta("commit_op") === "merge")
+    // one commit for all three arms
+    assert(c.tableGen === 2L)
+  }
+
+  test("merge: disabled/conditional arms and the no-op short-circuit") {
+    val dir = tmp()
+    GenTable.upsertBatch(batch((1L, 10L, 1.0), (2L, 10L, 2.0)),
+      dir, "user_id", Seq("ts"), "bucket")
+    val head = GenTable.readCommit(dir).get.tableGen
+    // update disabled, insert gated: matched rows stay, misses insert only
+    // when the condition holds; NULL conditions act (SQL) like false
+    val src = Seq((1L, 20L, 9.9, "x"), (7L, 20L, 7.0, "ok"),
+        (8L, 20L, 8.0, null.asInstanceOf[String]))
+      .toDF("user_id", "ts", "value", "tag")
+      .withColumn("bucket", pmod(col("user_id"), lit(4)).cast("int"))
+    val st = GenTable.merge(src, dir, "user_id",
+      updateWhen = None,
+      insertWhen = Some(col("tag") === "ok"))
+    assert(st === GenTable.MergeStats(0L, 0L, 1L))
+    assert(GenTable.read(spark, dir).get
+      .select("user_id").as[Long].collect().toSet === Set(1L, 2L, 7L))
+    // all arms miss: nothing commits, head unmoved
+    val st2 = GenTable.merge(src.filter(col("user_id") === 1L), dir,
+      "user_id", updateWhen = None)
+    assert(st2.total === 0L)
+    assert(GenTable.readCommit(dir).get.tableGen === head + 1)
+  }
+
+  test("merge: cardinality rule and null keys fail loud, nothing staged") {
+    val dir = tmp()
+    GenTable.upsertBatch(batch((1L, 10L, 1.0)), dir, "user_id", Seq("ts"),
+      "bucket")
+    val dup = batch((1L, 20L, 1.5), (1L, 30L, 1.6))
+    val e = intercept[IllegalArgumentException] {
+      GenTable.merge(dup, dir, "user_id")
+    }
+    assert(e.getMessage.contains("duplicate"))
+    assert(GenTable.readCommit(dir).get.tableGen === 1L)
+    assert(rows(GenTable.read(spark, dir).get) === Set((1L, 10L, 1.0, 1)))
+  }
+
+  test("merge: schema evolution — an inserting merge may add columns") {
+    val dir = tmp()
+    GenTable.upsertBatch(batch((1L, 10L, 1.0), (2L, 10L, 2.0)),
+      dir, "user_id", Seq("ts"), "bucket")
+    val src = batch((2L, 20L, 2.5), (5L, 20L, 5.0))
+      .withColumn("origin", lit("backfill"))
+    val st = GenTable.merge(src, dir, "user_id")
+    assert(st === GenTable.MergeStats(1L, 0L, 1L))
+    val got = GenTable.read(spark, dir).get
+      .select(col("user_id"), col("origin")).as[(Long, Option[String])]
+      .collect().toMap
+    assert(got === Map(1L -> None, 2L -> Some("backfill"),
+      5L -> Some("backfill")))
+  }
+}
