@@ -105,27 +105,32 @@ object GenTableMetadataAggregate extends Rule[LogicalPlan] {
     // directly; extrema too, as the marker that the manifest is from the
     // tracking era)
     if (c.totalRows.isEmpty) return None
-    val pcol = idx.partitionColName
-    val tz = Option(conf.sessionLocalTimeZone)
+    val pcols = idx.partitionColNames
+    val pOrdinal: Map[String, Int] = pcols.zipWithIndex.toMap
+    val pTypes = idx.partitionSchema.fields.map(_.dataType)
 
-    // a Filter is decidable iff it constrains the PARTITION COLUMN alone
-    // (every row of a partition shares the value, so a per-VALUE verdict
+    // a Filter is decidable iff it constrains PARTITION COLUMNS alone
+    // (every row of a partition shares their values, so a per-KEY verdict
     // selects whole partitions exactly); anything else keeps the scan
     val pcolOnly = filters.forall { f =>
       f.deterministic &&
-        f.references.forall(_.name == pcol) &&
+        f.references.forall(r => pOrdinal.contains(r.name)) &&
         !f.exists(_.isInstanceOf[PlanExpression[_]])
     }
     if (!pcolOnly) return None
-    val pType = idx.partitionSchema.fields.head.dataType
-    def typedPartValue(v: String): Any =
-      Cast(Literal(UTF8String.fromString(v), StringType), pType, tz)
-        .eval(InternalRow.empty)
-    def passes(v: String): Boolean = filters.forall { f =>
-      val bound = f.transform {
-        case _: AttributeReference => BoundReference(0, pType, nullable = true)
+    // each partition key's typed value tuple (the index's own cast —
+    // session TZ, recorded schema)
+    def typedRow(key: String): InternalRow = idx.typedRowOf(key)
+    def passes(key: String): Boolean = {
+      val row = typedRow(key)
+      filters.forall { f =>
+        val bound = f.transform {
+          case a: AttributeReference =>
+            val i = pOrdinal(a.name)
+            BoundReference(i, pTypes(i), nullable = true)
+        }
+        java.lang.Boolean.TRUE.equals(bound.eval(row))
       }
-      java.lang.Boolean.TRUE.equals(bound.eval(InternalRow(typedPartValue(v))))
     }
     val live = c.gens.keySet.toSeq.sorted.filter(passes)
     val totalRows = live.map(c.rows).sum
@@ -161,31 +166,38 @@ object GenTableMetadataAggregate extends Rule[LogicalPlan] {
       }
       Some(LocalRelation(agg.output, Seq(InternalRow.fromSeq(values))))
     } else {
-      // ---- grouped by the partition column: one output row per partition
-      val groupAttr = agg.groupingExpressions match {
-        case Seq(a: AttributeReference) if a.name == pcol => a
+      // ---- grouped by the partition column(s): one output row per
+      // partition. Grouping must cover ALL partition columns (each key
+      // tuple is then exactly one group); a strict-subset grouping would
+      // need cross-partition merging and keeps the scan.
+      val groupAttrs = agg.groupingExpressions.map {
+        case a: AttributeReference if pOrdinal.contains(a.name) => a
         case _ => return None
       }
+      if (groupAttrs.map(_.name).sorted != pcols.sorted) return None
+      val groupNames = groupAttrs.map(_.name).toSet
+      def componentOf(a: AttributeReference): String => Any =
+        (key: String) => typedRow(key).get(pOrdinal(a.name),
+          pTypes(pOrdinal(a.name)))
       val perRow: Seq[String => Any] = agg.aggregateExpressions.map {
-        case a: AttributeReference if a.semanticEquals(groupAttr) =>
-          typedPartValue _
-        case Alias(a: AttributeReference, _) if a.semanticEquals(groupAttr) =>
-          typedPartValue _
+        case a: AttributeReference if groupNames(a.name) => componentOf(a)
+        case Alias(a: AttributeReference, _) if groupNames(a.name) =>
+          componentOf(a)
         case Alias(PlainAgg(f), _) if isCountStar(f) =>
-          (v: String) => c.rows(v)
+          (k: String) => c.rows(k)
         case Alias(PlainAgg(Min(a: AttributeReference)), _) =>
           // validate up front (every partition tracked, type invertible);
           // the per-row lambda then cannot fail
           if (extremum(a.name, isMin = true).isEmpty ||
             fromLong(a.dataType, 0L).isEmpty) return None
-          (v: String) => fromLong(a.dataType, c.stats(v)(a.name)._1).get
+          (k: String) => fromLong(a.dataType, c.stats(k)(a.name)._1).get
         case Alias(PlainAgg(Max(a: AttributeReference)), _) =>
           if (extremum(a.name, isMin = false).isEmpty ||
             fromLong(a.dataType, 0L).isEmpty) return None
-          (v: String) => fromLong(a.dataType, c.stats(v)(a.name)._2).get
+          (k: String) => fromLong(a.dataType, c.stats(k)(a.name)._2).get
         case _ => return None
       }
-      val rows = live.map(v => InternalRow.fromSeq(perRow.map(f => f(v))))
+      val rows = live.map(k => InternalRow.fromSeq(perRow.map(f => f(k))))
       Some(LocalRelation(agg.output, rows))
     }
   }

@@ -1102,6 +1102,38 @@ object EventQueries extends QueryPack {
           .select(col("doc_id"), col("doc_key"), col("text"), col("lang"),
             col("source"), col("n_chars"))
       }
+    },
+
+    // -- Composite partition keys — the canonical 100 TB layout
+    //    `(day, bucket)`: a week of events lands day×bucket-partitioned
+    //    (retention pruning × upsert locality), a retention job drops the
+    //    oldest days (whole-partition deletes, pruned by the day
+    //    component), and a takedown deletes one user's rows (pruned by
+    //    the bucket component). The committed result must equal the plain
+    //    filter algebra the oracle computes — layout is a storage
+    //    concern; per-column Catalyst pruning is metrics-pinned in
+    //    GenTableCompositeSpec.
+    "e43_composite_partitions" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      TempWork.scoped("graft_e43_") { tmp =>
+        val slice = t.events.filter(col("user_id") % 9 === 8 &&
+            col("ts") >= lit("2024-01-08").cast("timestamp") &&
+            col("ts") < lit("2024-01-15").cast("timestamp"))
+          .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+          .withColumn("bucket", pmod(col("user_id"), lit(4)).cast("int"))
+        graft.sources.GenTable.upsertBatch(slice, tmp, "event_id",
+          Seq("ts"), Seq("day", "bucket"),
+          statsCols = Seq("event_id"))                        // commit 1
+        graft.sources.GenTable.deleteWhere(spark, tmp,
+          col("day") < "2024-01-10")                          // commit 2
+        graft.sources.GenTable.deleteWhere(spark, tmp,
+          col("user_id") === 17L && col("bucket") === 1)      // commit 3
+        graft.sources.GenTable.read(spark, tmp).get
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"), col("value"), col("props"),
+            col("day").cast("string").as("day"),
+            col("bucket").cast("int").as("bucket"))
+      }
     }
   )
 
@@ -1694,6 +1726,20 @@ object EventQueries extends QueryPack {
         |  n_chars
         |FROM documents
         |WHERE 'doc-' || doc_id IN
-        |  ('doc-3', 'doc-17', 'doc-41', 'doc-999983')""".stripMargin
+        |  ('doc-3', 'doc-17', 'doc-41', 'doc-999983')""".stripMargin,
+    // e43: the composite layout is a storage concern — the committed
+    // content after retention and takedown deletes is the slice minus
+    // the dropped days minus the one user.
+    "e43_composite_partitions" ->
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |  value, props,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |  CAST(user_id % 4 AS INT) AS bucket
+        |FROM events
+        |WHERE user_id % 9 = 8
+        |  AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-08'
+        |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-15'
+        |  AND strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') >= '2024-01-10'
+        |  AND NOT (user_id = 17 AND user_id % 4 = 1)""".stripMargin
   )
 }

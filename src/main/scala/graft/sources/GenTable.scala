@@ -100,20 +100,44 @@ import org.apache.spark.sql.types.{DataType, StructType}
   */
 object GenTable {
 
-  /** A committed table state: each partition VALUE (its string form, as
-    * in the directory name) maps to its committed generation. `minGen`
-    * floors [[tableGen]] so commit ids stay strictly increasing even
-    * when a commit removes the highest-generation partitions entirely
-    * (a [[deleteWhere]] that empties them) — without it the next commit
-    * id could collide with an archived one.
+  /** One or more partition columns. A bare String or Seq[String] converts
+    * implicitly, so `upsertBatch(..., "bucket")` and
+    * `upsertBatch(..., Seq("day", "bucket"))` both read naturally —
+    * `(day, bucket)` is the canonical 100 TB layout: a time column for
+    * retention and range pruning × a hash bucket for upsert locality.
     */
-  final case class Commit(partitionCol: String, gens: Map[String, Long],
+  final case class PartitionCols(cols: Seq[String]) {
+    require(cols.nonEmpty, "need at least one partition column")
+    require(cols.distinct == cols, s"duplicate partition columns: $cols")
+  }
+  object PartitionCols {
+    import scala.language.implicitConversions
+    implicit def fromString(c: String): PartitionCols = PartitionCols(Seq(c))
+    implicit def fromSeq(cs: Seq[String]): PartitionCols = PartitionCols(cs)
+  }
+
+  /** A committed table state: each partition KEY maps to its committed
+    * generation. A key is the partition's value tuple in canonical form —
+    * each component's string rendering URL-encoded, components joined
+    * with ',' ([[partKey]]); for a single-column table this is exactly
+    * the directory-name value, so the manifest format is unchanged from
+    * the single-column era. `minGen` floors [[tableGen]] so commit ids
+    * stay strictly increasing even when a commit removes the
+    * highest-generation partitions entirely (a [[deleteWhere]] that
+    * empties them) — without it the next commit id could collide with an
+    * archived one.
+    */
+  final case class Commit(partitionCols: Seq[String], gens: Map[String, Long],
       minGen: Long = 0L,
       stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
       meta: Map[String, String] = Map.empty,
       sizes: Map[String, Long] = Map.empty,
       rows: Map[String, Long] = Map.empty,
       files: Map[String, Long] = Map.empty) {
+    /** Display form of the partition columns (the single column's name
+      * for single-column tables).
+      */
+    def partitionCol: String = partitionCols.mkString(",")
     def tableGen: Long =
       if (gens.isEmpty) minGen else math.max(minGen, gens.values.max)
     /** Columns any partition tracks min/max for (the sticky stats set). */
@@ -253,6 +277,11 @@ object GenTable {
     */
   @volatile private[graft] var swapModeOverride: Option[SwapMode] = None
 
+  /** Test hook: run once between [[upsertBatch]]'s stage and publish —
+    * the window the OCC retry exists for — then self-clear.
+    */
+  @volatile private[graft] var interleaveHook: Option[() => Unit] = None
+
   private val ObjectStoreSchemes =
     Set("s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs", "oss", "cos")
 
@@ -293,6 +322,58 @@ object GenTable {
   private def dec(v: String): String =
     java.net.URLDecoder.decode(v, StandardCharsets.UTF_8)
 
+  // ------------------------------------------------------ partition keys
+
+  /** Canonical key for one partition value tuple: each component
+    * URL-encoded, joined with ',' (enc never emits ',' — %2C — so the
+    * split is unambiguous). A single-column key is byte-identical to the
+    * pre-composite manifest key, so old manifests parse unchanged.
+    */
+  private[sources] def partKey(vals: Seq[String]): String =
+    vals.map(enc).mkString(",")
+
+  /** The raw value components of a [[partKey]]. */
+  private[sources] def partVals(key: String): Seq[String] =
+    key.split(",", -1).toSeq.map(dec)
+
+  /** The partition's directory path relative to the table root:
+    * `c1=v1/c2=v2` (Hive layout, one level per partition column).
+    */
+  private def partRelDir(pcols: Seq[String], key: String): String = {
+    val vals = partVals(key)
+    require(vals.length == pcols.length,
+      s"partition key '$key' has ${vals.length} components for " +
+        s"${pcols.length} partition columns $pcols")
+    pcols.zip(vals).map { case (c, v) => s"$c=$v" }.mkString("/")
+  }
+
+  /** Generation directory for (partition key, gen) as a filesystem path. */
+  private def genDir(root: HPath, pcols: Seq[String], key: String,
+      g: Long): HPath =
+    new HPath(new HPath(root, partRelDir(pcols, key)), s"gen=$g")
+
+  /** Generation directory as a reader path string. */
+  private def genPath(dir: String, pcols: Seq[String], key: String,
+      g: Long): String =
+    s"$dir/${partRelDir(pcols, key)}/gen=$g"
+
+  /** Distinct partition keys present in `rows` (bounded by
+    * partitions-per-batch), NULL components refused before any file
+    * lands — a NULL would render a __HIVE_DEFAULT_PARTITION__ directory
+    * the manifest could never address.
+    */
+  private def touchedKeys(rows: DataFrame, pcols: Seq[String]): Seq[String] = {
+    rows.select(pcols.map(c => col(c).cast("string")): _*).distinct()
+      .collect().toSeq.map { r =>
+        val vals = pcols.indices.map(r.getString)
+        require(!vals.contains(null),
+          s"partition column(s) ${pcols.mkString(",")} contain NULLs — " +
+            s"GenTable partition values must be non-null (filter or " +
+            s"default them first)")
+        partKey(vals)
+      }
+  }
+
   // ------------------------------------------------------ commit codec
 
   /** Reads the committed state; None for a table that has never published. */
@@ -304,27 +385,29 @@ object GenTable {
 
   private def render(commit: Commit): Array[Byte] = {
     // `#tgen`/`#stat` cannot collide with a partition line: URL encoding
-    // never emits '#' (a literal '#' in a value encodes as %23)
-    val statLines = commit.stats.toSeq.sortBy(_._1).flatMap { case (v, cols) =>
+    // never emits '#' (a literal '#' in a value encodes as %23). Keys are
+    // stored in [[partKey]]'s already-encoded form — byte-identical to
+    // the single-column era's enc(value) for one-column tables.
+    val statLines = commit.stats.toSeq.sortBy(_._1).flatMap { case (k, cols) =>
       cols.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
-        s"#stat=${enc(v)}|${enc(c)}|$mn|$mx"
+        s"#stat=$k|${enc(c)}|$mn|$mx"
       }
     }
     val metaLines = commit.meta.toSeq.sortBy(_._1).map { case (k, v) =>
       s"#meta=${enc(k)}|${enc(v)}"
     }
-    val sizeLines = commit.sizes.toSeq.sortBy(_._1).map { case (v, b) =>
-      s"#size=${enc(v)}|$b"
+    val sizeLines = commit.sizes.toSeq.sortBy(_._1).map { case (k, b) =>
+      s"#size=$k|$b"
     }
-    val rowLines = commit.rows.toSeq.sortBy(_._1).map { case (v, n) =>
-      s"#rows=${enc(v)}|$n"
+    val rowLines = commit.rows.toSeq.sortBy(_._1).map { case (k, n) =>
+      s"#rows=$k|$n"
     }
-    val fileLines = commit.files.toSeq.sortBy(_._1).map { case (v, n) =>
-      s"#files=${enc(v)}|$n"
+    val fileLines = commit.files.toSeq.sortBy(_._1).map { case (k, n) =>
+      s"#files=$k|$n"
     }
-    val body = (s"pcol=${enc(commit.partitionCol)}" +:
+    val body = (s"pcol=${commit.partitionCols.map(enc).mkString(",")}" +:
       s"#tgen=${commit.tableGen}" +:
-      (commit.gens.toSeq.sortBy(_._1).map { case (v, g) => s"${enc(v)}=$g" } ++
+      (commit.gens.toSeq.sortBy(_._1).map { case (k, g) => s"$k=$g" } ++
         statLines ++ metaLines ++ sizeLines ++ rowLines ++ fileLines))
       .mkString("", "\n", "\n")
     body.getBytes(StandardCharsets.UTF_8)
@@ -334,7 +417,7 @@ object GenTable {
     val lines = body.split('\n').filter(_.nonEmpty)
     require(lines.length >= 1 && lines(0).startsWith("pcol="),
       s"malformed manifest: ${body.take(80)}")
-    val pcol = dec(lines(0).stripPrefix("pcol="))
+    val pcols = lines(0).stripPrefix("pcol=").split(",", -1).toSeq.map(dec)
     var minGen = 0L
     val statBuf = Seq.newBuilder[(String, String, Long, Long)]
     val metaBuf = Map.newBuilder[String, String]
@@ -349,22 +432,22 @@ object GenTable {
       } else if (line.startsWith("#size=")) {
         val parts = line.stripPrefix("#size=").split('|')
         require(parts.length == 2, s"malformed size line: $line")
-        sizeBuf += dec(parts(0)) -> parts(1).toLong
+        sizeBuf += parts(0) -> parts(1).toLong
         None
       } else if (line.startsWith("#rows=")) {
         val parts = line.stripPrefix("#rows=").split('|')
         require(parts.length == 2, s"malformed rows line: $line")
-        rowBuf += dec(parts(0)) -> parts(1).toLong
+        rowBuf += parts(0) -> parts(1).toLong
         None
       } else if (line.startsWith("#files=")) {
         val parts = line.stripPrefix("#files=").split('|')
         require(parts.length == 2, s"malformed files line: $line")
-        fileBuf += dec(parts(0)) -> parts(1).toLong
+        fileBuf += parts(0) -> parts(1).toLong
         None
       } else if (line.startsWith("#stat=")) {
         val parts = line.stripPrefix("#stat=").split('|')
         require(parts.length == 4, s"malformed stat line: $line")
-        statBuf += ((dec(parts(0)), dec(parts(1)),
+        statBuf += ((parts(0), dec(parts(1)),
           parts(2).toLong, parts(3).toLong))
         None
       } else if (line.startsWith("#meta=")) {
@@ -376,13 +459,13 @@ object GenTable {
       } else {
         val eq = line.lastIndexOf('=')
         require(eq > 0, s"malformed manifest line: $line")
-        Some(dec(line.substring(0, eq)) -> line.substring(eq + 1).toLong)
+        Some(line.substring(0, eq) -> line.substring(eq + 1).toLong)
       }
     }.toMap
     val stats = statBuf.result().groupBy(_._1).map { case (v, rows) =>
       v -> rows.map(r => r._2 -> (r._3, r._4)).toMap
     }
-    Commit(pcol, gens, minGen, stats, metaBuf.result(), sizeBuf.result(),
+    Commit(pcols, gens, minGen, stats, metaBuf.result(), sizeBuf.result(),
       rowBuf.result(), fileBuf.result())
   }
 
@@ -476,7 +559,9 @@ object GenTable {
   def tableStats(dir: String): Option[TableStats] =
     readCommit(dir).map { c =>
       TableStats(c.tableGen, c.gens.size, c.totalBytes, c.totalRows,
-        c.rows.view.filterKeys(c.gens.contains).toMap, c.totalFiles)
+        c.rows.view.filterKeys(c.gens.contains).toMap
+          .map { case (k, n) => partVals(k).mkString(",") -> n },
+        c.totalFiles)
     }
 
   /** Metadata-only compaction decision. At scale, LISTING a table to
@@ -559,10 +644,10 @@ object GenTable {
     if (commitId == head.tableGen) return head.tableGen // already there
     // every referenced generation must still exist — vacuum outside the
     // retention window makes old snapshots unrestorable, loudly
-    target.gens.foreach { case (v, g) =>
-      val d = new HPath(new HPath(root, s"${target.partitionCol}=$v"), s"gen=$g")
+    target.gens.foreach { case (k, g) =>
+      val d = genDir(root, target.partitionCols, k, g)
       require(f.exists(d),
-        s"commit $commitId is not restorable: ${target.partitionCol}=$v/gen=$g " +
+        s"commit $commitId is not restorable: $d " +
           s"was vacuumed — raise vacuum's keepCommits retention")
     }
     // minGen forces the NEW head id while gens reference old generations
@@ -575,8 +660,8 @@ object GenTable {
   // ----------------------------------------------------------- reads
 
   private def pathsOf(dir: String, c: Commit): Seq[String] =
-    c.gens.toSeq.sortBy(_._1).map { case (v, g) =>
-      s"$dir/${c.partitionCol}=$v/gen=$g"
+    c.gens.toSeq.sortBy(_._1).map { case (k, g) =>
+      genPath(dir, c.partitionCols, k, g)
     }
 
   private[sources] def schemaOf(c: Commit): Option[StructType] =
@@ -717,13 +802,34 @@ object GenTable {
     * Spark's path escaping would diverge between the manifest and the
     * directory layout.
     */
-  def stage(rows: DataFrame, dir: String, partitionCol: String,
+  def stage(rows: DataFrame, dir: String, partitionCol: PartitionCols,
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
-      bloomExpectedItems: Long = 50000L): Commit = {
+      bloomExpectedItems: Long = 50000L): Commit =
+    stagePinned(rows, dir, partitionCol,
+      readCommit(dir).getOrElse(Commit(partitionCol.cols, Map.empty)),
+      statsCols, bloomCols, bloomExpectedItems)
+
+  /** [[stage]] against a CALLER-PINNED base commit. The transactional
+    * writers ([[upsertBatch]], [[replaceAll]], [[applyCdcBatch]]) derive
+    * their merge from a base they read once; staging must allocate the
+    * next generation from that SAME base — a fresh head read here would
+    * let a commit that landed between the caller's read and this stage
+    * slip under the publish guard (the staged rewrite, derived from the
+    * stale base, would silently drop the interleaved commit's changes
+    * from every partition it rewrites). Pinned, any such interleave
+    * makes [[publish]] fail loud instead — the OCC retry's hook.
+    */
+  private def stagePinned(rows: DataFrame, dir: String,
+      partitionCol: PartitionCols, prev: Commit,
+      statsCols: Seq[String], bloomCols: Seq[String],
+      bloomExpectedItems: Long): Commit = {
     val (f, root) = fsRoot(dir)
-    val prev = readCommit(dir).getOrElse(Commit(partitionCol, Map.empty))
-    require(prev.partitionCol == partitionCol,
-      s"table is partitioned by ${prev.partitionCol}, not $partitionCol")
+    val pcols = partitionCol.cols
+    require(prev.partitionCols == pcols,
+      s"table is partitioned by ${prev.partitionCol}, not " +
+        pcols.mkString(","))
+    pcols.foreach(c => require(rows.columns.contains(c),
+      s"rows must carry partition column '$c'"))
     // legacy tables (no recorded schema) derive it from the committed
     // files once; from then on it rides the manifest
     val prevSchema: Option[StructType] = schemaOf(prev).orElse {
@@ -739,28 +845,23 @@ object GenTable {
     (bloomCols ++ bloomTrackOf(prev)).distinct
       .filter(rows.columns.contains).foreach(keyEncoded(rows.schema, _))
     val newGen = prev.tableGen + 1
-    val touched = rows.select(col(partitionCol).cast("string")).distinct()
-      .collect().map(_.getString(0)) // bounded: partitions per batch
-    // a NULL partition value would render a null manifest key (NPE in
-    // enc()) and a __HIVE_DEFAULT_PARTITION__ directory the manifest
-    // could never address — fail loud before any file lands
-    require(!touched.contains(null),
-      s"partition column '$partitionCol' contains NULLs — GenTable " +
-        s"partition values must be non-null (filter or default them first)")
-    touched.foreach { v =>
-      val orphan = new HPath(new HPath(root, s"$partitionCol=$v"), s"gen=$newGen")
+    // NULL partition values are refused inside touchedKeys — fail loud
+    // before any file lands
+    val touched = touchedKeys(rows, pcols)
+    touched.foreach { k =>
+      val orphan = genDir(root, pcols, k, newGen)
       if (f.exists(orphan)) f.delete(orphan, true)
     }
     rows.withColumn("gen", lit(newGen))
       .write.mode(SaveMode.Append)
-      .partitionBy(partitionCol, "gen")
+      .partitionBy(pcols :+ "gen": _*)
       .parquet(dir)
     // stats are STICKY: once a column is tracked anywhere, every rewrite
     // of a touched partition re-derives it, so skipping keeps working
     // without each writer re-declaring the column set
     val track = (statsCols ++ prev.trackedStatsCols).distinct
       .filter(rows.columns.contains)
-    val newStats = computeStats(rows, partitionCol, track)
+    val newStats = computeStats(rows, pcols, track)
     // bloom sidecars follow the same sticky discipline (column set and
     // sizing ride the manifest meta; the filters themselves are gen-named
     // immutable sidecars, so they need no extra atomicity)
@@ -769,14 +870,14 @@ object GenTable {
     val bloomTrack = (bloomCols ++ bloomTrackOf(prev)).distinct
       .filter(rows.columns.contains)
     if (bloomTrack.nonEmpty)
-      writeBlooms(rows, dir, partitionCol, newGen, bloomTrack, items)
+      writeBlooms(rows, dir, pcols, newGen, bloomTrack, items)
     val bloomMeta =
       if (bloomTrack.isEmpty) Map.empty[String, String]
       else Map(BloomColsKey -> bloomTrack.mkString(","),
         BloomItemsKey -> items.toString)
-    val newMeta = touched.map(v =>
-      v -> genMeta(f, root, partitionCol, v, newGen)).toMap
-    Commit(partitionCol, prev.gens ++ touched.map(_ -> newGen),
+    val newMeta = touched.map(k =>
+      k -> genMeta(f, root, pcols, k, newGen)).toMap
+    Commit(pcols, prev.gens ++ touched.map(_ -> newGen),
       stats = (prev.stats -- touched) ++ newStats,
       meta = prev.meta + (SchemaMetaKey -> merged.json) ++ bloomMeta,
       sizes = (prev.sizes -- touched) ++ newMeta.view.mapValues(_._1).toMap,
@@ -796,9 +897,9 @@ object GenTable {
     * manifest lookup ([[Commit.totalRows]],
     * [[graft.plans.GenTableMetadataAggregate]]) instead of a table scan.
     */
-  private def genMeta(f: FileSystem, root: HPath, pcol: String,
-      v: String, g: Long): (Long, Long, Long) = {
-    val d = new HPath(new HPath(root, s"$pcol=$v"), s"gen=$g")
+  private def genMeta(f: FileSystem, root: HPath, pcols: Seq[String],
+      k: String, g: Long): (Long, Long, Long) = {
+    val d = genDir(root, pcols, k, g)
     if (!f.exists(d)) (0L, 0L, 0L)
     else {
       val files = f.listStatus(d).filter { s =>
@@ -879,8 +980,10 @@ object GenTable {
     c.meta.get(BloomColsKey)
       .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
 
-  private def bloomPath(root: HPath, v: String, c: String, g: Long): HPath =
-    new HPath(new HPath(root, "_filters"), s"${enc(v)}~${enc(c)}~$g.bloom")
+  // the partition KEY is already in encoded form — for single-column
+  // tables the sidecar name is byte-identical to the pre-composite era's
+  private def bloomPath(root: HPath, k: String, c: String, g: Long): HPath =
+    new HPath(new HPath(root, "_filters"), s"$k~${enc(c)}~$g.bloom")
 
   /** Might ANY of `keys` be present in partition `v`'s sidecar for
     * `column` at generation `g`? Missing sidecar reads conservatively
@@ -908,7 +1011,7 @@ object GenTable {
     * `expectedItems` distinct values at 1% fpp (~60 KB per sidecar at the
     * 50k default).
     */
-  private def writeBlooms(rows: DataFrame, dir: String, partitionCol: String,
+  private def writeBlooms(rows: DataFrame, dir: String, pcols: Seq[String],
       gen: Long, track: Seq[String], expectedItems: Long): Unit = {
     if (track.isEmpty) return
     val (f, root) = fsRoot(dir)
@@ -918,14 +1021,14 @@ object GenTable {
       -expectedItems * math.log(0.01) / (math.log(2) * math.log(2))).toLong)
     val aggs = track.map(c => call_function("bloom_agg",
       keyEncoded(rows.schema, c), lit(expectedItems), lit(numBits)).as(s"_bf_$c"))
-    rows.groupBy(col(partitionCol).cast("string").as("_v"))
+    rows.groupBy(pcols.map(c => col(c).cast("string")): _*)
       .agg(aggs.head, aggs.tail: _*)
       .collect().foreach { r => // bounded: partitions per batch
-        val v = r.getString(0)
+        val k = partKey(pcols.indices.map(r.getString))
         track.foreach { c =>
           val bytes = r.getAs[Array[Byte]](s"_bf_$c")
           // all-null group aggregates to null: no sidecar, read conservatively
-          if (bytes != null) writeBytes(f, bloomPath(root, v, c, gen), bytes)
+          if (bytes != null) writeBytes(f, bloomPath(root, k, c, gen), bytes)
         }
       }
   }
@@ -936,16 +1039,16 @@ object GenTable {
     * epoch seconds, dates as epoch days); all-null partitions get no
     * entry (read conservatively by [[readRange]]).
     */
-  private def computeStats(rows: DataFrame, partitionCol: String,
+  private def computeStats(rows: DataFrame, pcols: Seq[String],
       track: Seq[String]): Map[String, Map[String, (Long, Long)]] = {
     if (track.isEmpty) return Map.empty
     val aggs = track.flatMap(c => Seq(
       min(rangeEncoded(rows.schema, c)).as(s"_mn_$c"),
       max(rangeEncoded(rows.schema, c)).as(s"_mx_$c")))
-    rows.groupBy(col(partitionCol).cast("string").as("_v"))
+    rows.groupBy(pcols.map(c => col(c).cast("string")): _*)
       .agg(aggs.head, aggs.tail: _*)
       .collect().map { r =>
-        r.getString(0) -> track.flatMap { c =>
+        partKey(pcols.indices.map(r.getString)) -> track.flatMap { c =>
           val mn = r.getAs[Any](s"_mn_$c")
           val mx = r.getAs[Any](s"_mx_$c")
           if (mn == null || mx == null) None
@@ -993,7 +1096,7 @@ object GenTable {
         // everything pruned: schema-correct empty frame off the full view
         resid(read(spark, dir).get).limit(0)
       } else {
-        val paths = keep.map { case (v, g) => s"$dir/${c.partitionCol}=$v/gen=$g" }
+        val paths = keep.map { case (k, g) => genPath(dir, c.partitionCols, k, g) }
         resid(readPaths(spark, dir, c, paths))
       }
     }
@@ -1051,7 +1154,7 @@ object GenTable {
       if (keep.isEmpty) {
         resid(read(spark, dir).get).limit(0)
       } else {
-        val paths = keep.map { case (v, g) => s"$dir/${c.partitionCol}=$v/gen=$g" }
+        val paths = keep.map { case (k, g) => genPath(dir, c.partitionCols, k, g) }
         resid(readPaths(spark, dir, c, paths))
       }
     }
@@ -1067,46 +1170,78 @@ object GenTable {
     * and the key/order/partition columns must be present in every batch.
     */
   def upsertBatch(batch: DataFrame, dir: String, keyCol: String,
-      orderCols: Seq[String], partitionCol: String,
+      orderCols: Seq[String], partitionCol: PartitionCols,
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
       bloomExpectedItems: Long = 50000L,
       extraMeta: Map[String, String] = Map.empty): Unit = {
-    (keyCol +: partitionCol +: orderCols).foreach(c =>
+    val pcols = partitionCol.cols
+    (keyCol +: (pcols ++ orderCols)).foreach(c =>
       require(batch.columns.contains(c),
         s"upsert batch must carry key/order/partition column '$c'"))
     val spark = batch.sparkSession
-    val prev = readCommit(dir).getOrElse(Commit(partitionCol, Map.empty))
-    // reject a type change HERE, before the merge union executes — the
-    // union would otherwise coerce compatible types (int->bigint) or die
-    // mid-job on a runtime cast, both worse than a clean refusal
-    schemaOf(prev).foreach(p => mergeSchemas(p, batch.schema))
-    val touchedVals = batch.select(col(partitionCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).toSet
-    if (touchedVals.isEmpty) return
-    val existingPaths = prev.gens.filter { case (v, _) => touchedVals(v) }
-      .toSeq.sortBy(_._1)
-      .map { case (v, g) => s"$dir/$partitionCol=$v/gen=$g" }
-    val existing =
-      if (existingPaths.isEmpty) None
-      else Some(readPaths(spark, dir, prev, existingPaths))
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(keyCol))
-      .orderBy(orderCols.map(col(_).desc): _*)
-    val merged = existing
-      .fold(batch)(_.unionByName(batch, allowMissingColumns = true))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_rn")
-    // materialize before staging: `merged` lazily reads committed files of
-    // the SAME table; staging appends new paths, so unlike the dynamic-
-    // overwrite sink nothing is overwritten — but freezing the merge keeps
-    // the read set independent of writer progress. Release after commit.
-    val frozen = merged.localCheckpoint(true)
-    try {
-      val staged = stage(frozen, dir, partitionCol, statsCols, bloomCols,
-        bloomExpectedItems)
-      publish(dir, staged.copy(meta =
-        staged.meta ++ opMeta("upsert") ++ extraMeta))
-    } finally frozen.unpersist()
+    // OCC: derive-stage-publish against a pinned base; when a concurrent
+    // writer moves the head under us AND its changes are KEY-DISJOINT
+    // from this batch (the commutative case — two ingest jobs writing
+    // different users), rebase on the new head and retry, bounded.
+    // Overlapping-key interleaves keep the fail-loud contract: their
+    // outcome is order-dependent and the caller must adjudicate.
+    var prev = readCommit(dir).getOrElse(Commit(pcols, Map.empty))
+    var retriesLeft = 3
+    var committed = false
+    while (!committed) {
+      // reject a type change HERE, before the merge union executes — the
+      // union would otherwise coerce compatible types (int->bigint) or die
+      // mid-job on a runtime cast, both worse than a clean refusal
+      schemaOf(prev).foreach(p => mergeSchemas(p, batch.schema))
+      val touchedVals = touchedKeys(batch, pcols).toSet
+      if (touchedVals.isEmpty) return
+      val existingPaths = prev.gens.filter { case (k, _) => touchedVals(k) }
+        .toSeq.sortBy(_._1)
+        .map { case (k, g) => genPath(dir, prev.partitionCols, k, g) }
+      val existing =
+        if (existingPaths.isEmpty) None
+        else Some(readPaths(spark, dir, prev, existingPaths))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col(keyCol))
+        .orderBy(orderCols.map(col(_).desc): _*)
+      val merged = existing
+        .fold(batch)(_.unionByName(batch, allowMissingColumns = true))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn")
+      // materialize before staging: `merged` lazily reads committed files
+      // of the SAME table; staging appends new paths, so unlike the
+      // dynamic-overwrite sink nothing is overwritten — but freezing the
+      // merge keeps the read set independent of writer progress.
+      val frozen = merged.localCheckpoint(true)
+      try {
+        val staged = stagePinned(frozen, dir, partitionCol, prev,
+          statsCols, bloomCols, bloomExpectedItems)
+        // test hook: deterministically interleave another writer between
+        // stage and publish (the OCC conflict window)
+        interleaveHook.foreach { h => interleaveHook = None; h() }
+        publish(dir, staged.copy(meta =
+          staged.meta ++ opMeta("upsert") ++ extraMeta))
+        committed = true
+      } catch {
+        case e: IllegalArgumentException
+            if e.getMessage != null &&
+              e.getMessage.contains("concurrent writer") &&
+              retriesLeft > 0 =>
+          retriesLeft -= 1
+          val newHead = readCommit(dir).getOrElse(throw e)
+          // keys the interleaved commit(s) changed, pruned to their churn
+          val theirKeys = changesBetween(spark, dir,
+            prev.tableGen, newHead.tableGen, keyCol).select(col(keyCol))
+          val overlaps = !batch.select(col(keyCol)).distinct()
+            .join(theirKeys, Seq(keyCol), "left_semi").isEmpty
+          if (overlaps) throw new IllegalStateException(
+            s"concurrent writer on $dir committed changes to keys this " +
+              s"batch also writes — not commutative, not retried; " +
+              s"serialize writers per key range or re-run the batch " +
+              s"against the new head deliberately", e)
+          prev = newHead // commutative: rebase and retry
+      } finally frozen.unpersist()
+    }
   }
 
   /** [[upsertBatch]] behind a write-time quality gate (see
@@ -1124,7 +1259,7 @@ object GenTable {
     * nothing (no empty commit). Returns the batch's [[Expectations.Report]].
     */
   def upsertBatchExpect(batch: DataFrame, dir: String, keyCol: String,
-      orderCols: Seq[String], partitionCol: String,
+      orderCols: Seq[String], partitionCol: PartitionCols,
       expectations: Seq[(String, org.apache.spark.sql.Column)],
       onViolation: Expectations.OnViolation = Expectations.Drop,
       quarantineDir: Option[String] = None,
@@ -1172,22 +1307,24 @@ object GenTable {
     * refresh does) — it is frozen before staging. Intended for
     * view-sized tables; a replace stages every partition of `rows`.
     */
-  def replaceAll(rows: DataFrame, dir: String, partitionCol: String,
+  def replaceAll(rows: DataFrame, dir: String, partitionCol: PartitionCols,
       meta: Map[String, String] = Map.empty,
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Unit = {
     require(!meta.contains(SchemaMetaKey),
       s"'$SchemaMetaKey' is reserved (the schema is derived from rows)")
     val frozen = rows.localCheckpoint(true)
     try {
-      val prevGen = readCommit(dir).map(_.tableGen).getOrElse(0L)
-      val touched = frozen.select(col(partitionCol).cast("string")).distinct()
-        .collect().map(_.getString(0)).toSet
-      val staged = stage(frozen, dir, partitionCol, statsCols, bloomCols)
+      val prevC = readCommit(dir)
+        .getOrElse(Commit(partitionCol.cols, Map.empty))
+      val prevGen = prevC.tableGen
+      val touched = touchedKeys(frozen, partitionCol.cols).toSet
+      val staged = stagePinned(frozen, dir, partitionCol, prevC,
+        statsCols, bloomCols, 50000L)
       // an empty replace still commits (meta-only, e.g. an empty view's
       // marker) — minGen forces a fresh commit id in that case. Replace
       // semantics: the schema is exactly `rows`' (no union with history —
       // every surviving partition was rewritten from `rows`).
-      publish(dir, Commit(partitionCol,
+      publish(dir, Commit(partitionCol.cols,
         staged.gens.filter { case (v, _) => touched(v) },
         math.max(staged.tableGen, prevGen + 1),
         staged.stats.filter { case (v, _) => touched(v) },
@@ -1224,43 +1361,43 @@ object GenTable {
     val (fsys, root) = fsRoot(dir)
     val c = readCommit(dir).getOrElse(
       throw new IllegalStateException(s"no committed generation under $dir"))
-    def committedFiles(cm: Commit): Long = cm.gens.map { case (v, g) =>
-      val d = new HPath(new HPath(root, s"${cm.partitionCol}=$v"), s"gen=$g")
-      listDir(fsys, d).count(_.getName.endsWith(".parquet")).toLong
+    def committedFiles(cm: Commit): Long = cm.gens.map { case (k, g) =>
+      listDir(fsys, genDir(root, cm.partitionCols, k, g))
+        .count(_.getName.endsWith(".parquet")).toLong
     }.sum
     val before = committedFiles(c)
     val df = read(spark, dir).get
     val n = df.count()
     val files = math.max(1L, (n + targetRecordsPerFile - 1) / targetRecordsPerFile)
     val newGen = c.tableGen + 1
-    c.gens.keys.foreach { v =>
-      val orphan = new HPath(new HPath(root, s"${c.partitionCol}=$v"), s"gen=$newGen")
+    c.gens.keys.foreach { k =>
+      val orphan = genDir(root, c.partitionCols, k, newGen)
       if (fsys.exists(orphan)) fsys.delete(orphan, true)
     }
     // gen is added BEFORE the cluster sort so the writer's required
-    // ordering (partitionCol, gen) is already satisfied and it does not
-    // re-sort — a writer-side re-sort would destroy the cluster order
+    // ordering (partition columns, gen) is already satisfied and it does
+    // not re-sort — a writer-side re-sort would destroy the cluster order
     val base = df.withColumn("gen", lit(newGen))
     val staged =
       if (clusterBy.isEmpty) base.repartition(files.toInt)
-      else base.repartition(files.toInt, col(c.partitionCol))
+      else base.repartition(files.toInt, c.partitionCols.map(col): _*)
         .sortWithinPartitions(
-          (Seq(c.partitionCol, "gen") ++ clusterBy).map(col): _*)
+          (c.partitionCols ++ Seq("gen") ++ clusterBy).map(col): _*)
     staged
       .write.mode(SaveMode.Append)
       .option("maxRecordsPerFile", targetRecordsPerFile)
-      .partitionBy(c.partitionCol, "gen")
+      .partitionBy(c.partitionCols :+ "gen": _*)
       .parquet(dir)
     // contents are unchanged by compaction, so stats/meta carry over
     // (plus the schema, derived once here for legacy tables); bloom
     // sidecars regenerate at the new generation — skipping survives the
     // rewrite
-    writeBlooms(df, dir, c.partitionCol, newGen,
+    writeBlooms(df, dir, c.partitionCols, newGen,
       bloomTrackOf(c).filter(df.columns.contains),
       c.meta.get(BloomItemsKey).map(_.toLong).getOrElse(50000L))
-    val compactMeta = c.gens.keys.map(v =>
-      v -> genMeta(fsys, root, c.partitionCol, v, newGen)).toMap
-    val next = Commit(c.partitionCol,
+    val compactMeta = c.gens.keys.map(k =>
+      k -> genMeta(fsys, root, c.partitionCols, k, newGen)).toMap
+    val next = Commit(c.partitionCols,
       c.gens.map { case (v, _) => v -> newGen }, stats = c.stats,
       meta = c.meta ++ opMeta("compact") + (SchemaMetaKey -> df.schema.json),
       sizes = compactMeta.view.mapValues(_._1).toMap,
@@ -1290,47 +1427,43 @@ object GenTable {
     * Returns the new head commit id.
     */
   def repartitionTable(spark: SparkSession, dir: String,
-      newPartitionCol: String, clusterBy: Seq[String] = Nil): Long = {
+      newPartitionCol: PartitionCols, clusterBy: Seq[String] = Nil): Long = {
     val (f, root) = fsRoot(dir)
+    val pcols = newPartitionCol.cols
     val c = readCommit(dir).getOrElse(
       throw new IllegalStateException(s"no committed GenTable under $dir"))
     require(c.gens.nonEmpty, s"nothing committed under $dir")
-    require(newPartitionCol != c.partitionCol,
-      s"table is already partitioned by $newPartitionCol")
+    require(pcols != c.partitionCols,
+      s"table is already partitioned by ${pcols.mkString(",")}")
     val df = read(spark, dir).get
-    require(df.columns.contains(newPartitionCol),
-      s"new partition column '$newPartitionCol' is not a column of $dir")
+    pcols.foreach(p => require(df.columns.contains(p),
+      s"new partition column '$p' is not a column of $dir"))
     val frozen = df.localCheckpoint(true)
     try {
       val newGen = c.tableGen + 1
-      val touched = frozen.select(col(newPartitionCol).cast("string"))
-        .distinct().collect().map(_.getString(0)) // bounded: new partitions
-      require(!touched.contains(null),
-        s"new partition column '$newPartitionCol' contains NULLs — " +
-          s"GenTable partition values must be non-null")
-      touched.foreach { v =>
-        val orphan = new HPath(
-          new HPath(root, s"$newPartitionCol=$v"), s"gen=$newGen")
+      val touched = touchedKeys(frozen, pcols) // bounded: new partitions
+      touched.foreach { k =>
+        val orphan = genDir(root, pcols, k, newGen)
         if (f.exists(orphan)) f.delete(orphan, true)
       }
       val base = frozen.withColumn("gen", lit(newGen))
       val staged =
         if (clusterBy.isEmpty) base
-        else base.repartition(col(newPartitionCol))
+        else base.repartition(pcols.map(col): _*)
           .sortWithinPartitions(
-            (Seq(newPartitionCol, "gen") ++ clusterBy).map(col): _*)
+            (pcols ++ Seq("gen") ++ clusterBy).map(col): _*)
       staged.write.mode(SaveMode.Append)
-        .partitionBy(newPartitionCol, "gen")
+        .partitionBy(pcols :+ "gen": _*)
         .parquet(dir)
       val track = c.trackedStatsCols.toSeq.filter(frozen.columns.contains)
-      writeBlooms(frozen, dir, newPartitionCol, newGen,
+      writeBlooms(frozen, dir, pcols, newGen,
         bloomTrackOf(c).filter(frozen.columns.contains),
         c.meta.get(BloomItemsKey).map(_.toLong).getOrElse(50000L))
-      val newMeta = touched.map(v =>
-        v -> genMeta(f, root, newPartitionCol, v, newGen)).toMap
-      publish(dir, Commit(newPartitionCol,
+      val newMeta = touched.map(k =>
+        k -> genMeta(f, root, pcols, k, newGen)).toMap
+      publish(dir, Commit(pcols,
         touched.map(_ -> newGen).toMap, newGen,
-        computeStats(frozen, newPartitionCol, track),
+        computeStats(frozen, pcols, track),
         c.meta ++ opMeta("repartition") +
           (SchemaMetaKey -> frozen.schema.json),
         newMeta.view.mapValues(_._1).toMap,
@@ -1357,16 +1490,18 @@ object GenTable {
     val c = readCommit(dir).getOrElse(return 0L)
     if (c.gens.isEmpty) return 0L
     val full = read(spark, dir).get
+    val nCols = c.partitionCols.length
     // touched partitions + per-partition match counts in one bounded collect
     val touchedRows = full.filter(predicate)
-      .groupBy(col(c.partitionCol).cast("string").as("_v"))
+      .groupBy(c.partitionCols.map(p => col(p).cast("string")): _*)
       .agg(count(lit(1)).as("_n")).collect()
     if (touchedRows.isEmpty) return 0L
-    val deleted = touchedRows.map(_.getLong(1)).sum
-    val touchedVals = touchedRows.map(_.getString(0)).toSet
-    val touchedPaths = c.gens.filter { case (v, _) => touchedVals(v) }
+    val deleted = touchedRows.map(_.getLong(nCols)).sum
+    val touchedVals = touchedRows
+      .map(r => partKey((0 until nCols).map(r.getString))).toSet
+    val touchedPaths = c.gens.filter { case (k, _) => touchedVals(k) }
       .toSeq.sortBy(_._1)
-      .map { case (v, g) => s"$dir/${c.partitionCol}=$v/gen=$g" }
+      .map { case (k, g) => genPath(dir, c.partitionCols, k, g) }
     val survivors = readPaths(spark, dir, c, touchedPaths)
       .filter(!coalesce(predicate, lit(false)))
     commitRewrite(spark, dir, c, touchedVals, survivors, opMeta("delete"))
@@ -1386,18 +1521,34 @@ object GenTable {
     * Returns rows deleted (0 = no commit).
     */
   def deleteKeys(keys: DataFrame, dir: String, keyCol: String,
-      partitionExpr: org.apache.spark.sql.Column): Long = {
+      partitionExpr: org.apache.spark.sql.Column): Long =
+    deleteKeys(keys, dir, keyCol, Seq(partitionExpr))
+
+  /** Composite-layout form of [[deleteKeys]]: one expression per
+    * partition column, in the table's partition-column order (the same
+    * key→partition-tuple mapping the writer used).
+    */
+  def deleteKeys(keys: DataFrame, dir: String, keyCol: String,
+      partitionExprs: Seq[org.apache.spark.sql.Column]): Long = {
     val spark = keys.sparkSession
     val c = readCommit(dir).getOrElse(return 0L)
     if (c.gens.isEmpty) return 0L
+    require(partitionExprs.length == c.partitionCols.length,
+      s"table is partitioned by ${c.partitionCols.length} column(s) " +
+        s"(${c.partitionCol}); got ${partitionExprs.length} partition " +
+        s"expression(s)")
     val k = keys.select(col(keyCol)).distinct()
-    val touchedVals = k.select(partitionExpr.cast("string")).distinct()
-      .collect().map(_.getString(0)).toSet
+    val touchedVals = k.select(partitionExprs.map(_.cast("string")): _*)
+      .distinct().collect()
+      .flatMap { r => // a null-mapped key can't name a committed partition
+        val vals = partitionExprs.indices.map(r.getString)
+        if (vals.contains(null)) None else Some(partKey(vals))
+      }.toSet
       .filter(c.gens.contains) // bounded: partitions the key list maps to
     if (touchedVals.isEmpty) return 0L
     val touchedPaths = c.gens.filter { case (v, _) => touchedVals(v) }
       .toSeq.sortBy(_._1)
-      .map { case (v, g) => s"$dir/${c.partitionCol}=$v/gen=$g" }
+      .map { case (kk, g) => genPath(dir, c.partitionCols, kk, g) }
     val part = readPaths(spark, dir, c, touchedPaths)
     val deleted = part.join(broadcast(k), Seq(keyCol), "left_semi").count()
     if (deleted == 0L) return 0L
@@ -1420,29 +1571,39 @@ object GenTable {
     * stable-partition-per-key contract as [[upsertBatch]].
     */
   def applyCdcBatch(diff: DataFrame, dir: String, keyCol: String,
-      partitionCol: String, changeCol: String = "_change",
+      partitionCol: PartitionCols, changeCol: String = "_change",
       extraMeta: Map[String, String] = Map.empty): Unit = {
     val spark = diff.sparkSession
+    val pcols = partitionCol.cols
     val ups = diff.filter(col(changeCol) =!= "delete").drop(changeCol)
     val dels = diff.filter(col(changeCol) === "delete")
-    readCommit(dir).filter(_.gens.nonEmpty) match {
+    val head = readCommit(dir)
+    head.filter(_.gens.nonEmpty) match {
       case None =>
-        // first batch bootstraps the table: only inserts can exist
+        // first batch bootstraps the table (no committed rows — possibly
+        // a meta-only commit): only inserts can exist. Pinned to the head
+        // read above, so an interleaved bootstrap fails loud at publish
+        // instead of being built on silently.
         if (ups.isEmpty) return
-        val staged = stage(ups, dir, partitionCol)
+        val staged = stagePinned(ups, dir, partitionCol,
+          head.getOrElse(Commit(pcols, Map.empty)), Nil, Nil, 50000L)
         publish(dir, staged.copy(meta =
           staged.meta ++ opMeta("cdc_apply") ++ extraMeta))
       case Some(c) =>
-        require(c.partitionCol == partitionCol,
-          s"table is partitioned by ${c.partitionCol}, not $partitionCol")
+        require(c.partitionCols == pcols,
+          s"table is partitioned by ${c.partitionCol}, not " +
+            pcols.mkString(","))
         val touchedVals = diff
-          .select(col(partitionCol).cast("string")).distinct()
-          .collect().map(_.getString(0)).toSet // bounded: churn per batch
-          .filter(_ != null)
+          .select(pcols.map(p => col(p).cast("string")): _*).distinct()
+          .collect() // bounded: churn per batch
+          .flatMap { r =>
+            val vals = pcols.indices.map(r.getString)
+            if (vals.contains(null)) None else Some(partKey(vals))
+          }.toSet
         if (touchedVals.isEmpty) return
         val existingPaths = c.gens
           .filter { case (v, _) => touchedVals(v) }.toSeq.sortBy(_._1)
-          .map { case (v, g) => s"$dir/$partitionCol=$v/gen=$g" }
+          .map { case (k, g) => genPath(dir, pcols, k, g) }
         val existing =
           if (existingPaths.isEmpty) None
           else Some(readPaths(spark, dir, c, existingPaths))
@@ -1507,9 +1668,9 @@ object GenTable {
       s"MERGE target $dir has no committed GenTable " +
         s"(seed it with upsertBatch/replaceAll or a batch save first)"))
     require(c.gens.nonEmpty, s"MERGE target $dir is empty")
-    val pcol = c.partitionCol
-    Seq(keyCol, pcol).foreach(cn => require(source.columns.contains(cn),
-      s"MERGE source must carry key/partition column '$cn'"))
+    (keyCol +: c.partitionCols).foreach(cn =>
+      require(source.columns.contains(cn),
+        s"MERGE source must carry key/partition column '$cn'"))
     schemaOf(c).foreach(p => mergeSchemas(p, source.schema))
     // NULL-condition rows take no action, like SQL WHEN ... AND <cond>
     val delCond = deleteWhen.map(coalesce(_, lit(false))).getOrElse(lit(false))
@@ -1527,13 +1688,11 @@ object GenTable {
         s"MERGE source has ${card.getLong(0) - card.getLong(1)} duplicate " +
           s"'$keyCol' keys (SQL MERGE forbids multiple source matches per " +
           s"target row); pre-aggregate the source")
-      val touched = frozenSrc.select(col(pcol).cast("string")).distinct()
-        .collect().map(_.getString(0)) // bounded: partitions per batch
-      require(!touched.contains(null),
-        s"partition column '$pcol' contains NULLs in the MERGE source")
-      val touchedVals = touched.toSet
+      // bounded: partitions per batch; NULLs refused inside touchedKeys
+      val touchedVals = touchedKeys(frozenSrc, c.partitionCols).toSet
       val existingPaths = c.gens.filter { case (v, _) => touchedVals(v) }
-        .toSeq.sortBy(_._1).map { case (v, g) => s"$dir/$pcol=$v/gen=$g" }
+        .toSeq.sortBy(_._1)
+        .map { case (k, g) => genPath(dir, c.partitionCols, k, g) }
       val existing =
         if (existingPaths.isEmpty) None
         else Some(readPaths(spark, dir, c, existingPaths))
@@ -1585,31 +1744,30 @@ object GenTable {
     val frozen = survivors.localCheckpoint(true)
     try {
       val newGen = c.tableGen + 1
-      val survivorVals = frozen.select(col(c.partitionCol).cast("string"))
-        .distinct().collect().map(_.getString(0)).toSet
-      touchedVals.foreach { v =>
-        val orphan = new HPath(new HPath(root, s"${c.partitionCol}=$v"), s"gen=$newGen")
+      val survivorVals = touchedKeys(frozen, c.partitionCols).toSet
+      touchedVals.foreach { k =>
+        val orphan = genDir(root, c.partitionCols, k, newGen)
         if (fsys.exists(orphan)) fsys.delete(orphan, true)
       }
       if (survivorVals.nonEmpty) {
         frozen.withColumn("gen", lit(newGen))
           .write.mode(SaveMode.Append)
-          .partitionBy(c.partitionCol, "gen")
+          .partitionBy(c.partitionCols :+ "gen": _*)
           .parquet(dir)
       }
       val emptied = touchedVals -- survivorVals
       // rewritten partitions re-derive their tracked stats off the
       // survivors; emptied ones drop theirs with the partition; bloom
       // sidecars regenerate for the surviving rewritten partitions
-      writeBlooms(frozen, dir, c.partitionCol, newGen,
+      writeBlooms(frozen, dir, c.partitionCols, newGen,
         bloomTrackOf(c).filter(frozen.columns.contains),
         c.meta.get(BloomItemsKey).map(_.toLong).getOrElse(50000L))
       val track = c.trackedStatsCols.toSeq.filter(frozen.columns.contains)
-      val survivorMeta = survivorVals.map(v =>
-        v -> genMeta(fsys, root, c.partitionCol, v, newGen)).toMap
-      publish(dir, Commit(c.partitionCol,
+      val survivorMeta = survivorVals.map(k =>
+        k -> genMeta(fsys, root, c.partitionCols, k, newGen)).toMap
+      publish(dir, Commit(c.partitionCols,
         (c.gens -- emptied) ++ survivorVals.map(_ -> newGen), newGen,
-        (c.stats -- touchedVals) ++ computeStats(frozen, c.partitionCol, track),
+        (c.stats -- touchedVals) ++ computeStats(frozen, c.partitionCols, track),
         c.meta + (SchemaMetaKey -> frozen.schema.json) ++ extraMeta,
         (c.sizes -- touchedVals) ++ survivorMeta.view.mapValues(_._1).toMap,
         (c.rows -- touchedVals) ++ survivorMeta.view.mapValues(_._2).toMap,
@@ -1705,7 +1863,7 @@ object GenTable {
   private def changeImages(spark: SparkSession, dir: String, fromId: Long,
       toId: Long, keyCol: String): DataFrame = {
     def resolve(id: Long): Commit = {
-      if (id == 0L) return Commit("", Map.empty)
+      if (id == 0L) return Commit(Nil, Map.empty)
       commitAt(dir, id).getOrElse(
         throw new IllegalArgumentException(
           s"no archived commit $id under $dir (vacuumed?)"))
@@ -1728,14 +1886,14 @@ object GenTable {
     // (value, gen) pair must not read as "unchanged") and the rewrite
     // moved every row anyway: full keyed diff
     val sameLayout = cFrom.gens.isEmpty || cTo.gens.isEmpty ||
-      cFrom.partitionCol == cTo.partitionCol
+      cFrom.partitionCols == cTo.partitionCols
     def changedOf(c: Commit): Seq[String] =
       if (!sameLayout) c.gens.keySet.toSeq.sorted
       else (cFrom.gens.keySet ++ cTo.gens.keySet)
         .filter(v => cFrom.gens.get(v) != cTo.gens.get(v)).toSeq.sorted
     def side(c: Commit): Option[DataFrame] = {
-      val paths = changedOf(c).flatMap(v => c.gens.get(v).map(g =>
-        s"$dir/${c.partitionCol}=$v/gen=$g"))
+      val paths = changedOf(c).flatMap(k => c.gens.get(k).map(g =>
+        genPath(dir, c.partitionCols, k, g)))
       if (paths.isEmpty) None
       else Some(reader.parquet(paths: _*).drop("gen"))
     }
@@ -1744,8 +1902,8 @@ object GenTable {
     // falls back to any committed generation, then to the manifest schema
     val template = side(cTo).orElse(side(cFrom)).orElse {
       def any(c: Commit): Option[String] =
-        c.gens.toSeq.sortBy(_._1).headOption.map { case (v, g) =>
-          s"$dir/${c.partitionCol}=$v/gen=$g"
+        c.gens.toSeq.sortBy(_._1).headOption.map { case (k, g) =>
+          genPath(dir, c.partitionCols, k, g)
         }
       any(cTo).orElse(any(cFrom))
         .map(p => reader.parquet(p).drop("gen").limit(0))
@@ -1787,32 +1945,46 @@ object GenTable {
     if (!f.exists(root)) return 0L
     val retainedIds = commits(dir).takeRight(keepCommits)
     val retained = retainedIds.flatMap(commitAt(dir, _)) :+ c
-    // per (partition column, value), the generations any retained commit
-    // pins — keyed by COLUMN too, because partition evolution
+    // per (partition column list, key), the generations any retained
+    // commit pins — keyed by COLUMNS too, because partition evolution
     // ([[repartitionTable]]) leaves directories of several layouts and
     // each retained commit pins only its own
-    val keep: Map[(String, String), Set[Long]] = retained
-      .flatMap(cm => cm.gens.toSeq.map { case (v, g) =>
-        (cm.partitionCol, v) -> g
+    val keep: Map[(Seq[String], String), Set[Long]] = retained
+      .flatMap(cm => cm.gens.toSeq.map { case (k, g) =>
+        (cm.partitionCols, k) -> g
       }).groupBy(_._1)
       .map { case (k, gs) => k -> gs.map(_._2).toSet }
     var removed = 0L
+    // recursive descent: composite layouts nest one `col=value` level per
+    // partition column before the `gen=N` leaves; each directory level
+    // accumulates the (columns, value tuple) the keep map is keyed by
+    def sweep(p: HPath, cols: Seq[String], vals: Seq[String]): Unit = {
+      listDir(f, p).foreach { child =>
+        val n = child.getName
+        if (f.getFileStatus(child).isDirectory) {
+          if (n.startsWith("gen=")) {
+            val g = n.stripPrefix("gen=").toLong
+            val pinned = keep.getOrElse((cols, partKey(vals)), Set.empty)
+            if (!pinned.contains(g)) {
+              f.delete(child, true)
+              removed += 1
+            }
+          } else if (n.contains('=')) {
+            val Array(pc, v) = n.split("=", 2)
+            sweep(child, cols :+ pc, vals :+ v)
+            // a directory emptied of every generation (a retired layout
+            // after partition evolution) goes with them
+            if (listDir(f, child).isEmpty) f.delete(child, false)
+          }
+        }
+      }
+    }
     listDir(f, root).filter { p =>
       val n = p.getName
       f.getFileStatus(p).isDirectory && !n.startsWith("_") && n.contains('=')
     }.foreach { pdir =>
       val Array(pc, v) = pdir.getName.split("=", 2)
-      val pinned = keep.getOrElse((pc, v), Set.empty)
-      listDir(f, pdir).filter(p => f.getFileStatus(p).isDirectory &&
-        p.getName.startsWith("gen=")).foreach { gdir =>
-        val g = gdir.getName.stripPrefix("gen=").toLong
-        if (!pinned.contains(g)) {
-          f.delete(gdir, true)
-          removed += 1
-        }
-      }
-      // a partition directory emptied of every generation (a retired
-      // layout after partition evolution) goes with them
+      sweep(pdir, Seq(pc), Seq(v))
       if (listDir(f, pdir).isEmpty) f.delete(pdir, false)
     }
     // drop archives outside the retention window
@@ -1826,16 +1998,16 @@ object GenTable {
       .foreach(p => f.delete(p, false))
     // drop bloom sidecars for unpinned generations (same retention rule
     // as the generation directories they describe). Sidecar names carry
-    // (value, column, gen) without the partition column; merge the pins
-    // across layouts — a value string shared by two layouts keeps more,
+    // (key, column, gen) without the partition columns; merge the pins
+    // across layouts — a key string shared by two layouts keeps more,
     // never less (conservative)
-    val keepByV: Map[String, Set[Long]] = keep.toSeq
-      .map { case ((_, v), gs) => v -> gs }
-      .groupBy(_._1).map { case (v, gs) => v -> gs.flatMap(_._2).toSet }
+    val keepByK: Map[String, Set[Long]] = keep.toSeq
+      .map { case ((_, k), gs) => k -> gs }
+      .groupBy(_._1).map { case (k, gs) => k -> gs.flatMap(_._2).toSet }
     listDir(f, new HPath(root, "_filters")).foreach { p =>
       p.getName.stripSuffix(".bloom").split('~') match {
-        case Array(ev, _, g) if g.forall(_.isDigit) =>
-          val pinned = keepByV.getOrElse(dec(ev), Set.empty)
+        case Array(ek, _, g) if g.forall(_.isDigit) =>
+          val pinned = keepByK.getOrElse(ek, Set.empty)
           if (!pinned.contains(g.toLong)) f.delete(p, false)
         case _ => ()
       }

@@ -59,50 +59,60 @@ final class GenTableFileIndex(
     tableSchema: StructType) extends FileIndex {
 
   private val (fs, root) = GenTable.fsRoot(dir)
-  private val pcol = commit.partitionCol
+  private val pcols = commit.partitionCols
 
   /** The pinned commit — read by [[graft.plans.GenTableMetadataAggregate]]
     * to answer counts/extrema from the manifest instead of scanning.
     */
   private[graft] def tableCommit: GenTable.Commit = commit
 
-  /** Partition column name (for the metadata-aggregate rule's
-    * group-by-partition match).
+  /** Partition column names (for the metadata-aggregate rule's
+    * group-by-partition match and partition-filter decidability check).
     */
-  private[graft] def partitionColName: String = pcol
-  private val pField = tableSchema.fields.find(_.name == pcol).getOrElse(
-    throw new IllegalArgumentException(
-      s"partition column '$pcol' missing from table schema"))
+  private[graft] def partitionColNames: Seq[String] = pcols
+  private val pFields: Seq[StructField] = pcols.map(p =>
+    tableSchema.fields.find(_.name == p).getOrElse(
+      throw new IllegalArgumentException(
+        s"partition column '$p' missing from table schema")))
+  private val pOrdinal: Map[String, Int] =
+    pcols.zipWithIndex.toMap
   private val bloomCols = GenTable.bloomTrackOf(commit).toSet
 
   override val rootPaths: Seq[HPath] = Seq(root)
 
-  override def partitionSchema: StructType = StructType(Seq(pField))
+  override def partitionSchema: StructType = StructType(pFields)
 
   /** Data schema (files' own columns): the recorded schema minus the
-    * partition column, everything nullable (old generations may predate
+    * partition columns, everything nullable (old generations may predate
     * an added column).
     */
   def dataSchema: StructType =
-    StructType(tableSchema.fields.filterNot(_.name == pcol).map(_.copy(nullable = true)))
+    StructType(tableSchema.fields.filterNot(f => pcols.contains(f.name))
+      .map(_.copy(nullable = true)))
 
   // partition value string -> typed internal value (manifest values were
   // rendered by cast-to-string of the typed column; Cast is its inverse).
   // SESSION timezone, matching the writer's rendering and the sibling
   // metadata-aggregate rule — the JVM default would prune wrong partitions
   // for timestamp-typed partition values on a non-UTC box.
-  private def typedValue(v: String): Any =
-    Cast(Literal(UTF8String.fromString(v), StringType), pField.dataType,
+  private def typedValue(v: String, t: org.apache.spark.sql.types.DataType): Any =
+    Cast(Literal(UTF8String.fromString(v), StringType), t,
       Option(spark.sessionState.conf.sessionLocalTimeZone)).eval(InternalRow.empty)
 
+  private[graft] def typedRowOf(key: String): InternalRow =
+    InternalRow.fromSeq(GenTable.partVals(key).zip(pFields)
+      .map { case (v, f) => typedValue(v, f.dataType) })
+
   private val partitionRows: Map[String, InternalRow] =
-    commit.gens.keys.map(v => v -> InternalRow(typedValue(v))).toMap
+    commit.gens.keys.map(k => k -> typedRowOf(k)).toMap
 
   private val statusCache = mutable.Map.empty[String, Array[FileStatus]]
 
-  private def filesOf(v: String, g: Long): Array[FileStatus] =
-    statusCache.getOrElseUpdate(v, {
-      val d = new HPath(new HPath(root, s"$pcol=$v"), s"gen=$g")
+  private def filesOf(k: String, g: Long): Array[FileStatus] =
+    statusCache.getOrElseUpdate(k, {
+      val rel = pcols.zip(GenTable.partVals(k))
+        .map { case (c, v) => s"$c=$v" }.mkString("/")
+      val d = new HPath(new HPath(root, rel), s"gen=$g")
       fs.listStatus(d).filter { s =>
         val n = s.getPath.getName
         s.isFile && !n.startsWith("_") && !n.startsWith(".")
@@ -216,9 +226,13 @@ final class GenTableFileIndex(
   }
 
   private def evalPartitionFilter(f: Expression, row: InternalRow): Boolean = {
+    // a filter referencing anything but partition columns is not ours to
+    // decide: conservative keep (Spark re-applies every predicate anyway)
+    if (!f.references.forall(r => pOrdinal.contains(r.name))) return true
     val bound = f.transform {
       case a: AttributeReference =>
-        BoundReference(0, pField.dataType, nullable = true)
+        val i = pOrdinal(a.name)
+        BoundReference(i, pFields(i).dataType, nullable = true)
     }
     java.lang.Boolean.TRUE.equals(bound.eval(row))
   }
@@ -322,11 +336,15 @@ final class GenTableSourceProvider extends RelationProvider
       parameters.get(k.toLowerCase).orElse(parameters.get(k))
     val path = opt("path").getOrElse(throw new IllegalArgumentException(
       "gentable batch write requires a path: .save(dir)"))
-    val pcol = opt("partitionCol").getOrElse(
-      throw new IllegalArgumentException(
-        "gentable batch write requires .option(\"partitionCol\", <column>)"))
     def cols(k: String): Seq[String] = opt(k)
       .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+    // comma-separated for composite layouts: "day,bucket"
+    val pcol = GenTable.PartitionCols(cols("partitionCol") match {
+      case Nil => throw new IllegalArgumentException(
+        "gentable batch write requires .option(\"partitionCol\", " +
+          "<column[,column...]>)")
+      case cs => cs
+    })
     val statsCols = cols("statsCols")
     val bloomCols = cols("bloomCols")
     val exists = GenTable.readCommit(path).isDefined
@@ -367,9 +385,12 @@ final class GenTableSourceProvider extends RelationProvider
       "gentable sink requires a path: .start(dir) or .option(\"path\", dir)"))
     val keyCol = opt("keyCol").getOrElse(throw new IllegalArgumentException(
       "gentable sink requires .option(\"keyCol\", <upsert key column>)"))
-    val pcol = opt("partitionCol").getOrElse(
-      partitionColumns.headOption.getOrElse(
-        throw new IllegalArgumentException(
+    // comma-separated for composite layouts: "day,bucket"
+    val pcol = GenTable.PartitionCols(
+      opt("partitionCol").map(_.split(',').toSeq.map(_.trim)
+        .filter(_.nonEmpty)).filter(_.nonEmpty)
+        .orElse(Some(partitionColumns).filter(_.nonEmpty))
+        .getOrElse(throw new IllegalArgumentException(
           "gentable sink requires .option(\"partitionCol\", <column>)")))
     val mode = opt("mode").getOrElse("upsert")
     val orderCols = opt("orderCols").map(_.split(',').toSeq.map(_.trim)
@@ -447,7 +468,7 @@ final class GenTableSourceProvider extends RelationProvider
   * between batches keep the marker (manifest meta carries forward).
   */
 final class GenTableSink(path: String, keyCol: String,
-    orderCols: Seq[String], partitionCol: String, mode: String,
+    orderCols: Seq[String], partitionCol: GenTable.PartitionCols, mode: String,
     statsCols: Seq[String], bloomCols: Seq[String],
     expect: Option[String] = None, onViolation: String = "drop",
     quarantineDir: Option[String] = None)

@@ -543,6 +543,47 @@ class GenTableSpec extends SparkSpec {
     assert(GenTable.readCommit(dir).get.tableGen === 2L)
   }
 
+  test("OCC retry: two interleaved disjoint-key upserts both commit") {
+    val dir = tmp()
+    GenTable.upsertBatch(batch((1L, 10L, 1.0)), dir, "user_id", Seq("ts"),
+      "bucket")
+    // writer B lands between A's stage and publish; keys are disjoint
+    // (B: user 5, A: user 2) so A must rebase on B's head and retry —
+    // both batches commit, and the table equals the sequential result
+    GenTable.interleaveHook = Some(() =>
+      GenTable.upsertBatch(batch((5L, 30L, 5.0)), dir, "user_id", Seq("ts"),
+        "bucket"))
+    try {
+      GenTable.upsertBatch(batch((2L, 20L, 2.0)), dir, "user_id", Seq("ts"),
+        "bucket")
+    } finally GenTable.interleaveHook = None
+    assert(rows(GenTable.read(spark, dir).get) === Set(
+      (1L, 10L, 1.0, 1), (2L, 20L, 2.0, 2), (5L, 30L, 5.0, 1)))
+    // A retried on top of B: three commits total, lineage intact
+    assert(GenTable.readCommit(dir).get.tableGen === 3L)
+    assert(GenTable.commits(dir) === Seq(1L, 2L, 3L))
+  }
+
+  test("OCC retry: overlapping-key interleave still fails loud") {
+    val dir = tmp()
+    GenTable.upsertBatch(batch((1L, 10L, 1.0)), dir, "user_id", Seq("ts"),
+      "bucket")
+    // B writes the SAME key A is writing: order-dependent, not retried
+    GenTable.interleaveHook = Some(() =>
+      GenTable.upsertBatch(batch((2L, 30L, 9.9)), dir, "user_id", Seq("ts"),
+        "bucket"))
+    val e = try {
+      intercept[IllegalStateException] {
+        GenTable.upsertBatch(batch((2L, 20L, 2.0)), dir, "user_id",
+          Seq("ts"), "bucket")
+      }
+    } finally GenTable.interleaveHook = None
+    assert(e.getMessage.contains("not commutative"))
+    // B's commit is the committed state; A's conflicting batch is not in
+    assert(rows(GenTable.read(spark, dir).get) === Set(
+      (1L, 10L, 1.0, 1), (2L, 30L, 9.9, 2)))
+  }
+
   test("swap arms: lifecycle green through HDFS-rename and object-PUT paths") {
     for (mode <- Seq(GenTable.HadoopRename, GenTable.SingleObjectPut)) {
       GenTable.swapModeOverride = Some(mode)
