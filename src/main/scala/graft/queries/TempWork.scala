@@ -17,8 +17,17 @@ object TempWork {
 
   def scoped(prefix: String)(body: String => DataFrame): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory(prefix)
-    try body(dir.toString).localCheckpoint(true)
-    finally deleteRecursively(dir)
+    try {
+      val out = body(dir.toString)
+      // materialize by COLLECT, not localCheckpoint: results at this tier
+      // are view-sized by contract (the oracle hashes them row by row),
+      // and an eager checkpoint pays block-manager registration for all
+      // of the frame's partitions — measured 0.7-1.5 s per lifecycle
+      // query at sf0.1 (SCALE.md §26), pure harness overhead
+      val spark = out.sparkSession
+      spark.createDataFrame(
+        java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally deleteRecursively(dir)
   }
 
   private def deleteRecursively(dir: java.nio.file.Path): Unit = {
