@@ -21,6 +21,7 @@ object Bench {
       // pass, the big signature-stage classes (d02/d03) evict and
       // recompile EVERY pass — measured ~3.5s of d02's 5.5s was Janino
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm-up: exercise scan+agg, window, and text paths untimed

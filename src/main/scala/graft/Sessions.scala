@@ -35,6 +35,10 @@ object Sessions {
       // ~100+ distinct plans (each signature-stage class recompiles on
       // every revisit — ~1.5-3.5 s each; see SCALE.md §9)
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // build-time extension injection: the SQL DML resolution rule
+      // (GenTableDml) has no post-hoc registration path — everything
+      // else register() below re-adds idempotently
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // engine-native functions (cosine_sim, …) available in SQL + Column API

@@ -1,0 +1,243 @@
+package graft.plans
+
+import org.apache.spark.sql.{AnalysisException, Column, Row, SparkSession}
+import org.apache.spark.sql.GraftSqlShim
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.lit
+
+import graft.sources.{GenTable, GenTableFileIndex}
+
+/** SQL DML for the lake tier — the statements a Spark SQL user writes
+  * first, routed to the transactional writers:
+  * {{{
+  * GenTable.createOrReplaceView(spark, dir, "events_lake")
+  * spark.sql("DELETE FROM events_lake WHERE day < '2024-01-10'")
+  * spark.sql("UPDATE events_lake SET value = value * 2 WHERE user_id = 7")
+  * spark.sql("""MERGE INTO events_lake t USING updates s ON t.id = s.id
+  *              WHEN MATCHED AND s.value < 0 THEN DELETE
+  *              WHEN MATCHED THEN UPDATE SET *
+  *              WHEN NOT MATCHED THEN INSERT *""")
+  * }}}
+  *
+  * Spark's own parser produces [[DeleteFromTable]]/[[UpdateTable]]/
+  * [[MergeIntoTable]] for ANY relation and its analyzer resolves them
+  * through temp views — what rejects them is the v2-tables-only check
+  * AFTER resolution. This resolution rule runs first: a resolved DML
+  * node whose target bottoms out at the manifest-indexed relation
+  * ([[GenTableFileIndex]]) rewrites into a command over
+  * [[GenTable.deleteWhere]]/[[GenTable.updateWhere]]/[[GenTable.merge]]
+  * — each ONE atomic commit, crash-safe, partition-bounded, identical
+  * semantics to the Scala API (the SQL statement IS that call).
+  *
+  * Restrictions fail loud with actionable messages (never silently
+  * narrowed): no subqueries in conditions; MERGE needs a single
+  * name-equal key equality ON clause, star actions (`UPDATE SET *` /
+  * `INSERT *`), source-side arm conditions, DELETE clause before UPDATE
+  * (the engine's matched-arm order), and no NOT-MATCHED-BY-SOURCE arms.
+  * Anything this rule does not claim keeps Spark's own error.
+  */
+object GenTableDml extends Rule[LogicalPlan] {
+
+  /** The GenTable behind a DML target, looking through the wrappers view
+    * substitution adds. Attribute-identity Projects only — a projecting
+    * or renaming view must not silently DML the base table.
+    */
+  private def dirOf(p: LogicalPlan): Option[String] = p match {
+    case s: SubqueryAlias => dirOf(s.child)
+    case v: View => dirOf(v.child)
+    case pr: Project if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+      dirOf(pr.child)
+    case l: LogicalRelation => l.relation match {
+      case h: HadoopFsRelation => h.location match {
+        case i: GenTableFileIndex => Some(i.tableDir)
+        case _ => None
+      }
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** Re-target a resolved condition at the table's own frame: attribute
+    * references become name-unresolved (the DataFrame API re-resolves
+    * them), qualifiers dropped. Subqueries are not ours to evaluate.
+    */
+  private def unresolve(e: Expression): Column = {
+    if (e.exists(_.isInstanceOf[PlanExpression[_]]))
+      throw new AnalysisException(
+        errorClass = "USER_RAISED_EXCEPTION",
+        messageParameters = Map("errorMessage" ->
+          ("gentable DML conditions must not contain subqueries; " +
+            "materialize the subquery into a view and MERGE against it")))
+    GraftSqlShim.column(e.transform {
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    })
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    case d @ DeleteFromTable(target, condition) if d.resolved =>
+      dirOf(target).map { dir =>
+        DeleteFromGenTable(dir, unresolve(condition)): LogicalPlan
+      }.getOrElse(d)
+
+    case u @ UpdateTable(target, assignments, condition) if u.resolved =>
+      dirOf(target).map { dir =>
+        val set = assignments.map {
+          case Assignment(a: AttributeReference, value) =>
+            a.name -> unresolve(value)
+          case other => throw new AnalysisException(
+            errorClass = "USER_RAISED_EXCEPTION",
+            messageParameters = Map("errorMessage" ->
+              (s"gentable UPDATE supports plain column assignments " +
+                s"only, got: ${other.sql}")))
+        }
+        // WHERE omitted = all rows (SQL semantics)
+        val cond = condition.map(unresolve).getOrElse(lit(true))
+        UpdateGenTable(dir, cond, set): LogicalPlan
+      }.getOrElse(u)
+
+    case m: MergeIntoTable if m.resolved =>
+      dirOf(m.targetTable).map(dir => rewriteMerge(dir, m)).getOrElse(m)
+  }
+
+  private def fail(msg: String): Nothing =
+    throw new AnalysisException(
+      errorClass = "USER_RAISED_EXCEPTION",
+      messageParameters = Map("errorMessage" -> s"gentable MERGE: $msg"))
+
+  private def rewriteMerge(dir: String, m: MergeIntoTable): LogicalPlan = {
+    if (m.notMatchedBySourceActions.nonEmpty)
+      fail("WHEN NOT MATCHED BY SOURCE is not supported; use a separate " +
+        "DELETE FROM with an anti-join view")
+    val tOut = m.targetTable.outputSet
+    val sOut = m.sourceTable.outputSet
+    // ON clause: one equality, one side each, SAME column name — the
+    // engine's merge joins existing and source frames on that name
+    val keyCol = m.mergeCondition match {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if (tOut.contains(a) && sOut.contains(b)) ||
+            (tOut.contains(b) && sOut.contains(a)) =>
+        if (a.name != b.name)
+          fail(s"ON must equate same-named key columns (got " +
+            s"'${a.name}' = '${b.name}'); alias the source column first")
+        a.name
+      case other => fail("ON must be a single key equality " +
+        s"(target.k = source.k), got: ${other.sql}")
+    }
+    // arm conditions evaluate per SOURCE row (the engine's contract) —
+    // target-side references would need a pre-join the user should own
+    def srcCond(cond: Option[Expression], arm: String): Option[Column] =
+      cond.map { c =>
+        if (!c.references.subsetOf(sOut))
+          fail(s"the $arm condition must reference SOURCE columns only " +
+            s"(got: ${c.sql}); pre-join target columns into the source view")
+        unresolve(c)
+      }
+    // the analyzer expands `SET *` / `INSERT *` into explicit per-column
+    // assignments before this rule sees them — recognize the expanded
+    // star shape: every target column assigned from the SAME-NAMED
+    // source column (possibly through a type-coercion cast)
+    def isStar(assignments: Seq[Assignment]): Boolean = {
+      def src(e: Expression): Option[AttributeReference] = e match {
+        case a: AttributeReference => Some(a)
+        case c: Cast => src(c.child)
+        case _ => None
+      }
+      assignments.length == m.targetTable.output.length &&
+        assignments.forall {
+          case Assignment(t: AttributeReference, v) =>
+            src(v).exists(s => sOut.contains(s) && s.name == t.name)
+          case _ => false
+        }
+    }
+    var deleteWhen: Option[Column] = None
+    var updateWhen: Option[Column] = None
+    var sawDelete = false
+    def addUpdate(cond: Option[Expression]): Unit = {
+      if (updateWhen.isDefined)
+        fail("at most one UPDATE SET * matched clause")
+      updateWhen = Some(srcCond(cond, "WHEN MATCHED ... UPDATE")
+        .getOrElse(lit(true)))
+    }
+    m.matchedActions.foreach {
+      case DeleteAction(cond) =>
+        if (deleteWhen.isDefined)
+          fail("at most one DELETE matched clause")
+        if (updateWhen.isDefined)
+          fail("the DELETE clause must come before UPDATE SET * (the " +
+            "engine evaluates matched arms delete-first); reorder the " +
+            "WHEN MATCHED clauses")
+        deleteWhen = Some(srcCond(cond, "WHEN MATCHED ... DELETE")
+          .getOrElse(lit(true)))
+        sawDelete = true
+      case UpdateStarAction(cond) => addUpdate(cond)
+      case UpdateAction(cond, assignments, fromStar)
+          if fromStar || isStar(assignments) =>
+        addUpdate(cond)
+      case _: UpdateAction =>
+        fail("only UPDATE SET * is supported (whole-row replace); " +
+          "compute partial updates in the source view")
+      case other => fail(s"unsupported matched action: $other")
+    }
+    val insertWhen: Option[Column] = m.notMatchedActions match {
+      case Seq() => None
+      case Seq(InsertStarAction(cond)) =>
+        Some(srcCond(cond, "WHEN NOT MATCHED ... INSERT")
+          .getOrElse(lit(true)))
+      case Seq(InsertAction(cond, assignments)) if isStar(assignments) =>
+        Some(srcCond(cond, "WHEN NOT MATCHED ... INSERT")
+          .getOrElse(lit(true)))
+      case Seq(_: InsertAction) =>
+        fail("only INSERT * is supported (whole-row insert); shape the " +
+          "source view to the table's columns")
+      case _ => fail("at most one WHEN NOT MATCHED clause")
+    }
+    if (updateWhen.isEmpty && deleteWhen.isEmpty && insertWhen.isEmpty)
+      fail("no actionable clauses")
+    MergeIntoGenTable(dir, m.sourceTable, keyCol,
+      updateWhen, deleteWhen, insertWhen)
+  }
+}
+
+/** `DELETE FROM <gentable view> WHERE ...` — one atomic commit via
+  * [[GenTable.deleteWhere]].
+  */
+final case class DeleteFromGenTable(dir: String, cond: Column)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GenTable.deleteWhere(spark, dir, cond)
+    Seq.empty
+  }
+}
+
+/** `UPDATE <gentable view> SET ... WHERE ...` — one atomic commit via
+  * [[GenTable.updateWhere]].
+  */
+final case class UpdateGenTable(dir: String, cond: Column,
+    set: Seq[(String, Column)]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GenTable.updateWhere(spark, dir, cond, set)
+    Seq.empty
+  }
+}
+
+/** `MERGE INTO <gentable view> USING <source> ...` — one atomic commit
+  * via [[GenTable.merge]]. The source plan was resolved by the analyzer;
+  * it materializes here as an ordinary DataFrame.
+  */
+final case class MergeIntoGenTable(dir: String, source: LogicalPlan,
+    keyCol: String, updateWhen: Option[Column], deleteWhen: Option[Column],
+    insertWhen: Option[Column]) extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = GraftSqlShim.ofRows(spark, source)
+    GenTable.merge(src, dir, keyCol,
+      updateWhen = updateWhen, deleteWhen = deleteWhen,
+      insertWhen = insertWhen)
+    Seq.empty
+  }
+}

@@ -29,6 +29,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => AsOfPushdown)
     ext.injectOptimizerRule(_ => GenTableMetadataAggregate)
+    // SQL DML (DELETE/UPDATE/MERGE) over registered GenTable views —
+    // a RESOLUTION rule (it must claim the plan before the v2-only
+    // check), so it is only available on sessions built with
+    // spark.sql.extensions; the live-session register() path has no
+    // analyzer hook to add it after the fact
+    ext.injectResolutionRule(_ => GenTableDml)
   }
 }
 

@@ -1134,6 +1134,45 @@ object EventQueries extends QueryPack {
             col("day").cast("string").as("day"),
             col("bucket").cast("int").as("bucket"))
       }
+    },
+
+    // -- SQL DML end-to-end: every mutation in this lifecycle is a SQL
+    //    STATEMENT over a registered lake view (the GenTableDml
+    //    resolution rule routes DELETE/UPDATE/MERGE to the transactional
+    //    writers — each one atomic commit): a quality DELETE, a
+    //    recalibration UPDATE (RHS reads the OLD row), and a three-arm MERGE
+    //    whose source negates big purchases (delete arm), triples the
+    //    rest (update arm), and id-shifts even users' rows out of
+    //    matching (insert arm). The oracle recomputes the statement
+    //    algebra from first principles.
+    "e44_sql_dml" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      TempWork.scoped("graft_e44_") { tmp =>
+        val slice = t.events.filter(col("user_id") % 9 === 3)
+          .withColumn("bucket", pmod(col("user_id"), lit(8)).cast("int"))
+        graft.sources.GenTable.upsertBatch(slice, tmp, "event_id",
+          Seq("ts"), "bucket")                                // commit 1
+        graft.sources.GenTable.createOrReplaceView(spark, tmp, "e44_lake")
+        spark.sql(
+          "DELETE FROM e44_lake WHERE event_type = 'view' AND value < 50")
+        spark.sql("UPDATE e44_lake SET value = value * 2 " +
+          "WHERE event_type = 'click'")
+        slice.filter(col("event_type") === "purchase")
+          .withColumn("event_id", when(col("user_id") % 2 === 0,
+            col("event_id") + 1000000000L).otherwise(col("event_id")))
+          .withColumn("value", when(col("value") > 400.0, -col("value"))
+            .otherwise(col("value") * 3))
+          .createOrReplaceTempView("e44_src")
+        spark.sql(
+          """MERGE INTO e44_lake t USING e44_src s ON t.event_id = s.event_id
+            |WHEN MATCHED AND s.value < 0 THEN DELETE
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        graft.sources.GenTable.read(spark, tmp).get
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"), col("value"), col("props"),
+            col("bucket").cast("int").as("bucket"))
+      }
     }
   )
 
@@ -1740,6 +1779,43 @@ object EventQueries extends QueryPack {
         |  AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-08'
         |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-15'
         |  AND strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') >= '2024-01-10'
-        |  AND NOT (user_id = 17 AND user_id % 4 = 1)""".stripMargin
+        |  AND NOT (user_id = 17 AND user_id % 4 = 1)""".stripMargin,
+    // e44: the statement algebra, recomputed — DELETE filter, UPDATE's
+    // old-row RHS, then MERGE's matched/unmatched arm selection
+    "e44_sql_dml" ->
+      """WITH slice AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |    value, props, CAST(user_id % 8 AS INT) AS bucket
+        |  FROM events WHERE user_id % 9 = 3),
+        |d1 AS (
+        |  SELECT * FROM slice
+        |  WHERE NOT (event_type = 'view' AND value < 50)),
+        |d2 AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN event_type = 'click' THEN value * 2 ELSE value END
+        |      AS value,
+        |    props, bucket
+        |  FROM d1),
+        |src AS (
+        |  SELECT user_id,
+        |    CASE WHEN user_id % 2 = 0 THEN event_id + 1000000000
+        |         ELSE event_id END AS event_id,
+        |    ts, event_type,
+        |    CASE WHEN value > 400 THEN -value ELSE value * 3 END AS value,
+        |    props, bucket
+        |  FROM slice WHERE event_type = 'purchase')
+        |SELECT d2.user_id, d2.event_id, d2.ts, d2.event_type, d2.value,
+        |  d2.props, d2.bucket
+        |FROM d2 WHERE d2.event_id NOT IN (SELECT event_id FROM src)
+        |UNION ALL
+        |SELECT s.user_id, s.event_id, s.ts, s.event_type, s.value,
+        |  s.props, s.bucket
+        |FROM src s
+        |WHERE s.event_id IN (SELECT event_id FROM d2) AND s.value >= 0
+        |UNION ALL
+        |SELECT s.user_id, s.event_id, s.ts, s.event_type, s.value,
+        |  s.props, s.bucket
+        |FROM src s
+        |WHERE s.event_id NOT IN (SELECT event_id FROM d2)""".stripMargin
   )
 }

@@ -1508,6 +1508,52 @@ object GenTable {
     deleted
   }
 
+  /** Atomic SQL `UPDATE ... SET ... WHERE`: matched rows get every
+    * assignment applied, all right-hand sides evaluated against the OLD
+    * row (SQL semantics — `SET a = b, b = a` swaps); NULL-predicate rows
+    * stay untouched. Find-scan + rewrite bounded exactly like
+    * [[deleteWhere]] (only partitions containing matches re-stage).
+    * Assignments must not touch a partition column — an update that
+    * moves rows between partitions is a delete+insert (or a
+    * [[repartitionTable]]), and silently splitting one SQL statement
+    * into both would hide the cost. Returns rows updated (0 = no
+    * commit).
+    */
+  def updateWhere(spark: SparkSession, dir: String,
+      predicate: Column, set: Seq[(String, Column)]): Long = {
+    require(set.nonEmpty, "UPDATE needs at least one assignment")
+    val c = readCommit(dir).getOrElse(return 0L)
+    if (c.gens.isEmpty) return 0L
+    set.foreach { case (n, _) =>
+      require(!c.partitionCols.contains(n),
+        s"UPDATE must not assign partition column '$n' (rows would move " +
+          s"between partitions; delete+insert or repartitionTable instead)")
+    }
+    val full = read(spark, dir).get
+    set.foreach { case (n, _) => require(full.columns.contains(n),
+      s"unknown column '$n' in UPDATE assignment") }
+    val nCols = c.partitionCols.length
+    val touchedRows = full.filter(predicate)
+      .groupBy(c.partitionCols.map(p => col(p).cast("string")): _*)
+      .agg(count(lit(1)).as("_n")).collect()
+    if (touchedRows.isEmpty) return 0L
+    val updated = touchedRows.map(_.getLong(nCols)).sum
+    val touchedVals = touchedRows
+      .map(r => partKey((0 until nCols).map(r.getString))).toSet
+    val touchedPaths = c.gens.filter { case (k, _) => touchedVals(k) }
+      .toSeq.sortBy(_._1)
+      .map { case (k, g) => genPath(dir, c.partitionCols, k, g) }
+    val part = readPaths(spark, dir, c, touchedPaths)
+    val hit = coalesce(predicate, lit(false))
+    val assigned = set.toMap
+    // ONE select so every RHS reads the pre-update row
+    val rewritten = part.select(part.columns.toSeq.map { n =>
+      assigned.get(n).fold(col(n))(v => when(hit, v).otherwise(col(n)).as(n))
+    }: _*)
+    commitRewrite(spark, dir, c, touchedVals, rewritten, opMeta("update"))
+    updated
+  }
+
   /** Atomic delete by key list — the shape real takedown requests
     * arrive in (a bounded list of user/doc ids). Unlike [[deleteWhere]]
     * there is NO full-table find-scan: the stable key→partition

@@ -66,6 +66,12 @@ final class GenTableFileIndex(
     */
   private[graft] def tableCommit: GenTable.Commit = commit
 
+  /** The table directory — read by the SQL DML rewrite
+    * ([[graft.plans.GenTableDml]]) to route DELETE/UPDATE/MERGE
+    * statements to the transactional writers.
+    */
+  private[graft] def tableDir: String = dir
+
   /** Partition column names (for the metadata-aggregate rule's
     * group-by-partition match and partition-filter decidability check).
     */

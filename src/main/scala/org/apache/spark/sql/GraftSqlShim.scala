@@ -18,6 +18,13 @@ object GraftSqlShim {
   def expr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
 
+  /** The inverse: a Column over a catalyst expression (the SQL DML
+    * rewrite hands name-unresolved expressions back to the DataFrame
+    * API, which re-resolves them against the table's own frame).
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
   /** A batch frame re-wrapped with `isStreaming = true` — what a DSv1
     * streaming [[org.apache.spark.sql.execution.streaming.Source]] must
     * return from `getBatch` (the engine asserts it), and exactly the

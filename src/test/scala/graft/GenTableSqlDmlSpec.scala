@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sources.GenTable
+
+/** SQL DML over registered GenTable views ([[graft.plans.GenTableDml]]):
+  * DELETE/UPDATE/MERGE statements must equal the Scala writers they
+  * route to — one atomic commit each, correct lineage — and every
+  * restriction must fail loud with an actionable message, leaving the
+  * table untouched. Non-GenTable relations keep Spark's own errors.
+  */
+class GenTableSqlDmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String = tempDir("graft_gendml_")
+
+  private def seed(dir: String, view: String): Unit = {
+    val rows = Seq((1L, "d0", 1.0), (2L, "d0", 2.0), (3L, "d1", 3.0),
+      (4L, "d1", 4.0)).toDF("id", "day", "value")
+    GenTable.upsertBatch(rows, dir, "id", Seq("value"), "day")
+    GenTable.createOrReplaceView(spark, dir, view)
+  }
+
+  private def content(dir: String): Set[(Long, String, Double)] =
+    GenTable.read(spark, dir).get.select("id", "day", "value")
+      .as[(Long, String, Double)].collect().toSet
+
+  test("DELETE FROM routes to deleteWhere: one atomic commit") {
+    val dir = tmp()
+    seed(dir, "dml_del")
+    spark.sql("DELETE FROM dml_del WHERE day = 'd0' AND value > 1.5")
+    assert(content(dir) === Set((1L, "d0", 1.0), (3L, "d1", 3.0),
+      (4L, "d1", 4.0)))
+    val c = GenTable.readCommit(dir).get
+    assert(c.meta("commit_op") === "delete")
+    assert(c.tableGen === 2L)
+    // no-match DELETE commits nothing
+    spark.sql("DELETE FROM dml_del WHERE id = 999")
+    assert(GenTable.readCommit(dir).get.tableGen === 2L)
+  }
+
+  test("UPDATE SET evaluates every RHS against the OLD row") {
+    val dir = tmp()
+    seed(dir, "dml_upd")
+    // value doubles AND id-dependent: both RHS see pre-update values
+    spark.sql(
+      "UPDATE dml_upd SET value = value * 10 + id WHERE day = 'd1'")
+    assert(content(dir) === Set((1L, "d0", 1.0), (2L, "d0", 2.0),
+      (3L, "d1", 33.0), (4L, "d1", 44.0)))
+    assert(GenTable.readCommit(dir).get.meta("commit_op") === "update")
+    // WHERE omitted = all rows
+    spark.sql("UPDATE dml_upd SET value = 0.5")
+    assert(content(dir).forall(_._3 == 0.5))
+    // assigning the partition column is refused, nothing committed
+    val head = GenTable.readCommit(dir).get.tableGen
+    val e = intercept[IllegalArgumentException] {
+      spark.sql("UPDATE dml_upd SET day = 'd9'")
+    }
+    assert(e.getMessage.contains("partition column"))
+    assert(GenTable.readCommit(dir).get.tableGen === head)
+  }
+
+  test("MERGE INTO routes the three arms to GenTable.merge") {
+    val dir = tmp()
+    seed(dir, "dml_merge")
+    Seq((2L, "d0", -1.0), (3L, "d1", 30.0), (9L, "d1", 9.0))
+      .toDF("id", "day", "value").createOrReplaceTempView("dml_merge_src")
+    spark.sql(
+      """MERGE INTO dml_merge t USING dml_merge_src s ON t.id = s.id
+        |WHEN MATCHED AND s.value < 0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(content(dir) === Set((1L, "d0", 1.0), (3L, "d1", 30.0),
+      (4L, "d1", 4.0), (9L, "d1", 9.0)))
+    val c = GenTable.readCommit(dir).get
+    assert(c.meta("commit_op") === "merge")
+    assert(c.tableGen === 2L) // all three arms in ONE commit
+  }
+
+  test("MERGE restrictions fail loud and leave the table untouched") {
+    val dir = tmp()
+    seed(dir, "dml_strict")
+    Seq((2L, "d0", 5.0)).toDF("id", "day", "value")
+      .createOrReplaceTempView("dml_strict_src")
+    def mergeSql(clauses: String): Unit = spark.sql(
+      s"MERGE INTO dml_strict t USING dml_strict_src s ON t.id = s.id " +
+        clauses)
+    // UPDATE before DELETE: the engine's matched-arm order is delete-first
+    val e1 = intercept[Exception] {
+      mergeSql("WHEN MATCHED AND s.value > 0 THEN UPDATE SET * " +
+        "WHEN MATCHED AND s.value < 0 THEN DELETE")
+    }
+    assert(e1.getMessage.contains("DELETE clause must come before"))
+    // explicit-assignment UPDATE: star only
+    val e2 = intercept[Exception] {
+      mergeSql("WHEN MATCHED THEN UPDATE SET t.value = s.value")
+    }
+    assert(e2.getMessage.contains("UPDATE SET *"))
+    // target-side arm condition: source-only contract
+    val e3 = intercept[Exception] {
+      mergeSql("WHEN MATCHED AND t.value > 1 THEN DELETE")
+    }
+    assert(e3.getMessage.contains("SOURCE columns only"))
+    // NOT MATCHED BY SOURCE unsupported
+    val e4 = intercept[Exception] {
+      mergeSql("WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+    }
+    assert(e4.getMessage.contains("NOT MATCHED BY SOURCE"))
+    // nothing committed by any refusal
+    assert(GenTable.readCommit(dir).get.tableGen === 1L)
+    assert(content(dir) === Set((1L, "d0", 1.0), (2L, "d0", 2.0),
+      (3L, "d1", 3.0), (4L, "d1", 4.0)))
+  }
+
+  test("non-GenTable relations keep Spark's own DML errors") {
+    Seq((1L, "x")).toDF("id", "s").createOrReplaceTempView("dml_plain")
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM dml_plain WHERE id = 1")
+    }
+    // whatever Spark's exact wording, it must NOT be our rewrite acting
+    assert(!e.getMessage.contains("gentable"))
+  }
+
+  test("SQL DML on a composite-keyed table prunes by either component") {
+    val dir = tmp()
+    val rows = (0L until 40L).map { i =>
+      (i, s"d${i / 20L}", (i % 2L).toInt, i.toDouble)
+    }.toDF("id", "day", "bucket", "value")
+    GenTable.upsertBatch(rows, dir, "id", Seq("value"), Seq("day", "bucket"))
+    GenTable.createOrReplaceView(spark, dir, "dml_comp")
+    spark.sql("DELETE FROM dml_comp WHERE day = 'd0' AND bucket = 1")
+    assert(GenTable.read(spark, dir).get.count() === 30L)
+    // only the named cell re-generated
+    val c = GenTable.readCommit(dir).get
+    assert(c.gens.count { case (_, g) => g == 1L } === 3)
+  }
+}
