@@ -50,7 +50,14 @@ object GenTableDml extends Rule[LogicalPlan] {
   private def dirOf(p: LogicalPlan): Option[String] = p match {
     case s: SubqueryAlias => dirOf(s.child)
     case v: View => dirOf(v.child)
-    case pr: Project if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+    // FULL-output attribute identity only: a column-subset view would
+    // make the analyzer expand `SET *` to the subset, and a whole-row
+    // replace through it would null the hidden base columns
+    case pr: Project if pr.projectList.length == pr.child.output.length &&
+        pr.projectList.zip(pr.child.output).forall {
+          case (a: AttributeReference, o) => a.exprId == o.exprId
+          case _ => false
+        } =>
       dirOf(pr.child)
     case l: LogicalRelation => l.relation match {
       case h: HadoopFsRelation => h.location match {
@@ -156,7 +163,6 @@ object GenTableDml extends Rule[LogicalPlan] {
     }
     var deleteWhen: Option[Column] = None
     var updateWhen: Option[Column] = None
-    var sawDelete = false
     def addUpdate(cond: Option[Expression]): Unit = {
       if (updateWhen.isDefined)
         fail("at most one UPDATE SET * matched clause")
@@ -173,7 +179,6 @@ object GenTableDml extends Rule[LogicalPlan] {
             "WHEN MATCHED clauses")
         deleteWhen = Some(srcCond(cond, "WHEN MATCHED ... DELETE")
           .getOrElse(lit(true)))
-        sawDelete = true
       case UpdateStarAction(cond) => addUpdate(cond)
       case UpdateAction(cond, assignments, fromStar)
           if fromStar || isStar(assignments) =>

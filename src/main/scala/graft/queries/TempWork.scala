@@ -17,17 +17,13 @@ object TempWork {
 
   def scoped(prefix: String)(body: String => DataFrame): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory(prefix)
-    try {
-      val out = body(dir.toString)
-      // materialize by COLLECT, not localCheckpoint: results at this tier
-      // are view-sized by contract (the oracle hashes them row by row),
-      // and an eager checkpoint pays block-manager registration for all
-      // of the frame's partitions — measured 0.7-1.5 s per lifecycle
-      // query at sf0.1 (SCALE.md §26), pure harness overhead
-      val spark = out.sparkSession
-      spark.createDataFrame(
-        java.util.Arrays.asList(out.collect(): _*), out.schema)
-    } finally deleteRecursively(dir)
+    // localCheckpoint (not driver collect): lifecycle results are
+    // slice-sized, which scales with the fixture — blocks can spill to
+    // executor disk where a collect would hold every row on the driver.
+    // Measured equal to the lazy pre-wrap shape on s14 (SCALE.md §26);
+    // the bench/verify harnesses unpersist the blocks after consuming.
+    try body(dir.toString).localCheckpoint(true)
+    finally deleteRecursively(dir)
   }
 
   private def deleteRecursively(dir: java.nio.file.Path): Unit = {

@@ -336,10 +336,22 @@ object GenTable {
   private[sources] def partVals(key: String): Seq[String] =
     key.split(",", -1).toSeq.map(dec)
 
+  /** The find-scan and the rewrite evaluate DML predicates in SEPARATE
+    * jobs — a non-deterministic predicate would match different rows in
+    * each, updating/deleting a set unrelated to the one it counted (and
+    * missing rows in partitions the first evaluation skipped entirely).
+    */
+  private def requireDeterministic(predicate: Column, op: String): Unit =
+    require(!org.apache.spark.sql.GraftSqlShim.expr(predicate)
+        .exists(!_.deterministic),
+      s"$op predicates must be deterministic (the find-scan and the " +
+        s"rewrite evaluate them in separate jobs); materialize random " +
+        s"sampling into a column first")
+
   /** The partition's directory path relative to the table root:
     * `c1=v1/c2=v2` (Hive layout, one level per partition column).
     */
-  private def partRelDir(pcols: Seq[String], key: String): String = {
+  private[sources] def partRelDir(pcols: Seq[String], key: String): String = {
     val vals = partVals(key)
     require(vals.length == pcols.length,
       s"partition key '$key' has ${vals.length} components for " +
@@ -1180,11 +1192,16 @@ object GenTable {
         s"upsert batch must carry key/order/partition column '$c'"))
     val spark = batch.sparkSession
     // OCC: derive-stage-publish against a pinned base; when a concurrent
-    // writer moves the head under us AND its changes are KEY-DISJOINT
-    // from this batch (the commutative case — two ingest jobs writing
-    // different users), rebase on the new head and retry, bounded.
-    // Overlapping-key interleaves keep the fail-loud contract: their
-    // outcome is order-dependent and the caller must adjudicate.
+    // writer moves the head under us AND its commit is PARTITION-disjoint
+    // and KEY-disjoint from this batch, rebase on the new head and retry,
+    // bounded. Partition-disjointness is load-bearing, not just an
+    // optimization: two writers staging the SAME partition race on its
+    // gen=N directory (the loser's orphan-delete can wipe the winner's
+    // in-flight files before the winner publishes), so only conflicts
+    // whose staged directories never overlapped are provably clean to
+    // retry — same-partition writers must be serialized externally
+    // (per-partition single-writer), and overlapping conflicts keep the
+    // fail-loud contract.
     var prev = readCommit(dir).getOrElse(Commit(pcols, Map.empty))
     var retriesLeft = 3
     var committed = false
@@ -1229,6 +1246,16 @@ object GenTable {
               retriesLeft > 0 =>
           retriesLeft -= 1
           val newHead = readCommit(dir).getOrElse(throw e)
+          // partitions the interleaved commit(s) re-generated: any
+          // overlap with ours means the staged gen directories were
+          // shared — not provably clean, fail loud
+          val theirParts = (prev.gens.keySet ++ newHead.gens.keySet)
+            .filter(k => prev.gens.get(k) != newHead.gens.get(k))
+          if (theirParts.exists(touchedVals)) throw new IllegalStateException(
+            s"concurrent writer on $dir committed to partitions this " +
+              s"batch also stages — shared staging directories are not " +
+              s"retry-safe; serialize writers per partition (the " +
+              s"single-writer-per-partition contract)", e)
           // keys the interleaved commit(s) changed, pruned to their churn
           val theirKeys = changesBetween(spark, dir,
             prev.tableGen, newHead.tableGen, keyCol).select(col(keyCol))
@@ -1487,6 +1514,7 @@ object GenTable {
     * made).
     */
   def deleteWhere(spark: SparkSession, dir: String, predicate: org.apache.spark.sql.Column): Long = {
+    requireDeterministic(predicate, "DELETE")
     val c = readCommit(dir).getOrElse(return 0L)
     if (c.gens.isEmpty) return 0L
     val full = read(spark, dir).get
@@ -1522,6 +1550,7 @@ object GenTable {
   def updateWhere(spark: SparkSession, dir: String,
       predicate: Column, set: Seq[(String, Column)]): Long = {
     require(set.nonEmpty, "UPDATE needs at least one assignment")
+    requireDeterministic(predicate, "UPDATE")
     val c = readCommit(dir).getOrElse(return 0L)
     if (c.gens.isEmpty) return 0L
     set.foreach { case (n, _) =>
@@ -1767,7 +1796,18 @@ object GenTable {
           case Some(ex) => ex
             .join(broadcast(replacedKeys), Seq(keyCol), "left_anti")
             .unionByName(changes, allowMissingColumns = true)
-          case None => changes
+          case None =>
+            // every touched partition is NEW: the rewrite commits the
+            // result frame's schema, so align a narrower source to the
+            // table's recorded schema (missing columns null) — otherwise
+            // this commit would silently drop columns from ALL reads
+            schemaOf(c).fold(changes) { ts =>
+              val union = mergeSchemas(ts, changes.schema)
+              changes.select(union.fields.toSeq.map { f =>
+                if (changes.columns.contains(f.name)) col(f.name)
+                else lit(null).cast(f.dataType).as(f.name)
+              }: _*)
+            }
         }
         commitRewrite(spark, dir, c, touchedVals, result,
           opMeta("merge") ++ extraMeta)

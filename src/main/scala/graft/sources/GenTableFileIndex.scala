@@ -116,9 +116,8 @@ final class GenTableFileIndex(
 
   private def filesOf(k: String, g: Long): Array[FileStatus] =
     statusCache.getOrElseUpdate(k, {
-      val rel = pcols.zip(GenTable.partVals(k))
-        .map { case (c, v) => s"$c=$v" }.mkString("/")
-      val d = new HPath(new HPath(root, rel), s"gen=$g")
+      val d = new HPath(new HPath(root,
+        GenTable.partRelDir(pcols, k)), s"gen=$g")
       fs.listStatus(d).filter { s =>
         val n = s.getPath.getName
         s.isFile && !n.startsWith("_") && !n.startsWith(".")

@@ -564,11 +564,13 @@ class GenTableSpec extends SparkSpec {
     assert(GenTable.commits(dir) === Seq(1L, 2L, 3L))
   }
 
-  test("OCC retry: overlapping-key interleave still fails loud") {
+  test("OCC retry: overlapping-partition interleave still fails loud") {
     val dir = tmp()
     GenTable.upsertBatch(batch((1L, 10L, 1.0)), dir, "user_id", Seq("ts"),
       "bucket")
-    // B writes the SAME key A is writing: order-dependent, not retried
+    // B stages the SAME partition A is staging (here also the same key):
+    // shared gen directories are not retry-safe, whatever the keys —
+    // the per-partition single-writer contract must be enforced upstream
     GenTable.interleaveHook = Some(() =>
       GenTable.upsertBatch(batch((2L, 30L, 9.9)), dir, "user_id", Seq("ts"),
         "bucket"))
@@ -578,7 +580,7 @@ class GenTableSpec extends SparkSpec {
           Seq("ts"), "bucket")
       }
     } finally GenTable.interleaveHook = None
-    assert(e.getMessage.contains("not commutative"))
+    assert(e.getMessage.contains("partitions this batch also stages"))
     // B's commit is the committed state; A's conflicting batch is not in
     assert(rows(GenTable.read(spark, dir).get) === Set(
       (1L, 10L, 1.0, 1), (2L, 30L, 9.9, 2)))

@@ -156,6 +156,24 @@ class GenTableWriteSpec extends SparkSpec {
     assert(rows(GenTable.read(spark, dir).get) === Set((1L, 10L, 1.0, 1)))
   }
 
+  test("merge: an all-new-partition merge with a NARROWER source keeps the schema") {
+    val dir = tmp()
+    GenTable.upsertBatch(
+      batch((1L, 10L, 1.0)).withColumn("origin", lit("seed")),
+      dir, "user_id", Seq("ts"), "bucket")
+    // source lacks `origin` and targets ONLY a brand-new partition: the
+    // rewrite must align to the recorded schema, not narrow it
+    val src = Seq((2L, 20L, 2.0)).toDF("user_id", "ts", "value")
+      .withColumn("bucket", pmod(col("user_id"), lit(4)).cast("int"))
+    val st = GenTable.merge(src, dir, "user_id")
+    assert(st === GenTable.MergeStats(0L, 0L, 1L))
+    val got = GenTable.read(spark, dir).get
+    assert(got.columns.toSet ===
+      Set("user_id", "ts", "value", "origin", "bucket"))
+    assert(got.select("user_id", "origin").as[(Long, Option[String])]
+      .collect().toMap === Map(1L -> Some("seed"), 2L -> None))
+  }
+
   test("merge: schema evolution — an inserting merge may add columns") {
     val dir = tmp()
     GenTable.upsertBatch(batch((1L, 10L, 1.0), (2L, 10L, 2.0)),
