@@ -199,6 +199,30 @@ class GenTableCompositeSpec extends SparkSpec {
     assert(spark.read.format("gentable").load(dir).count() === 20L)
   }
 
+  test("bloom sidecars key by the composite tuple and prune point lookups") {
+    val dir = tmp()
+    // url unique per row, scattered across (day, bucket) cells — only
+    // the per-cell sidecar knows which cell holds a key
+    val rows = (0L until 60L).map { i =>
+      (i, s"d${i / 20L}", (i % 2L).toInt, s"https://h$i.example/")
+    }.toDF("event_id", "day", "bucket", "url")
+    GenTable.upsertBatch(rows, dir, "event_id", Seq("event_id"),
+      Seq("day", "bucket"), bloomCols = Seq("url"),
+      bloomExpectedItems = 100L)
+    val all = filesRead(GenTable.readIndexed(spark, dir).get)
+    val point = GenTable.readIndexed(spark, dir).get
+      .filter(col("url") === "https://h41.example/")
+    val pointFiles = filesRead(point)
+    assert(pointFiles < all,
+      s"composite bloom failed to prune: $pointFiles vs $all")
+    assert(point.count() === 1L)
+    // explicit string lookup API agrees
+    val viaApi = GenTable.readEqualsStrings(spark, dir, "url",
+      Seq("https://h41.example/")).get
+    assert(viaApi.select("event_id").collect().map(_.getLong(0)).toSeq
+      === Seq(41L))
+  }
+
   test("merge on a composite-keyed table bounds IO to the named cells") {
     val dir = tmp()
     seed(dir)
