@@ -66,6 +66,12 @@ object GenTableDml extends Rule[LogicalPlan] {
       }
       case _ => None
     }
+    // name-based catalog targets (`DELETE FROM gt.ns.table ...`)
+    case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+      r.table match {
+        case t: graft.sources.GenTableV2Table => Some(t.dir)
+        case _ => None
+      }
     case _ => None
   }
 

@@ -1173,6 +1173,42 @@ object EventQueries extends QueryPack {
             col("event_type"), col("value"), col("props"),
             col("bucket").cast("int").as("bucket"))
       }
+    },
+
+    // -- Name-based SQL catalog end-to-end: the documents lake lives
+    //    under a GenTableCatalog base, and every statement addresses it
+    //    as `gt45.corpus.docs` — no view registration, no path in the
+    //    SQL. Quality DELETE, recalibration UPDATE, then an aggregate
+    //    SELECT through the same catalog name (reads bridge back to the
+    //    manifest-indexed relation). The base dir is FIXED per JVM
+    //    (catalog instances cache their options at first load); the
+    //    table itself is replaced at the start and deleted at the end
+    //    of every run, so repeated passes stay deterministic and /tmp
+    //    stays clean.
+    "e45_catalog_sql" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val base = "/tmp/graft_e45_catbase"
+      spark.conf.set("spark.sql.catalog.gt45",
+        "graft.sources.GenTableCatalog")
+      spark.conf.set("spark.sql.catalog.gt45.base", base)
+      val table = s"$base/corpus/docs"
+      try {
+        graft.sources.GenTable.replaceAll(t.documents, table, "lang")
+        spark.sql("DELETE FROM gt45.corpus.docs WHERE n_chars < 200")
+        spark.sql("UPDATE gt45.corpus.docs SET n_chars = n_chars + 1 " +
+          "WHERE lang = 'en'")
+        spark.sql("SELECT lang, count(*) AS n_docs, " +
+          "sum(n_chars) AS total_chars FROM gt45.corpus.docs GROUP BY lang")
+          .localCheckpoint(true)
+      } finally {
+        val p = java.nio.file.Paths.get(table)
+        if (java.nio.file.Files.exists(p)) {
+          val s = java.nio.file.Files.walk(p)
+          try s.sorted(java.util.Comparator.reverseOrder())
+            .forEach(x => java.nio.file.Files.delete(x))
+          finally s.close()
+        }
+      }
     }
   )
 
@@ -1816,6 +1852,15 @@ object EventQueries extends QueryPack {
         |SELECT s.user_id, s.event_id, s.ts, s.event_type, s.value,
         |  s.props, s.bucket
         |FROM src s
-        |WHERE s.event_id NOT IN (SELECT event_id FROM d2)""".stripMargin
+        |WHERE s.event_id NOT IN (SELECT event_id FROM d2)""".stripMargin,
+    // e45: catalog names are addressing, not semantics — the statement
+    // algebra over documents, recomputed
+    "e45_catalog_sql" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN n_chars + 1
+        |                ELSE n_chars END) AS BIGINT) AS total_chars
+        |FROM documents
+        |WHERE n_chars >= 200
+        |GROUP BY lang""".stripMargin
   )
 }
