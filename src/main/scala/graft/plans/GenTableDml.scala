@@ -16,6 +16,7 @@ import graft.sources.{GenTable, GenTableFileIndex}
   * first, routed to the transactional writers:
   * {{{
   * GenTable.createOrReplaceView(spark, dir, "events_lake")
+  * spark.sql("INSERT INTO events_lake VALUES (9, 'z', 99.0, 1)")
   * spark.sql("DELETE FROM events_lake WHERE day < '2024-01-10'")
   * spark.sql("UPDATE events_lake SET value = value * 2 WHERE user_id = 7")
   * spark.sql("""MERGE INTO events_lake t USING updates s ON t.id = s.id
@@ -25,14 +26,18 @@ import graft.sources.{GenTable, GenTableFileIndex}
   * }}}
   *
   * Spark's own parser produces [[DeleteFromTable]]/[[UpdateTable]]/
-  * [[MergeIntoTable]] for ANY relation and its analyzer resolves them
-  * through temp views — what rejects them is the v2-tables-only check
-  * AFTER resolution. This resolution rule runs first: a resolved DML
-  * node whose target bottoms out at the manifest-indexed relation
-  * ([[GenTableFileIndex]]) rewrites into a command over
-  * [[GenTable.deleteWhere]]/[[GenTable.updateWhere]]/[[GenTable.merge]]
-  * — each ONE atomic commit, crash-safe, partition-bounded, identical
-  * semantics to the Scala API (the SQL statement IS that call).
+  * [[MergeIntoTable]]/[[InsertIntoStatement]] for ANY relation and its
+  * analyzer resolves them through temp views — what rejects
+  * DELETE/UPDATE/MERGE is the v2-tables-only check AFTER resolution,
+  * while INSERT is WORSE than rejected: the v1 conversion would happily
+  * plan a direct parquet write into the table root, an orphan file no
+  * manifest read sees and vacuum never sweeps (silent data loss). This
+  * resolution rule runs first: a resolved DML node whose target bottoms
+  * out at the manifest-indexed relation ([[GenTableFileIndex]]) rewrites
+  * into a command over [[GenTable.deleteWhere]]/[[GenTable.updateWhere]]/
+  * [[GenTable.merge]]/[[GenTable.insertInto]] — each ONE atomic commit,
+  * crash-safe, partition-bounded, identical semantics to the Scala API
+  * (the SQL statement IS that call).
   *
   * Restrictions fail loud with actionable messages (never silently
   * narrowed): no subqueries in conditions; MERGE needs a single
@@ -92,6 +97,17 @@ object GenTableDml extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    // INSERT is the statement Spark would otherwise accept SILENTLY
+    // WRONG: the path-view target is a plain HadoopFsRelation, so the v1
+    // conversion plans a direct parquet write into the table ROOT — a
+    // file outside any gen=N directory that no manifest read ever sees
+    // and vacuum never sweeps. Claiming the statement here makes INSERT
+    // INTO the SQL spelling of the table's own append contract
+    // (manifest write defaults -> the same atomic upsertBatch), and
+    // INSERT OVERWRITE a whole-table replaceAll.
+    case i: InsertIntoStatement if i.table.resolved && i.query.resolved =>
+      dirOf(i.table).map(dir => rewriteInsert(dir, i)).getOrElse(i)
+
     case d @ DeleteFromTable(target, condition) if d.resolved =>
       dirOf(target).map { dir =>
         DeleteFromGenTable(dir, unresolve(condition)): LogicalPlan
@@ -121,6 +137,74 @@ object GenTableDml extends Rule[LogicalPlan] {
     throw new AnalysisException(
       errorClass = "USER_RAISED_EXCEPTION",
       messageParameters = Map("errorMessage" -> s"gentable MERGE: $msg"))
+
+  private def failInsert(msg: String): Nothing =
+    throw new AnalysisException(
+      errorClass = "USER_RAISED_EXCEPTION",
+      messageParameters = Map("errorMessage" -> s"gentable INSERT: $msg"))
+
+  /** Validate and claim one INSERT statement at ANALYSIS time — a
+    * refused INSERT must leave the table bit-untouched with no job run
+    * and no file on disk. The column mapping is resolved here (positional
+    * by default, by-name for `INSERT INTO t (a, b, c)` / `BY NAME`);
+    * every table column must be covered — gentable has no column
+    * defaults, and a silently-nulled column is the narrowing this
+    * surface bans. Types align at run time by cast to each column's
+    * DECLARED type (store assignment), the same rule
+    * [[GenTable.updateWhere]] applies.
+    */
+  private def rewriteInsert(dir: String, i: InsertIntoStatement): LogicalPlan = {
+    if (i.partitionSpec.nonEmpty)
+      failInsert("PARTITION specs are not supported — the partition " +
+        "column is an ordinary column of a gentable; carry its values in " +
+        "the inserted rows")
+    if (i.ifPartitionNotExists)
+      failInsert("IF NOT EXISTS is not supported")
+    val c = GenTable.readCommit(dir).getOrElse(
+      failInsert(s"target $dir has no committed manifest"))
+    val schema = GenTable.schemaOf(c).getOrElse(
+      failInsert(s"target $dir predates schema tracking; write through " +
+        "df.write.format(\"gentable\") once to record one"))
+    if (!i.overwrite && GenTable.writeDefaultsOf(c).appendContract.isEmpty)
+      failInsert(s"INSERT INTO needs the table's append contract and " +
+        s"$dir records none: write once with df.write.format(\"gentable\")" +
+        ".option(\"keyCol\", ...).option(\"orderCols\", ...)" +
+        ".mode(\"append\"), or CREATE TABLE ... TBLPROPERTIES(" +
+        "'keyCol'='...', 'orderCols'='...') — INSERT then routes to the " +
+        "same atomic upsert (INSERT OVERWRITE, a whole-table replace, " +
+        "needs no contract)")
+    val out = i.query.output
+    // the names the query's columns map to, in query-output order
+    val targets: Seq[String] =
+      if (i.userSpecifiedCols.nonEmpty) i.userSpecifiedCols
+      else if (i.byName) out.map(_.name)
+      else schema.fieldNames.toSeq
+    if (out.length != targets.length)
+      failInsert(s"query produces ${out.length} column(s) for " +
+        s"${targets.length} target column(s)")
+    val want = schema.fieldNames.map(_.toLowerCase).sorted.toSeq
+    val got = targets.map(_.toLowerCase).sorted
+    if (got != want) {
+      val missing = want.diff(got)
+      val unknown = got.diff(want)
+      failInsert("INSERT must supply every table column exactly once " +
+        "(gentable has no column defaults)" +
+        (if (missing.nonEmpty) s"; missing: ${missing.mkString(", ")}"
+         else "") +
+        (if (unknown.nonEmpty) s"; unknown: ${unknown.mkString(", ")}"
+         else ""))
+    }
+    // canonicalize target names to the schema's own casing, then BIND
+    // the mapping to the query's output attributes BY exprId right here:
+    // a Project of aliases pins (query column -> table column) at
+    // analysis time, so later re-resolution of the captured plan can
+    // never permute the positional mapping under the command
+    val canon = targets.map(t =>
+      schema.fieldNames.find(_.equalsIgnoreCase(t)).get)
+    val bound = Project(
+      out.zip(canon).map { case (a, name) => Alias(a, name)() }, i.query)
+    InsertGenTable(dir, bound, i.overwrite)
+  }
 
   private def rewriteMerge(dir: String, m: MergeIntoTable): LogicalPlan = {
     if (m.notMatchedBySourceActions.nonEmpty)
@@ -232,6 +316,37 @@ final case class UpdateGenTable(dir: String, cond: Column,
     set: Seq[(String, Column)]) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     GenTable.updateWhere(spark, dir, cond, set)
+    Seq.empty
+  }
+}
+
+/** `INSERT INTO` / `INSERT OVERWRITE` a gentable target — one atomic
+  * commit via [[GenTable.insertInto]]: INSERT INTO is the SQL spelling of
+  * the table's recorded append contract (the same latest-per-key
+  * [[GenTable.upsertBatch]] every writer runs — a key the table already
+  * holds is REPLACED, not duplicated, because the contract IS the
+  * table's semantics); INSERT OVERWRITE is a whole-table
+  * [[GenTable.replaceAll]]. `source` is the query wrapped in the
+  * analysis-time alias Project (each output already NAMED for its table
+  * column); rows re-order and cast to the table's declared schema here.
+  */
+final case class InsertGenTable(dir: String, source: LogicalPlan,
+    overwrite: Boolean) extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = GraftSqlShim.ofRows(spark, source)
+    val c = GenTable.readCommit(dir).getOrElse(
+      throw new IllegalStateException(
+        s"INSERT target $dir has no committed GenTable"))
+    val schema = GenTable.schemaOf(c).getOrElse(
+      throw new IllegalStateException(
+        s"INSERT target $dir predates schema tracking"))
+    // columns already carry their target names; align to the table's
+    // column order with store-assignment casts
+    val aligned = src.select(schema.fields.toSeq.map(f =>
+      org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
+        .as(f.name)): _*)
+    GenTable.insertInto(aligned, dir, overwrite)
     Seq.empty
   }
 }

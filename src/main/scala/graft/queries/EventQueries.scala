@@ -1209,6 +1209,101 @@ object EventQueries extends QueryPack {
           finally s.close()
         }
       }
+    },
+
+    // -- SQL INSERT end-to-end (the round-13 verdict's top item): the
+    //    table's first write RECORDS its append contract in the manifest
+    //    (keyCol/orderCols/partitionCol), the second batch appends with
+    //    ZERO options (the contract drives it), and then two INSERT
+    //    statements over the registered view route to the same atomic
+    //    upsert — one inserting new keys, one REPLACING existing keys
+    //    (INSERT INTO is the SQL spelling of the contract's
+    //    latest-per-key merge, never a silent duplicate). The oracle
+    //    recomputes the replace/insert algebra from first principles.
+    "e46_sql_insert" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      TempWork.scoped("graft_e46_") { tmp =>
+        val slice = t.events.filter(col("user_id") % 9 === 6)
+          .withColumn("bucket", pmod(col("user_id"), lit(8)).cast("int"))
+        val cut = lit("2024-01-14").cast("timestamp")
+        slice.filter(col("ts") < cut).write.format("gentable")
+          .option("keyCol", "event_id").option("orderCols", "ts,event_id")
+          .option("partitionCol", "bucket").mode("append").save(tmp) // 1
+        slice.filter(col("ts") >= cut).write.format("gentable")
+          .mode("append").save(tmp) // commit 2: contract from the manifest
+        graft.sources.GenTable.createOrReplaceView(spark, tmp, "e46_lake")
+        slice.createOrReplaceTempView("e46_src")
+        // new keys: shifted ids, later ts (insert arm of the contract).
+        // Explicit column lists — the fixture's physical order is
+        // (event_id, ts, user_id, ...), so by-name is the readable form
+        // (and exercises the statement's column-mapping arm)
+        spark.sql(
+          """INSERT INTO e46_lake
+            |  (user_id, event_id, ts, event_type, value, props, bucket)
+            |SELECT user_id, event_id + 2000000000, ts + INTERVAL 90 DAYS,
+            |  'backfill', value, props, bucket
+            |FROM e46_src WHERE event_type = 'purchase'""".stripMargin)
+        // existing keys: newer ts wins — the upsert REPLACES the rows
+        spark.sql(
+          """INSERT INTO e46_lake
+            |  (user_id, event_id, ts, event_type, value, props, bucket)
+            |SELECT user_id, event_id, ts + INTERVAL 90 DAYS,
+            |  'adjusted', value * 2, props, bucket
+            |FROM e46_src WHERE event_type = 'click'""".stripMargin)
+        graft.sources.GenTable.read(spark, tmp).get
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"), col("value"), col("props"),
+            col("bucket").cast("int").as("bucket"))
+      }
+    },
+
+    // -- Catalog DDL + time travel end-to-end: the table is BORN in SQL
+    //    (atomic CTAS with its TBLPROPERTIES write contract), grows by
+    //    SQL INSERT through that contract, shrinks by SQL DELETE, and
+    //    the final answer joins the CURRENT per-lang stats against
+    //    `VERSION AS OF 1` (the CTAS snapshot) — time travel as an
+    //    ordinary relation in one query. Base dir fixed per JVM (catalog
+    //    options cache at first load), table replaced/deleted per run.
+    "e47_catalog_timetravel" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val base = "/tmp/graft_e47_catbase"
+      spark.conf.set("spark.sql.catalog.gt47",
+        "graft.sources.GenTableCatalog")
+      spark.conf.set("spark.sql.catalog.gt47.base", base)
+      val table = s"$base/corpus/docs"
+      try {
+        t.documents.select(col("doc_id"), col("text"), col("lang"),
+            col("source"), col("n_chars"))
+          .createOrReplaceTempView("e47_src")
+        spark.sql(
+          """CREATE TABLE gt47.corpus.docs
+            |TBLPROPERTIES('keyCol'='doc_id', 'orderCols'='n_chars',
+            |  'partitionCol'='lang')
+            |AS SELECT * FROM e47_src""".stripMargin)         // commit 1
+        spark.sql(
+          """INSERT INTO gt47.corpus.docs
+            |SELECT doc_id + 100000000, text, lang, source, n_chars + 7
+            |FROM e47_src WHERE source = 'web'""".stripMargin) // commit 2
+        spark.sql(
+          "DELETE FROM gt47.corpus.docs WHERE n_chars < 200")  // commit 3
+        spark.sql(
+          """SELECT v1.lang, v1.n_docs_v1, cur.n_docs, cur.total_chars
+            |FROM (SELECT lang, count(*) AS n_docs_v1
+            |      FROM gt47.corpus.docs VERSION AS OF 1 GROUP BY lang) v1
+            |LEFT JOIN (SELECT lang, count(*) AS n_docs,
+            |        CAST(sum(n_chars) AS BIGINT) AS total_chars
+            |      FROM gt47.corpus.docs GROUP BY lang) cur
+            |  ON v1.lang = cur.lang""".stripMargin)
+          .localCheckpoint(true)
+      } finally {
+        val p = java.nio.file.Paths.get(table)
+        if (java.nio.file.Files.exists(p)) {
+          val s = java.nio.file.Files.walk(p)
+          try s.sorted(java.util.Comparator.reverseOrder())
+            .forEach(x => java.nio.file.Files.delete(x))
+          finally s.close()
+        }
+      }
     }
   )
 
@@ -1861,6 +1956,45 @@ object EventQueries extends QueryPack {
         |                ELSE n_chars END) AS BIGINT) AS total_chars
         |FROM documents
         |WHERE n_chars >= 200
-        |GROUP BY lang""".stripMargin
+        |GROUP BY lang""".stripMargin,
+    // e46: the INSERT algebra — replaced keys take the newer adjusted
+    // row (the contract's latest-per-key merge), new keys append, the
+    // rest of the slice survives untouched
+    "e46_sql_insert" ->
+      """WITH slice AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |    value, props, CAST(user_id % 8 AS INT) AS bucket
+        |  FROM events WHERE user_id % 9 = 6),
+        |ins_new AS (
+        |  SELECT user_id, event_id + 2000000000 AS event_id,
+        |    ts + INTERVAL 90 DAY AS ts, 'backfill' AS event_type,
+        |    value, props, bucket
+        |  FROM slice WHERE event_type = 'purchase'),
+        |ins_repl AS (
+        |  SELECT user_id, event_id, ts + INTERVAL 90 DAY AS ts,
+        |    'adjusted' AS event_type, value * 2 AS value, props, bucket
+        |  FROM slice WHERE event_type = 'click')
+        |SELECT * FROM slice
+        |WHERE event_id NOT IN (SELECT event_id FROM ins_repl)
+        |UNION ALL SELECT * FROM ins_repl
+        |UNION ALL SELECT * FROM ins_new""".stripMargin,
+    // e47: version 1 is the CTAS select itself; the head is that plus
+    // the INSERT batch minus the DELETE predicate
+    "e47_catalog_timetravel" ->
+      """WITH src AS (
+        |  SELECT doc_id, text, lang, source, n_chars FROM documents),
+        |v1 AS (
+        |  SELECT lang, count(*) AS n_docs_v1 FROM src GROUP BY lang),
+        |cur0 AS (
+        |  SELECT * FROM src
+        |  UNION ALL
+        |  SELECT doc_id + 100000000, text, lang, source, n_chars + 7
+        |  FROM src WHERE source = 'web'),
+        |cur AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |  FROM cur0 WHERE n_chars >= 200 GROUP BY lang)
+        |SELECT v1.lang, v1.n_docs_v1, cur.n_docs, cur.total_chars
+        |FROM v1 LEFT JOIN cur ON v1.lang = cur.lang""".stripMargin
   )
 }

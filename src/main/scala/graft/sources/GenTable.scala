@@ -189,7 +189,51 @@ object GenTable {
   private val OpMetaKey = "commit_op"
   private val TsMetaKey = "commit_ts"
 
-  private def opMeta(op: String): Map[String, String] =
+  /** Reserved meta keys carrying the table's WRITE CONTRACT — the merge
+    * key, order columns, and skip-column declarations its writers used —
+    * so later doorways need no re-declaration: a zero-option
+    * `df.write.format("gentable").mode("append")`, SQL `INSERT INTO`
+    * (routed to the same atomic upsert), and catalog CTAS all read the
+    * contract from the ONE manifest object. Stamped by [[upsertBatch]] on
+    * every commit (latest declaration wins) and by `CREATE TABLE`
+    * TBLPROPERTIES; meta carries forward through every other writer.
+    */
+  private[sources] val WriteKeyColKey = "write_key_col"
+  private[sources] val WriteOrderColsKey = "write_order_cols"
+  private[sources] val WriteStatsColsKey = "write_stats_cols"
+  private[sources] val WriteBloomColsKey = "write_bloom_cols"
+
+  /** A committed table's recorded write contract (see the meta keys
+    * above). `keyCol`/`orderCols` empty = the table has never declared an
+    * append contract (CDC-only or replace-only lifecycles) — doorways
+    * that need one must then fail loud, never guess a merge key.
+    */
+  final case class WriteDefaults(keyCol: Option[String],
+      orderCols: Seq[String], statsCols: Seq[String], bloomCols: Seq[String]) {
+    /** The append contract, when complete enough to drive an upsert. */
+    def appendContract: Option[(String, Seq[String])] =
+      keyCol.filter(_ => orderCols.nonEmpty).map(_ -> orderCols)
+  }
+
+  def writeDefaultsOf(c: Commit): WriteDefaults = {
+    def csv(k: String): Seq[String] =
+      c.meta.get(k).map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+        .getOrElse(Nil)
+    WriteDefaults(c.meta.get(WriteKeyColKey).filter(_.nonEmpty),
+      csv(WriteOrderColsKey), csv(WriteStatsColsKey), csv(WriteBloomColsKey))
+  }
+
+  private[sources] def writeDefaultsMeta(keyCol: String,
+      orderCols: Seq[String], statsCols: Seq[String],
+      bloomCols: Seq[String]): Map[String, String] =
+    Map(WriteKeyColKey -> keyCol,
+      WriteOrderColsKey -> orderCols.mkString(",")) ++
+      (if (statsCols.isEmpty) Map.empty
+       else Map(WriteStatsColsKey -> statsCols.mkString(","))) ++
+      (if (bloomCols.isEmpty) Map.empty
+       else Map(WriteBloomColsKey -> bloomCols.mkString(",")))
+
+  private[sources] def opMeta(op: String): Map[String, String] =
     Map(OpMetaKey -> op, TsMetaKey -> java.time.Instant.now().toString)
 
   /** The commit lineage as a DataFrame — `DESCRIBE HISTORY` for the lake:
@@ -281,6 +325,13 @@ object GenTable {
     * the window the OCC retry exists for — then self-clear.
     */
   @volatile private[graft] var interleaveHook: Option[() => Unit] = None
+
+  /** Test hook: run once between [[upsertBatch]]'s base-commit read and
+    * its stage — the window where a fully-published concurrent writer
+    * makes the stale-orphan delete dangerous ([[requireUncommitted]]'s
+    * scenario) — then self-clear.
+    */
+  @volatile private[graft] var preStageHook: Option[() => Unit] = None
 
   private val ObjectStoreSchemes =
     Set("s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs", "oss", "cos")
@@ -608,16 +659,24 @@ object GenTable {
     * Returns the advice that was acted on (None = pre-tracking manifest:
     * nothing compacts, vacuum still runs).
     */
+  /** What one [[maintain]] pass did: the compaction advice it acted on
+    * (None = pre-tracking manifest), the generations vacuum removed, and
+    * the metadata-vs-disk audit AFTER the sweep ([[fsck]]) — anything
+    * still unaccounted is the leak class vacuum can never touch.
+    */
+  final case class MaintenanceReport(advice: Option[CompactionAdvice],
+      removedGenerations: Long, orphans: FsckReport)
+
   def maintain(spark: SparkSession, dir: String,
       targetRecordsPerFile: Long,
       targetFileBytes: Long = 128L * 1024 * 1024,
       keepCommits: Int = 1,
-      clusterBy: Seq[String] = Nil): Option[CompactionAdvice] = {
+      clusterBy: Seq[String] = Nil): MaintenanceReport = {
     val advice = compactionAdvice(dir, targetFileBytes)
     if (advice.exists(_.advise))
       compact(spark, dir, targetRecordsPerFile, clusterBy)
-    vacuum(dir, keepCommits)
-    advice
+    val removed = vacuum(dir, keepCommits)
+    MaintenanceReport(advice, removed, fsck(dir, keepCommits))
   }
 
   /** Register the committed view as a temp view — the SQL doorway:
@@ -676,7 +735,7 @@ object GenTable {
       genPath(dir, c.partitionCols, k, g)
     }
 
-  private[sources] def schemaOf(c: Commit): Option[StructType] =
+  private[graft] def schemaOf(c: Commit): Option[StructType] =
     c.meta.get(SchemaMetaKey).map(DataType.fromJson(_).asInstanceOf[StructType])
 
   /** Read committed generation paths with the commit's recorded schema
@@ -758,11 +817,33 @@ object GenTable {
     * the same relation (partition column last, Spark's convention).
     */
   def readIndexed(spark: SparkSession, dir: String): Option[DataFrame] =
-    readCommit(dir).filter(_.gens.nonEmpty).map { c =>
+    readCommit(dir).flatMap(indexedFrame(spark, dir, _))
+
+  /** [[readIndexed]] pinned to archived commit `commitId` — the
+    * Catalyst-integrated time-travel read behind SQL
+    * `FOR VERSION AS OF` ([[GenTableCatalog]]) and the DataSource
+    * `versionAsOf` option: same manifest-driven pruning, frozen at the
+    * archived state.
+    */
+  def readIndexedAt(spark: SparkSession, dir: String,
+      commitId: Long): Option[DataFrame] =
+    commitAt(dir, commitId).flatMap(indexedFrame(spark, dir, _))
+
+  /** A commit is indexable when it has data OR a recorded schema (a
+    * meta-only commit — `CREATE TABLE` before the first insert, an empty
+    * replace — reads as a schema-correct EMPTY frame, which is what SQL
+    * over a freshly-created table must see; pre-schema-tracking empty
+    * commits have nothing to type a frame with).
+    */
+  private def indexedFrame(spark: SparkSession, dir: String,
+      c: Commit): Option[DataFrame] = {
+    if (c.gens.isEmpty && schemaOf(c).isEmpty) None
+    else {
       val schema = schemaOf(c).getOrElse(
         readPaths(spark, dir, c, pathsOf(dir, c)).schema)
-      GenTableFileIndex.frame(spark, dir, c, schema)
+      Some(GenTableFileIndex.frame(spark, dir, c, schema))
     }
+  }
 
   /** Test/diagnostic hook: the manifest-driven index pinned to the
     * current commit ([[readIndexed]]'s listing, callable directly).
@@ -773,12 +854,16 @@ object GenTable {
     new GenTableFileIndex(spark, dir, c, s)
   }
 
-  /** [[readIndexed]]'s commit resolution for the DataSource provider. */
+  /** [[readIndexed]]'s commit resolution for the DataSource provider.
+    * Meta-only commits with a recorded schema resolve (empty relation);
+    * see [[indexedFrame]].
+    */
   private[sources] def indexedRelationParts(spark: SparkSession,
       dir: String): (Commit, StructType) = {
-    val c = readCommit(dir).filter(_.gens.nonEmpty).getOrElse(
-      throw new IllegalArgumentException(
-        s"no committed GenTable under $dir"))
+    val c = readCommit(dir)
+      .filter(c => c.gens.nonEmpty || schemaOf(c).isDefined).getOrElse(
+        throw new IllegalArgumentException(
+          s"no committed GenTable under $dir"))
     (c, schemaOf(c).getOrElse(readPaths(spark, dir, c, pathsOf(dir, c)).schema))
   }
 
@@ -821,6 +906,32 @@ object GenTable {
       readCommit(dir).getOrElse(Commit(partitionCol.cols, Map.empty)),
       statsCols, bloomCols, bloomExpectedItems)
 
+  /** Guard for every stale-orphan delete: removing a `gen=N` directory is
+    * only safe while that generation is UNCOMMITTED (a crashed previous
+    * attempt's leftovers). If a concurrent writer read the same base and
+    * fully published before this writer stages, the LIVE manifest already
+    * references (key, N) — deleting it would wipe committed data and
+    * readers of the interleaved head would silently see wrong rows long
+    * before [[publish]]'s own head check could fail. Re-reading the
+    * manifest here turns that same-partition interleave into a loud
+    * refusal BEFORE any committed file is touched (same "concurrent
+    * writer" error class as publish, so [[upsertBatch]]'s OCC retry still
+    * classifies the conflict — a same-partition overlap then keeps the
+    * fail-loud contract instead of retrying).
+    */
+  private def requireUncommitted(dir: String, keys: Seq[String],
+      gen: Long): Unit = {
+    readCommit(dir).foreach { live =>
+      val clash = keys.filter(k => live.gens.get(k).contains(gen))
+      require(clash.isEmpty,
+        s"concurrent writer detected on $dir: generation $gen of " +
+          s"partition(s) ${clash.take(3).mkString(", ")} is already " +
+          s"committed — refusing to overwrite published data; re-stage " +
+          s"from the current head (writers to the same partition must be " +
+          s"serialized)")
+    }
+  }
+
   /** [[stage]] against a CALLER-PINNED base commit. The transactional
     * writers ([[upsertBatch]], [[replaceAll]], [[applyCdcBatch]]) derive
     * their merge from a base they read once; staging must allocate the
@@ -860,6 +971,7 @@ object GenTable {
     // NULL partition values are refused inside touchedKeys — fail loud
     // before any file lands
     val touched = touchedKeys(rows, pcols)
+    requireUncommitted(dir, touched, newGen)
     touched.foreach { k =>
       val orphan = genDir(root, pcols, k, newGen)
       if (f.exists(orphan)) f.delete(orphan, true)
@@ -1231,13 +1343,18 @@ object GenTable {
       // merge keeps the read set independent of writer progress.
       val frozen = merged.localCheckpoint(true)
       try {
+        // test hook: deterministically publish a concurrent writer in the
+        // pre-stage window (the orphan-delete guard's scenario)
+        preStageHook.foreach { h => preStageHook = None; h() }
         val staged = stagePinned(frozen, dir, partitionCol, prev,
           statsCols, bloomCols, bloomExpectedItems)
         // test hook: deterministically interleave another writer between
         // stage and publish (the OCC conflict window)
         interleaveHook.foreach { h => interleaveHook = None; h() }
         publish(dir, staged.copy(meta =
-          staged.meta ++ opMeta("upsert") ++ extraMeta))
+          staged.meta ++ opMeta("upsert") ++
+            writeDefaultsMeta(keyCol, orderCols, statsCols, bloomCols) ++
+            extraMeta))
         committed = true
       } catch {
         case e: IllegalArgumentException
@@ -1339,6 +1456,23 @@ object GenTable {
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Unit = {
     require(!meta.contains(SchemaMetaKey),
       s"'$SchemaMetaKey' is reserved (the schema is derived from rows)")
+    val staged = stageReplace(rows, dir, partitionCol, statsCols, bloomCols)
+    publish(dir, staged.copy(meta = meta ++ opMeta("replace") ++ staged.meta))
+  }
+
+  /** [[replaceAll]]'s STAGE half, publish left to the caller — the
+    * two-phase shape atomic `CREATE TABLE ... AS SELECT` needs
+    * ([[GenTableCatalog]]'s staged tables): the data lands invisible, and
+    * `commitStagedChanges` is the one manifest swap (or
+    * `abortStagedChanges` deletes the staged generations and no manifest
+    * ever exists). The returned commit's content is exactly `rows`
+    * (replace semantics: partitions absent from `rows` drop; the schema
+    * is `rows`' own); its meta carries the schema and bloom sizing only —
+    * callers add lineage/defaults before publishing.
+    */
+  private[sources] def stageReplace(rows: DataFrame, dir: String,
+      partitionCol: PartitionCols, statsCols: Seq[String],
+      bloomCols: Seq[String]): Commit = {
     val frozen = rows.localCheckpoint(true)
     try {
       val prevC = readCommit(dir)
@@ -1351,17 +1485,99 @@ object GenTable {
       // marker) — minGen forces a fresh commit id in that case. Replace
       // semantics: the schema is exactly `rows`' (no union with history —
       // every surviving partition was rewritten from `rows`).
-      publish(dir, Commit(partitionCol.cols,
+      Commit(partitionCol.cols,
         staged.gens.filter { case (v, _) => touched(v) },
         math.max(staged.tableGen, prevGen + 1),
         staged.stats.filter { case (v, _) => touched(v) },
-        meta ++ opMeta("replace") + (SchemaMetaKey -> frozen.schema.json) ++
+        Map(SchemaMetaKey -> frozen.schema.json) ++
           staged.meta.view.filterKeys(
             k => k == BloomColsKey || k == BloomItemsKey).toMap,
         staged.sizes.filter { case (v, _) => touched(v) },
         staged.rows.filter { case (v, _) => touched(v) },
-        staged.files.filter { case (v, _) => touched(v) }))
+        staged.files.filter { case (v, _) => touched(v) })
     } finally frozen.unpersist()
+  }
+
+  /** Abandon a [[stageReplace]] that will never publish (a failed CTAS's
+    * `abortStagedChanges`): delete the staged generation directories —
+    * guarded like every orphan delete, so an interleaved writer that
+    * somehow committed the same (key, gen) fails loud instead of losing
+    * data — and, when this stage CREATED the table directory
+    * (`removeDir`), the directory itself: no manifest, no files, no
+    * trace.
+    */
+  private[sources] def dropStaged(dir: String, staged: Commit,
+      removeDir: Boolean): Unit = {
+    val (f, root) = fsRoot(dir)
+    if (!f.exists(root)) return
+    if (removeDir && !f.exists(new HPath(root, "_commit"))) {
+      f.delete(root, true)
+      return
+    }
+    staged.gens.foreach { case (k, g) =>
+      requireUncommitted(dir, Seq(k), g)
+      val d = genDir(root, staged.partitionCols, k, g)
+      if (f.exists(d)) f.delete(d, true)
+    }
+  }
+
+  /** SQL `CREATE TABLE` support ([[GenTableCatalog]]): publish a
+    * META-ONLY first commit carrying the declared schema, partitioning,
+    * and write contract — no data files. The recorded schema then gates
+    * the first insert exactly like any evolved write ([[mergeSchemas]]),
+    * and the table reads as a schema-correct empty frame until one lands.
+    */
+  private[sources] def createEmpty(dir: String, partitionCol: PartitionCols,
+      schema: StructType, extraMeta: Map[String, String]): Unit = {
+    require(readCommit(dir).isEmpty,
+      s"GenTable already committed at $dir")
+    partitionCol.cols.foreach(p => require(schema.fieldNames.contains(p),
+      s"partition column '$p' is not in the declared schema " +
+        schema.fieldNames.mkString("(", ", ", ")")))
+    publish(dir, Commit(partitionCol.cols, Map.empty, minGen = 1L,
+      meta = Map(SchemaMetaKey -> schema.json) ++ extraMeta ++
+        opMeta("create")))
+  }
+
+  /** The routing every name/statement write doorway shares (SQL
+    * `INSERT INTO`/`INSERT OVERWRITE` via [[graft.plans.GenTableDml]],
+    * catalog `INSERT` through the DSv2 V1 bridge): `data` must already be
+    * aligned to the table's schema; append routes to the table's OWN
+    * append contract ([[writeDefaultsOf]] — the same atomic
+    * latest-per-key [[upsertBatch]] every other writer runs, so SQL
+    * INSERT cannot silently duplicate keys the contract would merge), and
+    * overwrite is a whole-table [[replaceAll]]. A table with no recorded
+    * contract REFUSES appends loudly — guessing a merge key would be the
+    * silent-narrowing this surface bans.
+    */
+  private[graft] def insertInto(data: DataFrame, dir: String,
+      overwrite: Boolean): Unit = {
+    val c = readCommit(dir).getOrElse(throw new IllegalStateException(
+      s"INSERT target $dir has no committed GenTable"))
+    val d = writeDefaultsOf(c)
+    val pcol = PartitionCols(c.partitionCols)
+    // the write contract survives an overwrite: INSERT OVERWRITE replaces
+    // CONTENT, not the table's declared merge/skip columns
+    val carry = c.meta.view.filterKeys(k => k == WriteKeyColKey ||
+      k == WriteOrderColsKey || k == WriteStatsColsKey ||
+      k == WriteBloomColsKey).toMap
+    if (overwrite)
+      replaceAll(data, dir, pcol, meta = carry,
+        statsCols = d.statsCols, bloomCols = d.bloomCols)
+    else d.appendContract match {
+      case Some((k, o)) =>
+        upsertBatch(data, dir, k, o, pcol,
+          statsCols = d.statsCols, bloomCols = d.bloomCols)
+      case None => throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "USER_RAISED_EXCEPTION",
+        messageParameters = Map("errorMessage" ->
+          (s"INSERT INTO needs the table's append contract and $dir " +
+            s"records none: write once with df.write.format(\"gentable\")" +
+            s".option(\"keyCol\", ...).option(\"orderCols\", ...)" +
+            s".mode(\"append\"), or CREATE TABLE ... TBLPROPERTIES(" +
+            s"'keyCol'='...', 'orderCols'='...') — INSERT then routes " +
+            s"to the same atomic upsert")))
+    }
   }
 
   /** Atomic compaction: rewrite every committed partition's rows into
@@ -1397,6 +1613,7 @@ object GenTable {
     val n = df.count()
     val files = math.max(1L, (n + targetRecordsPerFile - 1) / targetRecordsPerFile)
     val newGen = c.tableGen + 1
+    requireUncommitted(dir, c.gens.keys.toSeq, newGen)
     c.gens.keys.foreach { k =>
       val orphan = genDir(root, c.partitionCols, k, newGen)
       if (fsys.exists(orphan)) fsys.delete(orphan, true)
@@ -1469,6 +1686,7 @@ object GenTable {
     try {
       val newGen = c.tableGen + 1
       val touched = touchedKeys(frozen, pcols) // bounded: new partitions
+      requireUncommitted(dir, touched, newGen)
       touched.foreach { k =>
         val orphan = genDir(root, pcols, k, newGen)
         if (f.exists(orphan)) f.delete(orphan, true)
@@ -1550,6 +1768,11 @@ object GenTable {
   def updateWhere(spark: SparkSession, dir: String,
       predicate: Column, set: Seq[(String, Column)]): Long = {
     require(set.nonEmpty, "UPDATE needs at least one assignment")
+    // SQL requires one assignment per column — silently keeping the last
+    // of two would hide a statement bug
+    require(set.map(_._1).distinct.length == set.length,
+      s"duplicate UPDATE assignment target(s): " +
+        set.map(_._1).diff(set.map(_._1).distinct).distinct.mkString(", "))
     requireDeterministic(predicate, "UPDATE")
     val c = readCommit(dir).getOrElse(return 0L)
     if (c.gens.isEmpty) return 0L
@@ -1575,9 +1798,16 @@ object GenTable {
     val part = readPaths(spark, dir, c, touchedPaths)
     val hit = coalesce(predicate, lit(false))
     val assigned = set.toMap
-    // ONE select so every RHS reads the pre-update row
+    // ONE select so every RHS reads the pre-update row. Each RHS is CAST
+    // to the column's DECLARED type (SQL store-assignment): without it, a
+    // widening expression (`SET cnt = cnt / 2` on a bigint column yields
+    // double) would silently re-record the whole TABLE's schema while
+    // untouched partitions keep old-typed files — the exact type drift
+    // [[mergeSchemas]]' "ADDED columns only" rule refuses everywhere else.
     val rewritten = part.select(part.columns.toSeq.map { n =>
-      assigned.get(n).fold(col(n))(v => when(hit, v).otherwise(col(n)).as(n))
+      assigned.get(n).fold(col(n)) { v =>
+        when(hit, v.cast(part.schema(n).dataType)).otherwise(col(n)).as(n)
+      }
     }: _*)
     commitRewrite(spark, dir, c, touchedVals, rewritten, opMeta("update"))
     updated
@@ -1789,12 +2019,21 @@ object GenTable {
         if (stats.total == 0L) return stats // all-arms-miss: no empty commit
         val replacedKeys = flagged
           .filter(col("_matched") && (updCond || delCond)).select(col(keyCol))
+        // replacedKeys is bounded by the SOURCE batch (cardinality-checked
+        // above: one row per key), which is usually broadcast-sized — but
+        // a backfill MERGE (source ≈ table) must not be force-broadcast
+        // into a driver OOM. Gate the hint on the already-computed source
+        // row count; past the bound, AQE picks the join and still
+        // broadcasts when the runtime size allows, degrading to a shuffle
+        // join instead of failing.
+        val antiKeys = if (card.getLong(0) <= 4000000L)
+          broadcast(replacedKeys) else replacedKeys
         val updates = flagged.filter(col("_matched") && updCond).drop("_matched")
         val inserts = flagged.filter(!col("_matched") && insCond).drop("_matched")
         val changes = updates.unionByName(inserts)
         val result = existing match {
           case Some(ex) => ex
-            .join(broadcast(replacedKeys), Seq(keyCol), "left_anti")
+            .join(antiKeys, Seq(keyCol), "left_anti")
             .unionByName(changes, allowMissingColumns = true)
           case None =>
             // every touched partition is NEW: the rewrite commits the
@@ -1831,6 +2070,7 @@ object GenTable {
     try {
       val newGen = c.tableGen + 1
       val survivorVals = touchedKeys(frozen, c.partitionCols).toSet
+      requireUncommitted(dir, touchedVals.toSeq, newGen)
       touchedVals.foreach { k =>
         val orphan = genDir(root, c.partitionCols, k, newGen)
         if (fsys.exists(orphan)) fsys.delete(orphan, true)
@@ -2024,22 +2264,31 @@ object GenTable {
     * vacuum drops that commit. Returns the number of generation
     * directories removed.
     */
+  /** Per (partition column list, key), the generations any RETAINED
+    * commit pins (the current manifest plus the newest `keepCommits`
+    * archives) — keyed by COLUMNS too, because partition evolution
+    * ([[repartitionTable]]) leaves directories of several layouts and
+    * each retained commit pins only its own. Shared by [[vacuum]] (what
+    * to keep) and [[fsck]] (what counts as accounted), so the two agree
+    * exactly.
+    */
+  private def pinnedGens(dir: String, c: Commit,
+      keepCommits: Int): (Seq[Long], Map[(Seq[String], String), Set[Long]]) = {
+    val retainedIds = commits(dir).takeRight(keepCommits)
+    val retained = retainedIds.flatMap(commitAt(dir, _)) :+ c
+    (retainedIds, retained
+      .flatMap(cm => cm.gens.toSeq.map { case (k, g) =>
+        (cm.partitionCols, k) -> g
+      }).groupBy(_._1)
+      .map { case (k, gs) => k -> gs.map(_._2).toSet })
+  }
+
   def vacuum(dir: String, keepCommits: Int = 1): Long = {
     require(keepCommits >= 1, "keepCommits must be >= 1")
     val c = readCommit(dir).getOrElse(return 0L)
     val (f, root) = fsRoot(dir)
     if (!f.exists(root)) return 0L
-    val retainedIds = commits(dir).takeRight(keepCommits)
-    val retained = retainedIds.flatMap(commitAt(dir, _)) :+ c
-    // per (partition column list, key), the generations any retained
-    // commit pins — keyed by COLUMNS too, because partition evolution
-    // ([[repartitionTable]]) leaves directories of several layouts and
-    // each retained commit pins only its own
-    val keep: Map[(Seq[String], String), Set[Long]] = retained
-      .flatMap(cm => cm.gens.toSeq.map { case (k, g) =>
-        (cm.partitionCols, k) -> g
-      }).groupBy(_._1)
-      .map { case (k, gs) => k -> gs.map(_._2).toSet }
+    val (retainedIds, keep) = pinnedGens(dir, c, keepCommits)
     var removed = 0L
     // recursive descent: composite layouts nest one `col=value` level per
     // partition column before the `gen=N` leaves; each directory level
@@ -2099,5 +2348,66 @@ object GenTable {
       }
     }
     removed
+  }
+
+  /** What [[fsck]] found on disk that the manifest does not account for:
+    *  - `unreferencedFiles` — data files OUTSIDE any `gen=N` directory
+    *    (under a partition directory, or loose at the table root). These
+    *    are the leak class: invisible to every manifest-driven read AND
+    *    to [[vacuum]] (which only sweeps `gen=` directories), so without
+    *    this audit they live forever. Sources: a raw
+    *    `df.write.parquet(dir)` aimed at the table path, a pre-fix SQL
+    *    `INSERT INTO` through the path-view doorway, manual copies.
+    *  - `staleGenDirs` — `gen=N` directories no retained commit pins
+    *    (superseded generations and crashed stages): [[vacuum]]'s normal
+    *    sweep class, listed here so a report BETWEEN vacuums is complete.
+    */
+  final case class FsckReport(unreferencedFiles: Seq[String],
+      staleGenDirs: Seq[String]) {
+    def clean: Boolean = unreferencedFiles.isEmpty && staleGenDirs.isEmpty
+  }
+
+  /** Metadata-vs-disk audit: walk the table tree and report everything no
+    * retained commit references (same retention window as [[vacuum]]).
+    * Report-only — removal stays an explicit operator decision, because
+    * an unreferenced file may be MID-STAGE from a live writer (the audit
+    * runs under the same no-concurrent-stage contract as vacuum).
+    * Hidden/metadata names (`_`/`.` prefixes) are never reported. Cost:
+    * one recursive listing — the price of a full-table vacuum, not of a
+    * data scan.
+    */
+  def fsck(dir: String, keepCommits: Int = 1): FsckReport = {
+    require(keepCommits >= 1, "keepCommits must be >= 1")
+    val c = readCommit(dir).getOrElse(return FsckReport(Nil, Nil))
+    val (f, root) = fsRoot(dir)
+    if (!f.exists(root)) return FsckReport(Nil, Nil)
+    val (_, keep) = pinnedGens(dir, c, keepCommits)
+    val loose = Seq.newBuilder[String]
+    val stale = Seq.newBuilder[String]
+    def sweep(p: HPath, cols: Seq[String], vals: Seq[String]): Unit =
+      listDir(f, p).foreach { child =>
+        val n = child.getName
+        if (n.startsWith("_") || n.startsWith(".")) ()
+        else if (!f.getFileStatus(child).isDirectory)
+          loose += child.toString // a data file outside any gen= dir
+        else if (n.startsWith("gen=")) {
+          val pinned = keep.getOrElse((cols, partKey(vals)), Set.empty)
+          if (!pinned.contains(n.stripPrefix("gen=").toLong))
+            stale += child.toString
+        } else if (n.contains('=')) {
+          val Array(pc, v) = n.split("=", 2)
+          sweep(child, cols :+ pc, vals :+ v)
+        } else loose += child.toString // a foreign directory tree
+      }
+    listDir(f, root).foreach { p =>
+      val n = p.getName
+      if (n.startsWith("_") || n.startsWith(".")) ()
+      else if (!f.getFileStatus(p).isDirectory) loose += p.toString
+      else if (n.contains('=')) {
+        val Array(pc, v) = n.split("=", 2)
+        sweep(p, Seq(pc), Seq(v))
+      } else loose += p.toString
+    }
+    FsckReport(loose.result().sorted, stale.result().sorted)
   }
 }

@@ -4,14 +4,15 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.{Path => HPath}
-import org.apache.spark.sql.{Row, SparkSession, SQLContext}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources
-import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -21,7 +22,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * {{{
   * spark.conf.set("spark.sql.catalog.gt", "graft.sources.GenTableCatalog")
   * spark.conf.set("spark.sql.catalog.gt.base", "s3://lakes")
-  * spark.sql("SELECT count(*) FROM gt.prod.events")       // metadata-only
+  * spark.sql("""CREATE TABLE gt.prod.events
+  *   TBLPROPERTIES('keyCol'='event_id', 'orderCols'='ts')
+  *   PARTITIONED BY (bucket) AS SELECT ...""")             // atomic CTAS
+  * spark.sql("INSERT INTO gt.prod.events SELECT ...")      // atomic upsert
+  * spark.sql("SELECT count(*) FROM gt.prod.events")        // metadata-only
+  * spark.sql("SELECT * FROM gt.prod.events VERSION AS OF 1") // time travel
   * spark.sql("DELETE FROM gt.prod.events WHERE day < '2024-01-10'")
   * }}}
   * `gt.<namespace...>.<table>` maps to `<base>/<namespace...>/<table>`;
@@ -30,14 +36,24 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * ([[GenTable.readIndexed]]), so Catalyst's pushed filters reach the
   * [[GenTableFileIndex]] pruning and the metadata-aggregate rule — the
   * catalog adds NAMES, not a second read path. SQL DML on catalog
-  * tables routes through [[graft.plans.GenTableDml]] like view targets.
+  * tables routes through [[graft.plans.GenTableDml]] like view targets;
+  * `INSERT INTO` goes through the DSv2 V1 write bridge to the table's
+  * recorded append contract ([[GenTable.insertInto]]).
   *
-  * Mutations are deliberately NOT exposed as catalog DDL: `createTable`
-  * and `dropTable` refuse with pointers to the transactional writers
-  * (`df.write.format("gentable").save(dir)` creates; retention and
-  * takedown are lifecycle operations, not metastore calls).
+  * Creation is SQL-first: `CREATE TABLE` publishes a meta-only first
+  * commit (schema + partitioning + TBLPROPERTIES write contract —
+  * `keyCol`, `orderCols`, `statsCols`, `bloomCols`); CTAS/RTAS stage
+  * their data INVISIBLY and publish in `commitStagedChanges` (the
+  * [[StagingTableCatalog]] contract — a failed CTAS aborts with no
+  * manifest and no files). Destruction stays deliberately out of reach:
+  * `dropTable`/`ALTER` refuse with pointers to the lifecycle operations
+  * (retention and takedown are commits, not metastore calls).
+  *
+  * (Catalog shape follows the public Delta/Iceberg TableCatalog
+  * pattern; built from scratch on the DSv2 interfaces.)
   */
-final class GenTableCatalog extends TableCatalog with SupportsNamespaces {
+final class GenTableCatalog extends TableCatalog with SupportsNamespaces
+    with StagingTableCatalog {
 
   private var catName: String = _
   private var base: String = _
@@ -52,8 +68,25 @@ final class GenTableCatalog extends TableCatalog with SupportsNamespaces {
 
   override def name(): String = catName
 
+  /** Identifier components join onto the base path — REJECT anything
+    * that could traverse outside it (a backtick-quoted `..` or a
+    * component containing a separator would otherwise address — and via
+    * DML, mutate — any GenTable reachable on the filesystem through a
+    * catalog meant to scope access to `base`).
+    */
+  private def sane(parts: Seq[String]): Seq[String] = {
+    parts.foreach { p =>
+      require(p.nonEmpty && p != "." && p != ".." &&
+        !p.contains('/') && !p.contains('\\'),
+        s"illegal catalog identifier component '$p': names must not be " +
+          s"empty, '.', '..', or contain path separators (the catalog " +
+          s"scopes access to its base directory)")
+    }
+    parts
+  }
+
   private def dirOf(ident: Identifier): String =
-    (base +: ident.namespace.toSeq :+ ident.name).mkString("/")
+    (base +: sane(ident.namespace.toSeq :+ ident.name)).mkString("/")
 
   override def tableExists(ident: Identifier): Boolean =
     GenTable.readCommit(dirOf(ident)).isDefined
@@ -66,8 +99,41 @@ final class GenTableCatalog extends TableCatalog with SupportsNamespaces {
     new GenTableV2Table(dir)
   }
 
+  /** SQL time travel on catalog names: `FOR VERSION AS OF <commit id>`
+    * pins the archived commit ([[GenTable.readIndexedAt]]'s listing) —
+    * the name-based twin of the DataSource `versionAsOf` option.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = dirOf(ident)
+    val id = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"gentable versions are commit ids (integers, from commits()/" +
+          s"history()), got '$version'")
+    }
+    if (GenTable.commitAt(dir, id).isEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        ident.asInstanceOf[Identifier])
+    new GenTableV2Table(dir, Some(id))
+  }
+
+  /** `FOR TIMESTAMP AS OF <ts>` — the DSv2 contract hands MICROSECONDS
+    * since epoch; resolution delegates to the lineage stamps
+    * ([[GenTable.commitIdAsOf]], the `timestampAsOf` read path).
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = dirOf(ident)
+    val inst = java.time.Instant.ofEpochSecond(
+      Math.floorDiv(timestamp, 1000000L),
+      Math.floorMod(timestamp, 1000000L) * 1000L)
+    val id = GenTable.commitIdAsOf(dir, inst).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        ident.asInstanceOf[Identifier]))
+    new GenTableV2Table(dir, Some(id))
+  }
+
   override def listTables(namespace: Array[String]): Array[Identifier] = {
-    val (f, root) = GenTable.fsRoot((base +: namespace.toSeq).mkString("/"))
+    val (f, root) = GenTable.fsRoot(
+      (base +: sane(namespace.toSeq)).mkString("/"))
     if (!f.exists(root)) Array.empty
     else f.listStatus(root).toSeq
       .filter(s => s.isDirectory &&
@@ -75,13 +141,94 @@ final class GenTableCatalog extends TableCatalog with SupportsNamespaces {
       .map(s => Identifier.of(namespace, s.getPath.getName)).toArray
   }
 
+  // -- creation: SQL-first, through the commit protocol
+
+  private def partitionColsOf(partitions: Array[Transform],
+      properties: util.Map[String, String],
+      schema: StructType): GenTable.PartitionCols = {
+    // the concrete IdentityTransform class is private[sql]; the public
+    // Transform API (name/references) identifies it just as well
+    val fromTransforms = partitions.toSeq.map { t =>
+      if (t.name == "identity" && t.references.length == 1)
+        t.references.head.fieldNames.mkString(".")
+      else throw new UnsupportedOperationException(
+        s"gentable supports identity partitioning only (PARTITIONED BY " +
+          s"(col, ...)), got: ${t.describe}")
+    }
+    val cols =
+      if (fromTransforms.nonEmpty) fromTransforms
+      else propOf(properties, "partitionCol")
+        .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+        .getOrElse(Nil)
+    require(cols.nonEmpty,
+      "gentable tables are partitioned: declare PARTITIONED BY (<col>) " +
+        "or TBLPROPERTIES('partitionCol'='day,bucket')")
+    GenTable.PartitionCols(cols)
+  }
+
+  private def propOf(properties: util.Map[String, String],
+      key: String): Option[String] =
+    properties.asScala.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(key) && v.nonEmpty => v
+    }
+
+  /** TBLPROPERTIES → the manifest's write-contract meta (the same keys
+    * [[GenTable.upsertBatch]] stamps), so `INSERT INTO` a created table
+    * routes to its declared upsert.
+    */
+  private def defaultsMetaOf(
+      properties: util.Map[String, String]): Map[String, String] = {
+    def csv(k: String): Seq[String] = propOf(properties, k)
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+    propOf(properties, "keyCol").map { kc =>
+      GenTable.writeDefaultsMeta(kc, csv("orderCols"),
+        csv("statsCols"), csv("bloomCols"))
+    }.getOrElse {
+      val sb = (if (csv("statsCols").isEmpty) Map.empty[String, String]
+        else Map(GenTable.WriteStatsColsKey -> csv("statsCols").mkString(",")))
+      sb ++ (if (csv("bloomCols").isEmpty) Map.empty[String, String]
+        else Map(GenTable.WriteBloomColsKey -> csv("bloomCols").mkString(",")))
+    }
+  }
+
+  /** Plain `CREATE TABLE` (no AS SELECT): one meta-only commit carrying
+    * the declared schema, partitioning, and write contract. The table
+    * reads as a schema-correct empty frame until the first insert.
+    */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "gentable tables are created by their first transactional write: " +
-        "df.write.format(\"gentable\").option(\"partitionCol\", ...)" +
-        s".save(\"${dirOf(ident)}\")")
+      properties: util.Map[String, String]): Table = {
+    val dir = dirOf(ident)
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident.asInstanceOf[Identifier])
+    GenTable.createEmpty(dir, partitionColsOf(partitions, properties, schema),
+      schema, defaultsMetaOf(properties))
+    new GenTableV2Table(dir)
+  }
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident.asInstanceOf[Identifier])
+    new GenTableStagedTable(dirOf(ident), schema,
+      partitionColsOf(partitions, properties, schema),
+      defaultsMetaOf(properties))
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable =
+    new GenTableStagedTable(dirOf(ident), schema,
+      partitionColsOf(partitions, properties, schema),
+      defaultsMetaOf(properties))
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable =
+    stageReplace(ident, schema, partitions, properties)
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException(
@@ -111,7 +258,8 @@ final class GenTableCatalog extends TableCatalog with SupportsNamespaces {
 
   override def loadNamespaceMetadata(
       namespace: Array[String]): util.Map[String, String] = {
-    val (f, root) = GenTable.fsRoot((base +: namespace.toSeq).mkString("/"))
+    val (f, root) = GenTable.fsRoot(
+      (base +: sane(namespace.toSeq)).mkString("/"))
     if (!f.exists(root))
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchNamespaceException(namespace)
@@ -133,27 +281,122 @@ final class GenTableCatalog extends TableCatalog with SupportsNamespaces {
       "refusing to drop data through the catalog")
 }
 
-/** One committed GenTable as a DSv2 table. Read-only at this surface
-  * (capabilities = BATCH_READ): batch writes go through
-  * `df.write.format("gentable")`, streaming through the gentable sink,
-  * DML through [[graft.plans.GenTableDml]] — all transactional paths
-  * the catalog must not duplicate.
+/** One committed GenTable as a DSv2 table, optionally pinned to an
+  * archived commit (SQL time travel). Reads bridge to the
+  * manifest-indexed relation; `INSERT` writes bridge through the public
+  * DSv2→V1 write hook ([[V1Write]]) to [[GenTable.insertInto]] — the
+  * table's OWN recorded append contract (atomic upsert) or a whole-table
+  * replace for `INSERT OVERWRITE`, so the catalog surfaces no second
+  * write path. Everything else (streaming, MERGE/UPDATE/DELETE) keeps
+  * its transactional doorway ([[graft.plans.GenTableDml]], the gentable
+  * sink). A version-pinned table refuses writes: history is immutable.
   */
-final class GenTableV2Table(val dir: String) extends Table with SupportsRead {
+final class GenTableV2Table(val dir: String,
+    val pinnedVersion: Option[Long] = None)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
-  override def name(): String = dir
+  def this(dir: String) = this(dir, None)
+
+  override def name(): String =
+    dir + pinnedVersion.fold("")(v => s"@v$v")
 
   override lazy val schema: StructType = {
     val spark = SparkSession.active
-    GenTable.indexedRelationParts(spark, dir)._2
+    pinnedVersion match {
+      case Some(id) =>
+        val c = GenTable.commitAt(dir, id).getOrElse(
+          throw new IllegalArgumentException(
+            s"no archived commit $id under $dir (vacuumed?)"))
+        GenTable.schemaOf(c)
+          .getOrElse(GenTable.indexedRelationParts(spark, dir)._2)
+      case None => GenTable.indexedRelationParts(spark, dir)._2
+    }
   }
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new GenTableScanBuilder(dir, schema)
+    new GenTableScanBuilder(dir, schema, pinnedVersion)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    pinnedVersion.foreach { v =>
+      throw new UnsupportedOperationException(
+        s"cannot write to $dir at version $v: archived commits are " +
+          s"immutable (write to the table head)")
+    }
+    new WriteBuilder with SupportsTruncate {
+      private var replace = false
+      override def truncate(): WriteBuilder = { replace = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit =
+              GenTable.insertInto(data, dir, replace || overwrite)
+          }
+      }
+    }
+  }
+}
+
+/** The invisible half of atomic CTAS/RTAS ([[StagingTableCatalog]]):
+  * the SELECT's rows land through [[GenTable.stageReplace]] — real data
+  * files at the next generation, NO manifest swap — and
+  * `commitStagedChanges` is the single atomic publish (stamped with the
+  * TBLPROPERTIES write contract, so `INSERT INTO` the new table routes
+  * to its declared upsert). `abortStagedChanges` deletes the staged
+  * generations (and, for a CREATE that found no prior table, the table
+  * directory itself): a failed CTAS leaves no manifest and no files.
+  */
+final class GenTableStagedTable(dir: String, declared: StructType,
+    pcols: GenTable.PartitionCols, defaultsMeta: Map[String, String])
+    extends StagedTable
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+  @volatile private var staged: Option[GenTable.Commit] = None
+  private val existedBefore = GenTable.readCommit(dir).isDefined
+
+  override def name(): String = dir
+  override def schema: StructType = declared
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      override def truncate(): WriteBuilder = this // staging IS a replace
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              val wd = GenTable.WriteDefaults(
+                defaultsMeta.get(GenTable.WriteKeyColKey), Nil,
+                defaultsMeta.get(GenTable.WriteStatsColsKey)
+                  .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil),
+                defaultsMeta.get(GenTable.WriteBloomColsKey)
+                  .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil))
+              staged = Some(GenTable.stageReplace(data, dir, pcols,
+                wd.statsCols, wd.bloomCols))
+            }
+          }
+      }
+    }
+
+  override def commitStagedChanges(): Unit = staged match {
+    case Some(s) =>
+      GenTable.publish(dir, s.copy(meta =
+        s.meta ++ defaultsMeta ++ GenTable.opMeta("ctas")))
+    case None =>
+      // a staged CREATE whose write never ran: commit the declaration
+      GenTable.createEmpty(dir, pcols, declared, defaultsMeta)
+  }
+
+  override def abortStagedChanges(): Unit = staged.foreach { s =>
+    GenTable.dropStaged(dir, s, removeDir = !existedBefore)
+  }
 }
 
 /** Scan builder: accepts column pruning and RECORDS pushed filters
@@ -162,7 +405,8 @@ final class GenTableV2Table(val dir: String) extends Table with SupportsRead {
   * our pruning), then bridges to the V1 relation where the filters
   * drive the manifest-indexed pruning.
   */
-final class GenTableScanBuilder(dir: String, full: StructType)
+final class GenTableScanBuilder(dir: String, full: StructType,
+    pinnedVersion: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -181,7 +425,8 @@ final class GenTableScanBuilder(dir: String, full: StructType)
     required = if (requiredSchema.isEmpty) StructType(full.take(1))
     else requiredSchema
 
-  override def build(): Scan = new GenTableV1BridgeScan(dir, filters, required)
+  override def build(): Scan =
+    new GenTableV1BridgeScan(dir, filters, required, pinnedVersion)
 }
 
 /** The public DSv2→V1 bridge: `toV1TableScan` hands Spark a classic
@@ -189,18 +434,19 @@ final class GenTableScanBuilder(dir: String, full: StructType)
   * one read path ([[GenTable.readIndexed]]) for both doorways.
   */
 final class GenTableV1BridgeScan(dir: String, filters: Array[Filter],
-    required: StructType) extends V1Scan {
+    required: StructType, pinnedVersion: Option[Long] = None) extends V1Scan {
 
   override def readSchema(): StructType = required
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T =
-    new GenTableBridgeRelation(context, dir, filters, required)
+    new GenTableBridgeRelation(context, dir, filters, required, pinnedVersion)
       .asInstanceOf[T]
 }
 
 final class GenTableBridgeRelation(ctx: SQLContext, dir: String,
-    filters: Array[Filter], required: StructType)
+    filters: Array[Filter], required: StructType,
+    pinnedVersion: Option[Long] = None)
     extends BaseRelation with TableScan {
 
   override def sqlContext: SQLContext = ctx
@@ -228,8 +474,11 @@ final class GenTableBridgeRelation(ctx: SQLContext, dir: String,
 
   override def buildScan(): RDD[Row] = {
     val spark = ctx.sparkSession
-    val base = GenTable.readIndexed(spark, dir).getOrElse(
-      throw new IllegalStateException(s"no committed GenTable under $dir"))
+    val base = pinnedVersion
+      .fold(GenTable.readIndexed(spark, dir))(
+        GenTable.readIndexedAt(spark, dir, _)).getOrElse(
+        throw new IllegalStateException(s"no committed GenTable under $dir" +
+          pinnedVersion.fold("")(v => s" at version $v")))
     val pruned = filters.flatMap(toColumn).foldLeft(base)(_.filter(_))
     pruned.select(required.fieldNames.toSeq.map(col): _*).rdd
   }

@@ -343,25 +343,52 @@ final class GenTableSourceProvider extends RelationProvider
       "gentable batch write requires a path: .save(dir)"))
     def cols(k: String): Seq[String] = opt(k)
       .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+    // an existing table already RECORDS its layout and write contract in
+    // the manifest ([[GenTable.writeDefaultsOf]]), so a zero-option
+    // `df.write.format("gentable").mode("append").save(dir)` just works;
+    // explicit options always win (and a partition-layout conflict fails
+    // loud in staging)
+    val committed = GenTable.readCommit(path)
+    val defaults = committed.map(GenTable.writeDefaultsOf)
     // comma-separated for composite layouts: "day,bucket"
     val pcol = GenTable.PartitionCols(cols("partitionCol") match {
-      case Nil => throw new IllegalArgumentException(
-        "gentable batch write requires .option(\"partitionCol\", " +
-          "<column[,column...]>)")
+      case Nil => committed.map(_.partitionCols).filter(_.nonEmpty)
+        .getOrElse(throw new IllegalArgumentException(
+          "gentable batch write requires .option(\"partitionCol\", " +
+            "<column[,column...]>) (an existing table supplies its own)"))
       case cs => cs
     })
-    val statsCols = cols("statsCols")
-    val bloomCols = cols("bloomCols")
-    val exists = GenTable.readCommit(path).isDefined
-    def replace(): Unit =
-      GenTable.replaceAll(data, path, pcol, statsCols = statsCols,
-        bloomCols = bloomCols)
+    val statsCols = cols("statsCols") match {
+      case Nil => defaults.map(_.statsCols).getOrElse(Nil)
+      case cs => cs
+    }
+    val bloomCols = cols("bloomCols") match {
+      case Nil => defaults.map(_.bloomCols).getOrElse(Nil)
+      case cs => cs
+    }
+    val exists = committed.isDefined
+    def replace(): Unit = {
+      // an overwrite replaces CONTENT, not the table's recorded write
+      // contract — carried forward so zero-option appends keep working
+      val carry = committed.map(_.meta.view.filterKeys(k =>
+        k == GenTable.WriteKeyColKey || k == GenTable.WriteOrderColsKey ||
+          k == GenTable.WriteStatsColsKey ||
+          k == GenTable.WriteBloomColsKey).toMap).getOrElse(Map.empty)
+      GenTable.replaceAll(data, path, pcol, meta = carry,
+        statsCols = statsCols, bloomCols = bloomCols)
+    }
     mode match {
       case SaveMode.Append =>
-        val keyCol = opt("keyCol").getOrElse(
-          throw new IllegalArgumentException("gentable append is an upsert " +
-            "and requires .option(\"keyCol\", <merge key column>)"))
-        val orderCols = cols("orderCols")
+        val keyCol = opt("keyCol")
+          .orElse(defaults.flatMap(_.appendContract).map(_._1)).getOrElse(
+            throw new IllegalArgumentException("gentable append is an upsert " +
+              "and requires .option(\"keyCol\", <merge key column>) — an " +
+              "existing table written through this format supplies its own"))
+        val orderCols = cols("orderCols") match {
+          case Nil if opt("keyCol").isEmpty =>
+            defaults.flatMap(_.appendContract).map(_._2).getOrElse(Nil)
+          case cs => cs
+        }
         require(orderCols.nonEmpty, "gentable append requires " +
           ".option(\"orderCols\", \"ts,tiebreak\") — latest-per-key needs " +
           "an order")

@@ -85,10 +85,13 @@ class GenTableCatalogSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("lifecycle"))
     assert(content(s"$base/disc/ta").nonEmpty) // nothing was dropped
-    val e3 = intercept[UnsupportedOperationException] {
+    // an unpartitioned CREATE refuses with the layout pointer (and
+    // leaves nothing behind)
+    val e3 = intercept[Exception] {
       spark.sql("CREATE TABLE gt.disc.tc (id BIGINT) USING gentable")
     }
-    assert(e3.getMessage.contains("transactional write"))
+    assert(e3.getMessage.contains("PARTITIONED BY"))
+    assert(GenTable.readCommit(s"$base/disc/tc").isEmpty)
   }
 
   test("catalog reads see the CURRENT commit at each query") {
@@ -96,5 +99,110 @@ class GenTableCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM gt.prod.t3").as[Long].head() === 4L)
     GenTable.deleteWhere(spark, dir, col("day") === "d0")
     assert(spark.sql("SELECT count(*) FROM gt.prod.t3").as[Long].head() === 2L)
+  }
+
+  test("CREATE TABLE is a meta-only commit; INSERT routes to the declared " +
+      "contract; the empty table reads schema-correct") {
+    base // force catalog registration
+    spark.sql("CREATE TABLE gt.ddl.c1 (id BIGINT, day STRING, value DOUBLE) " +
+      "PARTITIONED BY (day) " +
+      "TBLPROPERTIES('keyCol'='id', 'orderCols'='value', 'statsCols'='id')")
+    val dir = s"$base/ddl/c1"
+    val c0 = GenTable.readCommit(dir).get
+    assert(c0.gens.isEmpty && c0.meta("commit_op") === "create")
+    assert(GenTable.writeDefaultsOf(c0).appendContract === Some(("id", Seq("value"))))
+    // empty table: schema-correct zero rows in DECLARED column order,
+    // and count is metadata-only
+    assert(spark.sql("SELECT * FROM gt.ddl.c1").columns.toSeq ===
+      Seq("id", "day", "value"))
+    assert(spark.sql("SELECT count(*) FROM gt.ddl.c1").as[Long].head() === 0L)
+    spark.sql("INSERT INTO gt.ddl.c1 VALUES (1, 'd0', 1.0), (2, 'd1', 2.0)")
+    assert(GenTable.readCommit(dir).get.meta("commit_op") === "upsert")
+    // INSERT of an existing key is the declared upsert, not a duplicate
+    spark.sql("INSERT INTO gt.ddl.c1 VALUES (2, 'd1', 22.0)")
+    assert(content(dir) === Set((1L, "d0", 1.0), (2L, "d1", 22.0)))
+    // declared statsCols became real skip stats at the first write
+    assert(GenTable.readCommit(dir).get.trackedStatsCols === Set("id"))
+    // the declared schema gates inserts like any evolved write
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO gt.ddl.c1 VALUES (3, 'd0', 'not-a-number')")
+    }
+    assert(e.getMessage.nonEmpty)
+  }
+
+  test("CTAS stages invisibly and publishes atomically; a failed CTAS " +
+      "leaves no manifest and no files") {
+    base
+    Seq((10L, "d0", 5.0), (11L, "d1", 6.0), (12L, "d0", 7.0))
+      .toDF("id", "day", "value").createOrReplaceTempView("cat_ctas_src")
+    spark.sql("CREATE TABLE gt.ddl.c2 TBLPROPERTIES('keyCol'='id', " +
+      "'orderCols'='value', 'partitionCol'='day') " +
+      "AS SELECT * FROM cat_ctas_src")
+    val dir = s"$base/ddl/c2"
+    assert(content(dir) === Set((10L, "d0", 5.0), (11L, "d1", 6.0),
+      (12L, "d0", 7.0)))
+    assert(GenTable.readCommit(dir).get.meta("commit_op") === "ctas")
+    // the TBLPROPERTIES contract drives later INSERTs
+    spark.sql("INSERT INTO gt.ddl.c2 VALUES (10, 'd0', 50.0)")
+    assert(content(dir).contains((10L, "d0", 50.0)))
+    // duplicate CTAS refuses (create semantics)
+    val eDup = intercept[Exception] {
+      spark.sql("CREATE TABLE gt.ddl.c2 TBLPROPERTIES('partitionCol'='day') " +
+        "AS SELECT * FROM cat_ctas_src")
+    }
+    assert(eDup.getMessage.toLowerCase.contains("exists"))
+    // a CTAS whose SELECT fails at runtime aborts: no manifest, no dir
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gt.ddl.cbad TBLPROPERTIES(" +
+        "'partitionCol'='day') AS SELECT id, day, " +
+        "assert_true(value < 0) AS chk FROM cat_ctas_src")
+    }
+    assert(GenTable.readCommit(s"$base/ddl/cbad").isEmpty)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$base/ddl/cbad")))
+    // REPLACE TABLE AS SELECT: content becomes exactly the new SELECT
+    spark.sql("CREATE OR REPLACE TABLE gt.ddl.c2 TBLPROPERTIES(" +
+      "'keyCol'='id', 'orderCols'='value', 'partitionCol'='day') " +
+      "AS SELECT id, day, value * 10 AS value FROM cat_ctas_src")
+    assert(content(dir) === Set((10L, "d0", 50.0), (11L, "d1", 60.0),
+      (12L, "d0", 70.0)))
+  }
+
+  test("SQL time travel on catalog names == readAt; writes to a pinned " +
+      "version refuse") {
+    val dir = mkTable("tt", "t1")
+    GenTable.deleteWhere(spark, dir, col("day") === "d0") // commit 2
+    assert(spark.sql("SELECT count(*) FROM gt.tt.t1").as[Long].head() === 2L)
+    val v1 = spark.sql("SELECT id, day, value FROM gt.tt.t1 VERSION AS OF 1")
+      .as[(Long, String, Double)].collect().toSet
+    val oracle = GenTable.readAt(spark, dir, 1L).get
+      .select("id", "day", "value").as[(Long, String, Double)].collect().toSet
+    assert(v1 === oracle && v1.size === 4)
+    // FOR syntax too
+    assert(spark.sql(
+      "SELECT count(*) FROM gt.tt.t1 FOR VERSION AS OF 1")
+      .as[Long].head() === 4L)
+    // timestamp travel: now resolves to the head
+    val ts = java.time.Instant.now().toString
+    assert(spark.sql(
+      s"SELECT count(*) FROM gt.tt.t1 TIMESTAMP AS OF '$ts'")
+      .as[Long].head() === 2L)
+    // a version that was never committed fails loud
+    val ev = intercept[Exception] {
+      spark.sql("SELECT * FROM gt.tt.t1 VERSION AS OF 99").collect()
+    }
+    assert(ev.getMessage.nonEmpty)
+  }
+
+  test("identifier components cannot traverse outside the catalog base") {
+    base
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM gt.ns.`..`").collect()
+    }
+    assert(e.getMessage.contains("illegal catalog identifier"))
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT * FROM gt.`..`.t").collect()
+    }
+    assert(e2.getMessage.contains("illegal catalog identifier"))
   }
 }

@@ -41,6 +41,50 @@ class GenTableWriteSpec extends SparkSpec {
     assert(GenTable.readCommit(dir).get.meta("commit_op") === "upsert")
   }
 
+  test("zero-option append on an existing table uses the recorded write " +
+      "contract (manifest defaults)") {
+    val dir = tmp()
+    batch((1L, 10L, 1.0), (2L, 10L, 2.0)).write.format("gentable")
+      .option("keyCol", "user_id").option("orderCols", "ts")
+      .option("partitionCol", "bucket").option("statsCols", "ts")
+      .mode("append").save(dir)
+    // the first write recorded the contract; a later job needs NOTHING
+    batch((1L, 20L, 1.5), (3L, 20L, 3.0)).write.format("gentable")
+      .mode("append").save(dir)
+    val expect = Set((1L, 20L, 1.5, 1), (2L, 10L, 2.0, 2), (3L, 20L, 3.0, 3))
+    assert(rows(GenTable.read(spark, dir).get) === expect)
+    // identical to the fully-explicit call on a twin table
+    val dir2 = tmp()
+    batch((1L, 10L, 1.0), (2L, 10L, 2.0)).write.format("gentable")
+      .option("keyCol", "user_id").option("orderCols", "ts")
+      .option("partitionCol", "bucket").option("statsCols", "ts")
+      .mode("append").save(dir2)
+    batch((1L, 20L, 1.5), (3L, 20L, 3.0)).write.format("gentable")
+      .option("keyCol", "user_id").option("orderCols", "ts")
+      .option("partitionCol", "bucket").option("statsCols", "ts")
+      .mode("append").save(dir2)
+    assert(rows(GenTable.read(spark, dir2).get) ===
+      rows(GenTable.read(spark, dir).get))
+    // declared skip columns stayed sticky through the no-option write
+    assert(GenTable.readCommit(dir).get.trackedStatsCols === Set("ts"))
+    // zero-option overwrite keeps the table's own partitioning
+    batch((9L, 30L, 9.0)).write.format("gentable")
+      .mode("overwrite").save(dir)
+    assert(rows(GenTable.read(spark, dir).get) === Set((9L, 30L, 9.0, 1)))
+    assert(GenTable.readCommit(dir).get.partitionCols === Seq("bucket"))
+    // the contract survives the overwrite: zero-option append still works
+    batch((10L, 40L, 10.0)).write.format("gentable").mode("append").save(dir)
+    assert(rows(GenTable.read(spark, dir).get) ===
+      Set((9L, 30L, 9.0, 1), (10L, 40L, 10.0, 2)))
+    // a FRESH path still demands the layout, loudly
+    val e = intercept[IllegalArgumentException] {
+      batch((1L, 10L, 1.0)).write.format("gentable").mode("append")
+        .save(tmp())
+    }
+    assert(e.getMessage.contains("keyCol") ||
+      e.getMessage.contains("partitionCol"))
+  }
+
   test("df.write modes: default refuses, ignore no-ops, overwrite replaces") {
     val dir = tmp()
     def save(df: DataFrame, m: String): Unit =

@@ -78,4 +78,60 @@ class ReviewRegressionSpec extends SparkSpec {
     assert(out(1L)._1 === 0 && out(1L)._2.isEmpty)
     assert(out(2L)._1 > 0 && out(2L)._2.isDefined)
   }
+
+  test("updateWhere casts every RHS to the column's declared type: the " +
+      "recorded schema cannot drift (round-13 advice)") {
+    import spark.implicits._
+    import graft.sources.GenTable
+    val dir = tempDir("graft_updcast_")
+    val rows = Seq((1L, "d0", 10L), (2L, "d1", 7L)).toDF("id", "day", "cnt")
+    GenTable.upsertBatch(rows, dir, "id", Seq("cnt"), "day")
+    val before = GenTable.schemaOf(GenTable.readCommit(dir).get).get
+    // int/long division yields DOUBLE — unchecked, this re-recorded the
+    // whole table's schema while untouched partitions kept old-typed files
+    val n = GenTable.updateWhere(spark, dir, col("day") === "d0",
+      Seq("cnt" -> (col("cnt") / 2)))
+    assert(n === 1L)
+    val after = GenTable.schemaOf(GenTable.readCommit(dir).get).get
+    assert(after("cnt").dataType === before("cnt").dataType,
+      s"schema drifted: $before -> $after")
+    // both partitions — rewritten AND untouched — read under one schema
+    assert(GenTable.read(spark, dir).get.select("id", "cnt")
+      .as[(Long, Long)].collect().toSet === Set((1L, 5L), (2L, 7L)))
+    // duplicate assignment targets refuse (SQL requires an error, not
+    // silent last-wins)
+    val e = intercept[IllegalArgumentException] {
+      GenTable.updateWhere(spark, dir, lit(true),
+        Seq("cnt" -> lit(1L), "cnt" -> lit(2L)))
+    }
+    assert(e.getMessage.contains("duplicate"))
+  }
+
+  test("a fully-published same-partition interleave fails loud BEFORE the " +
+      "stale-orphan delete can touch committed data (round-13 advice)") {
+    import spark.implicits._
+    import graft.sources.GenTable
+    val dir = tempDir("graft_interleave_")
+    GenTable.upsertBatch(Seq((1L, 1, 1.0)).toDF("id", "bucket", "v"),
+      dir, "id", Seq("v"), "bucket")                       // commit 1
+    // writer A pins head 1, then — in the pre-stage window — writer B
+    // fully publishes commit 2 into the SAME partition. A's stage would
+    // allocate gen 2 and its orphan-delete would wipe B's COMMITTED
+    // directory; the guard must refuse before any file is touched.
+    GenTable.preStageHook = Some(() =>
+      GenTable.upsertBatch(Seq((7L, 1, 7.0)).toDF("id", "bucket", "v"),
+        dir, "id", Seq("v"), "bucket"))                    // commit 2 (B)
+    val e = intercept[IllegalStateException] {
+      GenTable.upsertBatch(Seq((2L, 1, 2.0)).toDF("id", "bucket", "v"),
+        dir, "id", Seq("v"), "bucket")                     // A
+    }
+    assert(e.getMessage.contains("partition"))
+    // B's committed rows are intact and readable — nothing was deleted
+    assert(GenTable.read(spark, dir).get.select("id", "v")
+      .as[(Long, Double)].collect().toSet === Set((1L, 1.0), (7L, 7.0)))
+    assert(GenTable.readCommit(dir).get.tableGen === 2L)
+    // A staged nothing: no unreferenced files anywhere (commit 1's
+    // superseded generation is ordinary vacuum-class, not a leak)
+    assert(GenTable.fsck(dir, keepCommits = 2).clean)
+  }
 }
