@@ -106,7 +106,25 @@ object GenTableDml extends Rule[LogicalPlan] {
     // (manifest write defaults -> the same atomic upsertBatch), and
     // INSERT OVERWRITE a whole-table replaceAll.
     case i: InsertIntoStatement if i.table.resolved && i.query.resolved =>
-      dirOf(i.table).map(dir => rewriteInsert(dir, i)).getOrElse(i)
+      dirOf(i.table).map(dir => rewriteInsert(dir, i)).getOrElse {
+        // a projecting/renaming view over a gentable is NOT claimable
+        // (the mapping to base columns is ambiguous) — but falling
+        // through would hand Spark's v1 conversion a raw parquet write
+        // into the table root (the exact silent-loss hole this rule
+        // closes), so refuse loudly instead. DELETE/UPDATE/MERGE need
+        // no twin of this: their fall-through is Spark's own loud
+        // v2-only rejection.
+        if (i.table.exists {
+          case l: LogicalRelation => l.relation match {
+            case h: HadoopFsRelation => h.location.isInstanceOf[GenTableFileIndex]
+            case _ => false
+          }
+          case _ => false
+        }) failInsert("the target is a projecting or renaming view over " +
+          "a gentable — INSERT through it would be ambiguous; INSERT the " +
+          "full-column view (createOrReplaceView) or the catalog name")
+        i
+      }
 
     case d @ DeleteFromTable(target, condition) if d.resolved =>
       dirOf(target).map { dir =>

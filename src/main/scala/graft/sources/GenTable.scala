@@ -304,6 +304,39 @@ object GenTable {
   private def readString(f: FileSystem, p: HPath): String =
     new String(readRaw(f, p), StandardCharsets.UTF_8)
 
+  /** Commit ARCHIVES are gzip-compressed (measured ~13x on real
+    * manifests — ProbeManifest/SCALE.md §27: a 10^6-cell table's
+    * O(commits x partitions) archive storage is the manifest plane's
+    * dominant scale cost, ~93 GiB per 1000 commits plain vs ~7 gzipped).
+    * The HEAD manifest stays plain text: it is the atomic-swap object
+    * every read parses, and its cost is one parse, not a history.
+    * Readers detect by magic bytes, so pre-compression archives parse
+    * unchanged.
+    */
+  private def gzip(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos, 8192)
+    try gz.write(bytes) finally gz.close()
+    bos.toByteArray
+  }
+
+  private def readStringMaybeGzip(f: FileSystem, p: HPath): String = {
+    val raw = readRaw(f, p)
+    val bytes =
+      if (raw.length >= 2 && raw(0) == 0x1f.toByte && raw(1) == 0x8b.toByte) {
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(raw), 8192)
+        try {
+          val out = new ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+          out.toByteArray
+        } finally in.close()
+      } else raw
+    new String(bytes, StandardCharsets.UTF_8)
+  }
+
   private def writeBytes(f: FileSystem, p: HPath, bytes: Array[Byte]): Unit = {
     val out = f.create(p, true)
     try out.write(bytes) finally out.close()
@@ -576,12 +609,13 @@ object GenTable {
       if (curGen > 0) {
         val prevArch = new HPath(archiveDir, f"ct_$curGen%020d")
         if (!f.exists(prevArch))
-          swapIn(f, root, prevArch, body.getBytes(StandardCharsets.UTF_8))
+          swapIn(f, root, prevArch, gzip(body.getBytes(StandardCharsets.UTF_8)))
       }
     }
     val bytes = render(commit)
     swapIn(f, root, commitP, bytes) // the commit point
-    swapIn(f, root, new HPath(archiveDir, f"ct_${commit.tableGen}%020d"), bytes)
+    swapIn(f, root, new HPath(archiveDir, f"ct_${commit.tableGen}%020d"),
+      gzip(bytes))
   }
 
   /** Committed commit ids, oldest first: the archives plus the manifest
@@ -603,7 +637,7 @@ object GenTable {
   private[sources] def commitAt(dir: String, id: Long): Option[Commit] = {
     val (f, root) = fsRoot(dir)
     val p = new HPath(new HPath(root, "_commits"), f"ct_$id%020d")
-    if (f.exists(p)) Some(parseCommit(readString(f, p)))
+    if (f.exists(p)) Some(parseCommit(readStringMaybeGzip(f, p)))
     else readCommit(dir).filter(_.tableGen == id)
   }
 

@@ -318,6 +318,25 @@ final class GenTableV2Table(val dir: String,
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
+  /** `DESCRIBE TABLE` partition info: the committed partition columns as
+    * identity transforms.
+    */
+  override def partitioning(): Array[Transform] =
+    GenTable.readCommit(dir).map(_.partitionCols.toArray
+      .map(org.apache.spark.sql.connector.expressions.Expressions.identity))
+      .getOrElse(Array.empty)
+
+  /** `SHOW TBLPROPERTIES` / `DESCRIBE EXTENDED`: surface the manifest's
+    * operational metadata — the write contract, lineage stamps, commit
+    * id — so a SQL user can inspect the table's semantics by name.
+    */
+  override def properties(): util.Map[String, String] =
+    GenTable.readCommit(dir).map { c =>
+      (c.meta.view.filterKeys(k => !k.startsWith("table_schema")).toMap ++
+        Map("partitionCol" -> c.partitionCol,
+          "commit_id" -> c.tableGen.toString)).asJava
+    }.getOrElse(Map.empty[String, String].asJava)
+
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new GenTableScanBuilder(dir, schema, pinnedVersion)
@@ -357,7 +376,13 @@ final class GenTableStagedTable(dir: String, declared: StructType,
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   @volatile private var staged: Option[GenTable.Commit] = None
-  private val existedBefore = GenTable.readCommit(dir).isDefined
+  // abort may remove the whole directory ONLY if this stage created it —
+  // a pre-existing path (committed table for RTAS, or any foreign
+  // directory) keeps everything but the staged generations
+  private val existedBefore = {
+    val (f, root) = GenTable.fsRoot(dir)
+    f.exists(root)
+  }
 
   override def name(): String = dir
   override def schema: StructType = declared

@@ -415,22 +415,34 @@ final class GenTableSourceProvider extends RelationProvider
       parameters.get(k.toLowerCase).orElse(parameters.get(k))
     val path = opt("path").getOrElse(throw new IllegalArgumentException(
       "gentable sink requires a path: .start(dir) or .option(\"path\", dir)"))
-    val keyCol = opt("keyCol").getOrElse(throw new IllegalArgumentException(
-      "gentable sink requires .option(\"keyCol\", <upsert key column>)"))
+    // an existing table supplies its recorded write contract, same as the
+    // batch doorway — a replica sink needs only the path + checkpoint
+    val defaults = GenTable.readCommit(path).map(GenTable.writeDefaultsOf)
+    val contract = defaults.flatMap(_.appendContract)
+    val keyCol = opt("keyCol").orElse(contract.map(_._1)).getOrElse(
+      throw new IllegalArgumentException(
+        "gentable sink requires .option(\"keyCol\", <upsert key column>) — " +
+          "an existing table written through this format supplies its own"))
     // comma-separated for composite layouts: "day,bucket"
     val pcol = GenTable.PartitionCols(
       opt("partitionCol").map(_.split(',').toSeq.map(_.trim)
         .filter(_.nonEmpty)).filter(_.nonEmpty)
         .orElse(Some(partitionColumns).filter(_.nonEmpty))
+        .orElse(GenTable.readCommit(path).map(_.partitionCols)
+          .filter(_.nonEmpty))
         .getOrElse(throw new IllegalArgumentException(
           "gentable sink requires .option(\"partitionCol\", <column>)")))
     val mode = opt("mode").getOrElse("upsert")
     val orderCols = opt("orderCols").map(_.split(',').toSeq.map(_.trim)
-      .filter(_.nonEmpty)).getOrElse(Nil)
+      .filter(_.nonEmpty))
+      .orElse(if (opt("keyCol").isEmpty) contract.map(_._2) else None)
+      .getOrElse(Nil)
     val statsCols = opt("statsCols").map(_.split(',').toSeq.map(_.trim)
-      .filter(_.nonEmpty)).getOrElse(Nil)
+      .filter(_.nonEmpty))
+      .orElse(defaults.map(_.statsCols).filter(_.nonEmpty)).getOrElse(Nil)
     val bloomCols = opt("bloomCols").map(_.split(',').toSeq.map(_.trim)
-      .filter(_.nonEmpty)).getOrElse(Nil)
+      .filter(_.nonEmpty))
+      .orElse(defaults.map(_.bloomCols).filter(_.nonEmpty)).getOrElse(Nil)
     mode match {
       case "upsert" =>
         require(orderCols.nonEmpty, "gentable sink in upsert mode requires " +

@@ -194,6 +194,23 @@ class GenTableCatalogSpec extends SparkSpec {
     assert(ev.getMessage.nonEmpty)
   }
 
+  test("DESCRIBE/SHOW TBLPROPERTIES surface the manifest's operational " +
+      "metadata by name") {
+    mkTable("meta", "t1")
+    val props = spark.sql("SHOW TBLPROPERTIES gt.meta.t1")
+      .as[(String, String)].collect().toMap
+    assert(props("partitionCol") === "day")
+    assert(props("write_key_col") === "id")
+    assert(props("write_order_cols") === "value")
+    assert(props("commit_id") === "1")
+    assert(props("commit_op") === "upsert")
+    // DESCRIBE shows the partitioning as identity transforms
+    val desc = spark.sql("DESCRIBE TABLE gt.meta.t1")
+      .select("col_name").as[String].collect().toSeq
+    assert(desc.contains("day") &&
+      desc.exists(_.contains("# Partition Information")))
+  }
+
   test("identifier components cannot traverse outside the catalog base") {
     base
     val e = intercept[Exception] {

@@ -205,6 +205,17 @@ class GenTableSqlDmlSpec extends SparkSpec {
     assert(disk(dir2) === before2)
     spark.sql("INSERT OVERWRITE dml_nok VALUES (7, 'd7', 7.0)")
     assert(GenTable.read(spark, dir2).get.count() === 1L)
+    // a projecting view over a gentable is un-claimable — but falling
+    // through would be Spark's silent parquet write into the table root,
+    // so it must refuse loudly with nothing on disk
+    GenTable.readIndexed(spark, dir).get.select("id", "value")
+      .createOrReplaceTempView("dml_subset")
+    val before3 = disk(dir)
+    val e5 = intercept[AnalysisException] {
+      spark.sql("INSERT INTO dml_subset VALUES (9, 9.0)")
+    }
+    assert(e5.getMessage.contains("projecting"))
+    assert(disk(dir) === before3)
   }
 
   test("SQL DML on a composite-keyed table prunes by either component") {

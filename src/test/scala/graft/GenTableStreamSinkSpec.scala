@@ -57,6 +57,37 @@ class GenTableStreamSinkSpec extends SparkSpec {
     assert(GenTable.readCommit(out).get.tableGen === genBefore)
   }
 
+  test("zero-option sink on an existing table reads the recorded write " +
+      "contract (a replica needs only path + checkpoint)") {
+    val in = tempDir("graft_snk0_in_")
+    val out = tempDir("graft_snk0_out_")
+    val ckpt = tempDir("graft_snk0_ck_")
+    // the table's first write records the contract
+    batch((1L, 10L, 1.0)).write.format("gentable")
+      .option("keyCol", "user_id").option("orderCols", "ts")
+      .option("partitionCol", "bucket").mode("append").save(out)
+    batch((1L, 20L, 1.5), (2L, 10L, 2.0)).coalesce(1)
+      .write.mode("append").parquet(in)
+    val q = spark.readStream
+      .schema(batch((0L, 0L, 0.0)).schema).parquet(in)
+      .writeStream.format("gentable") // NO keyCol/orderCols/partitionCol
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start(out)
+    q.awaitTermination()
+    assert(rows(GenTable.read(spark, out).get) ===
+      Set((1L, 20L, 1.5), (2L, 10L, 2.0)))
+    // a FRESH sink path still demands the contract, loudly
+    val e = intercept[Exception] {
+      spark.readStream.schema(batch((0L, 0L, 0.0)).schema).parquet(in)
+        .writeStream.format("gentable")
+        .option("checkpointLocation", tempDir("graft_snk0_ck2_"))
+        .trigger(Trigger.AvailableNow())
+        .start(tempDir("graft_snk0_fresh_"))
+    }
+    assert(e.getMessage.contains("keyCol"))
+  }
+
   test("replayed batch id is a no-op: marker and data share the commit") {
     val out = tempDir("graft_snk_rp_")
     val sink = new GenTableSink(out, "user_id", Seq("ts"), "bucket",
