@@ -211,6 +211,41 @@ class GenTableCatalogSpec extends SparkSpec {
       desc.exists(_.contains("# Partition Information")))
   }
 
+  test("DataFrameWriterV2 (writeTo) and saveAsTable ride the same staged/" +
+      "bridge write paths; unsupported modes refuse loudly") {
+    base
+    val rows = Seq((1L, "d0", 1.0), (2L, "d1", 2.0), (3L, "d0", 3.0))
+      .toDF("id", "day", "value")
+    // create = staged CTAS with TBLPROPERTIES as tableProperty
+    rows.writeTo("gt.v2.w1").partitionedBy(col("day"))
+      .tableProperty("keyCol", "id").tableProperty("orderCols", "value")
+      .create()
+    val dir = s"$base/v2/w1"
+    assert(content(dir).size === 3)
+    assert(GenTable.readCommit(dir).get.meta("commit_op") === "ctas")
+    // append = the recorded contract's upsert (existing key REPLACES)
+    Seq((1L, "d0", 10.0)).toDF("id", "day", "value")
+      .writeTo("gt.v2.w1").append()
+    assert(content(dir).contains((1L, "d0", 10.0)) && content(dir).size === 3)
+    // saveAsTable through the v1 writer resolves the same catalog name
+    Seq((4L, "d1", 4.0)).toDF("id", "day", "value")
+      .write.format("gentable").mode("append").saveAsTable("gt.v2.w1")
+    assert(content(dir).size === 4)
+    // replace = staged RTAS
+    rows.limit(1).writeTo("gt.v2.w1").partitionedBy(col("day"))
+      .tableProperty("keyCol", "id").tableProperty("orderCols", "value")
+      .replace()
+    assert(content(dir).size === 1)
+    // dynamic-overwrite and REPLACE WHERE have no gentable mapping: loud
+    val e1 = intercept[Exception] { rows.writeTo("gt.v2.w1").overwritePartitions() }
+    assert(e1.getMessage.contains("dynamic overwrite"))
+    val e2 = intercept[Exception] {
+      spark.sql("INSERT INTO gt.v2.w1 REPLACE WHERE day = 'd0' " +
+        "VALUES (9, 'd0', 9.0)")
+    }
+    assert(e2.getMessage.contains("overwrite by filter"))
+  }
+
   test("identifier components cannot traverse outside the catalog base") {
     base
     val e = intercept[Exception] {
