@@ -26,6 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.bloomAggDescriptor)
     ext.injectFunction(GraftExtensions.bloomMightContainDescriptor)
     ext.injectFunction(GraftExtensions.unicodeNormalizeDescriptor)
+    // SQL table functions for the lake's operational plane (history /
+    // CDC diff / disk audit as relations — see GenTableTvf)
+    GraftExtensions.tableFunctions.foreach(ext.injectTableFunction)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => AsOfPushdown)
     ext.injectOptimizerRule(_ => GenTableMetadataAggregate)
@@ -111,6 +114,19 @@ object GraftExtensions {
       Int8Cosine(children.head, children(1))
     })
 
+  private val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
+    (FunctionIdentifier("gentable_history"),
+      new ExpressionInfo(GenTableTvf.getClass.getName, "gentable_history"),
+      GenTableTvf.history _),
+    (FunctionIdentifier("gentable_changes"),
+      new ExpressionInfo(GenTableTvf.getClass.getName, "gentable_changes"),
+      GenTableTvf.changes _),
+    (FunctionIdentifier("gentable_fsck"),
+      new ExpressionInfo(GenTableTvf.getClass.getName, "gentable_fsck"),
+      GenTableTvf.fsck _))
+
   /** Idempotent registration on a live session. */
   /** Runtime twin of the config-path `injectPlannerStrategy` /
     * `injectOptimizerRule`: adds [[AsOfJoinStrategy]] to the live
@@ -145,6 +161,10 @@ object GraftExtensions {
 
   def register(spark: SparkSession): Unit = {
     registerAsOfStrategy(spark)
+    tableFunctions.foreach { case (id, _, builder) =>
+      spark.sessionState.tableFunctionRegistry
+        .createOrReplaceTempFunction(id.funcName, builder, "built-in")
+    }
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim",
       children => cosineSimDescriptor._3(children),

@@ -110,9 +110,12 @@ final class GenTableCatalog extends TableCatalog with SupportsNamespaces
         s"gentable versions are commit ids (integers, from commits()/" +
           s"history()), got '$version'")
     }
-    if (GenTable.commitAt(dir, id).isEmpty)
+    if (GenTable.readCommit(dir).isEmpty)
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         ident.asInstanceOf[Identifier])
+    require(GenTable.commitAt(dir, id).isDefined,
+      s"no archived commit $id under $dir (vacuumed, or never " +
+        s"committed? ids: GenTable.commits / history())")
     new GenTableV2Table(dir, Some(id))
   }
 
@@ -125,9 +128,13 @@ final class GenTableCatalog extends TableCatalog with SupportsNamespaces
     val inst = java.time.Instant.ofEpochSecond(
       Math.floorDiv(timestamp, 1000000L),
       Math.floorMod(timestamp, 1000000L) * 1000L)
-    val id = GenTable.commitIdAsOf(dir, inst).getOrElse(
+    if (GenTable.readCommit(dir).isEmpty)
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
-        ident.asInstanceOf[Identifier]))
+        ident.asInstanceOf[Identifier])
+    val id = GenTable.commitIdAsOf(dir, inst).getOrElse(
+      throw new IllegalArgumentException(
+        s"no commit at or before $inst under $dir (pre-stamp commits " +
+          s"cannot be addressed by time)"))
     new GenTableV2Table(dir, Some(id))
   }
 

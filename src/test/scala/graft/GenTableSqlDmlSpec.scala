@@ -218,6 +218,40 @@ class GenTableSqlDmlSpec extends SparkSpec {
     assert(disk(dir) === before3)
   }
 
+  test("operational TVFs: history/changes/fsck are SQL relations equal to " +
+      "their engine calls") {
+    val dir = tmp()
+    seed(dir, "dml_tvf")                                     // commit 1
+    spark.sql("DELETE FROM dml_tvf WHERE day = 'd0'")        // commit 2
+    // history == GenTable.history
+    val hist = spark.sql(
+      s"SELECT commit_id, op, n_rows FROM gentable_history('$dir')")
+      .as[(Long, String, Long)].collect().toSet
+    assert(hist === Set((1L, "upsert", 4L), (2L, "delete", 2L)))
+    // changes == changesBetween, composable with downstream SQL
+    val ch = spark.sql(s"SELECT _change, count(*) AS n FROM " +
+      s"gentable_changes('$dir', 1, 2, 'id') GROUP BY _change")
+      .as[(String, Long)].collect().toMap
+    assert(ch === Map("delete" -> 2L))
+    val full = GenTable.changesBetween(spark, dir, 1L, 2L, "id")
+      .select("id").as[Long].collect().toSet
+    assert(spark.sql(s"SELECT id FROM gentable_changes('$dir', 1, 2, 'id')")
+      .as[Long].collect().toSet === full)
+    // fsck: clean table -> empty relation; seeded orphan -> one row
+    assert(spark.sql(s"SELECT * FROM gentable_fsck('$dir', 2)").isEmpty)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "day=d1", "part-orphan.parquet"),
+      Array[Byte](1, 2))
+    val audit = spark.sql(s"SELECT kind FROM gentable_fsck('$dir', 2)")
+      .as[String].collect().toSeq
+    assert(audit === Seq("unreferenced_file"))
+    // non-literal args refuse at analysis
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM gentable_history(42)").collect()
+    }
+    assert(e.getMessage.contains("string literal"))
+  }
+
   test("SQL DML on a composite-keyed table prunes by either component") {
     val dir = tmp()
     val rows = (0L until 40L).map { i =>
