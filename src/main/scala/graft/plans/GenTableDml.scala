@@ -192,11 +192,18 @@ object GenTableDml extends Rule[LogicalPlan] {
         "same atomic upsert (INSERT OVERWRITE, a whole-table replace, " +
         "needs no contract)")
     val out = i.query.output
-    // the names the query's columns map to, in query-output order
+    // the names the query's columns map to, in query-output order.
+    // POSITIONAL inserts map to the TARGET RELATION'S visible column
+    // order (`i.table.output` — what SELECT * / DESCRIBE shows the user:
+    // partition-column-LAST through a registered view, declared order
+    // through the catalog), NOT the manifest schema's internal order —
+    // the two differ whenever the writer's frame didn't put partition
+    // columns last, and mapping to the internal order would silently
+    // write values into the wrong columns
     val targets: Seq[String] =
       if (i.userSpecifiedCols.nonEmpty) i.userSpecifiedCols
       else if (i.byName) out.map(_.name)
-      else schema.fieldNames.toSeq
+      else i.table.output.map(_.name)
     if (out.length != targets.length)
       failInsert(s"query produces ${out.length} column(s) for " +
         s"${targets.length} target column(s)")
@@ -360,10 +367,15 @@ final case class InsertGenTable(dir: String, source: LogicalPlan,
       throw new IllegalStateException(
         s"INSERT target $dir predates schema tracking"))
     // columns already carry their target names; align to the table's
-    // column order with store-assignment casts
-    val aligned = src.select(schema.fields.toSeq.map(f =>
-      org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
-        .as(f.name)): _*)
+    // column order with STORE-ASSIGNMENT (ANSI) casts pinned explicitly —
+    // a session with ansi.enabled=false would otherwise null a mistyped
+    // value silently here while the catalog doorway refuses it at
+    // analysis (one statement, two doorways, one behavior)
+    val aligned = src.select(schema.fields.toSeq.map { f =>
+      val c = org.apache.spark.sql.functions.col(f.name)
+      GraftSqlShim.column(Cast(GraftSqlShim.expr(c), f.dataType, None,
+        org.apache.spark.sql.catalyst.expressions.EvalMode.ANSI)).as(f.name)
+    }: _*)
     GenTable.insertInto(aligned, dir, overwrite)
     Seq.empty
   }

@@ -215,13 +215,7 @@ object GenTable {
       keyCol.filter(_ => orderCols.nonEmpty).map(_ -> orderCols)
   }
 
-  def writeDefaultsOf(c: Commit): WriteDefaults = {
-    def csv(k: String): Seq[String] =
-      c.meta.get(k).map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
-        .getOrElse(Nil)
-    WriteDefaults(c.meta.get(WriteKeyColKey).filter(_.nonEmpty),
-      csv(WriteOrderColsKey), csv(WriteStatsColsKey), csv(WriteBloomColsKey))
-  }
+  def writeDefaultsOf(c: Commit): WriteDefaults = writeDefaultsOfMeta(c.meta)
 
   private[sources] def writeDefaultsMeta(keyCol: String,
       orderCols: Seq[String], statsCols: Seq[String],
@@ -869,6 +863,17 @@ object GenTable {
     * over a freshly-created table must see; pre-schema-tracking empty
     * commits have nothing to type a frame with).
     */
+  /** The manifest-indexed frame of an ALREADY-PARSED commit — lets a
+    * holder of a pinned [[Commit]] (the catalog's time-travel table)
+    * scan without re-reading the archive.
+    */
+  private[sources] def frameOf(spark: SparkSession, dir: String,
+      c: Commit): DataFrame =
+    indexedFrame(spark, dir, c).getOrElse(
+      throw new IllegalStateException(
+        s"commit ${c.tableGen} under $dir has no data and no recorded " +
+          s"schema (pre-schema-tracking empty commit)"))
+
   private def indexedFrame(spark: SparkSession, dir: String,
       c: Commit): Option[DataFrame] = {
     if (c.gens.isEmpty && schemaOf(c).isEmpty) None
@@ -1548,8 +1553,12 @@ object GenTable {
       f.delete(root, true)
       return
     }
+    // ONE manifest read guards the whole batch (per-key re-reads would
+    // be O(partitions) full parses on a large aborted stage)
+    staged.gens.groupBy(_._2).foreach { case (g, kvs) =>
+      requireUncommitted(dir, kvs.keys.toSeq, g)
+    }
     staged.gens.foreach { case (k, g) =>
-      requireUncommitted(dir, Seq(k), g)
       val d = genDir(root, staged.partitionCols, k, g)
       if (f.exists(d)) f.delete(d, true)
     }
@@ -1573,6 +1582,47 @@ object GenTable {
         opMeta("create")))
   }
 
+  /** SQL `REPLACE TABLE` (no AS SELECT) on an EXISTING table: one commit
+    * after which the table is EMPTY with the newly-declared schema,
+    * partitioning, and contract — deletion by omission of every
+    * partition, old content time-travelable until vacuum.
+    */
+  private[sources] def replaceDeclared(dir: String,
+      partitionCol: PartitionCols, schema: StructType,
+      extraMeta: Map[String, String]): Unit = {
+    val prev = readCommit(dir).getOrElse(
+      return createEmpty(dir, partitionCol, schema, extraMeta))
+    partitionCol.cols.foreach(p => require(schema.fieldNames.contains(p),
+      s"partition column '$p' is not in the declared schema " +
+        schema.fieldNames.mkString("(", ", ", ")")))
+    publish(dir, Commit(partitionCol.cols, Map.empty,
+      minGen = prev.tableGen + 1,
+      meta = Map(SchemaMetaKey -> schema.json) ++ extraMeta ++
+        opMeta("replace")))
+  }
+
+  /** The write-contract subset of a commit's meta — what every content
+    * overwrite must CARRY FORWARD (replacing rows must not amnesia the
+    * table's declared merge/skip columns). One definition, used by SQL
+    * INSERT OVERWRITE, the format writer's overwrite mode, and CTAS.
+    */
+  private[graft] def writeContractMeta(c: Commit): Map[String, String] =
+    c.meta.view.filterKeys(k => k == WriteKeyColKey ||
+      k == WriteOrderColsKey || k == WriteStatsColsKey ||
+      k == WriteBloomColsKey).toMap
+
+  /** [[writeDefaultsOf]] over a raw meta map (the staged-CTAS path holds
+    * TBLPROPERTIES-derived meta before any commit exists).
+    */
+  private[sources] def writeDefaultsOfMeta(
+      meta: Map[String, String]): WriteDefaults = {
+    def csv(k: String): Seq[String] =
+      meta.get(k).map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+        .getOrElse(Nil)
+    WriteDefaults(meta.get(WriteKeyColKey).filter(_.nonEmpty),
+      csv(WriteOrderColsKey), csv(WriteStatsColsKey), csv(WriteBloomColsKey))
+  }
+
   /** The routing every name/statement write doorway shares (SQL
     * `INSERT INTO`/`INSERT OVERWRITE` via [[graft.plans.GenTableDml]],
     * catalog `INSERT` through the DSv2 V1 bridge): `data` must already be
@@ -1592,9 +1642,7 @@ object GenTable {
     val pcol = PartitionCols(c.partitionCols)
     // the write contract survives an overwrite: INSERT OVERWRITE replaces
     // CONTENT, not the table's declared merge/skip columns
-    val carry = c.meta.view.filterKeys(k => k == WriteKeyColKey ||
-      k == WriteOrderColsKey || k == WriteStatsColsKey ||
-      k == WriteBloomColsKey).toMap
+    val carry = writeContractMeta(c)
     if (overwrite)
       replaceAll(data, dir, pcol, meta = carry,
         statsCols = d.statsCols, bloomCols = d.bloomCols)
@@ -2332,11 +2380,17 @@ object GenTable {
         val n = child.getName
         if (f.getFileStatus(child).isDirectory) {
           if (n.startsWith("gen=")) {
-            val g = n.stripPrefix("gen=").toLong
-            val pinned = keep.getOrElse((cols, partKey(vals)), Set.empty)
-            if (!pinned.contains(g)) {
-              f.delete(child, true)
-              removed += 1
+            // `gen=<non-numeric>` is FOREIGN (no writer ever creates
+            // one): leave it untouched — neither the generation sweep
+            // nor the empty-dir cleanup may classify junk (fsck reports
+            // it instead)
+            if (n.stripPrefix("gen=").forall(_.isDigit) && n.length > 4) {
+              val g = n.stripPrefix("gen=").toLong
+              val pinned = keep.getOrElse((cols, partKey(vals)), Set.empty)
+              if (!pinned.contains(g)) {
+                f.delete(child, true)
+                removed += 1
+              }
             }
           } else if (n.contains('=')) {
             val Array(pc, v) = n.split("=", 2)
@@ -2424,10 +2478,14 @@ object GenTable {
         if (n.startsWith("_") || n.startsWith(".")) ()
         else if (!f.getFileStatus(child).isDirectory)
           loose += child.toString // a data file outside any gen= dir
-        else if (n.startsWith("gen=")) {
+        else if (n.startsWith("gen=") &&
+            n.stripPrefix("gen=").forall(_.isDigit) && n.length > 4) {
           val pinned = keep.getOrElse((cols, partKey(vals)), Set.empty)
           if (!pinned.contains(n.stripPrefix("gen=").toLong))
             stale += child.toString
+        } else if (n.startsWith("gen=")) {
+          // a non-numeric gen= name no writer ever creates: foreign junk
+          loose += child.toString
         } else if (n.contains('=')) {
           val Array(pc, v) = n.split("=", 2)
           sweep(child, cols :+ pc, vals :+ v)

@@ -113,10 +113,11 @@ final class GenTableCatalog extends TableCatalog with SupportsNamespaces
     if (GenTable.readCommit(dir).isEmpty)
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         ident.asInstanceOf[Identifier])
-    require(GenTable.commitAt(dir, id).isDefined,
+    val c = GenTable.commitAt(dir, id)
+    require(c.isDefined,
       s"no archived commit $id under $dir (vacuumed, or never " +
         s"committed? ids: GenTable.commits / history())")
-    new GenTableV2Table(dir, Some(id))
+    new GenTableV2Table(dir, Some(id), c)
   }
 
   /** `FOR TIMESTAMP AS OF <ts>` — the DSv2 contract hands MICROSECONDS
@@ -181,20 +182,44 @@ final class GenTableCatalog extends TableCatalog with SupportsNamespaces
 
   /** TBLPROPERTIES → the manifest's write-contract meta (the same keys
     * [[GenTable.upsertBatch]] stamps), so `INSERT INTO` a created table
-    * routes to its declared upsert.
+    * routes to its declared upsert. VALIDATED at DDL time — an
+    * incomplete contract (`keyCol` without `orderCols` or vice versa) or
+    * a column name outside the declared schema would otherwise surface
+    * only at the first INSERT, deep inside the writer: fail loud here.
     */
-  private def defaultsMetaOf(
-      properties: util.Map[String, String]): Map[String, String] = {
+  private def defaultsMetaOf(properties: util.Map[String, String],
+      schema: StructType): Map[String, String] = {
     def csv(k: String): Seq[String] = propOf(properties, k)
       .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
-    propOf(properties, "keyCol").map { kc =>
-      GenTable.writeDefaultsMeta(kc, csv("orderCols"),
-        csv("statsCols"), csv("bloomCols"))
-    }.getOrElse {
-      val sb = (if (csv("statsCols").isEmpty) Map.empty[String, String]
-        else Map(GenTable.WriteStatsColsKey -> csv("statsCols").mkString(",")))
-      sb ++ (if (csv("bloomCols").isEmpty) Map.empty[String, String]
-        else Map(GenTable.WriteBloomColsKey -> csv("bloomCols").mkString(",")))
+    val names = schema.fieldNames.toSet
+    def known(k: String): Seq[String] = {
+      val cols = csv(k)
+      val bad = cols.filterNot(names.contains)
+      require(bad.isEmpty, s"TBLPROPERTIES '$k' names column(s) not in " +
+        s"the table schema: ${bad.mkString(", ")} (schema: " +
+        s"${schema.fieldNames.mkString(", ")})")
+      cols
+    }
+    val keyCol = propOf(properties, "keyCol")
+    val orderCols = known("orderCols")
+    keyCol match {
+      case Some(kc) =>
+        require(names.contains(kc),
+          s"TBLPROPERTIES 'keyCol'='$kc' is not a column of the table " +
+            s"schema (${schema.fieldNames.mkString(", ")})")
+        require(orderCols.nonEmpty,
+          "TBLPROPERTIES 'keyCol' needs 'orderCols' (latest-per-key " +
+            "needs an order) — declare both or neither")
+        GenTable.writeDefaultsMeta(kc, orderCols,
+          known("statsCols"), known("bloomCols"))
+      case None =>
+        require(orderCols.isEmpty,
+          "TBLPROPERTIES 'orderCols' without 'keyCol' declares no usable " +
+            "append contract — declare both or neither")
+        (if (known("statsCols").isEmpty) Map.empty[String, String]
+         else Map(GenTable.WriteStatsColsKey -> csv("statsCols").mkString(","))) ++
+          (if (known("bloomCols").isEmpty) Map.empty[String, String]
+           else Map(GenTable.WriteBloomColsKey -> csv("bloomCols").mkString(",")))
     }
   }
 
@@ -210,7 +235,7 @@ final class GenTableCatalog extends TableCatalog with SupportsNamespaces
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident.asInstanceOf[Identifier])
     GenTable.createEmpty(dir, partitionColsOf(partitions, properties, schema),
-      schema, defaultsMetaOf(properties))
+      schema, defaultsMetaOf(properties, schema))
     new GenTableV2Table(dir)
   }
 
@@ -222,7 +247,7 @@ final class GenTableCatalog extends TableCatalog with SupportsNamespaces
         .TableAlreadyExistsException(ident.asInstanceOf[Identifier])
     new GenTableStagedTable(dirOf(ident), schema,
       partitionColsOf(partitions, properties, schema),
-      defaultsMetaOf(properties))
+      defaultsMetaOf(properties, schema))
   }
 
   override def stageReplace(ident: Identifier, schema: StructType,
@@ -230,7 +255,7 @@ final class GenTableCatalog extends TableCatalog with SupportsNamespaces
       properties: util.Map[String, String]): StagedTable =
     new GenTableStagedTable(dirOf(ident), schema,
       partitionColsOf(partitions, properties, schema),
-      defaultsMetaOf(properties))
+      defaultsMetaOf(properties, schema))
 
   override def stageCreateOrReplace(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
@@ -299,22 +324,30 @@ final class GenTableCatalog extends TableCatalog with SupportsNamespaces
   * sink). A version-pinned table refuses writes: history is immutable.
   */
 final class GenTableV2Table(val dir: String,
-    val pinnedVersion: Option[Long] = None)
+    val pinnedVersion: Option[Long] = None,
+    preparsed: Option[GenTable.Commit] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
-  def this(dir: String) = this(dir, None)
+  def this(dir: String) = this(dir, None, None)
 
   override def name(): String =
     dir + pinnedVersion.fold("")(v => s"@v$v")
 
+  /** The archived commit a time-travel table is pinned to, parsed ONCE
+    * (schema and every scan share it — at 10^5+ cells a manifest parse
+    * is driver-side seconds, not noise; SCALE.md §27).
+    */
+  private lazy val pinnedCommit: Option[GenTable.Commit] =
+    preparsed.orElse(pinnedVersion.map(id =>
+      GenTable.commitAt(dir, id).getOrElse(
+        throw new IllegalArgumentException(
+          s"no archived commit $id under $dir (vacuumed?)"))))
+
   override lazy val schema: StructType = {
     val spark = SparkSession.active
-    pinnedVersion match {
-      case Some(id) =>
-        val c = GenTable.commitAt(dir, id).getOrElse(
-          throw new IllegalArgumentException(
-            s"no archived commit $id under $dir (vacuumed?)"))
+    pinnedCommit match {
+      case Some(c) =>
         GenTable.schemaOf(c)
           .getOrElse(GenTable.indexedRelationParts(spark, dir)._2)
       case None => GenTable.indexedRelationParts(spark, dir)._2
@@ -346,7 +379,7 @@ final class GenTableV2Table(val dir: String,
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new GenTableScanBuilder(dir, schema, pinnedVersion)
+    new GenTableScanBuilder(dir, schema, pinnedCommit)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     pinnedVersion.foreach { v =>
@@ -404,12 +437,7 @@ final class GenTableStagedTable(dir: String, declared: StructType,
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-              val wd = GenTable.WriteDefaults(
-                defaultsMeta.get(GenTable.WriteKeyColKey), Nil,
-                defaultsMeta.get(GenTable.WriteStatsColsKey)
-                  .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil),
-                defaultsMeta.get(GenTable.WriteBloomColsKey)
-                  .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil))
+              val wd = GenTable.writeDefaultsOfMeta(defaultsMeta)
               staged = Some(GenTable.stageReplace(data, dir, pcols,
                 wd.statsCols, wd.bloomCols))
             }
@@ -422,8 +450,11 @@ final class GenTableStagedTable(dir: String, declared: StructType,
       GenTable.publish(dir, s.copy(meta =
         s.meta ++ defaultsMeta ++ GenTable.opMeta("ctas")))
     case None =>
-      // a staged CREATE whose write never ran: commit the declaration
-      GenTable.createEmpty(dir, pcols, declared, defaultsMeta)
+      // no staged write ran: a plain staged CREATE commits the
+      // declaration; a REPLACE TABLE (no AS SELECT) on an existing
+      // table becomes the declared EMPTY table (DSv2 semantics — old
+      // content stays time-travelable until vacuum)
+      GenTable.replaceDeclared(dir, pcols, declared, defaultsMeta)
   }
 
   override def abortStagedChanges(): Unit = staged.foreach { s =>
@@ -438,7 +469,7 @@ final class GenTableStagedTable(dir: String, declared: StructType,
   * drive the manifest-indexed pruning.
   */
 final class GenTableScanBuilder(dir: String, full: StructType,
-    pinnedVersion: Option[Long] = None)
+    pinnedCommit: Option[GenTable.Commit] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -458,7 +489,7 @@ final class GenTableScanBuilder(dir: String, full: StructType,
     else requiredSchema
 
   override def build(): Scan =
-    new GenTableV1BridgeScan(dir, filters, required, pinnedVersion)
+    new GenTableV1BridgeScan(dir, filters, required, pinnedCommit)
 }
 
 /** The public DSv2→V1 bridge: `toV1TableScan` hands Spark a classic
@@ -466,19 +497,20 @@ final class GenTableScanBuilder(dir: String, full: StructType,
   * one read path ([[GenTable.readIndexed]]) for both doorways.
   */
 final class GenTableV1BridgeScan(dir: String, filters: Array[Filter],
-    required: StructType, pinnedVersion: Option[Long] = None) extends V1Scan {
+    required: StructType, pinnedCommit: Option[GenTable.Commit] = None)
+    extends V1Scan {
 
   override def readSchema(): StructType = required
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T =
-    new GenTableBridgeRelation(context, dir, filters, required, pinnedVersion)
+    new GenTableBridgeRelation(context, dir, filters, required, pinnedCommit)
       .asInstanceOf[T]
 }
 
 final class GenTableBridgeRelation(ctx: SQLContext, dir: String,
     filters: Array[Filter], required: StructType,
-    pinnedVersion: Option[Long] = None)
+    pinnedCommit: Option[GenTable.Commit] = None)
     extends BaseRelation with TableScan {
 
   override def sqlContext: SQLContext = ctx
@@ -506,11 +538,12 @@ final class GenTableBridgeRelation(ctx: SQLContext, dir: String,
 
   override def buildScan(): RDD[Row] = {
     val spark = ctx.sparkSession
-    val base = pinnedVersion
-      .fold(GenTable.readIndexed(spark, dir))(
-        GenTable.readIndexedAt(spark, dir, _)).getOrElse(
-        throw new IllegalStateException(s"no committed GenTable under $dir" +
-          pinnedVersion.fold("")(v => s" at version $v")))
+    // a pinned (time-travel) scan reuses the table's ALREADY-PARSED
+    // archived commit instead of re-reading the archive per scan
+    val base = pinnedCommit
+      .map(c => GenTable.frameOf(spark, dir, c))
+      .getOrElse(GenTable.readIndexed(spark, dir).getOrElse(
+        throw new IllegalStateException(s"no committed GenTable under $dir")))
     val pruned = filters.flatMap(toColumn).foldLeft(base)(_.filter(_))
     pruned.select(required.fieldNames.toSeq.map(col): _*).rdd
   }

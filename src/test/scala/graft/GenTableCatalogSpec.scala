@@ -246,6 +246,45 @@ class GenTableCatalogSpec extends SparkSpec {
     assert(e2.getMessage.contains("overwrite by filter"))
   }
 
+  test("REPLACE TABLE without AS SELECT empties the table with the new " +
+      "declaration; TBLPROPERTIES contracts validate at DDL time") {
+    base
+    spark.sql("CREATE TABLE gt.ddl.r1 (id BIGINT, day STRING, value DOUBLE) " +
+      "PARTITIONED BY (day) TBLPROPERTIES('keyCol'='id', 'orderCols'='value')")
+    spark.sql("INSERT INTO gt.ddl.r1 VALUES (1, 'd0', 1.0)")
+    assert(content(s"$base/ddl/r1").size === 1)
+    // DSv2 REPLACE semantics: the declared empty table, old content
+    // time-travelable until vacuum
+    spark.sql("CREATE OR REPLACE TABLE gt.ddl.r1 " +
+      "(id BIGINT, day STRING, score DOUBLE) PARTITIONED BY (day) " +
+      "TBLPROPERTIES('keyCol'='id', 'orderCols'='score')")
+    assert(spark.sql("SELECT count(*) FROM gt.ddl.r1").as[Long].head() === 0L)
+    assert(spark.table("gt.ddl.r1").columns.toSeq ===
+      Seq("id", "day", "score"))
+    spark.sql("INSERT INTO gt.ddl.r1 VALUES (5, 'd1', 0.5)")
+    assert(spark.sql("SELECT score FROM gt.ddl.r1").as[Double]
+      .collect().toSeq === Seq(0.5))
+    // an incomplete or mistyped contract refuses at DDL, not first INSERT
+    val e1 = intercept[Exception] {
+      spark.sql("CREATE TABLE gt.ddl.bad1 (id BIGINT, day STRING) " +
+        "PARTITIONED BY (day) TBLPROPERTIES('keyCol'='id')")
+    }
+    assert(e1.getMessage.contains("orderCols"))
+    val e2 = intercept[Exception] {
+      spark.sql("CREATE TABLE gt.ddl.bad2 (id BIGINT, day STRING) " +
+        "PARTITIONED BY (day) TBLPROPERTIES('orderCols'='id')")
+    }
+    assert(e2.getMessage.contains("keyCol"))
+    val e3 = intercept[Exception] {
+      spark.sql("CREATE TABLE gt.ddl.bad3 (id BIGINT, day STRING) " +
+        "PARTITIONED BY (day) " +
+        "TBLPROPERTIES('keyCol'='idd', 'orderCols'='id')")
+    }
+    assert(e3.getMessage.contains("idd"))
+    Seq("bad1", "bad2", "bad3").foreach(t =>
+      assert(GenTable.readCommit(s"$base/ddl/$t").isEmpty))
+  }
+
   test("identifier components cannot traverse outside the catalog base") {
     base
     val e = intercept[Exception] {

@@ -119,5 +119,12 @@ class GenTableMaintenanceSpec extends SparkSpec {
     val after = GenTable.fsck(dir, keepCommits = 1)
     assert(after.staleGenDirs.isEmpty) // vacuum's class is swept...
     assert(after.unreferencedFiles.nonEmpty) // ...the leak class is not
+    // a foreign `gen=<non-numeric>` directory must not crash (or be
+    // deleted by) maintenance — fsck reports it, vacuum skips it
+    val junk = java.nio.file.Paths.get(dir, "bucket=2", "gen=backup")
+    java.nio.file.Files.createDirectories(junk)
+    assert(GenTable.fsck(dir).unreferencedFiles.exists(_.endsWith("gen=backup")))
+    GenTable.vacuum(dir, keepCommits = 1)
+    assert(java.nio.file.Files.exists(junk), "vacuum must not touch junk")
   }
 }

@@ -132,8 +132,10 @@ class GenTableSqlDmlSpec extends SparkSpec {
     // the judge's repro: INSERT INTO <view> VALUES — previously Spark
     // planned a raw parquet write into the table root (an orphan no read
     // ever saw); now it must route to upsertBatch and be visible to a
-    // FRESH view immediately
-    spark.sql("INSERT INTO dml_ins VALUES (9, 'd1', 99.0)")
+    // FRESH view immediately. POSITIONAL values map to the view's OWN
+    // visible order — SELECT * shows (id, value, day): partition column
+    // last — never the manifest's internal column order
+    spark.sql("INSERT INTO dml_ins VALUES (9, 99.0, 'd1')")
     assert(content(dir) === Set((1L, "d0", 1.0), (2L, "d0", 2.0),
       (3L, "d1", 3.0), (4L, "d1", 4.0), (9L, "d1", 99.0)))
     val c = GenTable.readCommit(dir).get
@@ -150,16 +152,16 @@ class GenTableSqlDmlSpec extends SparkSpec {
     assert(GenTable.fsck(dir, keepCommits = 2).clean)
     // INSERT of an existing key is the contract's upsert: REPLACE, not a
     // silent duplicate
-    spark.sql("INSERT INTO dml_ins VALUES (2, 'd0', 20.0)")
+    spark.sql("INSERT INTO dml_ins VALUES (2, 20.0, 'd0')")
     assert(content(dir).count(_._1 == 2L) === 1)
     assert(content(dir).contains((2L, "d0", 20.0)))
     // by-name column list reorders
     spark.sql("INSERT INTO dml_ins (value, id, day) VALUES (7.5, 8, 'd0')")
     assert(content(dir).contains((8L, "d0", 7.5)))
     // INSERT OVERWRITE = whole-table replace, contract survives
-    spark.sql("INSERT OVERWRITE dml_ins VALUES (1, 'd9', 0.5)")
+    spark.sql("INSERT OVERWRITE dml_ins VALUES (1, 0.5, 'd9')")
     assert(content(dir) === Set((1L, "d9", 0.5)))
-    spark.sql("INSERT INTO dml_ins VALUES (2, 'd9', 2.5)")
+    spark.sql("INSERT INTO dml_ins VALUES (2, 2.5, 'd9')")
     assert(content(dir) === Set((1L, "d9", 0.5), (2L, "d9", 2.5)))
   }
 
@@ -199,11 +201,11 @@ class GenTableSqlDmlSpec extends SparkSpec {
     GenTable.createOrReplaceView(spark, dir2, "dml_nok")
     val before2 = disk(dir2)
     val e4 = intercept[AnalysisException] {
-      spark.sql("INSERT INTO dml_nok VALUES (9, 'd1', 9.0)")
+      spark.sql("INSERT INTO dml_nok VALUES (9, 9.0, 'd1')")
     }
     assert(e4.getMessage.contains("append contract"))
     assert(disk(dir2) === before2)
-    spark.sql("INSERT OVERWRITE dml_nok VALUES (7, 'd7', 7.0)")
+    spark.sql("INSERT OVERWRITE dml_nok VALUES (7, 7.0, 'd7')")
     assert(GenTable.read(spark, dir2).get.count() === 1L)
     // a projecting view over a gentable is un-claimable — but falling
     // through would be Spark's silent parquet write into the table root,
