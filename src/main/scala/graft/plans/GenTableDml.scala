@@ -66,7 +66,20 @@ object GenTableDml extends Rule[LogicalPlan] {
       dirOf(pr.child)
     case l: LogicalRelation => l.relation match {
       case h: HadoopFsRelation => h.location match {
-        case i: GenTableFileIndex => Some(i.tableDir)
+        case i: GenTableFileIndex =>
+          // an EXPLICIT time-travel read must not become a head write:
+          // the user addressed an archived snapshot, and routing the
+          // statement to the table would silently mutate something else
+          // than what they named (a stale registered view is different —
+          // DML on a table name applies to the table, documented above)
+          if (i.isTimeTravel) throw new AnalysisException(
+            errorClass = "USER_RAISED_EXCEPTION",
+            messageParameters = Map("errorMessage" ->
+              (s"gentable DML target is a time-travel read of " +
+                s"${i.tableDir} — archived snapshots are immutable; " +
+                s"address the table head (re-register the view without " +
+                s"versionAsOf/timestampAsOf)")))
+          Some(i.tableDir)
         case _ => None
       }
       case _ => None
@@ -74,7 +87,16 @@ object GenTableDml extends Rule[LogicalPlan] {
     // name-based catalog targets (`DELETE FROM gt.ns.table ...`)
     case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
       r.table match {
-        case t: graft.sources.GenTableV2Table => Some(t.dir)
+        case t: graft.sources.GenTableV2Table =>
+          // unreachable via SQL today (the parser rejects DML + VERSION
+          // AS OF) — belt for future parser surface
+          if (t.pinnedVersion.isDefined) throw new AnalysisException(
+            errorClass = "USER_RAISED_EXCEPTION",
+            messageParameters = Map("errorMessage" ->
+              (s"gentable DML target is pinned to version " +
+                s"${t.pinnedVersion.get} — archived snapshots are " +
+                s"immutable; address the table head")))
+          Some(t.dir)
         case _ => None
       }
     case _ => None

@@ -855,7 +855,8 @@ object GenTable {
     */
   def readIndexedAt(spark: SparkSession, dir: String,
       commitId: Long): Option[DataFrame] =
-    commitAt(dir, commitId).flatMap(indexedFrame(spark, dir, _))
+    commitAt(dir, commitId)
+      .flatMap(indexedFrame(spark, dir, _, timeTravel = true))
 
   /** A commit is indexable when it has data OR a recorded schema (a
     * meta-only commit — `CREATE TABLE` before the first insert, an empty
@@ -869,18 +870,18 @@ object GenTable {
     */
   private[sources] def frameOf(spark: SparkSession, dir: String,
       c: Commit): DataFrame =
-    indexedFrame(spark, dir, c).getOrElse(
+    indexedFrame(spark, dir, c, timeTravel = true).getOrElse(
       throw new IllegalStateException(
         s"commit ${c.tableGen} under $dir has no data and no recorded " +
           s"schema (pre-schema-tracking empty commit)"))
 
   private def indexedFrame(spark: SparkSession, dir: String,
-      c: Commit): Option[DataFrame] = {
+      c: Commit, timeTravel: Boolean = false): Option[DataFrame] = {
     if (c.gens.isEmpty && schemaOf(c).isEmpty) None
     else {
       val schema = schemaOf(c).getOrElse(
         readPaths(spark, dir, c, pathsOf(dir, c)).schema)
-      Some(GenTableFileIndex.frame(spark, dir, c, schema))
+      Some(GenTableFileIndex.frame(spark, dir, c, schema, timeTravel))
     }
   }
 

@@ -56,7 +56,8 @@ final class GenTableFileIndex(
     spark: SparkSession,
     dir: String,
     commit: GenTable.Commit,
-    tableSchema: StructType) extends FileIndex {
+    tableSchema: StructType,
+    timeTravel: Boolean = false) extends FileIndex {
 
   private val (fs, root) = GenTable.fsRoot(dir)
   private val pcols = commit.partitionCols
@@ -71,6 +72,16 @@ final class GenTableFileIndex(
     * statements to the transactional writers.
     */
   private[graft] def tableDir: String = dir
+
+  /** True when this index was created by an EXPLICIT time-travel read
+    * (`versionAsOf`/`timestampAsOf`/[[GenTable.readIndexedAt]]). The SQL
+    * DML rewrite refuses such targets: the user addressed an archived
+    * snapshot, and routing the statement to the table head would
+    * silently mutate something else than what they named. (A registered
+    * view that merely went stale under later commits is NOT time travel —
+    * DML on it is the documented address-the-table semantics.)
+    */
+  private[graft] def isTimeTravel: Boolean = timeTravel
 
   /** Partition column names (for the metadata-aggregate rule's
     * group-by-partition match and partition-filter decidability check).
@@ -275,8 +286,10 @@ object GenTableFileIndex {
     * (data columns, then the partition column).
     */
   private[sources] def frame(spark: SparkSession, dir: String,
-      commit: GenTable.Commit, tableSchema: StructType): DataFrame = {
-    val index = new GenTableFileIndex(spark, dir, commit, tableSchema)
+      commit: GenTable.Commit, tableSchema: StructType,
+      timeTravel: Boolean = false): DataFrame = {
+    val index = new GenTableFileIndex(spark, dir, commit, tableSchema,
+      timeTravel)
     val relation = HadoopFsRelation(
       location = index,
       partitionSchema = index.partitionSchema,
@@ -475,6 +488,8 @@ final class GenTableSourceProvider extends RelationProvider
     require(!(parameters.contains("versionAsOf") &&
       parameters.contains("timestampAsOf")),
       "versionAsOf and timestampAsOf are mutually exclusive")
+    val travel = parameters.contains("versionAsOf") ||
+      parameters.contains("timestampAsOf")
     val (commit, schema) = parameters.get("versionAsOf") match {
       case Some(v) => at(v.toLong)
       case None => parameters.get("timestampAsOf") match {
@@ -492,7 +507,7 @@ final class GenTableSourceProvider extends RelationProvider
                 s"(pre-stamp commits cannot be addressed by time)")))
       }
     }
-    val index = new GenTableFileIndex(spark, dir, commit, schema)
+    val index = new GenTableFileIndex(spark, dir, commit, schema, travel)
     HadoopFsRelation(
       location = index,
       partitionSchema = index.partitionSchema,

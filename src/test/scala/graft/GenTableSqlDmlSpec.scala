@@ -220,6 +220,32 @@ class GenTableSqlDmlSpec extends SparkSpec {
     assert(disk(dir) === before3)
   }
 
+  test("DML through an explicit time-travel read refuses: archived " +
+      "snapshots are immutable, never a silent head write") {
+    import org.apache.spark.sql.AnalysisException
+    val dir = tmp()
+    seed(dir, "dml_ttv")                                     // commit 1
+    spark.sql("DELETE FROM dml_ttv WHERE day = 'd0'")        // commit 2
+    spark.read.format("gentable").option("versionAsOf", "1").load(dir)
+      .createOrReplaceTempView("dml_tt_old")
+    val head = GenTable.readCommit(dir).get.tableGen
+    val eDel = intercept[AnalysisException] {
+      spark.sql("DELETE FROM dml_tt_old WHERE id = 3")
+    }
+    assert(eDel.getMessage.contains("time-travel"))
+    val eIns = intercept[AnalysisException] {
+      spark.sql("INSERT INTO dml_tt_old VALUES (9, 99.0, 'd1')")
+    }
+    assert(eIns.getMessage.contains("time-travel"))
+    val eUpd = intercept[AnalysisException] {
+      spark.sql("UPDATE dml_tt_old SET value = 0 WHERE id = 3")
+    }
+    assert(eUpd.getMessage.contains("time-travel"))
+    assert(GenTable.readCommit(dir).get.tableGen === head)
+    // the snapshot still READS fine
+    assert(spark.table("dml_tt_old").count() === 4L)
+  }
+
   test("operational TVFs: history/changes/fsck are SQL relations equal to " +
       "their engine calls") {
     val dir = tmp()
