@@ -83,11 +83,25 @@ object GenTableTvf {
     * ([[GenTable.fsck]]) as a relation: one row per unaccounted path,
     * `kind` = `unreferenced_file` (the leak class vacuum never sweeps)
     * or `stale_gen_dir` (vacuum's normal class).
+    *
+    * SNAPSHOT semantics: like every TVF here, the arguments fold at
+    * ANALYSIS time, and the audit's one recursive listing runs then too
+    * (the report is driver metadata, not a scan to defer) — a cached or
+    * re-executed plan returns the audit AS OF its analysis, not a
+    * re-walk. Re-issue the statement for a fresh audit.
+    *
+    * Scoping: the TVFs take a filesystem PATH, like the path-based
+    * DataFrame API they wrap — they are not mediated by any catalog's
+    * `base` confinement. A deployment that scopes SQL users to a catalog
+    * base must gate these functions (don't inject the extension, or
+    * front them with views) rather than rely on catalog scoping.
     */
   def fsck(args: Seq[Expression]): LogicalPlan = {
     if (args.isEmpty || args.length > 2)
       fail("gentable_fsck(dir[, keepCommits]) takes 1 or 2 arguments")
     val keep = if (args.length == 2) longArg(args(1), "keepCommits") else 1L
+    if (keep < 1L || keep > Int.MaxValue.toLong)
+      fail(s"keepCommits must be in [1, ${Int.MaxValue}], got $keep")
     val report = GenTable.fsck(strArg(args.head, "dir"), keep.toInt)
     val spark = SparkSession.active
     import spark.implicits._

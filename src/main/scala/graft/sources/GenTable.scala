@@ -715,9 +715,28 @@ object GenTable {
     * to see later commits.
     */
   def createOrReplaceView(spark: SparkSession, dir: String,
-      name: String): Unit =
+      name: String): Unit = {
+    // This view is the SQL DML doorway, and the INSERT protection
+    // ([[graft.plans.GenTableDml]], a RESOLUTION rule) exists only on
+    // sessions built with spark.sql.extensions=graft.plans.GraftExtensions
+    // — the live-session register() path has no analyzer hook to add it
+    // after the fact. Registering the doorway WITHOUT the rule would arm
+    // the exact trap it closes: `INSERT INTO <name>` would plan Spark's
+    // raw parquet write into the table root, an orphan no manifest read
+    // ever sees. Refuse the registration instead of arming it; a
+    // read-only view needs no help (register readIndexed's frame
+    // yourself).
+    require(spark.sessionState.analyzer.extendedResolutionRules
+        .contains(graft.plans.GenTableDml),
+      s"createOrReplaceView('$name') requires the GenTableDml resolution " +
+        s"rule — build the session with spark.sql.extensions=" +
+        s"graft.plans.GraftExtensions. Without it, SQL INSERT INTO the " +
+        s"view would write orphan files into the table root (silent " +
+        s"data loss). For a read-only view, register " +
+        s"GenTable.readIndexed(spark, dir) as a temp view directly.")
     readIndexed(spark, dir).getOrElse(throw new IllegalArgumentException(
       s"no committed GenTable under $dir")).createOrReplaceTempView(name)
+  }
 
   /** ROLLBACK as a forward commit: publish a new commit whose content is
     * exactly the archived commit `commitId` — the Delta `RESTORE` shape.
@@ -2355,6 +2374,18 @@ object GenTable {
     * to keep) and [[fsck]] (what counts as accounted), so the two agree
     * exactly.
     */
+  /** The generation number of a `gen=N` directory name, when it IS one:
+    * all digits AND parseable as a Long. An all-digit name too long for a
+    * Long (foreign junk no writer ever creates) must classify as foreign
+    * — not abort a whole vacuum/fsck sweep with NumberFormatException.
+    */
+  private def genNumberOf(name: String): Option[Long] = {
+    val s = name.stripPrefix("gen=")
+    if (name.startsWith("gen=") && s.nonEmpty && s.forall(_.isDigit))
+      scala.util.Try(s.toLong).toOption
+    else None
+  }
+
   private def pinnedGens(dir: String, c: Commit,
       keepCommits: Int): (Seq[Long], Map[(Seq[String], String), Set[Long]]) = {
     val retainedIds = commits(dir).takeRight(keepCommits)
@@ -2381,12 +2412,11 @@ object GenTable {
         val n = child.getName
         if (f.getFileStatus(child).isDirectory) {
           if (n.startsWith("gen=")) {
-            // `gen=<non-numeric>` is FOREIGN (no writer ever creates
-            // one): leave it untouched — neither the generation sweep
-            // nor the empty-dir cleanup may classify junk (fsck reports
-            // it instead)
-            if (n.stripPrefix("gen=").forall(_.isDigit) && n.length > 4) {
-              val g = n.stripPrefix("gen=").toLong
+            // `gen=<non-numeric-or-overflowing>` is FOREIGN (no writer
+            // ever creates one): leave it untouched — neither the
+            // generation sweep nor the empty-dir cleanup may classify
+            // junk (fsck reports it instead)
+            genNumberOf(n).foreach { g =>
               val pinned = keep.getOrElse((cols, partKey(vals)), Set.empty)
               if (!pinned.contains(g)) {
                 f.delete(child, true)
@@ -2479,13 +2509,13 @@ object GenTable {
         if (n.startsWith("_") || n.startsWith(".")) ()
         else if (!f.getFileStatus(child).isDirectory)
           loose += child.toString // a data file outside any gen= dir
-        else if (n.startsWith("gen=") &&
-            n.stripPrefix("gen=").forall(_.isDigit) && n.length > 4) {
+        else if (n.startsWith("gen=") && genNumberOf(n).isDefined) {
           val pinned = keep.getOrElse((cols, partKey(vals)), Set.empty)
-          if (!pinned.contains(n.stripPrefix("gen=").toLong))
+          if (!pinned.contains(genNumberOf(n).get))
             stale += child.toString
         } else if (n.startsWith("gen=")) {
-          // a non-numeric gen= name no writer ever creates: foreign junk
+          // a non-numeric (or Long-overflowing) gen= name no writer ever
+          // creates: foreign junk
           loose += child.toString
         } else if (n.contains('=')) {
           val Array(pc, v) = n.split("=", 2)

@@ -359,19 +359,22 @@ final class GenTableV2Table(val dir: String,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   /** `DESCRIBE TABLE` partition info: the committed partition columns as
-    * identity transforms.
+    * identity transforms. A version-pinned table reports the layout AS OF
+    * that commit (partition evolution means head and pinned layouts can
+    * differ — DESCRIBE must agree with what the pinned scan reads).
     */
   override def partitioning(): Array[Transform] =
-    GenTable.readCommit(dir).map(_.partitionCols.toArray
+    pinnedCommit.orElse(GenTable.readCommit(dir)).map(_.partitionCols.toArray
       .map(org.apache.spark.sql.connector.expressions.Expressions.identity))
       .getOrElse(Array.empty)
 
   /** `SHOW TBLPROPERTIES` / `DESCRIBE EXTENDED`: surface the manifest's
     * operational metadata — the write contract, lineage stamps, commit
-    * id — so a SQL user can inspect the table's semantics by name.
+    * id — so a SQL user can inspect the table's semantics by name. A
+    * pinned table reports the AS-OF meta, consistent with its scan.
     */
   override def properties(): util.Map[String, String] =
-    GenTable.readCommit(dir).map { c =>
+    pinnedCommit.orElse(GenTable.readCommit(dir)).map { c =>
       (c.meta.view.filterKeys(k => !k.startsWith("table_schema")).toMap ++
         Map("partitionCol" -> c.partitionCol,
           "commit_id" -> c.tableGen.toString)).asJava
@@ -457,8 +460,21 @@ final class GenTableStagedTable(dir: String, declared: StructType,
       GenTable.replaceDeclared(dir, pcols, declared, defaultsMeta)
   }
 
-  override def abortStagedChanges(): Unit = staged.foreach { s =>
-    GenTable.dropStaged(dir, s, removeDir = !existedBefore)
+  override def abortStagedChanges(): Unit = staged match {
+    case Some(s) => GenTable.dropStaged(dir, s, removeDir = !existedBefore)
+    case None =>
+      // stageReplace threw MID-WRITE: no staged commit was recorded, but
+      // partition files — and the directory itself — may already exist.
+      // When this stage physically created the directory and nothing was
+      // ever committed there, remove it wholesale: with no manifest the
+      // leftovers would be invisible to fsck and vacuum forever. On a
+      // pre-existing path the half-staged generation directories are
+      // ordinary stale-gen candidates the table's own fsck/vacuum sees.
+      if (!existedBefore) {
+        val (f, root) = GenTable.fsRoot(dir)
+        if (f.exists(root) && !f.exists(new HPath(root, "_commit")))
+          f.delete(root, true)
+      }
   }
 }
 

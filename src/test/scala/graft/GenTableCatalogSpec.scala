@@ -296,4 +296,52 @@ class GenTableCatalogSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("illegal catalog identifier"))
   }
+
+  test("a version-pinned table reports the AS-OF layout and properties " +
+      "(DESCRIBE must agree with what the pinned scan reads)") {
+    val dir = mkTable("prod", "tpin")              // commit 1: day-keyed
+    GenTable.repartitionTable(spark, dir, "id")    // commit 2: id-keyed
+    val cat = new graft.sources.GenTableCatalog
+    cat.initialize("gtpin",
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("base", base)))
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("prod"), "tpin")
+    def pcolsOf(t: org.apache.spark.sql.connector.catalog.Table): Seq[String] =
+      t.partitioning().toSeq.map(_.references.head.fieldNames.mkString("."))
+    assert(pcolsOf(cat.loadTable(ident)) === Seq("id"))
+    assert(cat.loadTable(ident).properties().get("commit_id") === "2")
+    val pinned = cat.loadTable(ident, "1")
+    assert(pcolsOf(pinned) === Seq("day"))
+    assert(pinned.properties().get("commit_id") === "1")
+    assert(pinned.properties().get("partitionCol") === "day")
+  }
+
+  test("an aborted CTAS that failed MID-STAGE still removes the " +
+      "directory it created (no manifest, no files, no trace)") {
+    val dir = s"$base/prod/ctas_midfail"
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("day", StringType)))
+    // existedBefore is sampled at staging-table construction — construct
+    // FIRST (like Spark does), then simulate stageReplace dying after
+    // some partition files landed but before any staged commit exists
+    val st = new graft.sources.GenTableStagedTable(dir, schema,
+      GenTable.PartitionCols(Seq("day")), Map.empty)
+    val leak = java.nio.file.Paths.get(dir, "day=d0", "gen=1")
+    java.nio.file.Files.createDirectories(leak)
+    java.nio.file.Files.write(leak.resolve("part-0.parquet"),
+      Array[Byte](1, 2, 3))
+    st.abortStagedChanges()
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir)),
+      "a failed-mid-stage CTAS must leave no directory behind")
+    // the guard never removes a PRE-EXISTING path: same abort on a
+    // committed table sweeps nothing wholesale
+    val existing = mkTable("prod", "ctas_existing")
+    val st2 = new graft.sources.GenTableStagedTable(existing, schema,
+      GenTable.PartitionCols(Seq("day")), Map.empty)
+    st2.abortStagedChanges()
+    assert(GenTable.readCommit(existing).isDefined)
+    assert(content(existing).nonEmpty)
+  }
 }

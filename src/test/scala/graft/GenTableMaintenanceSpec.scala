@@ -127,4 +127,20 @@ class GenTableMaintenanceSpec extends SparkSpec {
     GenTable.vacuum(dir, keepCommits = 1)
     assert(java.nio.file.Files.exists(junk), "vacuum must not touch junk")
   }
+
+  test("an all-digit gen= name longer than a Long is foreign junk, not " +
+      "a NumberFormatException that aborts the whole sweep") {
+    val dir = tmp()
+    val rows = Seq((1L, 1, 1.0), (2L, 2, 2.0)).toDF("id", "bucket", "amount")
+    GenTable.upsertBatch(rows, dir, "id", Seq("amount"), "bucket")
+    val junk = java.nio.file.Paths.get(dir, "bucket=1",
+      "gen=99999999999999999999") // 20 digits: overflows Long.parseLong
+    java.nio.file.Files.createDirectories(junk)
+    GenTable.vacuum(dir, keepCommits = 1) // must not throw
+    assert(java.nio.file.Files.exists(junk), "vacuum must not touch junk")
+    val report = GenTable.fsck(dir) // must not throw either
+    assert(report.unreferencedFiles
+      .exists(_.endsWith("gen=99999999999999999999")))
+    assert(report.staleGenDirs.isEmpty)
+  }
 }
