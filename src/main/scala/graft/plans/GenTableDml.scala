@@ -41,9 +41,10 @@ import graft.sources.{GenTable, GenTableFileIndex}
   *
   * Restrictions fail loud with actionable messages (never silently
   * narrowed): no subqueries in conditions; MERGE needs a single
-  * name-equal key equality ON clause, star actions (`UPDATE SET *` /
-  * `INSERT *`), source-side arm conditions, DELETE clause before UPDATE
-  * (the engine's matched-arm order), and no NOT-MATCHED-BY-SOURCE arms.
+  * name-equal key equality ON clause, `UPDATE SET *` (whole-row) or
+  * partial `UPDATE SET t.col = <expr over t and s>`, `INSERT *`,
+  * source-side arm conditions, DELETE clause before UPDATE (the
+  * engine's matched-arm order), and no NOT-MATCHED-BY-SOURCE arms.
   * Anything this rule does not claim keeps Spark's own error.
   */
 object GenTableDml extends Rule[LogicalPlan] {
@@ -194,10 +195,6 @@ object GenTableDml extends Rule[LogicalPlan] {
     * [[GenTable.updateWhere]] applies.
     */
   private def rewriteInsert(dir: String, i: InsertIntoStatement): LogicalPlan = {
-    if (i.partitionSpec.nonEmpty)
-      failInsert("PARTITION specs are not supported — the partition " +
-        "column is an ordinary column of a gentable; carry its values in " +
-        "the inserted rows")
     if (i.ifPartitionNotExists)
       failInsert("IF NOT EXISTS is not supported")
     val c = GenTable.readCommit(dir).getOrElse(
@@ -205,6 +202,35 @@ object GenTableDml extends Rule[LogicalPlan] {
     val schema = GenTable.schemaOf(c).getOrElse(
       failInsert(s"target $dir predates schema tracking; write through " +
         "df.write.format(\"gentable\") once to record one"))
+    // STATIC PARTITION specs on INSERT OVERWRITE are the SQL spelling of
+    // the partition-scoped atomic replace ([[GenTable.replaceWhere]]):
+    // `INSERT OVERWRITE t PARTITION (day='2024-01-13') SELECT ...`
+    // atomically swaps exactly that region. On INSERT INTO a spec is
+    // refused: the append contract carries partition values in the rows,
+    // and a spec would silently shadow them. Dynamic specs (a column
+    // without a value) are refused too — dynamic partition overwrite is
+    // the non-atomic pattern the lake tier replaces.
+    val spec: Seq[(String, String)] =
+      if (i.partitionSpec.isEmpty) Nil
+      else {
+        if (!i.overwrite)
+          failInsert("PARTITION specs are supported on INSERT OVERWRITE " +
+            "only (a partition-scoped atomic replace); INSERT INTO routes " +
+            "to the table's append contract — carry partition values in " +
+            "the inserted rows")
+        if (i.partitionSpec.values.exists(_.isEmpty))
+          failInsert("dynamic PARTITION specs (a column without a value) " +
+            "are not supported — name each partition value (static spec), " +
+            "or use df.write.format(\"gentable\")" +
+            ".option(\"replaceWhere\", ...) for a predicate-bounded region")
+        i.partitionSpec.toSeq.map { case (n, v) =>
+          val canon = c.partitionCols.find(_.equalsIgnoreCase(n)).getOrElse(
+            failInsert(s"PARTITION column '$n' is not a partition column " +
+              s"of the table (partitioned by " +
+              s"${c.partitionCols.mkString(", ")})"))
+          canon -> v.get
+        }
+      }
     if (!i.overwrite && GenTable.writeDefaultsOf(c).appendContract.isEmpty)
       failInsert(s"INSERT INTO needs the table's append contract and " +
         s"$dir records none: write once with df.write.format(\"gentable\")" +
@@ -222,15 +248,21 @@ object GenTableDml extends Rule[LogicalPlan] {
     // the two differ whenever the writer's frame didn't put partition
     // columns last, and mapping to the internal order would silently
     // write values into the wrong columns
+    val specNames = spec.map(_._1.toLowerCase).toSet
     val targets: Seq[String] =
       if (i.userSpecifiedCols.nonEmpty) i.userSpecifiedCols
       else if (i.byName) out.map(_.name)
       else i.table.output.map(_.name)
+        .filterNot(n => specNames(n.toLowerCase))
+    if (targets.exists(t => specNames(t.toLowerCase)))
+      failInsert("a PARTITION-spec column cannot also be supplied by the " +
+        "query's column list")
     if (out.length != targets.length)
       failInsert(s"query produces ${out.length} column(s) for " +
         s"${targets.length} target column(s)")
     val want = schema.fieldNames.map(_.toLowerCase).sorted.toSeq
-    val got = targets.map(_.toLowerCase).sorted
+    val got = (targets.map(_.toLowerCase) ++ spec.map(_._1.toLowerCase))
+      .sorted
     if (got != want) {
       val missing = want.diff(got)
       val unknown = got.diff(want)
@@ -245,12 +277,20 @@ object GenTableDml extends Rule[LogicalPlan] {
     // the mapping to the query's output attributes BY exprId right here:
     // a Project of aliases pins (query column -> table column) at
     // analysis time, so later re-resolution of the captured plan can
-    // never permute the positional mapping under the command
+    // never permute the positional mapping under the command. Static
+    // PARTITION values join the projection as string literals — the
+    // command's ANSI store-assignment cast types them (a malformed value
+    // fails loud at run, never nulls).
     val canon = targets.map(t =>
       schema.fieldNames.find(_.equalsIgnoreCase(t)).get)
     val bound = Project(
-      out.zip(canon).map { case (a, name) => Alias(a, name)() }, i.query)
-    InsertGenTable(dir, bound, i.overwrite)
+      out.zip(canon).map { case (a, name) => Alias(a, name)(): NamedExpression } ++
+        spec.map { case (n, v) =>
+          Alias(Literal(org.apache.spark.unsafe.types.UTF8String
+            .fromString(v), org.apache.spark.sql.types.StringType),
+            n)(): NamedExpression },
+      i.query)
+    InsertGenTable(dir, bound, i.overwrite, spec)
   }
 
   private def rewriteMerge(dir: String, m: MergeIntoTable): LogicalPlan = {
@@ -300,19 +340,50 @@ object GenTableDml extends Rule[LogicalPlan] {
     }
     var deleteWhen: Option[Column] = None
     var updateWhen: Option[Column] = None
+    var updateSet: Seq[(String, Column)] = Nil
     def addUpdate(cond: Option[Expression]): Unit = {
       if (updateWhen.isDefined)
-        fail("at most one UPDATE SET * matched clause")
+        fail("at most one UPDATE matched clause")
       updateWhen = Some(srcCond(cond, "WHEN MATCHED ... UPDATE")
         .getOrElse(lit(true)))
+    }
+    // partial `UPDATE SET t.col = <expr>`: the engine joins the matched
+    // existing row with its source row before evaluating, so the RHS may
+    // reference BOTH sides — target columns keep their names, source
+    // columns map to the join's `_s_<name>` aliases ([[GenTable.merge]]'s
+    // updateSet contract)
+    def partialRhs(e: Expression): Column = {
+      if (e.exists(_.isInstanceOf[PlanExpression[_]]))
+        fail("UPDATE SET expressions must not contain subqueries; " +
+          "materialize the subquery into the source view")
+      GraftSqlShim.column(e.transform {
+        case a: AttributeReference if sOut.contains(a) =>
+          UnresolvedAttribute.quoted(s"_s_${a.name}")
+        case a: AttributeReference =>
+          UnresolvedAttribute.quoted(a.name)
+      })
+    }
+    def addPartialUpdate(cond: Option[Expression],
+        assignments: Seq[Assignment]): Unit = {
+      addUpdate(cond)
+      updateSet = assignments.map {
+        case Assignment(t: AttributeReference, v) =>
+          if (!tOut.contains(t))
+            fail(s"UPDATE SET target '${t.name}' is not a column of the " +
+              s"target table")
+          t.name -> partialRhs(v)
+        case other =>
+          fail(s"UPDATE SET supports plain column assignments only, " +
+            s"got: ${other.sql}")
+      }
     }
     m.matchedActions.foreach {
       case DeleteAction(cond) =>
         if (deleteWhen.isDefined)
           fail("at most one DELETE matched clause")
         if (updateWhen.isDefined)
-          fail("the DELETE clause must come before UPDATE SET * (the " +
-            "engine evaluates matched arms delete-first); reorder the " +
+          fail("the DELETE clause must come before UPDATE (the engine " +
+            "evaluates matched arms delete-first); reorder the " +
             "WHEN MATCHED clauses")
         deleteWhen = Some(srcCond(cond, "WHEN MATCHED ... DELETE")
           .getOrElse(lit(true)))
@@ -320,9 +391,8 @@ object GenTableDml extends Rule[LogicalPlan] {
       case UpdateAction(cond, assignments, fromStar)
           if fromStar || isStar(assignments) =>
         addUpdate(cond)
-      case _: UpdateAction =>
-        fail("only UPDATE SET * is supported (whole-row replace); " +
-          "compute partial updates in the source view")
+      case UpdateAction(cond, assignments, _) =>
+        addPartialUpdate(cond, assignments)
       case other => fail(s"unsupported matched action: $other")
     }
     val insertWhen: Option[Column] = m.notMatchedActions match {
@@ -341,7 +411,7 @@ object GenTableDml extends Rule[LogicalPlan] {
     if (updateWhen.isEmpty && deleteWhen.isEmpty && insertWhen.isEmpty)
       fail("no actionable clauses")
     MergeIntoGenTable(dir, m.sourceTable, keyCol,
-      updateWhen, deleteWhen, insertWhen)
+      updateWhen, deleteWhen, insertWhen, updateSet)
   }
 }
 
@@ -373,12 +443,15 @@ final case class UpdateGenTable(dir: String, cond: Column,
   * [[GenTable.upsertBatch]] every writer runs — a key the table already
   * holds is REPLACED, not duplicated, because the contract IS the
   * table's semantics); INSERT OVERWRITE is a whole-table
-  * [[GenTable.replaceAll]]. `source` is the query wrapped in the
-  * analysis-time alias Project (each output already NAMED for its table
-  * column); rows re-order and cast to the table's declared schema here.
+  * [[GenTable.replaceAll]], and with a static PARTITION spec a
+  * partition-scoped [[GenTable.replaceWhere]] of exactly that region.
+  * `source` is the query wrapped in the analysis-time alias Project
+  * (each output already NAMED for its table column); rows re-order and
+  * cast to the table's declared schema here.
   */
 final case class InsertGenTable(dir: String, source: LogicalPlan,
-    overwrite: Boolean) extends LeafRunnableCommand {
+    overwrite: Boolean,
+    partitionSpec: Seq[(String, String)] = Nil) extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] = {
     val src = GraftSqlShim.ofRows(spark, source)
@@ -393,12 +466,22 @@ final case class InsertGenTable(dir: String, source: LogicalPlan,
     // a session with ansi.enabled=false would otherwise null a mistyped
     // value silently here while the catalog doorway refuses it at
     // analysis (one statement, two doorways, one behavior)
+    def ansiCast(col: Column, t: org.apache.spark.sql.types.DataType): Column =
+      GraftSqlShim.column(Cast(GraftSqlShim.expr(col), t, None,
+        org.apache.spark.sql.catalyst.expressions.EvalMode.ANSI))
     val aligned = src.select(schema.fields.toSeq.map { f =>
-      val c = org.apache.spark.sql.functions.col(f.name)
-      GraftSqlShim.column(Cast(GraftSqlShim.expr(c), f.dataType, None,
-        org.apache.spark.sql.catalyst.expressions.EvalMode.ANSI)).as(f.name)
+      ansiCast(org.apache.spark.sql.functions.col(f.name), f.dataType)
+        .as(f.name)
     }: _*)
-    GenTable.insertInto(aligned, dir, overwrite)
+    if (partitionSpec.nonEmpty) {
+      // the static spec bounds the swap region: an equality per spec'd
+      // partition column, values typed by the same ANSI cast the rows get
+      val predicate = partitionSpec.map { case (n, v) =>
+        org.apache.spark.sql.functions.col(n) ===
+          ansiCast(lit(v), schema(n).dataType)
+      }.reduce(_ && _)
+      GenTable.replaceWhere(aligned, dir, predicate)
+    } else GenTable.insertInto(aligned, dir, overwrite)
     Seq.empty
   }
 }
@@ -409,13 +492,14 @@ final case class InsertGenTable(dir: String, source: LogicalPlan,
   */
 final case class MergeIntoGenTable(dir: String, source: LogicalPlan,
     keyCol: String, updateWhen: Option[Column], deleteWhen: Option[Column],
-    insertWhen: Option[Column]) extends LeafRunnableCommand {
+    insertWhen: Option[Column],
+    updateSet: Seq[(String, Column)] = Nil) extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] = {
     val src = GraftSqlShim.ofRows(spark, source)
     GenTable.merge(src, dir, keyCol,
       updateWhen = updateWhen, deleteWhen = deleteWhen,
-      insertWhen = insertWhen)
+      insertWhen = insertWhen, updateSet = updateSet)
     Seq.empty
   }
 }

@@ -1304,6 +1304,81 @@ object EventQueries extends QueryPack {
           finally s.close()
         }
       }
+    },
+
+    // -- Partition-scoped atomic replace (replaceWhere): the canonical
+    //    backfill, through BOTH doorways. A day-keyed events lake takes
+    //    (1) a SQL restatement of one day — `INSERT OVERWRITE ...
+    //    PARTITION (day='2024-01-10')` over the registered view — and
+    //    (2) a format-write backfill of a two-day RANGE via
+    //    .option("replaceWhere", "day >= '2024-01-13'"). Untouched days'
+    //    committed files carry forward byte-identical (spec-pinned in
+    //    GenTableReplaceWhereSpec); the oracle recomputes the final
+    //    region algebra from first principles.
+    "e48_replace_where" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      TempWork.scoped("graft_e48_") { tmp =>
+        val slice = t.events.filter(col("user_id") % 9 === 1)
+          .filter(col("ts") >= lit("2024-01-08").cast("timestamp") &&
+            col("ts") < lit("2024-01-15").cast("timestamp"))
+          .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        graft.sources.GenTable.upsertBatch(slice, tmp, "event_id",
+          Seq("ts"), "day")                                   // commit 1
+        graft.sources.GenTable.createOrReplaceView(spark, tmp, "e48_lake")
+        slice.createOrReplaceTempView("e48_src")
+        // restate one day in place (values re-scored, type re-labelled);
+        // the spec'd day column is NOT in the select list (SQL semantics)
+        spark.sql(
+          """INSERT OVERWRITE e48_lake PARTITION (day = '2024-01-10')
+            |SELECT event_id, ts, user_id, 'restated', value * 10, props
+            |FROM e48_src
+            |WHERE date_format(ts, 'yyyy-MM-dd') = '2024-01-10'"""
+            .stripMargin)                                     // commit 2
+        // backfill a two-day range through the format option
+        slice.filter(col("day") >= "2024-01-13")
+          .withColumn("value", col("value") + 0.5)
+          .withColumn("event_type", lit("backfill"))
+          .write.format("gentable")
+          .option("replaceWhere", "day >= '2024-01-13'")
+          .mode("overwrite").save(tmp)                        // commit 3
+        graft.sources.GenTable.read(spark, tmp).get
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"), col("value"), col("props"),
+            col("day").cast("string").as("day"))
+      }
+    },
+
+    // -- Partial-column MERGE UPDATE (SQL `UPDATE SET t.col = <expr>`):
+    //    the matched row KEEPS its columns and recomputes only the
+    //    assigned ones — the RHS reads both the existing row (t.value)
+    //    and the source row (s.value) through the engine's keyed join.
+    //    Source: every purchase, ids shifted for odd users so those
+    //    take the INSERT arm; matched purchases with small values take
+    //    the DELETE arm first (clause order). The oracle recomputes the
+    //    three-arm algebra with an explicit join.
+    "e49_merge_partial" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      TempWork.scoped("graft_e49_") { tmp =>
+        val slice = t.events.filter(col("user_id") % 9 === 4)
+          .withColumn("bucket", pmod(col("user_id"), lit(8)).cast("int"))
+        graft.sources.GenTable.upsertBatch(slice, tmp, "event_id",
+          Seq("ts"), "bucket")                                // commit 1
+        graft.sources.GenTable.createOrReplaceView(spark, tmp, "e49_lake")
+        slice.filter(col("event_type") === "purchase")
+          .withColumn("event_id", when(col("user_id") % 2 === 1,
+            col("event_id") + 1000000000L).otherwise(col("event_id")))
+          .createOrReplaceTempView("e49_src")
+        spark.sql(
+          """MERGE INTO e49_lake t USING e49_src s ON t.event_id = s.event_id
+            |WHEN MATCHED AND s.value < 20 THEN DELETE
+            |WHEN MATCHED THEN UPDATE
+            |  SET t.value = t.value + s.value, t.event_type = 'adjusted'
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)   // commit 2
+        graft.sources.GenTable.read(spark, tmp).get
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"), col("value"), col("props"),
+            col("bucket").cast("int").as("bucket"))
+      }
     }
   )
 
@@ -1995,6 +2070,55 @@ object EventQueries extends QueryPack {
         |    CAST(sum(n_chars) AS BIGINT) AS total_chars
         |  FROM cur0 WHERE n_chars >= 200 GROUP BY lang)
         |SELECT v1.lang, v1.n_docs_v1, cur.n_docs, cur.total_chars
-        |FROM v1 LEFT JOIN cur ON v1.lang = cur.lang""".stripMargin
+        |FROM v1 LEFT JOIN cur ON v1.lang = cur.lang""".stripMargin,
+    // e48: the day-region algebra — days before 2024-01-10 and days
+    // 2024-01-11..12 untouched, 2024-01-10 restated (value*10), days >=
+    // 2024-01-13 backfilled (value+0.5); event ids are unique, so the
+    // upsert seeding is the slice itself
+    "e48_replace_where" ->
+      """WITH src AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_type, value, props,
+        |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day
+        |  FROM events
+        |  WHERE user_id % 9 = 1
+        |    AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-08'
+        |    AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-15')
+        |SELECT user_id, event_id, ts, event_type, value, props, day
+        |FROM src WHERE day <> '2024-01-10' AND day < '2024-01-13'
+        |UNION ALL
+        |SELECT user_id, event_id, ts, 'restated' AS event_type,
+        |  value * 10 AS value, props, day
+        |FROM src WHERE day = '2024-01-10'
+        |UNION ALL
+        |SELECT user_id, event_id, ts, 'backfill' AS event_type,
+        |  value + 0.5 AS value, props, day
+        |FROM src WHERE day >= '2024-01-13'""".stripMargin,
+    // e49: matched survivors recompute value/event_type through the
+    // join (delete-first for small source values); unmatched source
+    // rows (odd users' shifted ids) insert whole
+    "e49_merge_partial" ->
+      """WITH slice AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_type, value, props, CAST(user_id % 8 AS INT) AS bucket
+        |  FROM events WHERE user_id % 9 = 4),
+        |src AS (
+        |  SELECT user_id,
+        |    CASE WHEN user_id % 2 = 1 THEN event_id + 1000000000
+        |         ELSE event_id END AS event_id,
+        |    ts, event_type, value, props, bucket
+        |  FROM slice WHERE event_type = 'purchase')
+        |SELECT t.user_id, t.event_id, t.ts,
+        |  CASE WHEN s.event_id IS NOT NULL THEN 'adjusted'
+        |       ELSE t.event_type END AS event_type,
+        |  CASE WHEN s.event_id IS NOT NULL THEN t.value + s.value
+        |       ELSE t.value END AS value,
+        |  t.props, t.bucket
+        |FROM slice t LEFT JOIN src s ON t.event_id = s.event_id
+        |WHERE s.event_id IS NULL OR s.value >= 20
+        |UNION ALL
+        |SELECT user_id, event_id, ts, event_type, value, props, bucket
+        |FROM src
+        |WHERE event_id NOT IN (SELECT event_id FROM slice)""".stripMargin
   )
 }

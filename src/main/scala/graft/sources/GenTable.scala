@@ -1557,6 +1557,130 @@ object GenTable {
     } finally frozen.unpersist()
   }
 
+  /** PARTITION-SCOPED atomic replace — the canonical backfill shape
+    * ("atomically replace day=2024-01-13 with this frame"), the
+    * most-used lake write after append. Delta spells it
+    * `.option("replaceWhere", ...)`; here it is a first-class engine
+    * call, and the SQL doorways map onto it: `INSERT OVERWRITE ...
+    * PARTITION (day='2024-01-13')` through [[graft.plans.GenTableDml]],
+    * and on catalog names both that statement and Spark's own
+    * `INSERT INTO t REPLACE WHERE <predicate>` through the
+    * `SupportsOverwrite` write builder.
+    *
+    * Contract (all refusals BEFORE anything stages — a refused replace
+    * leaves the table bit-untouched with no file on disk):
+    *  - `predicate` must be decidable purely on the table's PARTITION
+    *    COLUMNS. A row-level predicate cannot bound a partition swap;
+    *    spell that as DELETE + INSERT (two commits, deliberately
+    *    visible) or a whole-table [[replaceAll]].
+    *  - every row of `rows` must SATISFY the predicate: rows outside
+    *    the named region would otherwise leak into partitions the
+    *    statement never claimed to touch.
+    * Semantics: matching committed partitions become exactly `rows`'
+    * content — a matching partition absent from `rows` is DROPPED, and
+    * `rows` may create NEW partitions inside the region. Partitions
+    * outside the region are untouched: their committed generation
+    * directories carry forward byte-identical in the ONE manifest swap
+    * (zero data IO outside the region — cost follows the region, never
+    * table size). A crash anywhere leaves the pre-replace state
+    * committed. NULL-evaluating rows count as outside the region and a
+    * NULL-evaluating partition stays (SQL three-valued semantics,
+    * conservative both ways).
+    *
+    * The table's write contract and sticky skip columns carry forward
+    * ([[stagePinned]] meta semantics); explicit `statsCols`/`bloomCols`
+    * add to them; `extraMeta` lands in the same swap (consumer markers
+    * stay exactly-once). Returns the number of partitions whose content
+    * changed (replaced, dropped, or created); 0 = nothing matched and
+    * nothing staged — no commit at all.
+    */
+  def replaceWhere(rows: DataFrame, dir: String, predicate: Column,
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+      extraMeta: Map[String, String] = Map.empty): Long = {
+    val spark = rows.sparkSession
+    requireDeterministic(predicate, "replaceWhere")
+    val c = readCommit(dir).getOrElse(throw new IllegalStateException(
+      s"replaceWhere target $dir has no committed GenTable (the " +
+        s"predicate addresses committed partitions; bootstrap with " +
+        s"replaceAll or a format write first)"))
+    val pcols = c.partitionCols
+    val pred = coalesce(predicate, lit(false))
+    val schema = schemaOf(c).getOrElse(
+      if (c.gens.isEmpty) throw new IllegalStateException(
+        s"replaceWhere target $dir predates schema tracking; " +
+          s"write through df.write.format(\"gentable\") once to record one")
+      else readPaths(spark, dir, c, pathsOf(dir, c)).schema)
+    val pFields = pcols.map(p => schema.fields.find(_.name == p).getOrElse(
+      throw new IllegalStateException(
+        s"partition column '$p' missing from the recorded schema")))
+    // evaluate the predicate against PARTITION TUPLES ONLY (each tuple
+    // typed through the recorded schema, like the manifest index does);
+    // a reference to any other column fails Spark's own resolution,
+    // translated here into the actionable refusal
+    def typedTuples(raw: Seq[(String, Seq[String])]): DataFrame = {
+      import scala.jdk.CollectionConverters._
+      val strSchema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("_pk",
+          org.apache.spark.sql.types.StringType) +:
+          pcols.map(org.apache.spark.sql.types.StructField(_,
+            org.apache.spark.sql.types.StringType)))
+      val rws: Seq[org.apache.spark.sql.Row] =
+        raw.map { case (k, vs) => org.apache.spark.sql.Row.fromSeq(k +: vs) }
+      spark.createDataFrame(rws.asJava, strSchema)
+        .select(col("_pk") +: pcols.zip(pFields).map { case (p, f) =>
+          col(p).cast(f.dataType).as(p) }: _*)
+    }
+    def matchedOf(df: DataFrame): Set[String] =
+      try df.filter(pred).select("_pk").collect()
+        .map(_.getString(0)).toSet
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"replaceWhere predicates must reference partition columns " +
+              s"only (${pcols.mkString(", ")}) — a row-level predicate " +
+              s"cannot bound a partition swap; use DELETE + INSERT or " +
+              s"replaceAll: ${e.getMessage}", e)
+      }
+    // committed partitions the region names (the drop-unless-restaged set)
+    val committedMatch = matchedOf(
+      typedTuples(c.gens.keys.toSeq.sorted.map(k => k -> partVals(k))))
+    val frozen = rows.localCheckpoint(true)
+    try {
+      // the batch's own partitions — ALL must sit inside the region
+      val batchKeys = touchedKeys(frozen, pcols)
+      val batchMatch = matchedOf(
+        typedTuples(batchKeys.map(k => k -> partVals(k))))
+      val outside = batchKeys.filterNot(batchMatch)
+      require(outside.isEmpty,
+        s"replaceWhere: ${outside.size} written partition(s) do not " +
+          s"satisfy the predicate (e.g. ${outside.take(3).mkString(", ")})" +
+          s" — rows outside the named region must not leak into " +
+          s"partitions the statement never claimed; filter the frame or " +
+          s"widen the predicate")
+      if (committedMatch.isEmpty && batchKeys.isEmpty) return 0L
+      val d = writeDefaultsOf(c)
+      val staged = stagePinned(frozen, dir, PartitionCols(pcols), c,
+        (statsCols ++ d.statsCols).distinct,
+        (bloomCols ++ d.bloomCols).distinct, 50000L)
+      val touched = batchKeys.toSet
+      // region partitions drop unless restaged; everything else carries
+      publish(dir, Commit(pcols,
+        (c.gens -- committedMatch) ++
+          staged.gens.view.filterKeys(touched).toMap,
+        c.tableGen + 1,
+        (c.stats -- committedMatch) ++
+          staged.stats.view.filterKeys(touched).toMap,
+        staged.meta ++ opMeta("replace_where") ++ extraMeta,
+        (c.sizes -- committedMatch) ++
+          staged.sizes.view.filterKeys(touched).toMap,
+        (c.rows -- committedMatch) ++
+          staged.rows.view.filterKeys(touched).toMap,
+        (c.files -- committedMatch) ++
+          staged.files.view.filterKeys(touched).toMap))
+      (committedMatch ++ touched).size.toLong
+    } finally frozen.unpersist()
+  }
+
   /** Abandon a [[stageReplace]] that will never publish (a failed CTAS's
     * `abortStagedChanges`): delete the staged generation directories —
     * guarded like every orphan delete, so an interleaved writer that
@@ -2050,8 +2174,18 @@ object GenTable {
     * (`None` disables the arm; the defaults are the plain upsert-merge:
     * update every match, insert every miss). Clause order is SQL's:
     * a matched row tests DELETE first, then UPDATE, else stays. Updates
-    * REPLACE the target row whole (`UPDATE SET *`); the source may add
-    * columns (schema evolution — untouched rows read null there).
+    * REPLACE the target row whole (`UPDATE SET *`) by default; with
+    * `updateSet` non-empty (SQL `UPDATE SET t.col = <expr>`), the
+    * matched row keeps its existing columns and each assigned column is
+    * recomputed — right-hand sides may reference the EXISTING row's
+    * columns by their plain names and the SOURCE row's columns as
+    * `_s_<name>` (the engine joins the two on the key before
+    * evaluating; the SQL doorway writes `t.col`/`s.col` and
+    * [[graft.plans.GenTableDml]] maps them). Each RHS casts to the
+    * column's DECLARED type (store assignment, the [[updateWhere]]
+    * rule); assigning the key or a partition column is refused. The
+    * source may add columns (schema evolution — untouched rows read
+    * null there; with `updateSet` only the INSERT arm can add them).
     *
     * Contracts, shared with [[upsertBatch]]/[[applyCdcBatch]]:
     *  - the source carries the table's partition column with each key's
@@ -2069,7 +2203,8 @@ object GenTable {
       updateWhen: Option[Column] = Some(lit(true)),
       deleteWhen: Option[Column] = None,
       insertWhen: Option[Column] = Some(lit(true)),
-      extraMeta: Map[String, String] = Map.empty): MergeStats = {
+      extraMeta: Map[String, String] = Map.empty,
+      updateSet: Seq[(String, Column)] = Nil): MergeStats = {
     val spark = source.sparkSession
     val c = readCommit(dir).getOrElse(throw new IllegalStateException(
       s"MERGE target $dir has no committed GenTable " +
@@ -2079,6 +2214,22 @@ object GenTable {
       require(source.columns.contains(cn),
         s"MERGE source must carry key/partition column '$cn'"))
     schemaOf(c).foreach(p => mergeSchemas(p, source.schema))
+    if (updateSet.nonEmpty) {
+      require(updateWhen.isDefined,
+        "MERGE updateSet needs an UPDATE arm (updateWhen)")
+      require(updateSet.map(_._1).distinct.length == updateSet.length,
+        s"duplicate MERGE UPDATE assignment target(s): " +
+          updateSet.map(_._1).diff(updateSet.map(_._1).distinct)
+            .distinct.mkString(", "))
+      updateSet.foreach { case (n, _) =>
+        require(n != keyCol,
+          s"MERGE UPDATE must not assign the merge key '$n' (re-keying a " +
+            s"matched row is a delete+insert; spell it as such)")
+        require(!c.partitionCols.contains(n),
+          s"MERGE UPDATE must not assign partition column '$n' (rows " +
+            s"would move between partitions; delete+insert instead)")
+      }
+    }
     // NULL-condition rows take no action, like SQL WHEN ... AND <cond>
     val delCond = deleteWhen.map(coalesce(_, lit(false))).getOrElse(lit(false))
     val updCond = updateWhen.map(coalesce(_, lit(false)))
@@ -2130,9 +2281,33 @@ object GenTable {
         // join instead of failing.
         val antiKeys = if (card.getLong(0) <= 4000000L)
           broadcast(replacedKeys) else replacedKeys
-        val updates = flagged.filter(col("_matched") && updCond).drop("_matched")
+        val srcUpdates =
+          flagged.filter(col("_matched") && updCond).drop("_matched")
+        // partial SET: the updated row is the EXISTING row with each
+        // assigned column recomputed from (existing ⋈ source-on-key) —
+        // source columns visible to the RHS as `_s_<name>` (one row per
+        // key on both sides, so the join is 1:1). Whole-row replace
+        // otherwise (UPDATE SET *): the source row IS the update.
+        val updates = (updateSet, existing) match {
+          case (Nil, _) => srcUpdates
+          case (set, Some(ex)) =>
+            set.foreach { case (n, _) =>
+              require(ex.columns.contains(n),
+                s"unknown column '$n' in MERGE UPDATE assignment") }
+            val assigned = set.toMap
+            val srcR = srcUpdates.select(srcUpdates.columns.toSeq.map(cn =>
+              col(cn).as(s"_s_$cn")): _*)
+            ex.join(srcR, col(keyCol) === col(s"_s_$keyCol"), "inner")
+              .select(ex.columns.toSeq.map { n =>
+                assigned.get(n)
+                  .fold(col(n))(v => v.cast(ex.schema(n).dataType).as(n))
+              }: _*)
+          case (_, None) => // no committed rows in touched partitions:
+            srcUpdates.limit(0) // nothing can match — empty, typed
+        }
         val inserts = flagged.filter(!col("_matched") && insCond).drop("_matched")
-        val changes = updates.unionByName(inserts)
+        val changes = updates.unionByName(inserts,
+          allowMissingColumns = updateSet.nonEmpty)
         val result = existing match {
           case Some(ex) => ex
             .join(antiKeys, Seq(keyCol), "left_anti")

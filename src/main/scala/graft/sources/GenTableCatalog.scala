@@ -9,7 +9,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
@@ -356,7 +356,8 @@ final class GenTableV2Table(val dir: String,
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)
 
   /** `DESCRIBE TABLE` partition info: the committed partition columns as
     * identity transforms. A version-pinned table reports the layout AS OF
@@ -384,23 +385,78 @@ final class GenTableV2Table(val dir: String,
       options: CaseInsensitiveStringMap): ScanBuilder =
     new GenTableScanBuilder(dir, schema, pinnedCommit)
 
+  /** Write builder: plain INSERT bridges to the table's recorded append
+    * contract; `truncate` (INSERT OVERWRITE of the whole table) to
+    * [[GenTable.replaceAll]]; `overwrite(filters)` — what Spark plans
+    * for `INSERT OVERWRITE t PARTITION (day='x')` and
+    * `writeTo(t).overwrite(cond)` — to the partition-scoped
+    * [[GenTable.replaceWhere]] (untranslatable filters refuse loudly; a
+    * row-level predicate is refused by replaceWhere itself).
+    */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     pinnedVersion.foreach { v =>
       throw new UnsupportedOperationException(
         s"cannot write to $dir at version $v: archived commits are " +
           s"immutable (write to the table head)")
     }
-    new WriteBuilder with SupportsTruncate {
-      private var replace = false
-      override def truncate(): WriteBuilder = { replace = true; this }
+    new WriteBuilder with SupportsOverwrite {
+      private var replaceAll = false
+      private var replaceFilters: Option[Array[Filter]] = None
+      override def truncate(): WriteBuilder = { replaceAll = true; this }
+      override def overwrite(filters: Array[Filter]): WriteBuilder = {
+        if (filters.isEmpty ||
+            filters.forall(_.isInstanceOf[sources.AlwaysTrue]))
+          replaceAll = true
+        else replaceFilters = Some(filters)
+        this
+      }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, overwrite: Boolean): Unit =
-              GenTable.insertInto(data, dir, replace || overwrite)
+              replaceFilters match {
+                case Some(fs) =>
+                  GenTable.replaceWhere(data, dir, fs.map(
+                    GenTableV2Table.overwriteFilterToColumn).reduce(_ && _))
+                case None =>
+                  GenTable.insertInto(data, dir, replaceAll || overwrite)
+              }
           }
       }
     }
+  }
+}
+
+object GenTableV2Table {
+
+  /** Source-filter → Column translation for `overwrite(filters)` — must
+    * be TOTAL or refuse: an overwrite region silently narrowed to a
+    * translatable subset would swap the wrong partitions. (The read-side
+    * twin in [[GenTableBridgeRelation]] is deliberately partial — there,
+    * an untranslated filter only costs IO.)
+    */
+  private[sources] def overwriteFilterToColumn(
+      f: Filter): org.apache.spark.sql.Column = f match {
+    case _: sources.AlwaysTrue => org.apache.spark.sql.functions.lit(true)
+    case _: sources.AlwaysFalse => org.apache.spark.sql.functions.lit(false)
+    case sources.EqualTo(a, v) => col(a) === v
+    case sources.EqualNullSafe(a, v) => col(a) <=> v
+    case sources.In(a, vs) => col(a).isin(vs.toSeq: _*)
+    case sources.GreaterThan(a, v) => col(a) > v
+    case sources.GreaterThanOrEqual(a, v) => col(a) >= v
+    case sources.LessThan(a, v) => col(a) < v
+    case sources.LessThanOrEqual(a, v) => col(a) <= v
+    case sources.IsNull(a) => col(a).isNull
+    case sources.IsNotNull(a) => col(a).isNotNull
+    case sources.And(l, r) =>
+      overwriteFilterToColumn(l) && overwriteFilterToColumn(r)
+    case sources.Or(l, r) =>
+      overwriteFilterToColumn(l) || overwriteFilterToColumn(r)
+    case sources.Not(x) => !overwriteFilterToColumn(x)
+    case other => throw new UnsupportedOperationException(
+      s"gentable INSERT OVERWRITE cannot translate filter $other — " +
+        s"bound the region with comparisons/IN/AND/OR/NOT over partition " +
+        s"columns, or overwrite the whole table")
   }
 }
 

@@ -380,15 +380,16 @@ final class GenTableSourceProvider extends RelationProvider
       case cs => cs
     }
     val exists = committed.isDefined
-    def replace(): Unit = {
-      // an overwrite replaces CONTENT, not the table's recorded write
-      // contract — carried forward so zero-option appends keep working.
-      // EXPLICIT options override the carry and get STAMPED ("explicit
-      // options always win"; the r14 judge probe found keyCol/orderCols
-      // silently dropped here, so the user's very next INSERT INTO
-      // refused with advice to pass exactly what they had already
-      // passed). Validated against the written frame the same way
-      // CREATE TABLE validates its TBLPROPERTIES contract.
+    // an overwrite replaces CONTENT, not the table's recorded write
+    // contract — carried forward so zero-option appends keep working.
+    // EXPLICIT options override the carry and get STAMPED ("explicit
+    // options always win"; the r14 judge probe found keyCol/orderCols
+    // silently dropped here, so the user's very next INSERT INTO
+    // refused with advice to pass exactly what they had already
+    // passed). Validated against the written frame the same way
+    // CREATE TABLE validates its TBLPROPERTIES contract. Shared by the
+    // whole-table and the replaceWhere overwrite arms.
+    def explicitMeta(): Map[String, String] = {
       val names = data.columns.toSet
       def known(k: String): Seq[String] = {
         val cs = cols(k)
@@ -417,18 +418,28 @@ final class GenTableSourceProvider extends RelationProvider
       // explicit skip-column declarations stamp too: they already drive
       // THIS commit's stats/blooms, and the meta keeps zero-option
       // appends consistent with them
-      val skips =
+      contract ++
         (if (known("statsCols").isEmpty) Map.empty[String, String]
          else Map(GenTable.WriteStatsColsKey ->
            cols("statsCols").mkString(","))) ++
         (if (known("bloomCols").isEmpty) Map.empty[String, String]
          else Map(GenTable.WriteBloomColsKey ->
            cols("bloomCols").mkString(",")))
+    }
+    def replace(): Unit = {
       val carry = committed.map(GenTable.writeContractMeta)
         .getOrElse(Map.empty[String, String])
-      GenTable.replaceAll(data, path, pcol, meta = carry ++ contract ++ skips,
+      GenTable.replaceAll(data, path, pcol, meta = carry ++ explicitMeta(),
         statsCols = statsCols, bloomCols = bloomCols)
     }
+    // `.option("replaceWhere", <partition predicate>)` — the partition-
+    // scoped atomic backfill, overwrite mode only (on any other mode the
+    // option would be silently meaningless — refuse instead)
+    val replaceWhereOpt = opt("replaceWhere").filter(_.trim.nonEmpty)
+    require(replaceWhereOpt.isEmpty || mode == SaveMode.Overwrite,
+      "gentable option 'replaceWhere' is a partition-scoped OVERWRITE: " +
+        "use mode(\"overwrite\") (append merges by the table's contract " +
+        "and never drops rows)")
     mode match {
       case SaveMode.Append =>
         val keyCol = opt("keyCol")
@@ -446,7 +457,14 @@ final class GenTableSourceProvider extends RelationProvider
           "an order")
         GenTable.upsertBatch(data, path, keyCol, orderCols, pcol,
           statsCols = statsCols, bloomCols = bloomCols)
-      case SaveMode.Overwrite => replace()
+      case SaveMode.Overwrite => replaceWhereOpt match {
+        case Some(predSql) =>
+          GenTable.replaceWhere(data, path,
+            org.apache.spark.sql.functions.expr(predSql),
+            statsCols = statsCols, bloomCols = bloomCols,
+            extraMeta = explicitMeta())
+        case None => replace()
+      }
       case SaveMode.ErrorIfExists =>
         if (exists) throw new IllegalStateException(
           s"GenTable already committed at $path (default ErrorIfExists " +

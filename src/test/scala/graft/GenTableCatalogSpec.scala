@@ -236,14 +236,26 @@ class GenTableCatalogSpec extends SparkSpec {
       .tableProperty("keyCol", "id").tableProperty("orderCols", "value")
       .replace()
     assert(content(dir).size === 1)
-    // dynamic-overwrite and REPLACE WHERE have no gentable mapping: loud
+    // dynamic overwrite has no gentable mapping (the non-atomic pattern
+    // the lake replaces): loud
     val e1 = intercept[Exception] { rows.writeTo("gt.v2.w1").overwritePartitions() }
     assert(e1.getMessage.contains("dynamic overwrite"))
+    // REPLACE WHERE (Spark's predicate-bounded INSERT) rides
+    // SupportsOverwrite to the partition-scoped replaceWhere (r15)
+    spark.sql("INSERT INTO gt.v2.w1 REPLACE WHERE day = 'd0' " +
+      "VALUES (9, 'd0', 9.0)")
+    assert(content(dir) === Set((9L, "d0", 9.0)))
+    assert(GenTable.readCommit(dir).get.meta("commit_op") === "replace_where")
+    // ...and a row-level REPLACE WHERE predicate refuses loudly
+    // (replaceWhere's partition-decidability contract)
     val e2 = intercept[Exception] {
-      spark.sql("INSERT INTO gt.v2.w1 REPLACE WHERE day = 'd0' " +
+      spark.sql("INSERT INTO gt.v2.w1 REPLACE WHERE value > 0 " +
         "VALUES (9, 'd0', 9.0)")
     }
-    assert(e2.getMessage.contains("overwrite by filter"))
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e2).exists(_.contains("partition columns only")))
   }
 
   test("REPLACE TABLE without AS SELECT empties the table with the new " +

@@ -80,6 +80,37 @@ class GenTableSqlDmlSpec extends SparkSpec {
     assert(c.tableGen === 2L) // all three arms in ONE commit
   }
 
+  test("MERGE with a partial UPDATE SET recomputes ONLY the assigned " +
+      "columns; the RHS sees both the existing row and the source row") {
+    val dir = tmp()
+    seed(dir, "dml_pmerge")
+    // matched keys 2 (d0) and 3 (d1); key 8 is the insert arm; the
+    // delete arm takes negative source values first (clause order)
+    Seq((2L, "d0", 20.0), (3L, "d1", -1.0), (8L, "d1", 8.0))
+      .toDF("id", "day", "value").createOrReplaceTempView("dml_pmerge_src")
+    spark.sql(
+      """MERGE INTO dml_pmerge t USING dml_pmerge_src s ON t.id = s.id
+        |WHEN MATCHED AND s.value < 0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET t.value = t.value + s.value * 100
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    // key 2: existing 2.0 + source 20.0*100 = 2002.0 — day/id untouched;
+    // key 3 deleted; key 8 inserted whole; keys 1 and 4 untouched
+    assert(content(dir) === Set((1L, "d0", 1.0), (2L, "d0", 2002.0),
+      (4L, "d1", 4.0), (8L, "d1", 8.0)))
+    val c = GenTable.readCommit(dir).get
+    assert(c.meta("commit_op") === "merge")
+    assert(c.tableGen === 2L) // all three arms in ONE commit
+    // store assignment: the RHS casts to the column's DECLARED type —
+    // an int-typed expression lands as the double the column declares
+    spark.sql(
+      """MERGE INTO dml_pmerge t USING dml_pmerge_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET t.value = 7""".stripMargin)
+    assert(GenTable.read(spark, dir).get.schema("value").dataType ===
+      org.apache.spark.sql.types.DoubleType)
+    assert(content(dir) === Set((1L, "d0", 1.0), (2L, "d0", 7.0),
+      (4L, "d1", 4.0), (8L, "d1", 7.0)))
+  }
+
   test("MERGE restrictions fail loud and leave the table untouched") {
     val dir = tmp()
     seed(dir, "dml_strict")
@@ -94,11 +125,15 @@ class GenTableSqlDmlSpec extends SparkSpec {
         "WHEN MATCHED AND s.value < 0 THEN DELETE")
     }
     assert(e1.getMessage.contains("DELETE clause must come before"))
-    // explicit-assignment UPDATE: star only
+    // partial UPDATE SET must not re-key or re-partition a matched row
     val e2 = intercept[Exception] {
-      mergeSql("WHEN MATCHED THEN UPDATE SET t.value = s.value")
+      mergeSql("WHEN MATCHED THEN UPDATE SET t.day = s.day")
     }
-    assert(e2.getMessage.contains("UPDATE SET *"))
+    assert(e2.getMessage.contains("partition column"))
+    val e2b = intercept[Exception] {
+      mergeSql("WHEN MATCHED THEN UPDATE SET t.id = s.id + 1")
+    }
+    assert(e2b.getMessage.contains("merge key"))
     // target-side arm condition: source-only contract
     val e3 = intercept[Exception] {
       mergeSql("WHEN MATCHED AND t.value > 1 THEN DELETE")

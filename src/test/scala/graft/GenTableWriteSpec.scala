@@ -233,6 +233,36 @@ class GenTableWriteSpec extends SparkSpec {
       5L -> Some("backfill")))
   }
 
+  test("merge: partial updateSet recomputes assigned columns from the " +
+      "existing row and the source row (the _s_ join contract)") {
+    val dir = tmp()
+    GenTable.upsertBatch(batch((1L, 10L, 1.0), (2L, 10L, 2.0)),
+      dir, "user_id", Seq("ts"), "bucket")
+    val src = batch((2L, 99L, 0.5), (7L, 20L, 7.0))
+    val st = GenTable.merge(src, dir, "user_id",
+      updateSet = Seq(
+        // existing value plus the SOURCE row's value (the `_s_` side)
+        "value" -> (col("value") + col("_s_value")),
+        // ts comes whole from the source
+        "ts" -> col("_s_ts")))
+    assert(st === GenTable.MergeStats(1L, 0L, 1L))
+    assert(rows(GenTable.read(spark, dir).get) === Set(
+      (1L, 10L, 1.0, 1),      // untouched
+      (2L, 99L, 2.5, 2),      // value = 2.0 + 0.5, ts replaced, bucket kept
+      (7L, 20L, 7.0, 3)))     // insert arm: whole source row
+    // refusals: assigning the key or the partition column
+    val k = intercept[IllegalArgumentException] {
+      GenTable.merge(src, dir, "user_id",
+        updateSet = Seq("user_id" -> col("_s_user_id")))
+    }
+    assert(k.getMessage.contains("merge key"))
+    val p = intercept[IllegalArgumentException] {
+      GenTable.merge(src, dir, "user_id",
+        updateSet = Seq("bucket" -> col("_s_bucket")))
+    }
+    assert(p.getMessage.contains("partition column"))
+  }
+
   test("overwrite stamps explicit keyCol/orderCols — the very next " +
       "INSERT INTO commits (explicit options always win)") {
     val dir = tmp()
