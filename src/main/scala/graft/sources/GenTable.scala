@@ -2708,4 +2708,40 @@ object GenTable {
     }
     FsckReport(loose.result().sorted, stale.result().sorted)
   }
+
+  /** [[fsck]] with an explicit REPAIR: every `unreferencedFiles` entry
+    * (the leak class no manifest read sees and [[vacuum]] never sweeps)
+    * MOVES into `_quarantine/<utc-stamp>/<path relative to the table
+    * root>` — tree preserved, NOTHING deleted, underscore-prefixed so
+    * quarantined bytes stay invisible to readers and to later audits.
+    * Restoring a false positive is one rename back.
+    *
+    * `staleGenDirs` stay in place: superseded generations are
+    * [[vacuum]]'s retention class, not a leak. Report-only [[fsck]]
+    * remains the default because an unreferenced file may be MID-STAGE
+    * from a live writer — quarantine runs under the same
+    * no-concurrent-stage contract as vacuum (one maintenance scheduler
+    * per table), where that ambiguity cannot arise. Returns the report
+    * of what was moved.
+    */
+  def fsckQuarantine(dir: String, keepCommits: Int = 1): FsckReport = {
+    val report = fsck(dir, keepCommits)
+    if (report.unreferencedFiles.isEmpty)
+      return FsckReport(Nil, report.staleGenDirs)
+    val (f, root) = fsRoot(dir)
+    val stamp = java.time.format.DateTimeFormatter
+      .ofPattern("yyyyMMdd'T'HHmmss").withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.now())
+    val qBase = new HPath(new HPath(root, "_quarantine"), stamp)
+    report.unreferencedFiles.foreach { p =>
+      val src = new HPath(p)
+      val rel = root.toUri.relativize(src.toUri).getPath
+      val dst = new HPath(qBase, rel)
+      f.mkdirs(dst.getParent)
+      require(f.rename(src, dst),
+        s"fsckQuarantine: could not move $src to $dst (moved nothing " +
+          s"else is lost — re-run after resolving)")
+    }
+    FsckReport(report.unreferencedFiles, report.staleGenDirs)
+  }
 }

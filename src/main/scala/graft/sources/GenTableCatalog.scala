@@ -29,6 +29,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * spark.sql("SELECT count(*) FROM gt.prod.events")        // metadata-only
   * spark.sql("SELECT * FROM gt.prod.events VERSION AS OF 1") // time travel
   * spark.sql("DELETE FROM gt.prod.events WHERE day < '2024-01-10'")
+  * spark.sql("""INSERT OVERWRITE gt.prod.events
+  *   PARTITION (day='2024-01-13') SELECT ...""")   // atomic backfill
+  * spark.readStream.table("gt.prod.events.changes")          // CDC stream
+  *   .writeStream.format("gentable").option("mode", "cdc")
+  *   .option("checkpointLocation", ckpt).toTable("gt.prod.replica")
   * }}}
   * `gt.<namespace...>.<table>` maps to `<base>/<namespace...>/<table>`;
   * a table exists iff a committed manifest does. Reads go through the
@@ -93,10 +98,22 @@ final class GenTableCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier): Table = {
     val dir = dirOf(ident)
-    if (GenTable.readCommit(dir).isEmpty)
+    if (GenTable.readCommit(dir).isEmpty) {
+      // metadata-table convention (the Iceberg `db.table.history` naming
+      // shape): `<table>.changes` is the parent table's CDC stream
+      // relation ([[GenTableChangesTable]]). A REAL committed directory
+      // named `changes` was already tried above and wins.
+      if (ident.name.equalsIgnoreCase("changes") &&
+          ident.namespace.nonEmpty) {
+        val parent = (base +: sane(ident.namespace.toSeq)).mkString("/")
+        if (GenTable.readCommit(parent).isDefined)
+          return new GenTableChangesTable(parent)
+      }
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         ident.asInstanceOf[Identifier])
-    new GenTableV2Table(dir)
+    }
+    new GenTableV2Table(dir, None, None,
+      Some(catName +: ident.namespace.toSeq :+ ident.name))
   }
 
   /** SQL time travel on catalog names: `FOR VERSION AS OF <commit id>`
@@ -236,7 +253,8 @@ final class GenTableCatalog extends TableCatalog with SupportsNamespaces
         .TableAlreadyExistsException(ident.asInstanceOf[Identifier])
     GenTable.createEmpty(dir, partitionColsOf(partitions, properties, schema),
       schema, defaultsMetaOf(properties, schema))
-    new GenTableV2Table(dir)
+    new GenTableV2Table(dir, None, None,
+      Some(catName +: ident.namespace.toSeq :+ ident.name))
   }
 
   override def stageCreate(ident: Identifier, schema: StructType,
@@ -325,14 +343,54 @@ final class GenTableCatalog extends TableCatalog with SupportsNamespaces
   */
 final class GenTableV2Table(val dir: String,
     val pinnedVersion: Option[Long] = None,
-    preparsed: Option[GenTable.Commit] = None)
+    preparsed: Option[GenTable.Commit] = None,
+    qualifiedName: Option[Seq[String]] = None)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.GraftV1FallbackTable {
 
   def this(dir: String) = this(dir, None, None)
 
   override def name(): String =
     dir + pinnedVersion.fold("")(v => s"@v$v")
+
+  /** STREAMING by name rides the public `V2TableWithV1Fallback` bridge
+    * (the shape Spark's analyzer and `DataStreamWriter.toTable` both
+    * dispatch on): `spark.readStream.table("gt.ns.t")` falls back to the
+    * `gentable` V1 streaming SOURCE (follow-the-table post-images,
+    * keyed by the recorded contract), and `writeStream
+    * .format("gentable").toTable("gt.ns.t")` to the exactly-once V1
+    * SINK — one source and one sink for both the path and the name
+    * spellings. Batch reads/writes never consult this. A version-pinned
+    * table refuses: an archived snapshot produces no stream.
+    *
+    * The identifier must be the table's REAL `<catalog>.<ns>.<table>`
+    * name: after every sink batch the engine refreshes the output table
+    * by that string (`Catalog.refreshTable`), so a made-up qualifier
+    * would kill the stream at the first commit. `TableIdentifier` holds
+    * exactly one catalog + one database slot, so names outside that
+    * shape (no namespace, or a nested one) refuse here — at start, not
+    * mid-stream.
+    */
+  override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable = {
+    pinnedVersion.foreach { v =>
+      throw new UnsupportedOperationException(
+        s"cannot stream $dir at version $v: archived commits are " +
+          s"immutable snapshots (stream the table head)")
+    }
+    val ident = qualifiedName match {
+      case Some(Seq(cat, ns, t)) =>
+        org.apache.spark.sql.catalyst.TableIdentifier(t, Some(ns), Some(cat))
+      case other => throw new UnsupportedOperationException(
+        s"streaming by name needs a <catalog>.<namespace>.<table> " +
+          s"identifier (got ${other.fold("a path-only table")(_.mkString("."))}" +
+          s") — the engine refreshes the table by that name after each " +
+          s"batch; stream the path instead: readStream/writeStream " +
+          s".format(\"gentable\") with .load/.start($dir)")
+    }
+    GenTableCatalog.v1FallbackTable(dir, "gentable", schema, Map.empty,
+      Some(ident))
+  }
 
   /** The archived commit a time-travel table is pinned to, parsed ONCE
     * (schema and every scan share it — at 10^5+ cells a manifest parse
@@ -425,6 +483,78 @@ final class GenTableV2Table(val dir: String,
       }
     }
   }
+}
+
+object GenTableCatalog {
+
+  /** The V1 `CatalogTable` a streaming fallback hands Spark: provider +
+    * location are all the engine needs to rebuild the DSv1 source/sink
+    * (`FindDataSourceTable.getStreamingRelation` merges
+    * `storage.properties` and the location into the source options;
+    * `DataStreamWriter.toTable` starts the sink at the location).
+    */
+  private[sources] def v1FallbackTable(dir: String, provider: String,
+      schema: StructType,
+      props: Map[String, String],
+      ident: Option[org.apache.spark.sql.catalyst.TableIdentifier] = None)
+      : org.apache.spark.sql.catalyst.catalog.CatalogTable = {
+    import org.apache.spark.sql.catalyst.catalog._
+    CatalogTable(
+      // read-side fallbacks are addressed by LOCATION (the identifier is
+      // cosmetic — UnresolvedCatalogRelation just asserts two parts);
+      // SINK fallbacks must pass their real resolvable name (see
+      // [[GenTableV2Table.v1Table]])
+      identifier = ident.getOrElse(org.apache.spark.sql.catalyst
+        .TableIdentifier(new HPath(dir).getName, Some("gentable"))),
+      tableType = CatalogTableType.EXTERNAL,
+      storage = CatalogStorageFormat.empty.copy(
+        locationUri = Some(new HPath(dir).toUri),
+        properties = props),
+      schema = schema,
+      provider = Some(provider))
+  }
+}
+
+/** `gt.ns.t.changes` — the table's CDC stream as a CATALOG RELATION
+  * (the Iceberg metadata-table naming shape): a streaming-only table
+  * whose schema is the diff shape (`keyCol, _change, <data columns>`),
+  * keyed by the parent table's RECORDED append contract, so
+  * {{{
+  * spark.readStream.table("gt.ns.t.changes")
+  *   .writeStream.format("gentable").option("mode", "cdc")
+  *   .option("checkpointLocation", ckpt).toTable("gt.ns.replica")
+  * }}}
+  * is the whole lake-to-lake replication pipeline by NAME — no paths,
+  * no per-session options, exactly-once held by the same commit-id
+  * offsets and sink markers as the path spelling. Batch reads refuse
+  * (no BATCH_READ capability; the batch diff is the
+  * `gentable_changes(dir, from, to, key)` TVF). A real committed table
+  * literally named `changes` wins over this relation
+  * ([[GenTableCatalog.loadTable]] tries the directory first).
+  */
+final class GenTableChangesTable(val dir: String) extends Table
+    with org.apache.spark.sql.GraftV1FallbackTable {
+
+  private val keyCol: String = GenTable.readCommit(dir)
+    .flatMap(c => GenTable.writeDefaultsOf(c).keyCol).getOrElse(
+      throw new UnsupportedOperationException(
+        s"<table>.changes needs the table's recorded append contract " +
+          s"(its keyCol keys the diff) and $dir records none — write " +
+          s"once with keyCol/orderCols options or CREATE TABLE " +
+          s"TBLPROPERTIES, or stream the path with " +
+          s"format(\"gentable-cdc\").option(\"keyCol\", ...)"))
+
+  override def name(): String = s"$dir@changes"
+
+  override lazy val schema: StructType =
+    GenTableCdcSource.cdcSchema(dir, keyCol)
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.noneOf(classOf[TableCapability])
+
+  override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable =
+    GenTableCatalog.v1FallbackTable(dir, "gentable-cdc", schema,
+      Map("keyCol" -> keyCol, "images" -> "cdc"))
 }
 
 object GenTableV2Table {

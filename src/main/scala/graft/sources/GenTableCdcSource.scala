@@ -31,18 +31,28 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   *  - `update` — key present in both, any column changed (post-image)
   *  - `delete` — key present at `from`, absent at `to` (pre-image)
   *
+  * `images=post` (the default behind `readStream.format("gentable")` /
+  * `readStream.table(<name>)` — "follow the table") reshapes each batch
+  * to POST-IMAGES ONLY in the table's own schema: inserts and updates
+  * stream as plain rows, deletes are skipped (a stream of the table's
+  * rows has no way to spell an absence — consumers that must see
+  * deletes subscribe to `images=cdc`, the `.changes` relation).
+  *
   * Retention contract: restart lag must stay inside [[GenTable.vacuum]]'s
   * `keepCommits` window — a checkpointed commit the vacuum dropped fails
   * the diff loudly instead of silently skipping changes.
   *
-  * Options: `path` (table dir), `keyCol` (the upsert key),
-  * `startingCommit` (default 0 = replay from the beginning; the head id
-  * at stream creation = new changes only), `maxCommitsPerTrigger`
-  * (admission control: cap how many source commits one micro-batch may
-  * coalesce — bounds batch size when a consumer starts far behind a
-  * busy table; implemented on the public `SupportsAdmissionControl` /
-  * `SupportsTriggerAvailableNow` contracts, so the cap holds under
-  * `Trigger.AvailableNow` too, which then drains in multiple batches).
+  * Options: `path` (table dir), `keyCol` (the upsert key; a table with a
+  * RECORDED append contract supplies its own — the zero-option doorway
+  * the name-based catalog path rides), `startingCommit` (default 0 =
+  * replay from the beginning; the head id at stream creation = new
+  * changes only), `maxCommitsPerTrigger` (admission control: cap how
+  * many source commits one micro-batch may coalesce — bounds batch size
+  * when a consumer starts far behind a busy table; implemented on the
+  * public `SupportsAdmissionControl` / `SupportsTriggerAvailableNow`
+  * contracts, so the cap holds under `Trigger.AvailableNow` too, which
+  * then drains in multiple batches), `images` (`cdc` default here,
+  * `post` for follow-the-table).
   */
 final class GenTableCdcProvider extends StreamSourceProvider with DataSourceRegister {
 
@@ -50,32 +60,37 @@ final class GenTableCdcProvider extends StreamSourceProvider with DataSourceRegi
 
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): (String, StructType) =
-    (shortName(), GenTableCdcSource.cdcSchema(
-      GenTableCdcSource.pathOf(parameters),
-      GenTableCdcSource.keyColOf(parameters)))
+      parameters: Map[String, String]): (String, StructType) = {
+    val path = GenTableCdcSource.pathOf(parameters)
+    (shortName(), GenTableCdcSource.schemaFor(path,
+      GenTableCdcSource.keyColOf(parameters, path),
+      GenTableCdcSource.imagesOf(parameters, default = "cdc")))
+  }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): Source =
-    new GenTableCdcSource(sqlContext.sparkSession,
-      GenTableCdcSource.pathOf(parameters),
-      GenTableCdcSource.keyColOf(parameters),
+      parameters: Map[String, String]): Source = {
+    val path = GenTableCdcSource.pathOf(parameters)
+    new GenTableCdcSource(sqlContext.sparkSession, path,
+      GenTableCdcSource.keyColOf(parameters, path),
       parameters.get("startingCommit").map(_.toLong).getOrElse(0L),
       parameters.get("maxcommitspertrigger")
-        .orElse(parameters.get("maxCommitsPerTrigger")).map(_.toLong))
+        .orElse(parameters.get("maxCommitsPerTrigger")).map(_.toLong),
+      GenTableCdcSource.imagesOf(parameters, default = "cdc"))
+  }
 }
 
 final class GenTableCdcSource(spark: SparkSession, dir: String,
     keyCol: String, startingCommit: Long,
-    maxCommitsPerTrigger: Option[Long] = None)
+    maxCommitsPerTrigger: Option[Long] = None,
+    images: String = "cdc")
     extends SupportsAdmissionControl with SupportsTriggerAvailableNow
     with Source {
 
   maxCommitsPerTrigger.foreach(m => require(m > 0,
     s"maxCommitsPerTrigger must be positive, got $m"))
 
-  private val schema0 = GenTableCdcSource.cdcSchema(dir, keyCol)
+  private val schema0 = GenTableCdcSource.schemaFor(dir, keyCol, images)
 
   /** AvailableNow target: the head pinned when the trigger starts, so the
     * run drains exactly what existed then and terminates even if a live
@@ -146,12 +161,16 @@ final class GenTableCdcSource(spark: SparkSession, dir: String,
     val from = start.map(idOf).getOrElse(startingCommit)
     val to = idOf(end)
     val diff = GenTable.changesBetween(spark, dir, from, to, keyCol)
+    // post-image mode: inserts/updates as plain rows, deletes skipped
+    val shaped =
+      if (images == "post") diff.filter(col("_change") =!= "delete")
+      else diff
     // conform to the creation schema whatever the batch's commit-range
     // schema is: an added column a restart-from-old-checkpoint batch
     // predates surfaces null; a column added AFTER creation is dropped
     // until the stream restarts (schema stability is the engine's rule)
-    val have = diff.columns.toSet
-    val conformed = diff.select(schema0.fields.toSeq.map { f =>
+    val have = shaped.columns.toSet
+    val conformed = shaped.select(schema0.fields.toSeq.map { f =>
       if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }: _*)
@@ -169,26 +188,58 @@ object GenTableCdcSource {
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "gentable-cdc requires .option(\"path\", <table dir>) or .load(dir)"))
 
-  private[sources] def keyColOf(parameters: Map[String, String]): String =
-    parameters.getOrElse("keycol", parameters.getOrElse("keyCol",
-      throw new IllegalArgumentException(
-        "gentable-cdc requires .option(\"keyCol\", <upsert key column>)")))
+  /** The diff key: an explicit option, else the table's RECORDED append
+    * contract (`write_key_col`) — the zero-option doorway streaming by
+    * catalog name rides.
+    */
+  private[sources] def keyColOf(parameters: Map[String, String],
+      dir: String): String =
+    parameters.get("keycol").orElse(parameters.get("keyCol"))
+      .orElse(GenTable.readCommit(dir)
+        .flatMap(c => GenTable.writeDefaultsOf(c).keyCol))
+      .getOrElse(throw new IllegalArgumentException(
+        "gentable streaming needs a key: .option(\"keyCol\", <upsert key " +
+          "column>) — a table with a recorded append contract supplies " +
+          "its own"))
+
+  private[sources] def imagesOf(parameters: Map[String, String],
+      default: String): String = {
+    val v = parameters.getOrElse("images", default)
+    require(v == "cdc" || v == "post",
+      s"gentable streaming 'images' must be 'cdc' (diff rows with " +
+        s"_change) or 'post' (follow the table; deletes skipped), got '$v'")
+    v
+  }
+
+  private[sources] def schemaFor(dir: String, keyCol: String,
+      images: String): StructType =
+    if (images == "post") postSchema(dir) else cdcSchema(dir, keyCol)
 
   /** The stream's fixed schema: `keyCol, _change, <data columns in table
     * order>`, everything nullable ([[GenTable.changesBetween]]'s shape).
     */
   private[sources] def cdcSchema(dir: String, keyCol: String): StructType = {
-    val c = GenTable.readCommit(dir).getOrElse(
-      throw new IllegalArgumentException(
-        s"no committed GenTable under $dir — commit before streaming CDC"))
-    val table = GenTable.schemaOf(c).getOrElse(
-      throw new IllegalArgumentException(
-        s"table under $dir predates schema tracking; re-commit once first"))
+    val table = recordedSchema(dir)
     val key = table.fields.find(_.name == keyCol).getOrElse(
       throw new IllegalArgumentException(
         s"keyCol '$keyCol' is not a column of the table under $dir"))
     StructType(key.copy(nullable = true) +:
       StructField("_change", StringType, nullable = true) +:
       table.fields.toSeq.filterNot(_.name == keyCol).map(_.copy(nullable = true)))
+  }
+
+  /** `images=post`: the table's OWN recorded schema (nullable), so the
+    * stream's rows are the table's rows.
+    */
+  private[sources] def postSchema(dir: String): StructType =
+    StructType(recordedSchema(dir).fields.map(_.copy(nullable = true)))
+
+  private def recordedSchema(dir: String): StructType = {
+    val c = GenTable.readCommit(dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed GenTable under $dir — commit before streaming CDC"))
+    GenTable.schemaOf(c).getOrElse(
+      throw new IllegalArgumentException(
+        s"table under $dir predates schema tracking; re-commit once first"))
   }
 }

@@ -302,18 +302,26 @@ object GenTableFileIndex {
   }
 }
 
-/** The `"gentable"` DataSource, all three directions:
+/** The `"gentable"` DataSource, all four directions:
   *
   *  - `spark.read.format("gentable").load(dir)` — the manifest-indexed
   *    relation ([[GenTableFileIndex]]; `option("versionAsOf", id)`
   *    time-travels to an archived commit);
+  *  - `spark.readStream.format("gentable").load(dir)` — FOLLOW the
+  *    table: each micro-batch is the post-image rows of the commits
+  *    since the last checkpoint (initial snapshot first, deletes
+  *    skipped), keyed by the recorded append contract — zero options.
+  *    The full pre/post diff stream stays `format("gentable-cdc")`;
   *  - `df.write.format("gentable")` — BATCH saves through the commit
   *    protocol, the standard doorway a Spark user tries first. Modes map
   *    onto the transactional writers:
   *    `append` = [[GenTable.upsertBatch]] (requires `keyCol`,
   *    `orderCols`, `partitionCol` — latest-per-key merge, one commit);
   *    `overwrite` = [[GenTable.replaceAll]] (requires `partitionCol` —
-  *    the table becomes exactly the frame, one commit);
+  *    the table becomes exactly the frame, one commit), or with
+  *    `.option("replaceWhere", <partition predicate>)` the
+  *    partition-scoped [[GenTable.replaceWhere]] backfill (matching
+  *    partitions swap, everything else byte-identical);
   *    `errorifexists` (the DataFrameWriter default) refuses a committed
   *    table; `ignore` no-ops on one. `statsCols`/`bloomCols` options
   *    declare skipping columns, same as the Scala API;
@@ -339,9 +347,43 @@ object GenTableFileIndex {
   */
 final class GenTableSourceProvider extends RelationProvider
     with org.apache.spark.sql.sources.CreatableRelationProvider
-    with org.apache.spark.sql.sources.StreamSinkProvider with DataSourceRegister {
+    with org.apache.spark.sql.sources.StreamSinkProvider
+    with org.apache.spark.sql.sources.StreamSourceProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "gentable"
+
+  /** `spark.readStream.format("gentable").load(dir)` — FOLLOW the table:
+    * each micro-batch is the post-image rows the commits since the last
+    * checkpoint produced (initial snapshot first, deletes skipped — the
+    * full diff shape is `format("gentable-cdc")` / the catalog's
+    * `<table>.changes`). The key comes from the table's recorded append
+    * contract, so the zero-option spelling works; this is also the V1
+    * source behind `spark.readStream.table(<catalog name>)`
+    * ([[GenTableV2Table.v1Table]]'s fallback).
+    */
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val path = GenTableCdcSource.pathOf(parameters)
+    (shortName(), GenTableCdcSource.schemaFor(path,
+      GenTableCdcSource.keyColOf(parameters, path),
+      GenTableCdcSource.imagesOf(parameters, default = "post")))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val path = GenTableCdcSource.pathOf(parameters)
+    new GenTableCdcSource(sqlContext.sparkSession, path,
+      GenTableCdcSource.keyColOf(parameters, path),
+      parameters.get("startingCommit").map(_.toLong).getOrElse(0L),
+      parameters.get("maxcommitspertrigger")
+        .orElse(parameters.get("maxCommitsPerTrigger")).map(_.toLong),
+      GenTableCdcSource.imagesOf(parameters, default = "post"))
+  }
 
   /** `df.write.format("gentable").mode(...).save(dir)` — see the class
     * doc for the mode→writer mapping. Every mode lands as ONE manifest

@@ -9,6 +9,17 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   * Spark connector/extension follows), so this shim is the entire surface
   * we take from it: one forwarding call, no other internals touched.
   */
+/** Public face of the `private[sql]` streaming-fallback trait
+  * ([[connector.catalog.V2TableWithV1Fallback]]) — the dispatch hook
+  * Spark's analyzer (`RelationResolution`) and `DataStreamWriter.toTable`
+  * both match on to route `readStream.table(...)` / `writeStream
+  * .toTable(...)` of a DSv2 table through its V1 streaming source/sink.
+  * The trait is Scala-`private[sql]` though JVM-public (the same
+  * extension-package convention the rest of this shim exists for); this
+  * empty subtrait re-exports it, nothing more.
+  */
+trait GraftV1FallbackTable extends connector.catalog.V2TableWithV1Fallback
+
 object GraftSqlShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)

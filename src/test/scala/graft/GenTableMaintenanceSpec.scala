@@ -128,6 +128,40 @@ class GenTableMaintenanceSpec extends SparkSpec {
     assert(java.nio.file.Files.exists(junk), "vacuum must not touch junk")
   }
 
+  test("fsckQuarantine MOVES the leak class into _quarantine (never " +
+      "deletes); reads unchanged, second audit clean") {
+    val dir = tmp()
+    val rows = Seq((1L, 1, 1.0), (2L, 2, 2.0)).toDF("id", "bucket", "amount")
+    GenTable.upsertBatch(rows, dir, "id", Seq("amount"), "bucket")
+    // the two leak shapes: a loose file inside a partition dir and a
+    // foreign directory tree at the root
+    val orphan = java.nio.file.Paths.get(dir, "bucket=1", "part-leak.parquet")
+    java.nio.file.Files.write(orphan, Array[Byte](1, 2, 3))
+    val foreign = java.nio.file.Paths.get(dir, "backup", "notes.txt")
+    java.nio.file.Files.createDirectories(foreign.getParent)
+    java.nio.file.Files.write(foreign, Array[Byte](4))
+    val moved = GenTable.fsckQuarantine(dir)
+    assert(moved.unreferencedFiles.size === 2)
+    // originals gone, bytes preserved under _quarantine/<stamp>/<rel>
+    assert(!java.nio.file.Files.exists(orphan))
+    assert(!java.nio.file.Files.exists(foreign.getParent))
+    val qRoot = java.nio.file.Paths.get(dir, "_quarantine")
+    val stamped = java.nio.file.Files.list(qRoot).iterator().next()
+    assert(java.nio.file.Files.exists(
+      stamped.resolve("bucket=1/part-leak.parquet")))
+    assert(java.nio.file.Files.exists(stamped.resolve("backup/notes.txt")))
+    // reads unchanged; the next audit is clean; nothing was deleted
+    assert(GenTable.read(spark, dir).get.count() === 2L)
+    assert(GenTable.fsck(dir).clean)
+    assert(GenTable.fsckQuarantine(dir).unreferencedFiles.isEmpty)
+    // stale generations are NOT quarantine's class: a superseded gen
+    // stays for vacuum
+    GenTable.deleteWhere(spark, dir, col("id") === 1L)
+    val after = GenTable.fsckQuarantine(dir)
+    assert(after.unreferencedFiles.isEmpty && after.staleGenDirs.nonEmpty)
+    assert(GenTable.fsck(dir).staleGenDirs.nonEmpty)
+  }
+
   test("an all-digit gen= name longer than a Long is foreign junk, not " +
       "a NumberFormatException that aborts the whole sweep") {
     val dir = tmp()
