@@ -470,7 +470,273 @@ object GenTable {
   def readCommit(dir: String): Option[Commit] = {
     val (f, root) = fsRoot(dir)
     val p = new HPath(root, "_commit")
-    if (!f.exists(p)) None else Some(parseCommit(readString(f, p)))
+    if (!f.exists(p)) None
+    else Some(resolveManifest(f, root, readString(f, p)))
+  }
+
+  // --------------------------------------------------- manifest shards
+
+  /** SCALE.md §27 measured the monolithic manifest's boundary: at 10^6
+    * cells the one-object plane costs 4–9 s of driver metadata per plan
+    * and ~27 s per commit — O(cells) where the work is O(churn). Past
+    * [[shardCellThreshold]] cells the head manifest goes SHARDED (the
+    * Iceberg manifest-list shape, adapted to the one-object swap
+    * protocol):
+    *
+    *  - the head `_commit` STAYS the single atomic-swap object, but
+    *    carries only the header, the table meta, and `#shard=` lines
+    *    referencing IMMUTABLE delta shards under `_manifests/` —
+    *    KB-sized however many cells the table has;
+    *  - each publish writes ONE new gzipped shard holding just the
+    *    cells it changed (full five-map payload per touched key, plus
+    *    `#drop=` tombstones), then swaps the head — commit IO follows
+    *    the churn, never the table;
+    *  - the committed state is the in-order FOLD of the shard chain
+    *    (later shards override per key, drops remove); when the chain
+    *    reaches [[shardMaxChain]] the next publish folds it into one
+    *    base shard — amortized O(cells) every `shardMaxChain` commits;
+    *  - shards are immutable and uniquely named, so two JVM-wide caches
+    *    make the plane O(KB) per plan after first touch: parsed shards
+    *    by file name, and FOLDED commits by (root, id, chain);
+    *  - archives (`_commits/ct_N`) store the sharded head body — history
+    *    retention pins the shards it references ([[vacuum]] sweeps
+    *    `_manifests/` against head + retained archives, under the same
+    *    no-concurrent-stage contract as the generation sweep: a shard
+    *    between its write and its head swap is mid-publish, which the
+    *    single-maintenance-scheduler contract excludes).
+    *
+    * A table below the threshold never shards (the monolithic format is
+    * byte-identical to every previous round); once sharded, a table
+    * stays sharded. A crash between shard write and head swap leaves
+    * the previous state committed and one unreferenced shard file —
+    * vacuum's class, reported by fsck.
+    */
+  private val ManifestsDirName = "_manifests"
+
+  /** Cell count at which a publishing table switches to the sharded
+    * head (default 100k — the measured knee where monolithic costs
+    * leave the sub-second regime).
+    */
+  @volatile private[graft] var shardCellThresholdOverride: Option[Int] = None
+  private def shardCellThreshold: Int =
+    shardCellThresholdOverride.getOrElse(100000)
+
+  /** Delta shards folded per read before the chain compacts. */
+  @volatile private[graft] var shardMaxChainOverride: Option[Int] = None
+  private def shardMaxChain: Int = shardMaxChainOverride.getOrElse(24)
+
+  /** One `#shard=` reference in a sharded head: immutable file name
+    * under `_manifests/`, with its cell/tombstone counts (operator
+    * visibility; the fold needs only the name order).
+    */
+  private[sources] final case class ShardRef(name: String, cells: Long,
+      drops: Long)
+
+  /** One shard's payload: the full five-map cell state for every key
+    * the shard touches, plus the keys it removes.
+    */
+  private final case class ShardData(gens: Map[String, Long],
+      stats: Map[String, Map[String, (Long, Long)]],
+      sizes: Map[String, Long], rows: Map[String, Long],
+      files: Map[String, Long], drops: Set[String]) {
+    def cellKeys: Set[String] =
+      gens.keySet ++ stats.keySet ++ sizes.keySet ++ rows.keySet ++
+        files.keySet
+  }
+
+  /** Parsed shards by absolute file path — shard files are immutable
+    * (uniquely named per commit, never rewritten), so entries can never
+    * go stale; bounded by wholesale clear (correctness-neutral).
+    */
+  private val shardCache =
+    new java.util.concurrent.ConcurrentHashMap[String, ShardData]()
+
+  /** Folded sharded states by (root, commit id, shard chain) — every
+    * component immutable, so a hit is exact. Bounded by wholesale clear:
+    * a folded 10^6-cell state is driver-memory significant, so keep few.
+    */
+  private val foldedCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Seq[String]), Commit]()
+
+  /** Measurement hook (ProbeManifest cold-path timings): drop both
+    * manifest caches. Correctness-neutral — both caches key on
+    * immutable identities.
+    */
+  private[graft] def clearManifestCaches(): Unit = {
+    shardCache.clear(); foldedCache.clear()
+  }
+
+  private def renderShard(d: ShardData): Array[Byte] = {
+    val statLines = d.stats.toSeq.sortBy(_._1).flatMap { case (k, cols) =>
+      cols.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+        s"#stat=$k|${enc(c)}|$mn|$mx"
+      }
+    }
+    val body = (d.gens.toSeq.sortBy(_._1).map { case (k, g) => s"$k=$g" } ++
+      statLines ++
+      d.sizes.toSeq.sortBy(_._1).map { case (k, b) => s"#size=$k|$b" } ++
+      d.rows.toSeq.sortBy(_._1).map { case (k, n) => s"#rows=$k|$n" } ++
+      d.files.toSeq.sortBy(_._1).map { case (k, n) => s"#files=$k|$n" } ++
+      d.drops.toSeq.sorted.map(k => s"#drop=$k"))
+      .mkString("", "\n", "\n")
+    body.getBytes(StandardCharsets.UTF_8)
+  }
+
+  private def parseShard(body: String): ShardData = {
+    val gens = Map.newBuilder[String, Long]
+    val statBuf = Seq.newBuilder[(String, String, Long, Long)]
+    val sizes = Map.newBuilder[String, Long]
+    val rows = Map.newBuilder[String, Long]
+    val files = Map.newBuilder[String, Long]
+    val drops = Set.newBuilder[String]
+    body.split('\n').filter(_.nonEmpty).foreach { line =>
+      if (line.startsWith("#stat=")) {
+        val p = line.stripPrefix("#stat=").split('|')
+        require(p.length == 4, s"malformed shard stat line: $line")
+        statBuf += ((p(0), dec(p(1)), p(2).toLong, p(3).toLong))
+      } else if (line.startsWith("#size=")) {
+        val p = line.stripPrefix("#size=").split('|')
+        require(p.length == 2, s"malformed shard size line: $line")
+        sizes += p(0) -> p(1).toLong
+      } else if (line.startsWith("#rows=")) {
+        val p = line.stripPrefix("#rows=").split('|')
+        require(p.length == 2, s"malformed shard rows line: $line")
+        rows += p(0) -> p(1).toLong
+      } else if (line.startsWith("#files=")) {
+        val p = line.stripPrefix("#files=").split('|')
+        require(p.length == 2, s"malformed shard files line: $line")
+        files += p(0) -> p(1).toLong
+      } else if (line.startsWith("#drop=")) {
+        drops += line.stripPrefix("#drop=")
+      } else if (line.startsWith("#") || line.startsWith("pcol=")) {
+        // forward compatibility: unknown annotation lines are ignored
+      } else {
+        val eq = line.lastIndexOf('=')
+        require(eq > 0, s"malformed shard line: $line")
+        gens += line.substring(0, eq) -> line.substring(eq + 1).toLong
+      }
+    }
+    val stats = statBuf.result().groupBy(_._1).map { case (v, rws) =>
+      v -> rws.map(r => r._2 -> (r._3, r._4)).toMap
+    }
+    ShardData(gens.result(), stats, sizes.result(), rows.result(),
+      files.result(), drops.result())
+  }
+
+  private def loadShard(f: FileSystem, root: HPath, name: String): ShardData = {
+    val p = new HPath(new HPath(root, ManifestsDirName), name)
+    val key = p.toString
+    val cached = shardCache.get(key)
+    if (cached != null) return cached
+    val d = parseShard(readStringMaybeGzip(f, p))
+    if (shardCache.size >= 64) shardCache.clear()
+    shardCache.put(key, d)
+    d
+  }
+
+  /** The committed state behind a (possibly sharded) manifest body:
+    * monolithic bodies return as parsed; sharded heads fold their chain
+    * (cached — the chain is immutable per commit id).
+    */
+  private def resolveManifest(f: FileSystem, root: HPath,
+      body: String): Commit = {
+    val (head, shards) = parseManifest(body)
+    if (shards.isEmpty) return head
+    val cacheKey = (root.toString, head.tableGen, shards.map(_.name))
+    val hit = foldedCache.get(cacheKey)
+    if (hit != null) return hit
+    var gens = Map.empty[String, Long]
+    var stats = Map.empty[String, Map[String, (Long, Long)]]
+    var sizes = Map.empty[String, Long]
+    var rows = Map.empty[String, Long]
+    var files = Map.empty[String, Long]
+    shards.foreach { ref =>
+      val d = loadShard(f, root, ref.name)
+      if (d.drops.nonEmpty) {
+        gens = gens -- d.drops; stats = stats -- d.drops
+        sizes = sizes -- d.drops; rows = rows -- d.drops
+        files = files -- d.drops
+      }
+      // a later shard's cell REPLACES the earlier one per key: clear all
+      // five slots for the touched keys before overlaying, so a cell that
+      // legitimately lost a slot (e.g. stats dropped by a stats-col
+      // change) does not resurrect the old value
+      val touched = d.cellKeys
+      if (touched.nonEmpty) {
+        gens = gens -- touched ++ d.gens
+        stats = stats -- touched ++ d.stats
+        sizes = sizes -- touched ++ d.sizes
+        rows = rows -- touched ++ d.rows
+        files = files -- touched ++ d.files
+      }
+    }
+    val folded = head.copy(gens = gens, stats = stats, sizes = sizes,
+      rows = rows, files = files)
+    if (foldedCache.size >= 8) foldedCache.clear()
+    foldedCache.put(cacheKey, folded)
+    folded
+  }
+
+  /** The cell state of one key across the five maps (the shard delta
+    * unit). Two commits' cells compare equal iff nothing about the key
+    * changed.
+    */
+  private def cellOf(c: Commit, k: String): (Option[Long],
+      Option[Map[String, (Long, Long)]], Option[Long], Option[Long],
+      Option[Long]) =
+    (c.gens.get(k), c.stats.get(k), c.sizes.get(k), c.rows.get(k),
+      c.files.get(k))
+
+  /** The delta shard from `prev` to `next`: every key whose cell changed
+    * carries its full next-state cell; keys that vanished entirely
+    * become tombstones.
+    */
+  private def diffShard(prev: Commit, next: Commit): ShardData = {
+    val keys = prev.gens.keySet ++ prev.stats.keySet ++ prev.sizes.keySet ++
+      prev.rows.keySet ++ prev.files.keySet ++
+      next.gens.keySet ++ next.stats.keySet ++ next.sizes.keySet ++
+      next.rows.keySet ++ next.files.keySet
+    val gens = Map.newBuilder[String, Long]
+    val stats = Map.newBuilder[String, Map[String, (Long, Long)]]
+    val sizes = Map.newBuilder[String, Long]
+    val rows = Map.newBuilder[String, Long]
+    val files = Map.newBuilder[String, Long]
+    val drops = Set.newBuilder[String]
+    keys.foreach { k =>
+      val nc = cellOf(next, k)
+      if (cellOf(prev, k) != nc) {
+        if (nc == (None, None, None, None, None)) drops += k
+        else {
+          nc._1.foreach(gens += k -> _)
+          nc._2.foreach(stats += k -> _)
+          nc._3.foreach(sizes += k -> _)
+          nc._4.foreach(rows += k -> _)
+          nc._5.foreach(files += k -> _)
+        }
+      }
+    }
+    ShardData(gens.result(), stats.result(), sizes.result(), rows.result(),
+      files.result(), drops.result())
+  }
+
+  private def fullShard(c: Commit): ShardData =
+    ShardData(c.gens, c.stats, c.sizes, c.rows, c.files, Set.empty)
+
+  /** Render the SHARDED head: header + meta + the shard chain. Cells
+    * live in the shards; `#tgen` carries the commit id (so light parses
+    * — the publish OCC check — never fold).
+    */
+  private def renderShardedHead(commit: Commit,
+      shards: Seq[ShardRef]): Array[Byte] = {
+    val metaLines = commit.meta.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"#meta=${enc(k)}|${enc(v)}"
+    }
+    val shardLines = shards.map(s =>
+      s"#shard=${enc(s.name)}|${s.cells}|${s.drops}")
+    val body = (s"pcol=${commit.partitionCols.map(enc).mkString(",")}" +:
+      s"#tgen=${commit.tableGen}" +: (shardLines ++ metaLines))
+      .mkString("", "\n", "\n")
+    body.getBytes(StandardCharsets.UTF_8)
   }
 
   private def render(commit: Commit): Array[Byte] = {
@@ -503,7 +769,14 @@ object GenTable {
     body.getBytes(StandardCharsets.UTF_8)
   }
 
-  private def parseCommit(body: String): Commit = {
+  /** Parse one manifest body WITHOUT resolving shards: a monolithic
+    * body returns its full state and an empty chain; a sharded head
+    * returns the header/meta-only state (gens empty — `#tgen` still
+    * yields the commit id) plus the chain for [[resolveManifest]] to
+    * fold. Callers that need cells must resolve; the light parse is for
+    * the publish OCC check and the vacuum reference sweep.
+    */
+  private def parseManifest(body: String): (Commit, Seq[ShardRef]) = {
     val lines = body.split('\n').filter(_.nonEmpty)
     require(lines.length >= 1 && lines(0).startsWith("pcol="),
       s"malformed manifest: ${body.take(80)}")
@@ -514,10 +787,16 @@ object GenTable {
     val sizeBuf = Map.newBuilder[String, Long]
     val rowBuf = Map.newBuilder[String, Long]
     val fileBuf = Map.newBuilder[String, Long]
+    val shardBuf = Seq.newBuilder[ShardRef]
     val gens = (1 until lines.length).flatMap { i =>
       val line = lines(i)
       if (line.startsWith("#tgen=")) {
         minGen = line.stripPrefix("#tgen=").toLong
+        None
+      } else if (line.startsWith("#shard=")) {
+        val parts = line.stripPrefix("#shard=").split('|')
+        require(parts.length == 3, s"malformed shard line: $line")
+        shardBuf += ShardRef(dec(parts(0)), parts(1).toLong, parts(2).toLong)
         None
       } else if (line.startsWith("#size=")) {
         val parts = line.stripPrefix("#size=").split('|')
@@ -555,8 +834,8 @@ object GenTable {
     val stats = statBuf.result().groupBy(_._1).map { case (v, rows) =>
       v -> rows.map(r => r._2 -> (r._3, r._4)).toMap
     }
-    Commit(pcols, gens, minGen, stats, metaBuf.result(), sizeBuf.result(),
-      rowBuf.result(), fileBuf.result())
+    (Commit(pcols, gens, minGen, stats, metaBuf.result(), sizeBuf.result(),
+      rowBuf.result(), fileBuf.result()), shardBuf.result())
   }
 
   // --------------------------------------------------------- publish
@@ -584,7 +863,8 @@ object GenTable {
     f.mkdirs(root)
     val commitP = new HPath(root, "_commit")
     val curBody = if (f.exists(commitP)) Some(readString(f, commitP)) else None
-    val curGen = curBody.map(parseCommit(_).tableGen).getOrElse(0L)
+    val curParsed = curBody.map(parseManifest)
+    val curGen = curParsed.map(_._1.tableGen).getOrElse(0L)
     require(curGen == commit.tableGen - 1,
       s"concurrent writer detected on $dir: staged commit " +
         s"${commit.tableGen} expects committed head ${commit.tableGen - 1} " +
@@ -606,7 +886,46 @@ object GenTable {
           swapIn(f, root, prevArch, gzip(body.getBytes(StandardCharsets.UTF_8)))
       }
     }
-    val bytes = render(commit)
+    // pick the head shape: monolithic below the cell threshold (the
+    // format every previous round shipped, byte-identical), SHARDED at or
+    // past it — and sticky once sharded (see the shard section doc). The
+    // shard file lands BEFORE the head swap: a crash in between leaves
+    // the previous state committed and one unreferenced file in
+    // `_manifests/` (vacuum's class).
+    val curShards = curParsed.map(_._2).getOrElse(Nil)
+    // O(1) cell bound: the key union is at least the largest of the five
+    // maps, which is all the threshold comparison needs (in practice the
+    // maps share their key set — gens is the universe)
+    val cellBound = Seq(commit.gens.size, commit.stats.size,
+      commit.sizes.size, commit.rows.size, commit.files.size).max
+    val bytes =
+      if (curShards.isEmpty && cellBound < shardCellThreshold) render(commit)
+      else {
+        val prev = curBody.map(resolveManifest(f, root, _)).getOrElse(
+          Commit(commit.partitionCols, Map.empty))
+        val mDir = new HPath(root, ManifestsDirName)
+        f.mkdirs(mDir)
+        def writeShardFile(d: ShardData): String = {
+          val name = f"ms_${commit.tableGen}%020d_" +
+            s"${UUID.randomUUID().toString.take(8)}.gz"
+          writeBytes(f, new HPath(mDir, name), gzip(renderShard(d)))
+          name
+        }
+        val delta = diffShard(prev, commit)
+        val chain: Seq[ShardRef] =
+          if (delta.cellKeys.isEmpty && delta.drops.isEmpty)
+            curShards // meta-only commit: the chain carries forward as-is
+          else if (curShards.isEmpty || curShards.size >= shardMaxChain) {
+            // first sharded commit, or the chain is full: fold everything
+            // into ONE base shard (amortized O(cells) every maxChain
+            // commits; every other commit is O(churn))
+            val base = fullShard(commit)
+            Seq(ShardRef(writeShardFile(base), base.cellKeys.size, 0L))
+          } else
+            curShards :+ ShardRef(writeShardFile(delta),
+              delta.cellKeys.size, delta.drops.size)
+        renderShardedHead(commit, chain)
+      }
     swapIn(f, root, commitP, bytes) // the commit point
     swapIn(f, root, new HPath(archiveDir, f"ct_${commit.tableGen}%020d"),
       gzip(bytes))
@@ -631,7 +950,11 @@ object GenTable {
   private[sources] def commitAt(dir: String, id: Long): Option[Commit] = {
     val (f, root) = fsRoot(dir)
     val p = new HPath(new HPath(root, "_commits"), f"ct_$id%020d")
-    if (f.exists(p)) Some(parseCommit(readStringMaybeGzip(f, p)))
+    // a sharded archive resolves through the same fold as the head —
+    // retention keeps the shards a retained archive references
+    // ([[vacuum]]'s manifest sweep), so an in-window time travel always
+    // resolves; out of window, the archive file itself is already gone
+    if (f.exists(p)) Some(resolveManifest(f, root, readStringMaybeGzip(f, p)))
     else readCommit(dir).filter(_.tableGen == id)
   }
 
@@ -2625,6 +2948,26 @@ object GenTable {
     // sweep temp manifests stranded by a crash between write and swap
     listDir(f, root).filter(_.getName.startsWith("_commit.tmp."))
       .foreach(p => f.delete(p, false))
+    // sweep manifest SHARDS nothing references anymore: the referenced
+    // set is the head chain plus every retained archive's chain (both
+    // light parses — no fold). Superseded chains (compaction), dropped
+    // history, and crashed-publish orphans all land here. Runs under the
+    // same no-concurrent-stage contract as the generation sweep: a shard
+    // written but not yet head-swapped belongs to a live publish, which
+    // the single-maintenance-scheduler contract excludes.
+    val mDir = new HPath(root, ManifestsDirName)
+    if (f.exists(mDir)) {
+      val headRefs = {
+        val p = new HPath(root, "_commit")
+        if (f.exists(p)) parseManifest(readString(f, p))._2 else Nil
+      }
+      val archRefs = listDir(f, archiveDir)
+        .filter(_.getName.startsWith("ct_"))
+        .flatMap(p => parseManifest(readStringMaybeGzip(f, p))._2)
+      val referenced = (headRefs ++ archRefs).map(_.name).toSet
+      listDir(f, mDir).filterNot(p => referenced.contains(p.getName))
+        .foreach(p => f.delete(p, false))
+    }
     // drop bloom sidecars for unpinned generations (same retention rule
     // as the generation directories they describe). Sidecar names carry
     // (key, column, gen) without the partition columns; merge the pins
@@ -2675,7 +3018,7 @@ object GenTable {
     val c = readCommit(dir).getOrElse(return FsckReport(Nil, Nil))
     val (f, root) = fsRoot(dir)
     if (!f.exists(root)) return FsckReport(Nil, Nil)
-    val (_, keep) = pinnedGens(dir, c, keepCommits)
+    val (retainedIds, keep) = pinnedGens(dir, c, keepCommits)
     val loose = Seq.newBuilder[String]
     val stale = Seq.newBuilder[String]
     def sweep(p: HPath, cols: Seq[String], vals: Seq[String]): Unit =
@@ -2705,6 +3048,24 @@ object GenTable {
         val Array(pc, v) = n.split("=", 2)
         sweep(p, Seq(pc), Seq(v))
       } else loose += p.toString
+    }
+    // manifest SHARDS no retained commit references (superseded chains
+    // after compaction, crashed-publish leftovers): vacuum's sweep
+    // class, reported with the stale generations so a between-vacuums
+    // report stays complete. Same retention window as the sweep: the
+    // head chain plus the chains of the archives vacuum would keep.
+    val mDir = new HPath(root, ManifestsDirName)
+    if (f.exists(mDir)) {
+      val headP = new HPath(root, "_commit")
+      val headRefs =
+        if (f.exists(headP)) parseManifest(readString(f, headP))._2 else Nil
+      val archRefs = retainedIds.flatMap { id =>
+        val p = new HPath(new HPath(root, "_commits"), f"ct_$id%020d")
+        if (f.exists(p)) parseManifest(readStringMaybeGzip(f, p))._2 else Nil
+      }
+      val referenced = (headRefs ++ archRefs).map(_.name).toSet
+      listDir(f, mDir).filterNot(p => referenced.contains(p.getName))
+        .foreach(p => stale += p.toString)
     }
     FsckReport(loose.result().sorted, stale.result().sorted)
   }

@@ -37,9 +37,13 @@ object ProbeManifest {
       f"2024-${1 + day / 31}%02d-${1 + day % 31}%02d,${i % buckets}"
     }
 
-    for (cells <- Seq(100000, 1000000)) {
+    for (cells <- Seq(100000, 1000000); sharded <- Seq(false, true)) {
       val buckets = 256
-      out.println(s"\n== $cells cells ((day, bucket), $buckets buckets) ==")
+      // mode pin: legacy control vs the sharded plane at the same size
+      GenTable.shardCellThresholdOverride =
+        Some(if (sharded) 1 else Int.MaxValue)
+      val mode = if (sharded) "SHARDED" else "monolithic"
+      out.println(s"\n== $cells cells ((day, bucket), $buckets buckets) [$mode] ==")
       val dir = java.nio.file.Files
         .createTempDirectory(s"graft_manifest_${cells}_").toString
       try {
@@ -58,10 +62,19 @@ object ProbeManifest {
         val manifestBytes = new java.io.File(f, "_commit").length()
         out.println(f"manifest size: ${manifestBytes / 1024.0 / 1024.0}%.2f MiB" +
           f" (${manifestBytes.toDouble / cells}%.1f B/cell)")
-        val (_, tParse) = time("readCommit (full parse, cold)") {
+        val shardDir = new java.io.File(f, "_manifests")
+        if (shardDir.exists()) {
+          val ss = shardDir.listFiles()
+          out.println(f"shards: ${ss.length} files, " +
+            f"${ss.map(_.length()).sum / 1024.0 / 1024.0}%.2f MiB gz")
+        }
+        GenTable.clearManifestCaches()
+        val (_, tParse) = time("readCommit (cold: parse + shard fold)") {
           GenTable.readCommit(dir).get
         }
-        time("readCommit (parse, 2nd)") { GenTable.readCommit(dir).get }
+        time("readCommit (warm: head parse + folded-cache hit)") {
+          GenTable.readCommit(dir).get
+        }
         time("tableStats (parse + stats fold)") { GenTable.tableStats(dir).get }
         time("FileIndex construction (typed values per cell)") {
           GenTable.indexFor(spark, dir)
@@ -88,6 +101,8 @@ object ProbeManifest {
         out.println(f"per-commit publish: ${tHist / nCommits}%.3f s; " +
           f"per-read parse: $tParse%.3f s")
       } finally {
+        GenTable.shardCellThresholdOverride = None
+        GenTable.clearManifestCaches()
         val p = java.nio.file.Paths.get(dir)
         val s = java.nio.file.Files.walk(p)
         try s.sorted(java.util.Comparator.reverseOrder())
