@@ -63,6 +63,13 @@ class GenTableShardSpec extends SparkSpec {
     GenTable.upsertBatch(up2, dir, "id", Seq("ts"), "bucket",
       statsCols = Seq("id"))
     GenTable.compact(spark, dir, targetRecordsPerFile = 1000L)
+    // the two odd commit shapes: restore walks gens BACKWARD under a
+    // forward commit id, and partition evolution swaps the entire key
+    // universe (old-layout keys tombstone, new-layout keys appear)
+    val ids = GenTable.commits(dir)
+    GenTable.restore(dir, ids(ids.length - 2))
+    GenTable.repartitionTable(spark, dir,
+      graft.sources.GenTable.PartitionCols(Seq("ts")))
   }
 
   private def frame(df: org.apache.spark.sql.DataFrame): Seq[String] =
