@@ -229,6 +229,45 @@ class GenTableShardSpec extends SparkSpec {
     }
   }
 
+  test("OCC on the sharded plane: a disjoint-partition interleave " +
+      "retries onto the new chain; an overlapping one fails loud") {
+    val dir = tmp()
+    withSharding(cells = 2, chain = 8) {
+      val seed = (1L to 12L).map(i => (i, (i % 4).toInt, 1L, i * 1.0))
+        .toDF("id", "bucket", "ts", "value")
+      GenTable.upsertBatch(seed, dir, "id", Seq("ts"), "bucket")
+      // writer B lands between A's stage and publish on a DISJOINT
+      // partition: A rebases on B's head (a fresh chain fold — the
+      // folded cache must not serve A its stale base) and both commit
+      GenTable.interleaveHook = Some(() =>
+        GenTable.upsertBatch(Seq((101L, 5, 2L, 5.0))
+          .toDF("id", "bucket", "ts", "value"), dir, "id", Seq("ts"),
+          "bucket"))
+      try GenTable.upsertBatch(Seq((100L, 4, 2L, 4.0))
+        .toDF("id", "bucket", "ts", "value"), dir, "id", Seq("ts"), "bucket")
+      finally GenTable.interleaveHook = None
+      assert(GenTable.read(spark, dir).get.count() === 14L)
+      assert(GenTable.readCommit(dir).get.tableGen === 3L)
+      assert(headText(dir).contains("#shard="))
+
+      // B stages the SAME partition A is staging: shared gen directories
+      // are never retry-safe — loud, and B's commit stands
+      GenTable.interleaveHook = Some(() =>
+        GenTable.upsertBatch(Seq((200L, 4, 3L, 8.0))
+          .toDF("id", "bucket", "ts", "value"), dir, "id", Seq("ts"),
+          "bucket"))
+      val e = try intercept[IllegalStateException] {
+        GenTable.upsertBatch(Seq((201L, 4, 3L, 9.0))
+          .toDF("id", "bucket", "ts", "value"), dir, "id", Seq("ts"),
+          "bucket")
+      } finally GenTable.interleaveHook = None
+      assert(e.getMessage.contains("partitions this batch also stages"))
+      val content = GenTable.read(spark, dir).get
+      assert(content.filter(col("id") === 200L).count() === 1L)
+      assert(content.filter(col("id") === 201L).count() === 0L)
+    }
+  }
+
   test("tables below the threshold never shard; the monolithic format " +
       "is untouched") {
     val dir = tmp()
