@@ -268,6 +268,34 @@ class GenTableShardSpec extends SparkSpec {
     }
   }
 
+  test("a table crossing the threshold mid-life converts in place: " +
+      "monolithic history stays readable across the transition") {
+    val dir = tmp()
+    withSharding(cells = 6, chain = 8) {
+      // life starts monolithic (4 cells < 6)
+      val seed = (1L to 8L).map(i => (i, (i % 4).toInt, 1L, i * 1.0))
+        .toDF("id", "bucket", "ts", "value")
+      GenTable.upsertBatch(seed, dir, "id", Seq("ts"), "bucket")
+      assert(!headText(dir).contains("#shard="))
+      // growth pushes past the threshold: the next publish folds the
+      // monolithic state into the first base shard
+      val grow = (9L to 16L).map(i => (i, (i % 8).toInt, 2L, i * 1.0))
+        .toDF("id", "bucket", "ts", "value")
+      GenTable.upsertBatch(grow, dir, "id", Seq("ts"), "bucket")
+      assert(headText(dir).contains("#shard="))
+      assert(shardFiles(dir).size === 1)
+      assert(GenTable.read(spark, dir).get.count() === 16L)
+      // the pre-transition snapshot still time-travels (its archive is
+      // the monolithic body), and the CDC diff spans the boundary
+      assert(GenTable.readAt(spark, dir, 1L).get.count() === 8L)
+      assert(GenTable.changesBetween(spark, dir, 1L, 2L, "id")
+        .count() === 8L)
+      // and the table keeps working sharded
+      GenTable.deleteWhere(spark, dir, col("id") === 16L)
+      assert(GenTable.read(spark, dir).get.count() === 15L)
+    }
+  }
+
   test("tables below the threshold never shard; the monolithic format " +
       "is untouched") {
     val dir = tmp()
