@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.sources.GenTable
+import graft.sources.{GenTable, GenTableCatalog}
 
 /** SQL table-valued functions for the lake's OPERATIONAL plane — the
   * inspection surfaces a governance or on-call review runs, addressable
@@ -57,13 +57,25 @@ object GenTableTvf {
   private def planOf(df: DataFrame): LogicalPlan =
     df.queryExecution.analyzed
 
+  /** Every TVF `dir` argument also accepts a CATALOG NAME (`gt.ns.t`)
+    * when its first component names a registered [[GenTableCatalog]]:
+    * the name resolves through the catalog's base confinement (the same
+    * traversal guard as SELECT/DML — the name route can never address
+    * outside the base). Anything else is the filesystem path it always
+    * was.
+    */
+  private def dirArg(e: Expression, what: String): String = {
+    val s = strArg(e, what)
+    GenTableCatalog.resolveName(SparkSession.active, s).getOrElse(s)
+  }
+
   /** `gentable_history(dir)` — the commit lineage ([[GenTable.history]]):
     * one row per retained commit with op, timestamp, and the manifest's
     * own statistics. Zero data IO.
     */
   def history(args: Seq[Expression]): LogicalPlan = {
     if (args.length != 1) fail("gentable_history(dir) takes 1 argument")
-    planOf(GenTable.history(SparkSession.active, strArg(args.head, "dir")))
+    planOf(GenTable.history(SparkSession.active, dirArg(args.head, "dir")))
   }
 
   /** `gentable_changes(dir, fromId, toId, keyCol)` — the keyed CDC diff
@@ -75,14 +87,15 @@ object GenTableTvf {
     if (args.length != 4)
       fail("gentable_changes(dir, fromId, toId, keyCol) takes 4 arguments")
     planOf(GenTable.changesBetween(SparkSession.active,
-      strArg(args(0), "dir"), longArg(args(1), "fromId"),
+      dirArg(args(0), "dir"), longArg(args(1), "fromId"),
       longArg(args(2), "toId"), strArg(args(3), "keyCol")))
   }
 
   /** `gentable_fsck(dir[, keepCommits])` — the metadata-vs-disk audit
     * ([[GenTable.fsck]]) as a relation: one row per unaccounted path,
-    * `kind` = `unreferenced_file` (the leak class vacuum never sweeps)
-    * or `stale_gen_dir` (vacuum's normal class).
+    * `kind` = `unreferenced_file` (the leak class vacuum never sweeps),
+    * `stale_gen_dir` (vacuum's normal class), or `stale_manifest_shard`
+    * (unreferenced metadata-plane shard files, also vacuum's class).
     *
     * SNAPSHOT semantics: like every TVF here, the arguments fold at
     * ANALYSIS time, and the audit's one recursive listing runs then too
@@ -90,11 +103,12 @@ object GenTableTvf {
     * re-executed plan returns the audit AS OF its analysis, not a
     * re-walk. Re-issue the statement for a fresh audit.
     *
-    * Scoping: the TVFs take a filesystem PATH, like the path-based
-    * DataFrame API they wrap — they are not mediated by any catalog's
-    * `base` confinement. A deployment that scopes SQL users to a catalog
-    * base must gate these functions (don't inject the extension, or
-    * front them with views) rather than rely on catalog scoping.
+    * Scoping: with a PATH argument the TVFs behave like the path-based
+    * DataFrame API they wrap — not mediated by any catalog's `base`
+    * confinement; a deployment that scopes SQL users to a catalog base
+    * must gate the path form (don't inject the extension, or front it
+    * with views). With a CATALOG NAME argument ([[dirArg]]) resolution
+    * rides the catalog's own confinement.
     */
   def fsck(args: Seq[Expression]): LogicalPlan = {
     if (args.isEmpty || args.length > 2)
@@ -102,11 +116,12 @@ object GenTableTvf {
     val keep = if (args.length == 2) longArg(args(1), "keepCommits") else 1L
     if (keep < 1L || keep > Int.MaxValue.toLong)
       fail(s"keepCommits must be in [1, ${Int.MaxValue}], got $keep")
-    val report = GenTable.fsck(strArg(args.head, "dir"), keep.toInt)
+    val report = GenTable.fsck(dirArg(args.head, "dir"), keep.toInt)
     val spark = SparkSession.active
     import spark.implicits._
     planOf((report.unreferencedFiles.map(_ -> "unreferenced_file") ++
-      report.staleGenDirs.map(_ -> "stale_gen_dir"))
+      report.staleGenDirs.map(_ -> "stale_gen_dir") ++
+      report.staleManifestShards.map(_ -> "stale_manifest_shard"))
       .toDF("path", "kind"))
   }
 }

@@ -7,7 +7,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileContext, FileSystem, LocalFileSystem, Options, Path => HPath}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** Generational table commits — the minimal ACID protocol for the lake
   * maintenance paths (streaming upsert, compaction) that previously relied
@@ -238,16 +238,13 @@ object GenTable {
     * surface a governance review reads first: what changed this table,
     * when, and how big it was at each step.
     */
-  def history(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.Row
+  /** Fixed shape of [[history]] — shared with the `gt.ns.t.history`
+    * metadata table, whose DSv2 schema must be declarable without
+    * computing the frame.
+    */
+  private[graft] val HistorySchema: StructType = {
     import org.apache.spark.sql.types._
-    val rows = commits(dir).flatMap(id => commitAt(dir, id).map { c =>
-      Row(id, c.meta.get(OpMetaKey).orNull, c.meta.get(TsMetaKey).orNull,
-        c.gens.size, c.totalRows.map(Long.box).orNull,
-        c.totalBytes.map(Long.box).orNull,
-        c.totalFiles.map(Long.box).orNull)
-    })
-    val schema = StructType(Seq(
+    StructType(Seq(
       StructField("commit_id", LongType, nullable = false),
       StructField("op", StringType, nullable = true),
       StructField("committed_at", StringType, nullable = true),
@@ -255,9 +252,19 @@ object GenTable {
       StructField("n_rows", LongType, nullable = true),
       StructField("bytes", LongType, nullable = true),
       StructField("n_files", LongType, nullable = true)))
+  }
+
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    val rows = commits(dir).flatMap(id => commitAt(dir, id).map { c =>
+      Row(id, c.meta.get(OpMetaKey).orNull, c.meta.get(TsMetaKey).orNull,
+        c.gens.size, c.totalRows.map(Long.box).orNull,
+        c.totalBytes.map(Long.box).orNull,
+        c.totalFiles.map(Long.box).orNull)
+    })
     spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters
-        .SeqHasAsJava(rows).asJava), schema)
+        .SeqHasAsJava(rows).asJava), HistorySchema)
   }
 
   // ---------------------------------------------------------------- I/O
@@ -913,9 +920,21 @@ object GenTable {
         }
         val delta = diffShard(prev, commit)
         val chain: Seq[ShardRef] =
-          if (delta.cellKeys.isEmpty && delta.drops.isEmpty)
-            curShards // meta-only commit: the chain carries forward as-is
-          else if (curShards.isEmpty || curShards.size >= shardMaxChain) {
+          if (delta.cellKeys.isEmpty && delta.drops.isEmpty) {
+            if (curShards.isEmpty && commit.gens.nonEmpty) {
+              // mono→sharded transition via a CELL-IDENTICAL commit (a
+              // meta-only marker publish, or a crash-retried restore to
+              // the same state) on a table at/past the threshold: the
+              // delta vs the monolithic predecessor is empty, but an
+              // empty chain would render a sharded head with no cells —
+              // the table would read as empty (and a CDC diff would emit
+              // mass deletes). Fold the full state into the transition's
+              // base shard instead.
+              val base = fullShard(commit)
+              Seq(ShardRef(writeShardFile(base), base.cellKeys.size, 0L))
+            } else
+              curShards // meta-only commit: the chain carries forward as-is
+          } else if (curShards.isEmpty || curShards.size >= shardMaxChain) {
             // first sharded commit, or the chain is full: fold everything
             // into ONE base shard (amortized O(cells) every maxChain
             // commits; every other commit is O(churn))
@@ -1036,6 +1055,20 @@ object GenTable {
     * aggregates all apply — `SELECT count(*) FROM name` never scans).
     * Pinned to the commit at call time, like every read here; re-register
     * to see later commits.
+    *
+    * BEHAVIOR CHANGE (round 15): REQUIRES the session to carry the
+    * [[graft.plans.GenTableDml]] resolution rule (`spark.sql.extensions=
+    * graft.plans.GraftExtensions`) and throws otherwise — previously a
+    * read-only user could register without it. The guard is deliberate
+    * and has no escape hatch: on a rule-less session, `INSERT INTO
+    * <name>` falls through to Spark's v1 conversion and SILENTLY writes
+    * orphan parquet into the table root (the round-13 finding), and a
+    * "read-only" registration is exactly as exposed — the view cannot
+    * know its callers. Rule-less sessions have two safe spellings:
+    * register `readIndexed(spark, dir)` yourself (accepting that INSERT
+    * trap consciously), or address tables by CATALOG NAME
+    * (`spark.sql.catalog.gt=...GenTableCatalog`), which needs no
+    * registration and guards every DML route.
     */
   def createOrReplaceView(spark: SparkSession, dir: String,
       name: String): Unit = {
@@ -2068,6 +2101,47 @@ object GenTable {
         opMeta("replace")))
   }
 
+  /** SQL `ALTER TABLE ... ADD COLUMNS` (and the programmatic spelling):
+    * ADDITIVE, NULLABLE-ONLY schema evolution as a META-ONLY commit —
+    * the recorded schema gains the new fields at the end, no data file
+    * moves, and every committed generation (which lacks the columns on
+    * disk) reads them back null through the recorded-schema read path.
+    * This is exactly the state a write-side evolved batch would leave,
+    * minus the batch: the SQL-first "evolve, then backfill" workflow no
+    * longer needs to fabricate a write.
+    *
+    * Refused loud: a column that already exists (case-insensitively —
+    * Spark resolution is case-insensitive by default, so a `V`/`v` pair
+    * would be unreachable), a NOT NULL column (committed rows cannot
+    * satisfy it), and a table predating schema tracking (there is no
+    * recorded schema to extend; one ordinary write records it).
+    * Returns the new commit id.
+    */
+  def addColumns(dir: String, newCols: Seq[StructField]): Long = {
+    require(newCols.nonEmpty, "ADD COLUMNS needs at least one column")
+    val c = readCommit(dir).getOrElse(throw new IllegalStateException(
+      s"no committed GenTable under $dir"))
+    val prev = schemaOf(c).getOrElse(throw new IllegalStateException(
+      s"table $dir predates schema tracking — run one ordinary write " +
+        s"(which records the schema) before ALTER TABLE ADD COLUMNS"))
+    val taken = prev.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    newCols.foreach { fld =>
+      require(!taken.contains(fld.name.toLowerCase(java.util.Locale.ROOT)),
+        s"column '${fld.name}' already exists")
+      require(fld.nullable,
+        s"ADD COLUMNS is nullable-only: existing rows cannot satisfy " +
+          s"NOT NULL '${fld.name}' (add nullable, backfill, then enforce " +
+          s"via expectations)")
+    }
+    require(newCols.map(_.name.toLowerCase(java.util.Locale.ROOT))
+      .distinct.size == newCols.size, "duplicate column names in ADD COLUMNS")
+    val next = StructType(prev.fields ++ newCols)
+    val evolved = c.copy(minGen = c.tableGen + 1,
+      meta = c.meta + (SchemaMetaKey -> next.json) ++ opMeta("add_columns"))
+    publish(dir, evolved)
+    evolved.tableGen
+  }
+
   /** The write-contract subset of a commit's meta — what every content
     * overwrite must CARRY FORWARD (replacing rows must not amnesia the
     * table's declared merge/skip columns). One definition, used by SQL
@@ -2536,6 +2610,14 @@ object GenTable {
     (keyCol +: c.partitionCols).foreach(cn =>
       require(source.columns.contains(cn),
         s"MERGE source must carry key/partition column '$cn'"))
+    // `_matched` is merge's internal matched-ness flag: a source column
+    // of that name would be silently replaced by withColumn and then
+    // dropped from whole-row updates — refuse it loud instead. (`_s_*`
+    // names on the updateSet path already fail loud as an ambiguous
+    // reference in the 1:1 join.)
+    require(!source.columns.contains("_matched"),
+      "MERGE source must not carry a column named '_matched' (reserved " +
+        "by the merge implementation); rename it before merging")
     schemaOf(c).foreach(p => mergeSchemas(p, source.schema))
     if (updateSet.nonEmpty) {
       require(updateWhen.isDefined,
@@ -2998,10 +3080,17 @@ object GenTable {
     *  - `staleGenDirs` — `gen=N` directories no retained commit pins
     *    (superseded generations and crashed stages): [[vacuum]]'s normal
     *    sweep class, listed here so a report BETWEEN vacuums is complete.
+    *  - `staleManifestShards` — manifest shard FILES under `_manifests/`
+    *    no retained commit's chain references (superseded chains after a
+    *    fold, crashed-publish leftovers): also vacuum's class, reported
+    *    separately because they are files of the metadata plane, not
+    *    data-plane generation directories.
     */
   final case class FsckReport(unreferencedFiles: Seq[String],
-      staleGenDirs: Seq[String]) {
-    def clean: Boolean = unreferencedFiles.isEmpty && staleGenDirs.isEmpty
+      staleGenDirs: Seq[String],
+      staleManifestShards: Seq[String] = Nil) {
+    def clean: Boolean = unreferencedFiles.isEmpty &&
+      staleGenDirs.isEmpty && staleManifestShards.isEmpty
   }
 
   /** Metadata-vs-disk audit: walk the table tree and report everything no
@@ -3051,9 +3140,10 @@ object GenTable {
     }
     // manifest SHARDS no retained commit references (superseded chains
     // after compaction, crashed-publish leftovers): vacuum's sweep
-    // class, reported with the stale generations so a between-vacuums
-    // report stays complete. Same retention window as the sweep: the
-    // head chain plus the chains of the archives vacuum would keep.
+    // class, reported in their own field so a between-vacuums report
+    // stays complete. Same retention window as the sweep: the head
+    // chain plus the chains of the archives vacuum would keep.
+    val staleShards = Seq.newBuilder[String]
     val mDir = new HPath(root, ManifestsDirName)
     if (f.exists(mDir)) {
       val headP = new HPath(root, "_commit")
@@ -3065,9 +3155,10 @@ object GenTable {
       }
       val referenced = (headRefs ++ archRefs).map(_.name).toSet
       listDir(f, mDir).filterNot(p => referenced.contains(p.getName))
-        .foreach(p => stale += p.toString)
+        .foreach(p => staleShards += p.toString)
     }
-    FsckReport(loose.result().sorted, stale.result().sorted)
+    FsckReport(loose.result().sorted, stale.result().sorted,
+      staleShards.result().sorted)
   }
 
   /** [[fsck]] with an explicit REPAIR: every `unreferencedFiles` entry
@@ -3088,7 +3179,7 @@ object GenTable {
   def fsckQuarantine(dir: String, keepCommits: Int = 1): FsckReport = {
     val report = fsck(dir, keepCommits)
     if (report.unreferencedFiles.isEmpty)
-      return FsckReport(Nil, report.staleGenDirs)
+      return report.copy(unreferencedFiles = Nil)
     val (f, root) = fsRoot(dir)
     val stamp = java.time.format.DateTimeFormatter
       .ofPattern("yyyyMMdd'T'HHmmss").withZone(java.time.ZoneOffset.UTC)
@@ -3103,6 +3194,6 @@ object GenTable {
         s"fsckQuarantine: could not move $src to $dst (moved nothing " +
           s"else is lost — re-run after resolving)")
     }
-    FsckReport(report.unreferencedFiles, report.staleGenDirs)
+    report
   }
 }

@@ -79,16 +79,8 @@ final class GenTableCatalog extends TableCatalog with SupportsNamespaces
     * DML, mutate — any GenTable reachable on the filesystem through a
     * catalog meant to scope access to `base`).
     */
-  private def sane(parts: Seq[String]): Seq[String] = {
-    parts.foreach { p =>
-      require(p.nonEmpty && p != "." && p != ".." &&
-        !p.contains('/') && !p.contains('\\'),
-        s"illegal catalog identifier component '$p': names must not be " +
-          s"empty, '.', '..', or contain path separators (the catalog " +
-          s"scopes access to its base directory)")
-    }
-    parts
-  }
+  private def sane(parts: Seq[String]): Seq[String] =
+    GenTableCatalog.sane(parts)
 
   private def dirOf(ident: Identifier): String =
     (base +: sane(ident.namespace.toSeq :+ ident.name)).mkString("/")
@@ -108,6 +100,15 @@ final class GenTableCatalog extends TableCatalog with SupportsNamespaces
         val parent = (base +: sane(ident.namespace.toSeq)).mkString("/")
         if (GenTable.readCommit(parent).isDefined)
           return new GenTableChangesTable(parent)
+      }
+      // `<table>.history` — the commit lineage as a batch relation
+      // (DESCRIBE HISTORY by name); same precedence rule: a real
+      // committed table named `history` was already tried and wins
+      if (ident.name.equalsIgnoreCase("history") &&
+          ident.namespace.nonEmpty) {
+        val parent = (base +: sane(ident.namespace.toSeq)).mkString("/")
+        if (GenTable.readCommit(parent).isDefined)
+          return new GenTableHistoryTable(parent)
       }
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         ident.asInstanceOf[Identifier])
@@ -280,10 +281,44 @@ final class GenTableCatalog extends TableCatalog with SupportsNamespaces
       properties: util.Map[String, String]): StagedTable =
     stageReplace(ident, schema, partitions, properties)
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "gentable schema evolves through writes (added columns merge; " +
-        "repartitionTable re-keys); there is no metastore ALTER")
+  /** `ALTER TABLE ... ADD COLUMNS` only — the one metastore ALTER with
+    * a sound lake meaning here: an additive, nullable, TOP-LEVEL column
+    * lands as a meta-only schema commit ([[GenTable.addColumns]]); old
+    * rows read the new columns null, exactly like write-side evolution.
+    * Everything else (type changes, renames, drops, properties,
+    * positions, nested fields, comments) keeps the loud refusal —
+    * schema evolves through writes; repartitionTable re-keys.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = dirOf(ident)
+    if (!tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(ident.asInstanceOf[Identifier])
+    val adds = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          s"ADD COLUMNS supports top-level columns only, got nested " +
+            a.fieldNames.mkString("."))
+        require(a.position == null,
+          "ADD COLUMNS appends at the end; FIRST/AFTER positions are " +
+            "not supported (generation files are immutable)")
+        require(a.defaultValue == null,
+          "ADD COLUMNS with DEFAULT is not supported (old rows read " +
+            "null; backfill explicitly)")
+        val f = org.apache.spark.sql.types
+          .StructField(a.fieldNames.head, a.dataType, a.isNullable)
+        if (a.comment == null) f else f.withComment(a.comment)
+      case other =>
+        throw new UnsupportedOperationException(
+          s"unsupported ALTER ${other.getClass.getSimpleName}: gentable " +
+            "schema evolves through writes (added columns merge; " +
+            "repartitionTable re-keys); only ADD COLUMNS has a " +
+            "metastore meaning here")
+    }
+    GenTable.addColumns(dir, adds)
+    new GenTableV2Table(dir, None, None,
+      Some(catName +: ident.namespace.toSeq :+ ident.name))
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     throw new UnsupportedOperationException(
@@ -487,6 +522,46 @@ final class GenTableV2Table(val dir: String,
 
 object GenTableCatalog {
 
+  /** The shared identifier-component guard — REJECT anything that could
+    * traverse outside a catalog base (see the instance doc). Used by the
+    * catalog itself and by every NAME-accepting operational surface
+    * (TVF name arms), so the name route can never address more than the
+    * catalog route.
+    */
+  private[graft] def sane(parts: Seq[String]): Seq[String] = {
+    parts.foreach { p =>
+      require(p.nonEmpty && p != "." && p != ".." &&
+        !p.contains('/') && !p.contains('\\'),
+        s"illegal catalog identifier component '$p': names must not be " +
+          s"empty, '.', '..', or contain path separators (the catalog " +
+          s"scopes access to its base directory)")
+    }
+    parts
+  }
+
+  /** Resolve a `cat.ns.table` spelling against a CONFIGURED
+    * [[GenTableCatalog]] in the session: Some(base-confined directory)
+    * when the first component names a registered gentable catalog (the
+    * components pass the same traversal guard as the catalog itself);
+    * None otherwise (the caller treats the string as a filesystem
+    * path). This is what lets the operational TVFs accept the same
+    * names the data plane uses — `gentable_history('gt.ns.t')` — with
+    * the catalog's confinement, not around it.
+    */
+  private[graft] def resolveName(spark: SparkSession,
+      name: String): Option[String] = {
+    if (name.contains('/') || name.contains('\\')) return None
+    val parts = name.split('.').toSeq
+    if (parts.length < 2) return None
+    val cat = parts.head
+    val impl = spark.conf.getOption(s"spark.sql.catalog.$cat")
+    if (!impl.contains(classOf[GenTableCatalog].getName)) return None
+    val base = spark.conf.getOption(s"spark.sql.catalog.$cat.base")
+      .getOrElse(throw new IllegalArgumentException(
+        s"catalog '$cat' requires spark.sql.catalog.$cat.base=<dir>"))
+    Some((base +: sane(parts.tail)).mkString("/"))
+  }
+
   /** The V1 `CatalogTable` a streaming fallback hands Spark: provider +
     * location are all the engine needs to rebuild the DSv1 source/sink
     * (`FindDataSourceTable.getStreamingRelation` merges
@@ -555,6 +630,41 @@ final class GenTableChangesTable(val dir: String) extends Table
   override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable =
     GenTableCatalog.v1FallbackTable(dir, "gentable-cdc", schema,
       Map("keyCol" -> keyCol, "images" -> "cdc"))
+}
+
+/** `gt.ns.t.history` — the commit lineage as a CATALOG RELATION (the
+  * `DESCRIBE HISTORY` surface by name, completing what `gt.ns.t.changes`
+  * started for the operational plane): one row per retained commit with
+  * op, wall-clock stamp, and the manifest's own statistics — zero data
+  * IO, computed at scan time from the commit archives
+  * ([[GenTable.history]]). Batch-only (the lineage is not a stream);
+  * rides the same public DSv2→V1 scan bridge as every other read.
+  */
+final class GenTableHistoryTable(val dir: String)
+    extends Table with SupportsRead {
+
+  override def name(): String = s"$dir@history"
+
+  override def schema: StructType = GenTable.HistorySchema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new V1Scan {
+      override def readSchema(): StructType = GenTable.HistorySchema
+      override def toV1TableScan[T <: BaseRelation with TableScan](
+          context: SQLContext): T =
+        new BaseRelation with TableScan {
+          override def sqlContext: SQLContext = context
+          override def schema: StructType = GenTable.HistorySchema
+          // driver metadata, re-read at each execution: a re-run query
+          // sees the CURRENT lineage (same freshness as a table scan)
+          override def buildScan(): RDD[Row] =
+            GenTable.history(context.sparkSession, dir).rdd
+        }.asInstanceOf[T]
+    }
 }
 
 object GenTableV2Table {

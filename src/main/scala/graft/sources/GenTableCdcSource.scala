@@ -62,28 +62,32 @@ final class GenTableCdcProvider extends StreamSourceProvider with DataSourceRegi
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     val path = GenTableCdcSource.pathOf(parameters)
+    val images = GenTableCdcSource.imagesOf(parameters, default = "cdc")
+    // validate eagerly so a bad option fails .load(), not the query thread
+    GenTableCdcSource.deletesOf(parameters, images)
     (shortName(), GenTableCdcSource.schemaFor(path,
-      GenTableCdcSource.keyColOf(parameters, path),
-      GenTableCdcSource.imagesOf(parameters, default = "cdc")))
+      GenTableCdcSource.keyColOf(parameters, path), images))
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
     val path = GenTableCdcSource.pathOf(parameters)
+    val images = GenTableCdcSource.imagesOf(parameters, default = "cdc")
     new GenTableCdcSource(sqlContext.sparkSession, path,
       GenTableCdcSource.keyColOf(parameters, path),
       parameters.get("startingCommit").map(_.toLong).getOrElse(0L),
       parameters.get("maxcommitspertrigger")
         .orElse(parameters.get("maxCommitsPerTrigger")).map(_.toLong),
-      GenTableCdcSource.imagesOf(parameters, default = "cdc"))
+      images, GenTableCdcSource.deletesOf(parameters, images))
   }
 }
 
 final class GenTableCdcSource(spark: SparkSession, dir: String,
     keyCol: String, startingCommit: Long,
     maxCommitsPerTrigger: Option[Long] = None,
-    images: String = "cdc")
+    images: String = "cdc",
+    deletes: String = "skip")
     extends SupportsAdmissionControl with SupportsTriggerAvailableNow
     with Source {
 
@@ -161,10 +165,24 @@ final class GenTableCdcSource(spark: SparkSession, dir: String,
     val from = start.map(idOf).getOrElse(startingCommit)
     val to = idOf(end)
     val diff = GenTable.changesBetween(spark, dir, from, to, keyCol)
-    // post-image mode: inserts/updates as plain rows, deletes skipped
+    // post-image mode: inserts/updates as plain rows, deletes skipped —
+    // unless the stream opted into `deletes=fail`, where a range that
+    // deleted ANY row refuses loudly (compliance replicas must not
+    // silently retain taken-down rows). The presence probe is a
+    // take(1)-bounded job over the SAME churn-pruned diff.
     val shaped =
-      if (images == "post") diff.filter(col("_change") =!= "delete")
-      else diff
+      if (images == "post") {
+        if (deletes == "fail" &&
+            !diff.filter(col("_change") === "delete").isEmpty)
+          throw new IllegalStateException(
+            s"gentable stream on $dir: commits ($from, $to] deleted rows " +
+              s"and this stream was started with deletes=fail — a " +
+              s"post-image stream cannot represent them. Replicate " +
+              s"deletes exactly via the cdc shape (readStream.table(" +
+              s"\"<name>.changes\") or images=cdc into a mode=cdc sink), " +
+              s"or accept skipping them with deletes=skip")
+        diff.filter(col("_change") =!= "delete")
+      } else diff
     // conform to the creation schema whatever the batch's commit-range
     // schema is: an added column a restart-from-old-checkpoint batch
     // predates surfaces null; a column added AFTER creation is dropped
@@ -208,6 +226,29 @@ object GenTableCdcSource {
     require(v == "cdc" || v == "post",
       s"gentable streaming 'images' must be 'cdc' (diff rows with " +
         s"_change) or 'post' (follow the table; deletes skipped), got '$v'")
+    v
+  }
+
+  /** Delete semantics of the follow-the-table (`images=post`) stream:
+    * `skip` (default — post-images cannot spell an absence, so deletes
+    * drop out of the stream) or `fail` (a batch whose commit range
+    * contains ANY delete fails the stream loudly). `fail` is the guard
+    * for replicas that must not retain taken-down rows: the obvious
+    * `readStream.table(name)` spelling with silent skips would leave a
+    * right-to-be-forgotten violation in the replica — under `fail` the
+    * operator is forced to the `.changes` / `images=cdc` pipeline that
+    * replicates deletes exactly.
+    */
+  private[sources] def deletesOf(parameters: Map[String, String],
+      images: String): String = {
+    val v = parameters.getOrElse("deletes", "skip")
+    require(v == "skip" || v == "fail",
+      s"gentable streaming 'deletes' must be 'skip' (follow-the-table " +
+        s"drops deletes) or 'fail' (refuse the batch when its range " +
+        s"deleted rows), got '$v'")
+    require(v == "skip" || images == "post",
+      "the 'deletes' option applies to images=post (follow-the-table) " +
+        "only; the cdc shape always carries deletes")
     v
   }
 

@@ -355,8 +355,10 @@ final class GenTableSourceProvider extends RelationProvider
 
   /** `spark.readStream.format("gentable").load(dir)` — FOLLOW the table:
     * each micro-batch is the post-image rows the commits since the last
-    * checkpoint produced (initial snapshot first, deletes skipped — the
-    * full diff shape is `format("gentable-cdc")` / the catalog's
+    * checkpoint produced (initial snapshot first; deletes skipped by
+    * default, or the stream FAILS on a deleting range with
+    * `.option("deletes", "fail")` — the compliance guard; the full diff
+    * shape is `format("gentable-cdc")` / the catalog's
     * `<table>.changes`). The key comes from the table's recorded append
     * contract, so the zero-option spelling works; this is also the V1
     * source behind `spark.readStream.table(<catalog name>)`
@@ -367,9 +369,11 @@ final class GenTableSourceProvider extends RelationProvider
       providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     val path = GenTableCdcSource.pathOf(parameters)
+    val images = GenTableCdcSource.imagesOf(parameters, default = "post")
+    // validate eagerly so a bad option fails .load(), not the query thread
+    GenTableCdcSource.deletesOf(parameters, images)
     (shortName(), GenTableCdcSource.schemaFor(path,
-      GenTableCdcSource.keyColOf(parameters, path),
-      GenTableCdcSource.imagesOf(parameters, default = "post")))
+      GenTableCdcSource.keyColOf(parameters, path), images))
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -377,12 +381,13 @@ final class GenTableSourceProvider extends RelationProvider
       parameters: Map[String, String])
       : org.apache.spark.sql.execution.streaming.Source = {
     val path = GenTableCdcSource.pathOf(parameters)
+    val images = GenTableCdcSource.imagesOf(parameters, default = "post")
     new GenTableCdcSource(sqlContext.sparkSession, path,
       GenTableCdcSource.keyColOf(parameters, path),
       parameters.get("startingCommit").map(_.toLong).getOrElse(0L),
       parameters.get("maxcommitspertrigger")
         .orElse(parameters.get("maxCommitsPerTrigger")).map(_.toLong),
-      GenTableCdcSource.imagesOf(parameters, default = "post"))
+      images, GenTableCdcSource.deletesOf(parameters, images))
   }
 
   /** `df.write.format("gentable").mode(...).save(dir)` — see the class

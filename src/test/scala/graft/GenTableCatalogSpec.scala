@@ -94,6 +94,92 @@ class GenTableCatalogSpec extends SparkSpec {
     assert(GenTable.readCommit(s"$base/disc/tc").isEmpty)
   }
 
+  test("ALTER TABLE ADD COLUMNS is a meta-only schema commit: old rows " +
+      "read null, inserts carry the new column, other ALTERs still refuse") {
+    val dir = mkTable("ddl", "alt1")
+    val before = GenTable.readCommit(dir).get
+    spark.sql(
+      "ALTER TABLE gt.ddl.alt1 ADD COLUMNS (note STRING, score DOUBLE)")
+    val c = GenTable.readCommit(dir).get
+    assert(c.tableGen === before.tableGen + 1)
+    assert(c.meta("commit_op") === "add_columns")
+    assert(c.gens === before.gens, "ADD COLUMNS must move no data")
+    // old rows read the new columns null through the recorded schema
+    assert(spark.sql("SELECT * FROM gt.ddl.alt1").columns.toSeq ===
+      Seq("id", "day", "value", "note", "score"))
+    assert(spark.sql(
+      "SELECT count(*) FROM gt.ddl.alt1 WHERE note IS NULL AND score IS NULL")
+      .as[Long].head() === 4L)
+    // a zero-option INSERT with the new columns rides the same contract
+    spark.sql("INSERT INTO gt.ddl.alt1 VALUES (9, 'd1', 9.0, 'n9', 0.5)")
+    assert(spark.sql(
+      "SELECT note, score FROM gt.ddl.alt1 WHERE id = 9")
+      .as[(String, Double)].head() === (("n9", 0.5)))
+    // time travel BEFORE the alter keeps the pre-alter schema
+    assert(spark.sql("SELECT * FROM gt.ddl.alt1 VERSION AS OF " +
+      before.tableGen).columns.toSeq === Seq("id", "day", "value"))
+    // refusals: existing column, NOT NULL, and every other ALTER shape
+    val e1 = intercept[Exception] {
+      spark.sql("ALTER TABLE gt.ddl.alt1 ADD COLUMNS (value DOUBLE)")
+    }
+    assert(e1.getMessage.toLowerCase.contains("value"))
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE gt.ddl.alt1 ADD COLUMNS (hard STRING NOT NULL)")
+    }
+    assert(e2.getMessage.contains("nullable"))
+    val e3 = intercept[Exception] {
+      spark.sql("ALTER TABLE gt.ddl.alt1 RENAME COLUMN note TO note2")
+    }
+    assert(e3.getMessage.contains("ALTER") ||
+      e3.getMessage.contains("evolves"))
+    val e4 = intercept[Exception] {
+      spark.sql("ALTER TABLE gt.ddl.alt1 DROP COLUMN note")
+    }
+    assert(e4.getMessage.contains("ALTER") ||
+      e4.getMessage.contains("evolves"))
+    // nothing after the refusals moved the table
+    assert(spark.sql("SELECT count(*) FROM gt.ddl.alt1").as[Long]
+      .head() === 5L)
+  }
+
+  test("gt.ns.t.history is the commit lineage by name == gentable_history" +
+      "(path); TVF name args ride the catalog confinement") {
+    val dir = mkTable("ops", "h1")
+    spark.sql("DELETE FROM gt.ops.h1 WHERE day = 'd0'")
+    // metadata-table spelling == the path TVF, row for row
+    val byName = spark.sql(
+      "SELECT commit_id, op, n_partitions, n_rows FROM gt.ops.h1.history")
+      .as[(Long, String, Int, Long)].collect().toSet
+    val byPath = spark.sql("SELECT commit_id, op, n_partitions, n_rows " +
+      s"FROM gentable_history('$dir')")
+      .as[(Long, String, Int, Long)].collect().toSet
+    assert(byName === byPath)
+    assert(byName.map(r => (r._1, r._2)) ===
+      Set((1L, "upsert"), (2L, "delete")))
+    // freshness: a later commit shows up on re-query
+    spark.sql("DELETE FROM gt.ops.h1 WHERE id = 3")
+    assert(spark.sql("SELECT max(commit_id) FROM gt.ops.h1.history")
+      .as[Long].head() === 3L)
+    // the TVFs accept the catalog NAME, resolved through base confinement
+    assert(spark.sql("SELECT commit_id, op FROM gentable_history('gt.ops.h1')")
+      .as[(Long, String)].collect().toSet ===
+      Set((1L, "upsert"), (2L, "delete"), (3L, "delete")))
+    assert(spark.sql("SELECT * FROM gentable_fsck('gt.ops.h1', 3)").isEmpty)
+    assert(spark.sql(
+      "SELECT count(*) FROM gentable_changes('gt.ops.h1', 1, 2, 'id')")
+      .as[Long].head() === 2L)
+    // traversal through the name route refuses like the catalog itself
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM gentable_history('gt.ops..h1')").collect()
+    }
+    assert(e.getMessage.contains("illegal catalog identifier"))
+    // a real committed table named `history` wins over the convention
+    val hDir = mkTable("ops2", "history")
+    assert(spark.sql("SELECT count(*) FROM gt.ops2.history")
+      .as[Long].head() === 4L)
+    assert(GenTable.readCommit(hDir).isDefined)
+  }
+
   test("catalog reads see the CURRENT commit at each query") {
     val dir = mkTable("prod", "t3")
     assert(spark.sql("SELECT count(*) FROM gt.prod.t3").as[Long].head() === 4L)

@@ -207,8 +207,11 @@ class GenTableShardSpec extends SparkSpec {
       java.nio.file.Files.write(junk.toPath, Array[Byte](1, 2, 3))
 
       val rep = GenTable.fsck(dir, keepCommits = 2)
-      assert(rep.staleGenDirs.exists(_.contains("ms_99999999999999999999")),
+      assert(rep.staleManifestShards
+        .exists(_.contains("ms_99999999999999999999")),
         s"fsck must report the orphan shard: $rep")
+      assert(!rep.staleGenDirs.exists(_.contains("_manifests")),
+        s"shards must not be mislabeled as gen dirs: $rep")
 
       GenTable.vacuum(dir, keepCommits = 2)
       val kept = shardFiles(dir)
@@ -224,7 +227,7 @@ class GenTableShardSpec extends SparkSpec {
       assert(GenTable.read(spark, dir).get.count() === 8L)
       // post-vacuum, no shard is stale inside the same window
       val rep2 = GenTable.fsck(dir, keepCommits = 2)
-      assert(!rep2.staleGenDirs.exists(_.contains("_manifests")),
+      assert(rep2.staleManifestShards.isEmpty,
         s"post-vacuum shard audit must be clean: $rep2")
     }
   }
@@ -293,6 +296,40 @@ class GenTableShardSpec extends SparkSpec {
       // and the table keeps working sharded
       GenTable.deleteWhere(spark, dir, col("id") === 16L)
       assert(GenTable.read(spark, dir).get.count() === 15L)
+    }
+  }
+
+  test("a CELL-IDENTICAL commit carries a monolithic table across the " +
+      "threshold without losing its cells") {
+    // the r15-advice shape: the table's last publish was monolithic, the
+    // threshold has since been crossed (here: lowered), and the NEXT
+    // publish changes no cell (meta-only marker, or a crash-retried
+    // restore to the same state). The delta vs the monolithic
+    // predecessor is empty, so a naive transition would publish a
+    // sharded head with an EMPTY chain — the table would read as empty.
+    val dir = tmp()
+    withSharding(cells = 1000, chain = 8) {
+      val seed = (1L to 8L).map(i => (i, (i % 4).toInt, 1L, i * 1.0))
+        .toDF("id", "bucket", "ts", "value")
+      GenTable.upsertBatch(seed, dir, "id", Seq("ts"), "bucket")
+      assert(!headText(dir).contains("#shard="))
+    }
+    withSharding(cells = 2, chain = 8) {
+      val c = GenTable.readCommit(dir).get
+      GenTable.publish(dir, c.copy(minGen = c.tableGen + 1,
+        meta = c.meta + ("consumer_marker" -> "batch-9")))
+      val head = headText(dir)
+      assert(head.contains("#shard="),
+        s"transition commit must shard the head:\n$head")
+      assert(shardFiles(dir).size === 1,
+        "the transition must fold the full state into one base shard")
+      val c2 = GenTable.readCommit(dir).get
+      assert(c2.gens === c.gens, "cells must survive the transition")
+      assert(c2.meta("consumer_marker") === "batch-9")
+      assert(GenTable.read(spark, dir).get.count() === 8L)
+      // the CDC diff across the transition is empty — no mass deletes
+      assert(GenTable.changesBetween(spark, dir, c.tableGen,
+        c2.tableGen, "id").count() === 0L)
     }
   }
 

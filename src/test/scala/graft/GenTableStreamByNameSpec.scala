@@ -119,6 +119,56 @@ class GenTableStreamByNameSpec extends SparkSpec {
       .as[Long].collect().toSeq === Seq(7L))
   }
 
+  test("deletes=fail turns silent delete-skipping into a loud stream " +
+      "failure; deletes=skip stays the documented default") {
+    val src = s"$base/ns/guard"
+    val ckpt = tempDir("graft_sbn_gk_")
+    val sink = s"${tempDir("graft_sbn_go_")}/rows"
+    GenTable.upsertBatch(batch((1L, 10L, 1.0), (2L, 10L, 2.0)),
+      src, "user_id", Seq("ts"), "bucket")
+    def drain(deletes: String): Unit = {
+      val q = spark.readStream.format("gentable")
+        .option("deletes", deletes).load(src)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain("fail") // insert-only ranges pass the guard
+    GenTable.upsertBatch(batch((3L, 20L, 3.0)), src,
+      "user_id", Seq("ts"), "bucket")
+    drain("fail") // still insert-only
+    assert(spark.read.parquet(sink).select(col("user_id"))
+      .as[Long].collect().toSet === Set(1L, 2L, 3L))
+    // a takedown lands: the guarded stream FAILS instead of skipping
+    GenTable.deleteWhere(spark, src, col("user_id") === 1L)
+    val e = intercept[Exception] { drain("fail") }
+    def messages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .flatMap(x => Option(x.getMessage)).toSeq
+    assert(messages(e).exists(_.contains("deletes=fail")), e.getMessage)
+    // the failed batch committed nothing to the sink
+    assert(spark.read.parquet(sink).count() === 3L)
+    // the operator's explicit choice: resume the SAME checkpoint with
+    // skip semantics — the deleting range drains (zero post-images)
+    drain("skip")
+    assert(spark.read.parquet(sink).select(col("user_id"))
+      .as[Long].collect().toSet === Set(1L, 2L, 3L))
+    // option validation is loud AND eager (.load fails, not the query
+    // thread): bad value, and cdc+deletes is nonsense
+    val e2 = intercept[Exception] {
+      spark.readStream.format("gentable").option("deletes", "drop")
+        .load(src)
+    }
+    assert(messages(e2).exists(_.contains("'deletes'")), e2.getMessage)
+    val e3 = intercept[Exception] {
+      spark.readStream.format("gentable-cdc")
+        .option("keyCol", "user_id").option("deletes", "fail")
+        .load(src)
+    }
+    assert(messages(e3).exists(_.contains("images=post")), e3.getMessage)
+  }
+
   test("refusals: batch SELECT of .changes, streaming a contractless " +
       "table, and a real table named 'changes' wins over the metadata " +
       "relation") {

@@ -158,4 +158,26 @@ class ReviewRegressionSpec extends SparkSpec {
     assert(GenTable.readAt(spark, dir, 1L).get.count() === 1L)
     assert(GenTable.changesBetween(spark, dir, 1L, 2L, "id").count() === 1L)
   }
+
+  test("merge refuses a source carrying the reserved '_matched' column " +
+      "and stages nothing") {
+    // the r15-judge shape: withColumn(\"_matched\", ...) would silently
+    // REPLACE a user column of that name, and drop(\"_matched\") would
+    // then drop it from whole-row updates — silent data substitution
+    import spark.implicits._
+    import graft.sources.GenTable
+    val dir = tempDir("graft_matched_")
+    GenTable.upsertBatch(Seq((1L, 1, 1.0)).toDF("id", "bucket", "v"),
+      dir, "id", Seq("v"), "bucket")
+    val src = Seq((1L, 1, 2.0, true)).toDF("id", "bucket", "v", "_matched")
+    val e = intercept[IllegalArgumentException] {
+      GenTable.merge(src, dir, "id")
+    }
+    assert(e.getMessage.contains("_matched"))
+    // nothing staged, nothing committed
+    assert(GenTable.readCommit(dir).get.tableGen === 1L)
+    assert(GenTable.read(spark, dir).get.select("v")
+      .as[Double].collect().toSeq === Seq(1.0))
+    assert(GenTable.fsck(dir).clean)
+  }
 }
