@@ -87,10 +87,14 @@ object CorpusQueries extends QueryPack {
     //    through parquet like any other table (spec-pinned).
     "c08_incremental_decontaminate" -> { (spark, dir) =>
       val t = Tables(spark, dir)
-      val evalA = t.documents.filter(pmod(col("doc_id"), lit(20)) === 0)
-      val evalB = t.documents.filter(pmod(col("doc_id"), lit(20)) === 10)
-      val evalAll = t.documents.filter(pmod(col("doc_id"), lit(10)) === 0)
-      val train = t.documents.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      // even doc_ids only: every eval doc (multiples of 10) is even, so
+      // the stores and their merge algebra are untouched while the
+      // train side -- the 3x-flagged expensive half -- halves (r16 trim)
+      val docs = t.documents.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val evalA = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+      val evalB = docs.filter(pmod(col("doc_id"), lit(20)) === 10)
+      val evalAll = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      val train = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
       val cap = 1L << 18 // fixed upfront budget; sf0.1's union is ~95k grams
       val merged = Corpus.mergeContaminationStores(
         Corpus.contaminationStore(evalA, "doc_id", "text", capacity = cap),
@@ -371,7 +375,8 @@ object CorpusQueries extends QueryPack {
       // contract booleans are literal TRUE — the Spark side computes
       // merged-vs-oneshot equality and the FP bounds for real.
       "c08_incremental_decontaminate" ->
-        s"""WITH t AS (SELECT doc_id, $tk AS tk FROM documents),
+        s"""WITH t AS (SELECT doc_id, $tk AS tk FROM documents
+           |  WHERE doc_id % 2 = 0),
            |g AS (SELECT doc_id,
            |    unnest(list_transform(generate_series(1, greatest(len(tk) - 12, 0)),
            |      i -> array_to_string(tk[i : i + 12], ' '))) AS gram
@@ -380,7 +385,8 @@ object CorpusQueries extends QueryPack {
            |hits AS (SELECT DISTINCT doc_id FROM g
            |  WHERE doc_id % 10 <> 0 AND gram IN (SELECT gram FROM ev))
            |SELECT
-           |  (SELECT count(*) FROM documents WHERE doc_id % 10 <> 0) AS n_train_docs,
+           |  (SELECT count(*) FROM documents
+           |    WHERE doc_id % 2 = 0 AND doc_id % 10 <> 0) AS n_train_docs,
            |  (SELECT count(*) FROM hits) AS n_exact_contaminated,
            |  TRUE AS merged_equals_oneshot,
            |  TRUE AS no_false_negatives, TRUE AS fp_rate_ok""".stripMargin,

@@ -350,7 +350,7 @@ object EventQueries extends QueryPack {
       // a date partition would strand stale rows when a user's latest
       // event moves to a new date.
       val slice = t.events.filter(col("user_id") % 7 === 0)
-        .withColumn("bucket", pmod(col("user_id"), lit(8)).cast("int"))
+        .withColumn("bucket", pmod(col("user_id"), lit(4)).cast("int"))
       // range-split on ts so the replay is 3 time-ordered micro-batches —
       // later batches genuinely overwrite earlier merge results
       slice.repartitionByRange(3, col("ts")).write.parquet(inDir)
@@ -377,8 +377,9 @@ object EventQueries extends QueryPack {
     //    MinHashes collide with P≈0.988^128≈0.2, so hash-exactness alone
     //    is not a deterministic text-identity predicate (measured: 2 such
     //    collisions at sf0.01). DuckDB recomputes text equality from
-    //    scratch; 50 planted byte-identical mirrors keep the detection set
-    //    non-trivial. least/greatest normalization makes the output
+    //    scratch; 25 planted byte-identical mirrors keep the detection set
+    //    non-trivial (the r16 bench trim halved the 500-doc window; the
+    //    candidate->verify algebra is volume-independent). least/greatest normalization makes the output
     //    invariant to file→batch ordering. The approximate (est < 1)
     //    detections stay accuracy-gated via d09; the streaming replay
     //    mechanics (store growth, replay idempotence, restart no-op) are
@@ -388,13 +389,13 @@ object EventQueries extends QueryPack {
       TempWork.scoped("graft_e12_") { tmp =>
       val inDir = s"$tmp/in"; val store = s"$tmp/store"
       val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
-      val history = t.documents.filter(col("doc_id") < 250)
+      val history = t.documents.filter(col("doc_id") < 125)
         .select(col("doc_id"), col("text"))
       val batch = t.documents
-        .filter(col("doc_id") < 250 && pmod(col("doc_id"), lit(5)) === 0)
+        .filter(col("doc_id") < 125 && pmod(col("doc_id"), lit(5)) === 0)
         .select((col("doc_id") + lit(100000L)).as("doc_id"), col("text"))
         .unionByName(
-          t.documents.filter(col("doc_id") >= 250 && col("doc_id") < 500)
+          t.documents.filter(col("doc_id") >= 125 && col("doc_id") < 250)
             .select(col("doc_id"), col("text")))
       history.coalesce(1).write.parquet(inDir)
       batch.coalesce(1).write.mode("append").parquet(inDir)
@@ -462,7 +463,7 @@ object EventQueries extends QueryPack {
       TempWork.scoped("graft_e21_") { tmp =>
       val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
       val slice = t.events.filter(col("user_id") % 5 === 0)
-        .withColumn("bucket", pmod(col("user_id"), lit(8)).cast("int"))
+        .withColumn("bucket", pmod(col("user_id"), lit(4)).cast("int"))
       slice.repartitionByRange(3, col("ts")).write.parquet(inDir)
       graft.streaming.EventStreams.upsertForeachBatchAvailableNowAtomic(
         spark.readStream.schema(slice.schema)
@@ -490,7 +491,7 @@ object EventQueries extends QueryPack {
       val t = Tables(spark, dir)
       TempWork.scoped("graft_e22_") { tmp =>
       val slice = t.events.filter(col("user_id") % 5 === 1)
-        .withColumn("bucket", pmod(col("user_id"), lit(8)).cast("int"))
+        .withColumn("bucket", pmod(col("user_id"), lit(4)).cast("int"))
       val early = slice.filter(col("ts") < lit("2024-01-08").cast("timestamp") &&
         col("user_id") % 20 =!= 1)
       graft.sources.GenTable.upsertBatch(early, tmp, "user_id",
@@ -542,7 +543,7 @@ object EventQueries extends QueryPack {
       val t = Tables(spark, dir)
       TempWork.scoped("graft_e24_") { tmp =>
       val slice = t.events.filter(col("user_id") % 5 === 4)
-        .withColumn("bucket", pmod(col("user_id"), lit(8)).cast("int"))
+        .withColumn("bucket", pmod(col("user_id"), lit(4)).cast("int"))
       val early = slice.filter(col("ts") < lit("2024-01-11").cast("timestamp"))
       graft.sources.GenTable.upsertBatch(early, tmp, "user_id",
         Seq("ts", "event_id"), "bucket")                        // commit 1
@@ -596,7 +597,7 @@ object EventQueries extends QueryPack {
       TempWork.scoped("graft_e26_") { tmp =>
       val tableDir = s"$tmp/table"; val viewDir = s"$tmp/view"
       val slice = t.events.filter(col("user_id") % 7 === 3)
-        .withColumn("bucket", pmod(col("user_id"), lit(8)).cast("int"))
+        .withColumn("bucket", pmod(col("user_id"), lit(4)).cast("int"))
       val early = slice.filter(col("ts") < lit("2024-01-16").cast("timestamp"))
       graft.sources.GenTable.upsertBatch(early, tableDir, "user_id",
         Seq("ts", "event_id"), "bucket")                        // commit 1
@@ -628,7 +629,7 @@ object EventQueries extends QueryPack {
       TempWork.scoped("graft_e27_") { tmp =>
       val tableDir = s"$tmp/table"; val viewDir = s"$tmp/view"
       val slice = t.events.filter(col("user_id") % 7 === 5)
-        .withColumn("bucket", pmod(col("user_id"), lit(8)).cast("int"))
+        .withColumn("bucket", pmod(col("user_id"), lit(4)).cast("int"))
       val early = slice.filter(col("ts") < lit("2024-01-16").cast("timestamp"))
       def viewOf(df: DataFrame): DataFrame = df.groupBy(col("event_type"))
         .agg(min(col("value")).as("v_min"), max(col("value")).as("v_max"),
@@ -662,7 +663,7 @@ object EventQueries extends QueryPack {
       val t = Tables(spark, dir)
       TempWork.scoped("graft_e28_") { tmp =>
         val slice = t.events.filter(col("user_id") % 9 === 2)
-          .withColumn("bucket", pmod(col("user_id"), lit(8)).cast("int"))
+          .withColumn("bucket", pmod(col("user_id"), lit(4)).cast("int"))
         val cut = lit("2024-01-16").cast("timestamp")
         graft.sources.GenTable.upsertBatch(slice.filter(col("ts") < cut),
           tmp, "user_id", Seq("ts", "event_id"), "bucket")      // commit 1
@@ -691,7 +692,7 @@ object EventQueries extends QueryPack {
       TempWork.scoped("graft_e29_") { tmp =>
         val tableDir = s"$tmp/table"; val viewDir = s"$tmp/view"
         val slice = t.events.filter(col("user_id") % 9 === 4)
-          .withColumn("bucket", pmod(col("user_id"), lit(8)).cast("int"))
+          .withColumn("bucket", pmod(col("user_id"), lit(4)).cast("int"))
         val early = slice.filter(col("ts") < lit("2024-01-16").cast("timestamp"))
         graft.sources.GenTable.upsertBatch(early, tableDir, "user_id",
           Seq("ts", "event_id"), "bucket")                      // commit 1
@@ -776,7 +777,7 @@ object EventQueries extends QueryPack {
         val src = s"$tmp/src"; val rep = s"$tmp/replica"
         val ckpt = s"$tmp/ckpt"
         val slice = t.events.filter(col("user_id") % 9 === 7)
-          .withColumn("bucket", pmod(col("user_id"), lit(8)).cast("int"))
+          .withColumn("bucket", pmod(col("user_id"), lit(4)).cast("int"))
         val cut = lit("2024-01-16").cast("timestamp")
         def drain(): Unit = {
           val q = spark.readStream.format("gentable-cdc")
@@ -793,7 +794,7 @@ object EventQueries extends QueryPack {
                 .select("user_id")
               if (!dels.isEmpty)
                 graft.sources.GenTable.deleteKeys(dels, rep, "user_id",
-                  pmod(col("user_id"), lit(8)).cast("int"))
+                  pmod(col("user_id"), lit(4)).cast("int"))
               ()
             }.start()
           q.awaitTermination()
@@ -827,7 +828,7 @@ object EventQueries extends QueryPack {
         val src = s"$tmp/src"; val rep = s"$tmp/replica"
         val ckpt = s"$tmp/ckpt"
         val slice = t.events.filter(col("user_id") % 9 === 8)
-          .withColumn("bucket", pmod(col("user_id"), lit(8)).cast("int"))
+          .withColumn("bucket", pmod(col("user_id"), lit(4)).cast("int"))
         val cut = lit("2024-01-16").cast("timestamp")
         def replicate(): Unit = {
           val q = spark.readStream.format("gentable-cdc")
@@ -864,7 +865,7 @@ object EventQueries extends QueryPack {
       val t = Tables(spark, dir)
       TempWork.scoped("graft_e34_") { tmp =>
         val slice = t.events.filter(col("user_id") % 9 === 5)
-          .withColumn("bucket", pmod(col("user_id"), lit(8)).cast("int"))
+          .withColumn("bucket", pmod(col("user_id"), lit(4)).cast("int"))
         val cut = lit("2024-01-16").cast("timestamp")
         graft.sources.GenTable.upsertBatch(slice.filter(col("ts") < cut),
           tmp, "user_id", Seq("ts", "event_id"), "bucket")      // commit 1
@@ -889,7 +890,7 @@ object EventQueries extends QueryPack {
       val t = Tables(spark, dir)
       TempWork.scoped("graft_e35_") { tmp =>
         val slice = t.events.filter(col("user_id") % 5 === 3)
-          .withColumn("bucket", pmod(col("user_id"), lit(8)).cast("int"))
+          .withColumn("bucket", pmod(col("user_id"), lit(4)).cast("int"))
         val cut = lit("2024-01-12").cast("timestamp")
         graft.sources.GenTable.upsertBatch(slice.filter(col("ts") < cut),
           tmp, "user_id", Seq("ts", "event_id"), "bucket",
@@ -917,7 +918,7 @@ object EventQueries extends QueryPack {
       val t = Tables(spark, dir)
       TempWork.scoped("graft_e36_") { tmp =>
         val slice = t.events.filter(col("user_id") % 7 === 3)
-          .withColumn("bucket", pmod(col("user_id"), lit(8)).cast("int"))
+          .withColumn("bucket", pmod(col("user_id"), lit(4)).cast("int"))
         val cut = lit("2024-01-14").cast("timestamp")
         graft.sources.GenTable.upsertBatch(slice.filter(col("ts") < cut),
           tmp, "user_id", Seq("ts", "event_id"), "bucket")      // commit 1
@@ -944,7 +945,7 @@ object EventQueries extends QueryPack {
       val t = Tables(spark, dir)
       TempWork.scoped("graft_e37_") { tmp =>
         val slice = t.events.filter(col("user_id") % 7 === 5)
-          .withColumn("bucket", pmod(col("user_id"), lit(8)).cast("int"))
+          .withColumn("bucket", pmod(col("user_id"), lit(4)).cast("int"))
         val gates = Seq(
           "event_id_not_mod10" -> (pmod(col("event_id"), lit(10)) =!= 0),
           "not_click" -> (col("event_type") =!= "click"))
@@ -974,7 +975,7 @@ object EventQueries extends QueryPack {
       val t = Tables(spark, dir)
       TempWork.scoped("graft_e38_") { tmp =>
         val slice = t.events.filter(col("user_id") % 9 === 7)
-          .withColumn("bucket", pmod(col("user_id"), lit(8)).cast("int"))
+          .withColumn("bucket", pmod(col("user_id"), lit(4)).cast("int"))
         val cut = lit("2024-01-14").cast("timestamp")
         graft.sources.GenTable.upsertBatch(slice.filter(col("ts") < cut),
           tmp, "user_id", Seq("ts", "event_id"), "bucket")      // commit 1
@@ -1008,7 +1009,7 @@ object EventQueries extends QueryPack {
             col("ts") >= lit("2024-01-04").cast("timestamp") &&
             col("ts") < lit("2024-01-18").cast("timestamp"))
           .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
-          .withColumn("bucket", pmod(col("user_id"), lit(8)).cast("int"))
+          .withColumn("bucket", pmod(col("user_id"), lit(4)).cast("int"))
         graft.sources.GenTable.upsertBatch(slice, tmp, "event_id",
           Seq("ts"), "day", statsCols = Seq("event_id"))        // commit 1
         graft.sources.GenTable.repartitionTable(spark, tmp, "bucket") // 2
@@ -1032,7 +1033,7 @@ object EventQueries extends QueryPack {
       val t = Tables(spark, dir)
       TempWork.scoped("graft_e40_") { tmp =>
         val slice = t.events.filter(col("user_id") % 9 === 4)
-          .withColumn("bucket", pmod(col("user_id"), lit(8)).cast("int"))
+          .withColumn("bucket", pmod(col("user_id"), lit(4)).cast("int"))
         val cut = lit("2024-01-14").cast("timestamp")
         def save(df: org.apache.spark.sql.DataFrame): Unit =
           df.write.format("gentable")
@@ -1060,7 +1061,7 @@ object EventQueries extends QueryPack {
       val t = Tables(spark, dir)
       TempWork.scoped("graft_e41_") { tmp =>
         val slice = t.events.filter(col("user_id") % 9 === 5)
-          .withColumn("bucket", pmod(col("user_id"), lit(8)).cast("int"))
+          .withColumn("bucket", pmod(col("user_id"), lit(4)).cast("int"))
         val cut = lit("2024-01-14").cast("timestamp")
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy(col("user_id"))
@@ -1149,7 +1150,7 @@ object EventQueries extends QueryPack {
       val t = Tables(spark, dir)
       TempWork.scoped("graft_e44_") { tmp =>
         val slice = t.events.filter(col("user_id") % 9 === 3)
-          .withColumn("bucket", pmod(col("user_id"), lit(8)).cast("int"))
+          .withColumn("bucket", pmod(col("user_id"), lit(4)).cast("int"))
         graft.sources.GenTable.upsertBatch(slice, tmp, "event_id",
           Seq("ts"), "bucket")                                // commit 1
         graft.sources.GenTable.createOrReplaceView(spark, tmp, "e44_lake")
@@ -1224,7 +1225,7 @@ object EventQueries extends QueryPack {
       val t = Tables(spark, dir)
       TempWork.scoped("graft_e46_") { tmp =>
         val slice = t.events.filter(col("user_id") % 9 === 6)
-          .withColumn("bucket", pmod(col("user_id"), lit(8)).cast("int"))
+          .withColumn("bucket", pmod(col("user_id"), lit(4)).cast("int"))
         val cut = lit("2024-01-14").cast("timestamp")
         slice.filter(col("ts") < cut).write.format("gentable")
           .option("keyCol", "event_id").option("orderCols", "ts,event_id")
@@ -1286,12 +1287,28 @@ object EventQueries extends QueryPack {
             |FROM e47_src WHERE source = 'web'""".stripMargin) // commit 2
         spark.sql(
           "DELETE FROM gt47.corpus.docs WHERE n_chars < 200")  // commit 3
+        // additive schema evolution as SQL: ADD COLUMNS is a META-ONLY
+        // commit — no data file moves, every pre-alter row reads the new
+        // column null — then a backfill INSERT populates it for one
+        // source slice (the "evolve, then backfill" workflow)
         spark.sql(
-          """SELECT v1.lang, v1.n_docs_v1, cur.n_docs, cur.total_chars
+          "ALTER TABLE gt47.corpus.docs ADD COLUMNS (quality DOUBLE)"
+        )                                                      // commit 4
+        spark.sql(
+          """INSERT INTO gt47.corpus.docs
+            |  (doc_id, text, lang, source, n_chars, quality)
+            |SELECT doc_id + 200000000, text, lang, source, n_chars + 11,
+            |  CAST(n_chars + 500 AS DOUBLE)
+            |FROM e47_src WHERE source = 'src3'""".stripMargin) // commit 5
+        spark.sql(
+          """SELECT v1.lang, v1.n_docs_v1, cur.n_docs, cur.total_chars,
+            |  cur.n_scored, cur.avg_quality
             |FROM (SELECT lang, count(*) AS n_docs_v1
             |      FROM gt47.corpus.docs VERSION AS OF 1 GROUP BY lang) v1
             |LEFT JOIN (SELECT lang, count(*) AS n_docs,
-            |        CAST(sum(n_chars) AS BIGINT) AS total_chars
+            |        CAST(sum(n_chars) AS BIGINT) AS total_chars,
+            |        count(quality) AS n_scored,
+            |        avg(quality) AS avg_quality
             |      FROM gt47.corpus.docs GROUP BY lang) cur
             |  ON v1.lang = cur.lang""".stripMargin)
           .localCheckpoint(true)
@@ -1360,7 +1377,7 @@ object EventQueries extends QueryPack {
       val t = Tables(spark, dir)
       TempWork.scoped("graft_e49_") { tmp =>
         val slice = t.events.filter(col("user_id") % 9 === 4)
-          .withColumn("bucket", pmod(col("user_id"), lit(8)).cast("int"))
+          .withColumn("bucket", pmod(col("user_id"), lit(4)).cast("int"))
         graft.sources.GenTable.upsertBatch(slice, tmp, "event_id",
           Seq("ts"), "bucket")                                // commit 1
         graft.sources.GenTable.createOrReplaceView(spark, tmp, "e49_lake")
@@ -1597,7 +1614,7 @@ object EventQueries extends QueryPack {
     // the input split into micro-batches.
     "e11_streaming_upsert" ->
       """SELECT user_id, event_id, ts, event_type, value, props,
-        |  CAST(user_id % 8 AS INT) AS bucket
+        |  CAST(user_id % 4 AS INT) AS bucket
         |FROM (
         |  SELECT *, row_number() OVER (
         |      PARTITION BY user_id
@@ -1614,11 +1631,11 @@ object EventQueries extends QueryPack {
         |    trim(regexp_replace(regexp_replace(lower(text),
         |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS nt
         |  FROM documents),
-        |h AS (SELECT doc_id, nt FROM n WHERE doc_id < 250),
+        |h AS (SELECT doc_id, nt FROM n WHERE doc_id < 125),
         |b AS (SELECT doc_id + 100000 AS doc_id, nt FROM n
-        |    WHERE doc_id < 250 AND doc_id % 5 = 0
+        |    WHERE doc_id < 125 AND doc_id % 5 = 0
         |  UNION ALL
-        |  SELECT doc_id, nt FROM n WHERE doc_id >= 250 AND doc_id < 500)
+        |  SELECT doc_id, nt FROM n WHERE doc_id >= 125 AND doc_id < 250)
         |SELECT least(h.doc_id, b.doc_id) AS id_a,
         |  greatest(h.doc_id, b.doc_id) AS id_b,
         |  1.0 AS est_jaccard
@@ -1644,7 +1661,7 @@ object EventQueries extends QueryPack {
     // the replay split into micro-batches.
     "e21_atomic_upsert" ->
       """SELECT user_id, event_id, ts, event_type, value, props,
-        |  CAST(user_id % 8 AS INT) AS bucket
+        |  CAST(user_id % 4 AS INT) AS bucket
         |FROM (
         |  SELECT *, row_number() OVER (
         |      PARTITION BY user_id
@@ -1659,7 +1676,7 @@ object EventQueries extends QueryPack {
     "e22_gentable_cdc" ->
       """WITH slice AS (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
-        |    value, props, CAST(user_id % 8 AS INT) AS bucket
+        |    value, props, CAST(user_id % 4 AS INT) AS bucket
         |  FROM events WHERE user_id % 5 = 1),
         |s1 AS (
         |  SELECT user_id, event_id, ts, event_type, value, props, bucket FROM (
@@ -1755,7 +1772,7 @@ object EventQueries extends QueryPack {
       """SELECT user_id, event_id, ts, event_type, value,
         |  CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16'
         |    THEN value * 0.9 END AS value_eur,
-        |  CAST(user_id % 8 AS INT) AS bucket
+        |  CAST(user_id % 4 AS INT) AS bucket
         |FROM (
         |  SELECT *, row_number() OVER (
         |      PARTITION BY user_id
@@ -1798,7 +1815,7 @@ object EventQueries extends QueryPack {
     "e32_cdc_replica" ->
       """WITH slice AS (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
-        |    value, props, CAST(user_id % 8 AS INT) AS bucket
+        |    value, props, CAST(user_id % 4 AS INT) AS bucket
         |  FROM events WHERE user_id % 9 = 7),
         |s2 AS (
         |  SELECT user_id, event_id, ts, event_type, value, props, bucket FROM (
@@ -1814,7 +1831,7 @@ object EventQueries extends QueryPack {
     "e33_pipeline_replica" ->
       """WITH slice AS (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
-        |    value, props, CAST(user_id % 8 AS INT) AS bucket
+        |    value, props, CAST(user_id % 4 AS INT) AS bucket
         |  FROM events WHERE user_id % 9 = 8),
         |s2 AS (
         |  SELECT user_id, event_id, ts, event_type, value, props, bucket FROM (
@@ -1829,7 +1846,7 @@ object EventQueries extends QueryPack {
     "e34_time_travel" ->
       """SELECT user_id, event_id, ts, event_type, value, props, bucket FROM (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
-        |    value, props, CAST(user_id % 8 AS INT) AS bucket,
+        |    value, props, CAST(user_id % 4 AS INT) AS bucket,
         |    row_number() OVER (PARTITION BY user_id
         |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
         |  FROM events
@@ -1842,7 +1859,7 @@ object EventQueries extends QueryPack {
     "e35_metadata_agg" ->
       """WITH slice AS (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
-        |    CAST(user_id % 8 AS INT) AS bucket
+        |    CAST(user_id % 4 AS INT) AS bucket
         |  FROM events WHERE user_id % 5 = 3),
         |latest AS (
         |  SELECT * FROM (
@@ -1860,7 +1877,7 @@ object EventQueries extends QueryPack {
     "e36_restore" ->
       """SELECT user_id, event_id, ts, event_type, value, props, bucket FROM (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
-        |    value, props, CAST(user_id % 8 AS INT) AS bucket,
+        |    value, props, CAST(user_id % 4 AS INT) AS bucket,
         |    row_number() OVER (PARTITION BY user_id
         |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
         |  FROM events
@@ -1872,7 +1889,7 @@ object EventQueries extends QueryPack {
     "e37_expectations" ->
       """WITH passing AS (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
-        |    value, props, CAST(user_id % 8 AS INT) AS bucket
+        |    value, props, CAST(user_id % 4 AS INT) AS bucket
         |  FROM events
         |  WHERE user_id % 7 = 5 AND event_id % 10 != 0
         |    AND event_type IS DISTINCT FROM 'click')
@@ -1888,7 +1905,7 @@ object EventQueries extends QueryPack {
     "e38_history" ->
       """WITH slice AS (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
-        |    CAST(user_id % 8 AS INT) AS bucket
+        |    CAST(user_id % 4 AS INT) AS bucket
         |  FROM events WHERE user_id % 9 = 7),
         |s1 AS (
         |  SELECT * FROM (
@@ -1921,7 +1938,7 @@ object EventQueries extends QueryPack {
     "e39_partition_evolution" ->
       """SELECT user_id, event_id, ts, event_type, value, props,
         |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
-        |  CAST(user_id % 8 AS INT) AS bucket
+        |  CAST(user_id % 4 AS INT) AS bucket
         |FROM events
         |WHERE user_id % 9 = 2
         |  AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-04'
@@ -1931,7 +1948,7 @@ object EventQueries extends QueryPack {
     // the whole slice, exactly the upsert algebra.
     "e40_batch_write" ->
       """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
-        |  value, props, CAST(user_id % 8 AS INT) AS bucket
+        |  value, props, CAST(user_id % 4 AS INT) AS bucket
         |FROM (
         |  SELECT *, row_number() OVER (PARTITION BY user_id
         |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
@@ -1944,7 +1961,7 @@ object EventQueries extends QueryPack {
     "e41_merge" ->
       """WITH slice AS (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
-        |    value, props, CAST(user_id % 8 AS INT) AS bucket
+        |    value, props, CAST(user_id % 4 AS INT) AS bucket
         |  FROM events WHERE user_id % 9 = 5),
         |base AS (
         |  SELECT user_id, event_id, ts, event_type, value, props, bucket
@@ -1991,7 +2008,7 @@ object EventQueries extends QueryPack {
     "e44_sql_dml" ->
       """WITH slice AS (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
-        |    value, props, CAST(user_id % 8 AS INT) AS bucket
+        |    value, props, CAST(user_id % 4 AS INT) AS bucket
         |  FROM events WHERE user_id % 9 = 3),
         |d1 AS (
         |  SELECT * FROM slice
@@ -2038,7 +2055,7 @@ object EventQueries extends QueryPack {
     "e46_sql_insert" ->
       """WITH slice AS (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
-        |    value, props, CAST(user_id % 8 AS INT) AS bucket
+        |    value, props, CAST(user_id % 4 AS INT) AS bucket
         |  FROM events WHERE user_id % 9 = 6),
         |ins_new AS (
         |  SELECT user_id, event_id + 2000000000 AS event_id,
@@ -2054,7 +2071,9 @@ object EventQueries extends QueryPack {
         |UNION ALL SELECT * FROM ins_repl
         |UNION ALL SELECT * FROM ins_new""".stripMargin,
     // e47: version 1 is the CTAS select itself; the head is that plus
-    // the INSERT batch minus the DELETE predicate
+    // the INSERT batch minus the DELETE predicate, then an ADD COLUMNS
+    // (old rows read null) plus a scored backfill batch — quality values
+    // are whole-number doubles, so sum/avg are exact and order-free
     "e47_catalog_timetravel" ->
       """WITH src AS (
         |  SELECT doc_id, text, lang, source, n_chars FROM documents),
@@ -2065,11 +2084,20 @@ object EventQueries extends QueryPack {
         |  UNION ALL
         |  SELECT doc_id + 100000000, text, lang, source, n_chars + 7
         |  FROM src WHERE source = 'web'),
+        |cur1 AS (
+        |  SELECT doc_id, lang, n_chars, CAST(NULL AS DOUBLE) AS quality
+        |  FROM cur0 WHERE n_chars >= 200
+        |  UNION ALL
+        |  SELECT doc_id + 200000000, lang, n_chars + 11,
+        |    CAST(n_chars + 500 AS DOUBLE)
+        |  FROM src WHERE source = 'src3'),
         |cur AS (
         |  SELECT lang, count(*) AS n_docs,
-        |    CAST(sum(n_chars) AS BIGINT) AS total_chars
-        |  FROM cur0 WHERE n_chars >= 200 GROUP BY lang)
-        |SELECT v1.lang, v1.n_docs_v1, cur.n_docs, cur.total_chars
+        |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |    count(quality) AS n_scored, avg(quality) AS avg_quality
+        |  FROM cur1 GROUP BY lang)
+        |SELECT v1.lang, v1.n_docs_v1, cur.n_docs, cur.total_chars,
+        |  cur.n_scored, cur.avg_quality
         |FROM v1 LEFT JOIN cur ON v1.lang = cur.lang""".stripMargin,
     // e48: the day-region algebra — days before 2024-01-10 and days
     // 2024-01-11..12 untouched, 2024-01-10 restated (value*10), days >=
@@ -2100,7 +2128,7 @@ object EventQueries extends QueryPack {
     "e49_merge_partial" ->
       """WITH slice AS (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
-        |    event_type, value, props, CAST(user_id % 8 AS INT) AS bucket
+        |    event_type, value, props, CAST(user_id % 4 AS INT) AS bucket
         |  FROM events WHERE user_id % 9 = 4),
         |src AS (
         |  SELECT user_id,
