@@ -629,16 +629,14 @@ object SimilaritySearch {
   def pqEncode(df: DataFrame, vecCol: String,
       codebooks: Array[Array[Array[Float]]]): DataFrame = {
     graft.plans.GraftExtensions.register(df.sparkSession)
-    val subDim = codebooks(0)(0).length
-    val codeCols = codebooks.indices.map { s =>
-      val sub = slice(col(vecCol), s * subDim + 1, subDim)
-      val dists = array(codebooks(s).map { c =>
-        val cnsq = c.map(x => x.toDouble * x).sum
-        graft.plans.GraftExtensions.vectorDot(sub, lit(c)) * lit(-2.0) + lit(cnsq)
-      }: _*)
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    }
-    df.withColumn("_codes", array(codeCols: _*))
+    // r16: native kernel. The previous formulation composed m·ksub
+    // vector_dot-over-literal columns (1,024 at the registered grid) into
+    // one projection whose generated class Janino could not compile —
+    // every encode paid a failed-compile attempt and ran interpreted.
+    // pq_encode is the same arithmetic (bit-equal, pinned in
+    // NativeExprSpec) in one tight codegen'd loop.
+    df.withColumn("_codes",
+      graft.plans.GraftExtensions.pqEncode(col(vecCol), codebooks))
   }
 
   /** Approximate top-k via PQ asymmetric-distance computation with exact
@@ -737,15 +735,12 @@ object SimilaritySearch {
   private def pqQueries(queries: DataFrame, idCol: String, vecCol: String,
       codebooks: Array[Array[Array[Float]]],
       keep: Seq[String] = Nil): DataFrame = {
-    val subDim = codebooks(0)(0).length
-    val tableEntries = codebooks.indices.flatMap { s =>
-      val sub = slice(col("q_vec"), s * subDim + 1, subDim)
-      codebooks(s).map(c => graft.plans.GraftExtensions.vectorDot(sub, lit(c)))
-    }
+    // r16: native kernel — same dots, one expression (see pqEncode's note)
     queries
       .select(col(idCol).as("query_id") +: col(vecCol).as("q_vec") +:
         keep.map(col): _*)
-      .withColumn("_tbl", array(tableEntries: _*))
+      .withColumn("_tbl",
+        graft.plans.GraftExtensions.pqAdcTable(col("q_vec"), codebooks))
       .withColumn("_qnorm",
         sqrt(graft.plans.GraftExtensions.vectorDot(col("q_vec"), col("q_vec"))))
   }

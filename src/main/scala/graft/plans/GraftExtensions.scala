@@ -26,6 +26,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.bloomAggDescriptor)
     ext.injectFunction(GraftExtensions.bloomMightContainDescriptor)
     ext.injectFunction(GraftExtensions.unicodeNormalizeDescriptor)
+    ext.injectFunction(GraftExtensions.pqEncodeDescriptor)
+    ext.injectFunction(GraftExtensions.pqAdcTableDescriptor)
     // SQL table functions for the lake's operational plane (history /
     // CDC diff / disk audit as relations — see GenTableTvf)
     GraftExtensions.tableFunctions.foreach(ext.injectTableFunction)
@@ -114,6 +116,41 @@ object GraftExtensions {
       Int8Cosine(children.head, children(1))
     })
 
+  // PQ kernels take their codebook as a CONSTANT (it is driver-trained,
+  // KB-sized, and the same for every row): the builder folds the literal
+  // arguments once so the expression carries plain arrays instead of
+  // m·ksub literal columns (the formulation whose generated code exceeded
+  // what Janino can compile — see PqCodec's scaladoc).
+  private def pqArgs(name: String,
+      children: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : (org.apache.spark.sql.catalyst.expressions.Expression, Array[Float], Int, Int) = {
+    require(children.size == 4,
+      s"$name(vec, flat_codebook, m, ksub) takes exactly 4 arguments")
+    require(children.drop(1).forall(_.foldable),
+      s"$name codebook/m/ksub must be constants")
+    val flat = children(1).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toFloatArray()
+    val m = children(2).eval(null).asInstanceOf[Int]
+    val ksub = children(3).eval(null).asInstanceOf[Int]
+    (children.head, flat, m, ksub)
+  }
+
+  private val pqEncodeDescriptor = (
+    FunctionIdentifier("pq_encode"),
+    new ExpressionInfo(classOf[graft.functions.PqEncode].getName, "pq_encode"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      val (vec, flat, m, ksub) = pqArgs("pq_encode", children)
+      graft.functions.PqEncode(vec, flat, m, ksub)
+    })
+
+  private val pqAdcTableDescriptor = (
+    FunctionIdentifier("pq_adc_table"),
+    new ExpressionInfo(classOf[graft.functions.PqAdcTable].getName, "pq_adc_table"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      val (vec, flat, m, ksub) = pqArgs("pq_adc_table", children)
+      graft.functions.PqAdcTable(vec, flat, m, ksub)
+    })
+
   private val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
         org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
@@ -193,6 +230,14 @@ object GraftExtensions {
       "unicode_normalize",
       children => unicodeNormalizeDescriptor._3(children),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pq_encode",
+      children => pqEncodeDescriptor._3(children),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pq_adc_table",
+      children => pqAdcTableDescriptor._3(children),
+      "built-in")
   }
 
   /** Column-API access to the native expressions (requires `register`). */
@@ -207,4 +252,19 @@ object GraftExtensions {
   /** Unicode canonical normalization; form one of NFC/NFD/NFKC/NFKD. */
   def unicodeNormalize(c: Column, form: String = "NFC"): Column =
     call_function("unicode_normalize", c, org.apache.spark.sql.functions.lit(form))
+
+  /** PQ codes / per-query ADC table over a driver-trained codebook
+    * (`codebooks(s)(j)(i)`, flattened s-major). See [[graft.functions.PqEncode]].
+    */
+  def pqEncode(vec: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    call_function("pq_encode", vec,
+      org.apache.spark.sql.functions.lit(codebooks.flatten.flatten),
+      org.apache.spark.sql.functions.lit(codebooks.length),
+      org.apache.spark.sql.functions.lit(codebooks(0).length))
+
+  def pqAdcTable(vec: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    call_function("pq_adc_table", vec,
+      org.apache.spark.sql.functions.lit(codebooks.flatten.flatten),
+      org.apache.spark.sql.functions.lit(codebooks.length),
+      org.apache.spark.sql.functions.lit(codebooks(0).length))
 }

@@ -6,7 +6,7 @@ import scala.collection.mutable
 /** Dev scratch (round 16): per-Spark-job wall breakdown of one query —
   * where inside a lifecycle gate the seconds actually go. Not API.
   *
-  * Usage: runMain graft.tools.ProfileJobs16 <sfDir> <query> [reps]
+  * Usage: runMain graft.tools.ProfileJobs16 <sfDir> <query[,query...]> [reps]
   * Prints one line per job (duration, #tasks, description/callsite) plus
   * the closure-build vs count split, to /tmp/profile_jobs.out.
   */
@@ -37,8 +37,8 @@ object ProfileJobs16 {
       }
     })
 
-    val fn = graft.SparkEntry.queries(qname)
-    for (rep <- 1 to reps) {
+    for (q <- qname.split(',').toSeq; rep <- 1 to reps) {
+      val fn = graft.SparkEntry.queries(q)
       jobs.synchronized(jobs.clear())
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)
@@ -47,7 +47,7 @@ object ProfileJobs16 {
       val tCount = System.nanoTime()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
-      out.println(f"== $qname rep$rep rows=$n build=${(tBuild - t0) / 1e9}%.3f s count=${(tCount - tBuild) / 1e9}%.3f s total=${(tCount - t0) / 1e9}%.3f s")
+      out.println(f"== $q rep$rep rows=$n build=${(tBuild - t0) / 1e9}%.3f s count=${(tCount - tBuild) / 1e9}%.3f s total=${(tCount - t0) / 1e9}%.3f s")
       jobs.synchronized {
         val js = jobs.values.toSeq
         val totalJob = js.filter(_.t1 > 0).map(j => j.t1 - j.t0).sum

@@ -142,4 +142,51 @@ class NativeExprSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project"), plan)
   }
+
+  test("pq_encode / pq_adc_table are bit-equal to the composed vector_dot formulation") {
+    GraftExtensions.register(spark)
+    val emb = graft.sources.Tables(spark, sf).embeddings
+    val cb = SimilaritySearch.trainPqCodebooks(emb, "vec_id", "embedding",
+      m = 16, ksub = 64)
+    val subDim = cb(0)(0).length
+    // the ORIGINAL pre-r16 composed formulation, verbatim: m·ksub
+    // vector_dot(slice, literal) columns, argmin via array_position of
+    // array_min, ADC table via array(...). Its generated class fails
+    // Janino (the r16 motivation) so it runs interpreted here — fine for
+    // a pin, fatal for the corpus path.
+    val oldCodes = {
+      val codeCols = cb.indices.map { s =>
+        val sub = slice(col("embedding"), s * subDim + 1, subDim)
+        val dists = array(cb(s).map { c =>
+          val cnsq = c.map(x => x.toDouble * x).sum
+          GraftExtensions.vectorDot(sub, lit(c)) * lit(-2.0) + lit(cnsq)
+        }: _*)
+        (array_position(dists, array_min(dists)) - 1).cast("int")
+      }
+      array(codeCols: _*)
+    }
+    val oldTbl = array(cb.indices.flatMap { s =>
+      val sub = slice(col("embedding"), s * subDim + 1, subDim)
+      cb(s).map(c => GraftExtensions.vectorDot(sub, lit(c)))
+    }: _*)
+    val diff = emb.limit(200)
+      .withColumn("_old_codes", oldCodes)
+      .withColumn("_new_codes", GraftExtensions.pqEncode(col("embedding"), cb))
+      .withColumn("_old_tbl", oldTbl)
+      .withColumn("_new_tbl", GraftExtensions.pqAdcTable(col("embedding"), cb))
+      .agg(
+        count(when(col("_old_codes") =!= col("_new_codes"), 1)).as("code_diff"),
+        // exact double equality, element-wise — bit-equal, not approximate
+        count(when(col("_old_tbl") =!= col("_new_tbl"), 1)).as("tbl_diff"))
+      .head
+    assert(diff.getLong(0) == 0L, "pq_encode codes diverge from the composed formulation")
+    assert(diff.getLong(1) == 0L, "pq_adc_table diverges from the composed formulation")
+    // null vector propagates
+    assert(emb.limit(1).select(GraftExtensions.pqEncode(
+      lit(null).cast("array<float>"), cb)).head.isNullAt(0))
+    // the kernel stays inside whole-stage codegen (the point of the change)
+    val plan = emb.select(GraftExtensions.pqEncode(col("embedding"), cb))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+  }
 }
