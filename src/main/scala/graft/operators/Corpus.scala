@@ -188,6 +188,18 @@ object Corpus {
       .select(col(idCol), explode(shingles(col("_toks"), n)).as("gram"))
   }
 
+  /** The `(idCol, gram)` frame the contamination operators explode
+    * internally — exposed so a caller running SEVERAL probes over the same
+    * training frame (the c08 shape: merged-store probe, one-shot probe,
+    * exact join) can tokenize ONCE, `localCheckpoint` the grams, and pass
+    * them to each probe instead of re-paying normalize+tokenize+shingle
+    * per probe (r16: the profile showed 10 gram passes in one query).
+    * Recompute-per-probe remains the default — sharing is the caller's
+    * call, because the materialized gram frame is corpus-sized.
+    */
+  def tokenNgrams(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 13): DataFrame = ngramFrame(df, idCol, textCol, n)
+
   /** Build a bloom over a long column at the REQUESTED size. Spark 4's
     * `stat.bloomFilter` routes through `BloomFilterAggregate`, whose
     * numBits silently clamp to
@@ -229,11 +241,12 @@ object Corpus {
   }
 
   def contaminationFlags(train: DataFrame, evalSet: DataFrame,
-      idCol: String, textCol: String, n: Int = 13): DataFrame = {
+      idCol: String, textCol: String, n: Int = 13,
+      trainGrams: Option[DataFrame] = None): DataFrame = {
     require(n > 0, "n must be positive")
     def grams(df: DataFrame) = ngramFrame(df, idCol, textCol, n)
     val evalGrams = grams(evalSet).select(col("gram")).distinct()
-    val hits = grams(train)
+    val hits = trainGrams.getOrElse(grams(train))
       .join(broadcast(evalGrams), Seq("gram"))
       .select(col(idCol)).distinct()
       .withColumn("contaminated", lit(true))
@@ -310,19 +323,25 @@ object Corpus {
     require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
     graft.plans.GraftExtensions.register(train.sparkSession)
     val salt = lit("graft-bloom-2nd-key")
+    // pinned once: the sizing count and both filter builds read these
+    // (same 3-passes→1 rationale as contaminationStore)
     val evalHashes = ngramFrame(evalSet, idCol, textCol, n)
       .select(xxhash64(col("gram")).as("h1"),
         xxhash64(salt, col("gram")).as("h2")).distinct()
-    val nGrams = expectedGrams.getOrElse(evalHashes.count())
+      .localCheckpoint(true)
+    val (bf1, bf2) = try {
+      val nGrams = expectedGrams.getOrElse(evalHashes.count())
+      if (nGrams == 0L) // empty eval set: nothing can be contaminated
+        return train.select(col(idCol)) // finally still unpersists
+          .withColumn("contaminated", lit(false))
+      def filterBytes(colName: String): Array[Byte] = {
+        val bos = new java.io.ByteArrayOutputStream()
+        sizedBloomFilter(evalHashes, colName, nGrams, fpp).writeTo(bos)
+        bos.toByteArray
+      }
+      (filterBytes("h1"), filterBytes("h2"))
+    } finally evalHashes.unpersist()
     val base = train.select(col(idCol))
-    if (nGrams == 0L) // empty eval set: nothing can be contaminated
-      return base.withColumn("contaminated", lit(false))
-    def filterBytes(colName: String): Array[Byte] = {
-      val bos = new java.io.ByteArrayOutputStream()
-      sizedBloomFilter(evalHashes, colName, nGrams, fpp).writeTo(bos)
-      bos.toByteArray
-    }
-    val (bf1, bf2) = (filterBytes("h1"), filterBytes("h2"))
     val flagged = ngramFrame(train, idCol, textCol, n)
       .filter(
         call_function("bloom_might_contain", lit(bf1), xxhash64(col("gram"))) &&
@@ -357,21 +376,28 @@ object Corpus {
     require(n > 0 && capacity > 0, "need positive n and capacity")
     val spark = evalSet.sparkSession
     val salt = lit("graft-bloom-2nd-key")
+    // materialize the distinct hashes ONCE: the count and BOTH filter
+    // builds read them, and without pinning each action re-pays the
+    // normalize+tokenize+shingle+shuffle pipeline (r16: 3 passes → 1).
+    // The frame is the eval side's distinct hashes — small by definition.
     val evalHashes = ngramFrame(evalSet, idCol, textCol, n)
       .select(xxhash64(col("gram")).as("h1"),
         xxhash64(salt, col("gram")).as("h2")).distinct()
-    val nGrams = evalHashes.count()
-    require(nGrams <= capacity,
-      s"eval batch has $nGrams distinct grams > capacity $capacity — " +
-        "an overfilled bloom degrades silently; raise the budget")
-    def bytesOf(c: String): Array[Byte] = {
-      val bos = new java.io.ByteArrayOutputStream()
-      sizedBloomFilter(evalHashes, c, capacity, fpp).writeTo(bos)
-      bos.toByteArray
-    }
-    import spark.implicits._
-    Seq((bytesOf("h1"), bytesOf("h2"), capacity, nGrams))
-      .toDF("bf1", "bf2", "capacity", "n_grams")
+      .localCheckpoint(true)
+    try {
+      val nGrams = evalHashes.count()
+      require(nGrams <= capacity,
+        s"eval batch has $nGrams distinct grams > capacity $capacity — " +
+          "an overfilled bloom degrades silently; raise the budget")
+      def bytesOf(c: String): Array[Byte] = {
+        val bos = new java.io.ByteArrayOutputStream()
+        sizedBloomFilter(evalHashes, c, capacity, fpp).writeTo(bos)
+        bos.toByteArray
+      }
+      import spark.implicits._
+      Seq((bytesOf("h1"), bytesOf("h2"), capacity, nGrams))
+        .toDF("bf1", "bf2", "capacity", "n_grams")
+    } finally evalHashes.unpersist()
   }
 
   /** OR-merge two same-capacity stores (A-then-B == one build over A∪B;
@@ -404,12 +430,13 @@ object Corpus {
     * broadcasts, map-only gram filter, one distinct).
     */
   def bloomFlagsFromStore(train: DataFrame, store: DataFrame,
-      idCol: String, textCol: String, n: Int = 13): DataFrame = {
+      idCol: String, textCol: String, n: Int = 13,
+      trainGrams: Option[DataFrame] = None): DataFrame = {
     graft.plans.GraftExtensions.register(train.sparkSession)
     val row = store.head // one bounded row: the filter bytes
     val (bf1, bf2) = (row.getAs[Array[Byte]]("bf1"), row.getAs[Array[Byte]]("bf2"))
     val salt = lit("graft-bloom-2nd-key")
-    val flagged = ngramFrame(train, idCol, textCol, n)
+    val flagged = trainGrams.getOrElse(ngramFrame(train, idCol, textCol, n))
       .filter(
         call_function("bloom_might_contain", lit(bf1), xxhash64(col("gram"))) &&
         call_function("bloom_might_contain", lit(bf2), xxhash64(salt, col("gram"))))

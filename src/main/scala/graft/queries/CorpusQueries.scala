@@ -100,11 +100,19 @@ object CorpusQueries extends QueryPack {
         Corpus.contaminationStore(evalA, "doc_id", "text", capacity = cap),
         Corpus.contaminationStore(evalB, "doc_id", "text", capacity = cap))
       val oneShot = Corpus.contaminationStore(evalAll, "doc_id", "text", capacity = cap)
-      val fromMerged = Corpus.bloomFlagsFromStore(train, merged, "doc_id", "text")
+      // tokenize the train side ONCE for all three probes (merged-store,
+      // one-shot-store, exact) — the r16 profile showed each probe
+      // re-paying the normalize+tokenize+shingle pipeline (guide §1.2)
+      val trainGrams = Some(Corpus.tokenNgrams(train, "doc_id", "text")
+        .localCheckpoint(true))
+      val fromMerged = Corpus.bloomFlagsFromStore(train, merged, "doc_id", "text",
+        trainGrams = trainGrams)
         .withColumnRenamed("contaminated", "merged_flag")
-      val fromOneShot = Corpus.bloomFlagsFromStore(train, oneShot, "doc_id", "text")
+      val fromOneShot = Corpus.bloomFlagsFromStore(train, oneShot, "doc_id", "text",
+        trainGrams = trainGrams)
         .withColumnRenamed("contaminated", "oneshot_flag")
-      val exact = Corpus.contaminationFlags(train, evalAll, "doc_id", "text")
+      val exact = Corpus.contaminationFlags(train, evalAll, "doc_id", "text",
+        trainGrams = trainGrams)
         .withColumnRenamed("contaminated", "exact_flag")
       exact.join(fromMerged, Seq("doc_id")).join(fromOneShot, Seq("doc_id"))
         .agg(

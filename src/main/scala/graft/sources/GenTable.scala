@@ -1360,7 +1360,13 @@ object GenTable {
   private def stagePinned(rows: DataFrame, dir: String,
       partitionCol: PartitionCols, prev: Commit,
       statsCols: Seq[String], bloomCols: Seq[String],
-      bloomExpectedItems: Long): Commit = {
+      bloomExpectedItems: Long,
+      // r16: when the caller already knows the staged frame's partition
+      // set (upsertBatch derives it from the batch before reading the
+      // existing partitions), passing it skips one distinct+collect job
+      // per commit. MUST be exactly the frame's partition set — the
+      // commit maps are keyed on it.
+      touchedOpt: Option[Seq[String]] = None): Commit = {
     val (f, root) = fsRoot(dir)
     val pcols = partitionCol.cols
     require(prev.partitionCols == pcols,
@@ -1385,7 +1391,7 @@ object GenTable {
     val newGen = prev.tableGen + 1
     // NULL partition values are refused inside touchedKeys — fail loud
     // before any file lands
-    val touched = touchedKeys(rows, pcols)
+    val touched = touchedOpt.getOrElse(touchedKeys(rows, pcols))
     requireUncommitted(dir, touched, newGen)
     touched.foreach { k =>
       val orphan = genDir(root, pcols, k, newGen)
@@ -1752,17 +1758,29 @@ object GenTable {
         .fold(batch)(_.unionByName(batch, allowMissingColumns = true))
         .withColumn("_rn", row_number().over(w))
         .filter(col("_rn") === 1).drop("_rn")
-      // materialize before staging: `merged` lazily reads committed files
-      // of the SAME table; staging appends new paths, so unlike the
-      // dynamic-overwrite sink nothing is overwritten — but freezing the
-      // merge keeps the read set independent of writer progress.
-      val frozen = merged.localCheckpoint(true)
+      // Materialize before staging ONLY when staging reads the frame more
+      // than once (tracked stats/bloom sidecars re-aggregate it after the
+      // write). The committed inputs are immutable and `readPaths` pins
+      // explicit gen<=N paths while staging appends gen=N+1 files, so a
+      // single-consumer merge is safe to compute inside the write job
+      // itself — r16: this drops one materialize+reread cycle from every
+      // untracked upsert commit (most of the e-family lifecycle).
+      // row_number's order is total per key (orderCols is the caller's
+      // uniqueness contract), so a retried write task re-derives the
+      // identical winner.
+      val reused =
+        (statsCols ++ prev.trackedStatsCols).distinct
+          .exists(merged.columns.contains) ||
+        (bloomCols ++ bloomTrackOf(prev)).distinct
+          .exists(merged.columns.contains)
+      val frozen = if (reused) merged.localCheckpoint(true) else merged
       try {
         // test hook: deterministically publish a concurrent writer in the
         // pre-stage window (the orphan-delete guard's scenario)
         preStageHook.foreach { h => preStageHook = None; h() }
         val staged = stagePinned(frozen, dir, partitionCol, prev,
-          statsCols, bloomCols, bloomExpectedItems)
+          statsCols, bloomCols, bloomExpectedItems,
+          touchedOpt = Some(touchedVals.toSeq.sorted))
         // test hook: deterministically interleave another writer between
         // stage and publish (the OCC conflict window)
         interleaveHook.foreach { h => interleaveHook = None; h() }
@@ -2498,11 +2516,18 @@ object GenTable {
     * every partition a change names; cost follows the churn. Same
     * stable-partition-per-key contract as [[upsertBatch]].
     */
-  def applyCdcBatch(diff: DataFrame, dir: String, keyCol: String,
+  def applyCdcBatch(diff0: DataFrame, dir: String, keyCol: String,
       partitionCol: PartitionCols, changeCol: String = "_change",
       extraMeta: Map[String, String] = Map.empty): Unit = {
-    val spark = diff.sparkSession
+    val spark = diff0.sparkSession
     val pcols = partitionCol.cols
+    // r16: pin the batch ONCE — `diff0` is typically the CDC source's
+    // manifest-diff subtree (two snapshot reads + a full-outer compare),
+    // and without pinning every consumer below (the empty probe, the
+    // touched-partition collect, the merge union, the delete-key set)
+    // re-ran it. Churn-sized by definition of a CDC batch.
+    val diff = diff0.localCheckpoint(true)
+    try {
     val ups = diff.filter(col(changeCol) =!= "delete").drop(changeCol)
     val dels = diff.filter(col(changeCol) === "delete")
     val head = readCommit(dir)
@@ -2551,6 +2576,7 @@ object GenTable {
         commitRewrite(spark, dir, c, touchedVals, survivors,
           opMeta("cdc_apply") ++ extraMeta)
     }
+    } finally diff.unpersist()
   }
 
   /** What a [[merge]] did, by MERGE arm: matched-and-updated,

@@ -479,19 +479,25 @@ object EventStreams {
         if (touched.nonEmpty) {
           // only a missing table (first batch ever) may be treated as
           // empty — any other read failure must abort the batch, or the
-          // dynamic overwrite would silently drop previously merged rows
-          val existing =
-            try spark.read.parquet(outDir).filter(col(partitionCol).isin(touched: _*))
+          // dynamic overwrite would silently drop previously merged rows.
+          // r16: the missing-table case is a DRIVER fact (the analysis
+          // exception), not a data fact — the previous `existing.isEmpty`
+          // probe ran an extra executeTake job over the filtered table
+          // every batch, and a union with zero matching rows merges
+          // identically anyway.
+          val existingOpt =
+            try Some(spark.read.parquet(outDir)
+              .filter(col(partitionCol).isin(touched: _*)))
             catch {
               case e: org.apache.spark.sql.AnalysisException
-                  if e.getCondition == "PATH_NOT_FOUND" => spark.emptyDataFrame
+                  if e.getCondition == "PATH_NOT_FOUND" => None
             }
           // dedup applies to the FIRST batch too: a catch-up micro-batch
           // can carry several rows per key on its own
           import org.apache.spark.sql.expressions.Window
           val w = Window.partitionBy(col(keyCol))
             .orderBy(orderCols.map(col(_).desc): _*)
-          val merged = (if (existing.isEmpty) batch else existing.unionByName(batch))
+          val merged = existingOpt.fold(batch)(_.unionByName(batch))
             .withColumn("_rn", row_number().over(w))
             .filter(col("_rn") === 1).drop("_rn")
           // materialize before the overwrite — `merged` lazily reads the
