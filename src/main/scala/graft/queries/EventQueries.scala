@@ -496,7 +496,13 @@ object EventQueries extends QueryPack {
         col("user_id") % 20 =!= 1)
       graft.sources.GenTable.upsertBatch(early, tmp, "user_id",
         Seq("ts", "event_id"), "bucket")                        // commit 1
-      graft.sources.GenTable.upsertBatch(slice.exceptAll(early), tmp, "user_id",
+      // r16: the late batch is early's complement — `exceptAll` paid a
+      // full two-sided all-columns shuffle for what the negated filter
+      // computes exactly (ts/user_id are non-null, so the predicate never
+      // evaluates NULL and the multisets are equal; oracle re-verified)
+      graft.sources.GenTable.upsertBatch(
+        slice.filter(col("ts") >= lit("2024-01-08").cast("timestamp") ||
+          col("user_id") % 20 === 1), tmp, "user_id",
         Seq("ts", "event_id"), "bucket")                        // commit 2
       graft.sources.GenTable.deleteWhere(spark, tmp,
         col("event_type") === "click")                          // commit 3
@@ -547,7 +553,10 @@ object EventQueries extends QueryPack {
       val early = slice.filter(col("ts") < lit("2024-01-11").cast("timestamp"))
       graft.sources.GenTable.upsertBatch(early, tmp, "user_id",
         Seq("ts", "event_id"), "bucket")                        // commit 1
-      graft.sources.GenTable.upsertBatch(slice.exceptAll(early), tmp, "user_id",
+      // r16: early's complement via negated filter, not exceptAll (see e22)
+      graft.sources.GenTable.upsertBatch(
+        slice.filter(col("ts") >= lit("2024-01-11").cast("timestamp")),
+        tmp, "user_id",
         Seq("ts", "event_id"), "bucket")                        // commit 2
       val view1 = graft.sources.GenTable.readAt(spark, tmp, 1L).get
         .groupBy(col("event_type"))
@@ -603,7 +612,8 @@ object EventQueries extends QueryPack {
         Seq("ts", "event_id"), "bucket")                        // commit 1
       graft.operators.RollupStore.maintainView(spark, tableDir, viewDir,
         "user_id", "event_type", "value")                       // bootstrap
-      graft.sources.GenTable.upsertBatch(slice.exceptAll(early), tableDir,
+      graft.sources.GenTable.upsertBatch( // r16: see e22 — complement by filter
+        slice.filter(col("ts") >= lit("2024-01-16").cast("timestamp")), tableDir,
         "user_id", Seq("ts", "event_id"), "bucket")             // commit 2
       graft.sources.GenTable.deleteWhere(spark, tableDir,
         col("event_type") === "error")                          // commit 3
@@ -638,7 +648,8 @@ object EventQueries extends QueryPack {
         Seq("ts", "event_id"), "bucket")                        // commit 1
       graft.operators.RollupStore.maintainViewByGroups(spark, tableDir,
         viewDir, "user_id", "event_type", viewOf)               // bootstrap
-      graft.sources.GenTable.upsertBatch(slice.exceptAll(early), tableDir,
+      graft.sources.GenTable.upsertBatch( // r16: see e22 — complement by filter
+        slice.filter(col("ts") >= lit("2024-01-16").cast("timestamp")), tableDir,
         "user_id", Seq("ts", "event_id"), "bucket")             // commit 2
       graft.sources.GenTable.deleteWhere(spark, tableDir,
         col("value") > 50)                                      // commit 3
@@ -698,7 +709,8 @@ object EventQueries extends QueryPack {
           Seq("ts", "event_id"), "bucket")                      // commit 1
         graft.operators.RollupStore.maintainViewMixed(spark, tableDir,
           viewDir, "user_id", "event_type", "value")            // bootstrap
-        graft.sources.GenTable.upsertBatch(slice.exceptAll(early), tableDir,
+        graft.sources.GenTable.upsertBatch( // r16: see e22 — complement by filter
+        slice.filter(col("ts") >= lit("2024-01-16").cast("timestamp")), tableDir,
           "user_id", Seq("ts", "event_id"), "bucket")           // commit 2
         graft.sources.GenTable.deleteWhere(spark, tableDir,
           col("value") > 150)                                   // commit 3
