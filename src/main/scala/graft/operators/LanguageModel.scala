@@ -172,6 +172,9 @@ object LanguageModel {
     val toks = docs
       .select(col(idCol).as("id"), tokens(normalizeText(col(textCol))).as("toks"))
       .filter(size(col("toks")) > 0)
+      // r16: BOTH legs (document-initial token + adjacent pairs) read this
+      // frame; unpinned, each re-paid the normalize+tokenize pass
+      .localCheckpoint(true)
     val first = toks
       .select(col("id"), element_at(col("toks"), 1).as("tok"))
       .join(m.uniLp, Seq("tok"), "left")
