@@ -24,6 +24,17 @@ object Sessions {
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // r16, guide §2.2: size post-shuffle partitions by BYTES, not by
+      // core count. The default parallelismFirst=true keeps one reduce
+      // partition per core however tiny the shuffle — on this workload's
+      // many small exchanges that is 32 micro-tasks (scheduling overhead)
+      // where the advisory size wants 1-2. Bytes-derived coalescing is
+      // the scale-adaptive setting: a 100 TB shuffle still gets its
+      // thousands of advisory-sized partitions, a KB-sized one stops
+      // paying 32 task dispatches. (Spark docs recommend exactly this
+      // when scheduling overhead matters; partition count stays bounded
+      // below by no constant, so no local[32]-only tuning is involved.)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
@@ -70,6 +81,11 @@ object Sessions {
     // assume it at 100 TB.
     "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
     "spark.sql.adaptive.enabled" -> "true",
+    // bytes-derived post-shuffle sizing (guide §2.2/§9): partitions in
+    // the 100 MB-1 GB band beat one-per-core micro-partitions both here
+    // and at cluster scale; advisory 256m per the guide's starting conf
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "256m",
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.sources.partitionOverwriteMode" -> "dynamic",
