@@ -1155,9 +1155,16 @@ object Corpus {
     val feats = docs
       .select(col(idCol), isTargetCol.as("_is_t"),
         explode(dsirBuckets(col(textCol), bucketHexLen)).as("_bk"))
+    // r16: pin the bucket-count table — it is BUCKET-SPACE sized (2^(4·hexLen)
+    // rows, 256 at the default), yet unpinned the totals row and the LLR
+    // table each re-ran the corpus-sized explode+aggregate behind it
+    // (4 feature passes where 2 suffice; the feature frame itself stays
+    // unpinned deliberately — materializing corpus × grams is the wrong
+    // trade at scale, recomputing the map-only explode is not)
     val cnt = feats.groupBy(col("_bk")).agg(
       sum(when(col("_is_t"), lit(1L)).otherwise(lit(0L))).as("_ct"),
       sum(when(col("_is_t"), lit(0L)).otherwise(lit(1L))).as("_cr"))
+      .localCheckpoint(true)
     val tot = cnt.agg(sum(col("_ct")).as("_tt"), sum(col("_cr")).as("_tr"))
     val llr = cnt.crossJoin(broadcast(tot))
       .withColumn("_lq", floor(
